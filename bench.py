@@ -1,0 +1,64 @@
+"""Benchmark runner — the driver's per-round throughput feedback loop.
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: ``{"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}``.
+
+Each query is forced end-to-end with the ``noop`` sink (full plan execution,
+no driver-side collect). One warm-up run of the smallest query amortizes JVM
+/ codegen startup out of the per-query numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from datapipelineetl_spark import queries as _q
+from datapipelineetl_spark.session import get_session
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q_top3_orders_per_customer",
+    "q_agg_stats",
+    "q_events_pivot",
+    "q_sessionize",
+    "q_unpivot_lineitem",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    spark = get_session("bench")
+
+    def run(name: str) -> float:
+        t0 = time.perf_counter()
+        _q.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    run("q1_pricing_summary")  # warm-up: JVM JIT + codegen + parquet footer cache
+
+    timings = {name: round(run(name), 3) for name in HEADLINE if name in _q.QUERIES}
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

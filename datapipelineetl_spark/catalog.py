@@ -1,0 +1,48 @@
+"""Table catalog for the driver-provided parquet fixtures (TESTDATA.md).
+
+``load`` returns lazy DataFrames — parquet scans with pushdown/pruning left
+to Catalyst. Nothing is cached here: each query plans its own scan so
+``.explain`` shows the real pushed filters per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    if table not in TABLES:
+        raise KeyError(f"unknown table {table!r}; known: {TABLES}")
+    # The driver harness calls queries() with its OWN session; pin the two
+    # runtime-settable confs correctness depends on: UTC rendering (DuckDB
+    # timestamps are UTC-naive) — others are handled via try_* functions.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if table == "events":
+        # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
+        # parquet reader rejects (PARQUET_TYPE_ILLEGAL). Read nanos as long
+        # (legacy conf, runtime-settable) and truncate to microseconds —
+        # identical to DuckDB's nanos→micros truncation, so oracle
+        # comparison stays byte-exact.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        from pyspark.sql import functions as F
+
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load(spark, sf_dir, t) for t in TABLES}

@@ -1,0 +1,126 @@
+"""Relational operator compositions (SURVEY.md §2.5–2.7).
+
+The reference has no DataFrame joins/aggregations/windows — its only
+join-like computation is the per-measInfo measType position→name lookup done
+with a Python dict (dags/Dag2.py:103-106,129 — C10). The engine exposes the
+full relational surface via Spark built-ins; this module adds the named
+compositions the north star needs, each shaped for scale:
+
+- lookups broadcast the small side explicitly,
+- top-k per group uses window + row_number (one shuffle, no global sort),
+- EAV→wide pivot passes explicit pivot values when known (avoids the extra
+  distinct-collect job Spark otherwise runs).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def broadcast_lookup(
+    facts: DataFrame,
+    dim: DataFrame,
+    on: Sequence[str],
+    value_col: str,
+    out: str,
+    default=None,
+    how: str = "left",
+) -> DataFrame:
+    """C10 generalized: join a small lookup table with a miss-default.
+
+    Reference semantics (dags/Dag2.py:103-106,129): KPI position code ``p``
+    → KPI name via the per-measInfo measType dict; a missing key yields
+    ``UNKNOWN_{p}``. Expressed as a broadcast hash join (dim side is tiny) +
+    ``coalesce`` for the miss case — no shuffle on the 100 TB fact side.
+    """
+    joined = facts.join(F.broadcast(dim), on=list(on), how=how)
+    if default is not None:
+        joined = joined.withColumn(out, F.coalesce(F.col(value_col), default))
+        if value_col != out:
+            joined = joined.drop(value_col)
+    elif value_col != out:
+        joined = joined.withColumnRenamed(value_col, out)
+    return joined
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col,
+    k: int,
+    ascending: bool = False,
+    rank_col: str = "rn",
+    keep_rank: bool = False,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Top-k rows per group: Window.partitionBy + row_number ≤ k.
+
+    One hash shuffle on the group keys; no global sort. ``tiebreak`` columns
+    make row_number deterministic (required for oracle comparison).
+    """
+    order = [F.col(order_col).asc() if ascending else F.col(order_col).desc()]
+    order += [F.col(c).asc() for c in tiebreak]
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    out = df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
+    return out if keep_rank else out.drop(rank_col)
+
+
+def pivot_eav(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    name_col: str,
+    value_col: str,
+    names: Sequence[str] | None = None,
+    agg: str = "first",
+) -> DataFrame:
+    """EAV (long) → wide pivot — what Kibana does with the reference's
+    long-format KPI records (SURVEY.md §2.6).
+
+    Passing ``names`` explicitly skips Spark's extra distinct-scan job to
+    discover pivot values — at 100 TB that scan is a full pass over the
+    fact table, so callers should always pass the known KPI list.
+    """
+    aggf = {"first": F.first, "sum": F.sum, "avg": F.avg, "max": F.max, "min": F.min}[agg]
+    p = df.groupBy(*key_cols).pivot(name_col, list(names) if names else None)
+    return p.agg(aggf(value_col))
+
+
+def unpivot(
+    df: DataFrame,
+    id_cols: Sequence[str],
+    value_cols: Sequence[str],
+    name_col: str = "name",
+    value_col: str = "value",
+) -> DataFrame:
+    """Wide → EAV via the built-in ``unpivot`` (narrow, no shuffle)."""
+    return df.unpivot(list(id_cols), list(value_cols), name_col, value_col)
+
+
+def dedupe_exact(df: DataFrame, subset: Sequence[str] | None = None) -> DataFrame:
+    """Exact dedup: hash-shuffle on the subset columns, keep one row each.
+
+    ``dropDuplicates`` compiles to a partial+final aggregate (map-side
+    combine first), so the shuffle carries only distinct keys per partition.
+    """
+    return df.dropDuplicates(list(subset) if subset else None)
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_minutes: float = 30.0,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Sessionization: lag(ts) per user + cumulative sum over gap>threshold.
+
+    Single shuffle on ``user_col`` reused by both window functions
+    (identical partitioning/ordering ⇒ one Window exchange in the plan).
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    gap_sec = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    is_new = F.when(gap_sec.isNull() | (gap_sec > gap_minutes * 60), 1).otherwise(0)
+    return df.withColumn(session_col, F.sum(is_new).over(w))

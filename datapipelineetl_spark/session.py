@@ -1,0 +1,67 @@
+"""SparkSession factory with scale-aware defaults.
+
+The reference pins a handful of Spark confs on every job
+(/root/reference/mypy/preprocessproduce.py:98-102 et al.):
+``spark.sql.files.maxPartitionBytes=64MB``, ``spark.sql.shuffle.partitions=4``,
+``spark.streaming.stopGracefullyOnShutdown=true``, ``spark.task.maxFailures``.
+We keep the intent (bounded input splits, graceful shutdown) but replace the
+hard-coded shuffle parallelism with AQE: at 100 TB a fixed partition count is
+always wrong in one direction, while AQE coalesces/splits post-shuffle
+partitions from runtime statistics.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def session_builder(
+    app_name: str = "datapipelineetl_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession.Builder:
+    """Builder with engine defaults; callers may override before getOrCreate().
+
+    Defaults chosen for both local testing and cluster scale:
+
+    - AQE on (runtime shuffle-partition coalescing, skew-join splitting,
+      dynamic broadcast conversion) — replaces the reference's static
+      ``shuffle.partitions=4``.
+    - UTC session timezone — required for byte-identical comparison against
+      the DuckDB oracle (DuckDB timestamps are UTC-naive).
+    - Arrow enabled — vectorized pandas_udf / toPandas interchange.
+    - 128 MB input split target (reference uses 64 MB at
+      preprocessproduce.py:99; 128 MB matches modern parquet row-group
+      sizing and halves task-scheduling overhead at 100 TB).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.streaming.stopGracefullyOnShutdown", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+    )
+    if master:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{cpus}]")
+    return builder
+
+
+def get_session(app_name: str = "datapipelineetl_spark", **kwargs) -> SparkSession:
+    """Get-or-create a session with engine defaults."""
+    spark = session_builder(app_name, **kwargs).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

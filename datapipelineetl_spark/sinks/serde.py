@@ -1,0 +1,75 @@
+"""Kafka message-envelope serde (SURVEY.md §2.2 K1, §2.4 C12).
+
+The reference serializes every row to one JSON string —
+``to_json(struct(*cols))`` — and publishes to a per-feed topic with an
+optional constant key (mypy/preprocessproduce.py:68-80, mypy/streaming.py:129,
+mypy/xmlonly.py:121, mypy/xmlhard.py:112). The inverse (``from_json`` with a
+declared schema) implements the reference's schema-as-projection semantics:
+JSON keys absent from the schema are silently dropped (SURVEY.md §1.2).
+
+The actual Kafka write is the same DataFrame with
+``.write.format("kafka").option("topic", ...)`` — kept behind this interface
+so tests exercise the envelope against memory/parquet sinks (no broker in
+the test env).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def to_envelope(
+    df: DataFrame,
+    key=None,
+    columns: Sequence[str] | None = None,
+    exclude: Sequence[str] = (),
+) -> DataFrame:
+    """Serialize rows to the Kafka envelope ``(key string, value string)``.
+
+    C12 + C11 + P2: value = ``to_json(struct(*cols))``; key is a constant
+    (the reference uses ``str(batch_id)`` for the CSV feed,
+    mypy/preprocessproduce.py:71) or omitted; ``exclude`` implements the
+    column-exclusion projection (drop lineage cols before serialize,
+    mypy/streaming.py:129).
+    """
+    cols = [c for c in (columns or df.columns) if c not in set(exclude)]
+    value = F.to_json(F.struct(*[F.col(c) for c in cols])).alias("value")
+    if key is None:
+        return df.select(value)
+    return df.select(F.lit(str(key)).cast("string").alias("key"), value)
+
+
+def from_envelope(df: DataFrame, schema: T.StructType, value_col: str = "value") -> DataFrame:
+    """Inverse: parse the JSON value with a declared schema and flatten.
+
+    Schema-as-projection: keys not in ``schema`` are dropped; declared
+    fields missing from the JSON come back null — exactly the reference's
+    streaming-JSON read behavior (mypy/streaming.py:145-150).
+    """
+    return df.select(F.from_json(F.col(value_col), schema).alias("r")).select("r.*")
+
+
+def write_kafka(df: DataFrame, topic: str, bootstrap_servers: str, **options) -> None:
+    """K1: publish an envelope DataFrame to Kafka (requires the
+    spark-sql-kafka package on the classpath; not present in the test env)."""
+    (
+        df.write.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .options(**options)
+        .save()
+    )
+
+
+def write_routed_parquet(df: DataFrame, path: str, feed_col: str = "feed", mode: str = "append") -> None:
+    """K2 engine-native: feed→index routing as a partitioned parquet sink.
+
+    Replaces the Logstash topic→ES-index dispatch (logstash.conf:13-46) with
+    ``partitionBy(feed)`` — downstream readers get partition pruning on the
+    feed column for free.
+    """
+    df.write.mode(mode).partitionBy(feed_col).parquet(path)

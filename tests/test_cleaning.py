@@ -1,0 +1,121 @@
+"""Sentinel-matrix unit tests for the cleaning operators (SURVEY.md §5).
+
+Micro-DataFrames with every sentinel class the reference handles: null,
+"NIL", "NULL", "nil " with whitespace/case, unparseable timestamps,
+out-of-range geo nulls. Locks in the load-bearing C2–C5 ordering.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import types as T
+
+from datapipelineetl_spark.operators import cleaning
+from datapipelineetl_spark.schemas import CELL_METRICS_SCHEMA
+
+
+def test_parse_timestamp_reference_format(spark):
+    df = spark.createDataFrame(
+        [("07-04-2025 13:45",), ("not a date",), (None,)], ["Time"]
+    )
+    out = cleaning.parse_timestamp(df, "Time").collect()
+    assert out[0].Time == datetime.datetime(2025, 7, 4, 13, 45)
+    assert out[1].Time is None and out[2].Time is None
+
+
+def test_fill_nulls_targeted_and_global(spark):
+    df = spark.createDataFrame(
+        [(None, None, 1.5), (2, "x", None)],
+        T.StructType(
+            [
+                T.StructField("a", T.IntegerType()),
+                T.StructField("s", T.StringType()),
+                T.StructField("d", T.DoubleType()),
+            ]
+        ),
+    )
+    out = cleaning.fill_nulls(cleaning.fill_nulls(df, 0, ["a"]), "N/A", ["s"])
+    rows = {r.a: r for r in out.collect()}
+    assert rows[0].s == "N/A" and rows[0].d == 1.5
+    out2 = cleaning.fill_nulls(out, 0).collect()
+    assert all(r.d is not None for r in out2)
+
+
+def test_sentinel_fill_order_c4_before_c5(spark):
+    """C4's 999 geo sentinel must win over C5's global 0 fill."""
+    df = spark.createDataFrame(
+        [(None, None)],
+        T.StructType(
+            [
+                T.StructField("Latitude", T.DoubleType()),
+                T.StructField("other", T.DoubleType()),
+            ]
+        ),
+    )
+    df = cleaning.replace_null_with_sentinel(df, ["Latitude"], 999.0)
+    df = cleaning.fill_nulls(df, 0)
+    r = df.collect()[0]
+    assert r.Latitude == 999.0 and r.other == 0.0
+
+
+def test_string_sentinel_case_and_whitespace(spark):
+    df = spark.createDataFrame(
+        [("nil",), (" NIL ",), ("Nil",), ("3.5",), (None,)], ["v"]
+    )
+    out = [r.v for r in cleaning.string_sentinel_to_value(df, "v", "nil", 0).collect()]
+    assert out == ["0", "0", "0", "3.5", None]
+
+
+def test_cast_with_sentinel_int_vs_double(spark):
+    df = spark.createDataFrame([("42",), ("NIL",), ("3.9",), (None,)], ["kpiValue"])
+    ints = [r.kpiValue for r in cleaning.clean_kpi_records(df, "int").collect()]
+    assert ints == [42, 0, None, None]  # "3.9" doesn't cast to int → null
+    dbls = [r.kpiValue for r in cleaning.clean_kpi_records(df.selectExpr("kpiValue"), "double").collect()]
+    assert dbls == [42.0, 0.0, 3.9, None]
+
+
+def test_nil_null_nan_to_zero(spark):
+    df = spark.createDataFrame([("NIL",), ("NULL",), (None,), ("7",)], ["v"])
+    out = [r.v for r in cleaning.nil_null_nan_to_zero(df, "v").collect()]
+    assert out == ["0", "0", "0", "7"]
+
+
+def test_extract_between_nodeid(spark):
+    df = spark.createDataFrame(
+        [("eNodeBFunctionName=ENB123,cellId=7",), ("nokey",), (None,)], ["measObjLdn"]
+    )
+    out = [r.nodeid for r in cleaning.extract_between(df, "measObjLdn", "nodeid").collect()]
+    assert out == ["ENB123", "", None]
+
+
+def test_clean_cell_metrics_full_chain(spark):
+    rows = [
+        (
+            "07-04-2025 13:45", None, "CellA", "B3", None, 20, 11,
+            None, None, "OK", " NIL ", None, 55.5, None, 0.99,
+        ),
+        (
+            "bad", "ENB1", None, "B7", 100, None, None,
+            36.8, 10.1, "OK", "2.25", 1000.0, None, 12, None,
+        ),
+    ]
+    df = spark.createDataFrame(rows, CELL_METRICS_SCHEMA)
+    out = cleaning.clean_cell_metrics(df)
+    assert "Integrity" not in out.columns
+    assert "FT_UL_Interference" in out.columns and "FT_UL.Interference" not in out.columns
+    r0, r1 = out.collect()
+    assert r0["eNodeB Name"] == "N/A" and r1["Cell Name"] == "N/A"
+    assert r0["Downlink EARFCN"] == 0 and r1["Downlink bandwidth"] == 0
+    assert r0["Latitude"] == 999.0 and r0["Longitude"] == 999.0
+    assert r1["Latitude"] == 36.8
+    assert r0["FT_UL_Interference"] == "0" and r1["FT_UL_Interference"] == "2.25"
+    assert r0["FT_AVE 4G/LTE DL USER THRPUT without Last TTI(ALL) (KBPS)(kbit/s)"] == 0.0
+    assert r1["Time"] is None
+    assert r0["Time"] == datetime.datetime(2025, 7, 4, 13, 45)
+
+
+def test_strip_file_uri_prefix(spark):
+    df = spark.createDataFrame([("file:///a/b.xml",), ("file:/a/b.xml",), ("/a/b.xml",)], ["p"])
+    out = [r.p for r in cleaning.strip_file_uri_prefix(df, "p").collect()]
+    assert out == ["/a/b.xml"] * 3
