@@ -26,6 +26,7 @@ from pyspark.sql import types as T
 from datapipelineetl_spark import catalog
 from datapipelineetl_spark.operators import cleaning, relational
 from datapipelineetl_spark.sinks import serde
+from datapipelineetl_spark.sources import meascollec
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -482,6 +483,110 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sess.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("session_value"),
+    )
+
+
+_MEASCOLLEC_FIXTURE = """<?xml version="1.0" encoding="UTF-8"?>
+<measCollecFile xmlns="http://www.3gpp.org/ftp/specs/archive/32_series/32.435#measCollec">
+  <fileHeader fileFormatVersion="32.435 V10.0">
+    <fileSender localDn="ENB1"/>
+    <measCollec beginTime="2025-07-04T13:00:00+01:00"/>
+  </fileHeader>
+  <measData>
+    <managedElement localDn="SubNetwork=1,ManagedElement=ENB1"/>
+    <measInfo measInfoId="measInfo_Cell">
+      <job jobId="job1"/>
+      <granPeriod duration="PT900S" endTime="2025-07-04T13:15:00+01:00"/>
+      <measType p="1">RRC.ConnEstabAtt</measType>
+      <measType p="2">RRC.ConnEstabSucc</measType>
+      <measValue measObjLdn="eNodeBFunctionName=ENB1,cellId=7">
+        <r p="1">100</r>
+        <r p="2">95</r>
+        <r p="3">7</r>
+      </measValue>
+      <measValue measObjLdn="eNodeBFunctionName=ENB1,cellId=8">
+        <r p="1">NIL</r>
+        <r p="2">50</r>
+      </measValue>
+    </measInfo>
+    <measInfo measInfoId="measInfo_Thrp">
+      <job jobId="job2"/>
+      <granPeriod duration="PT900S" endTime="2025-07-04T13:15:00+01:00"/>
+      <measType p="1">DL.Thrp</measType>
+      <measValue measObjLdn="eNodeBFunctionName=ENB2,cellId=1">
+        <r p="1">123.5</r>
+      </measValue>
+    </measInfo>
+  </measData>
+</measCollecFile>
+"""
+
+
+@query(
+    "q_meascollec_flatten",
+    """
+    SELECT * FROM (VALUES
+      ('measInfo_Cell','job1','PT900S','2025-07-04T13:00:00+01:00','2025-07-04T13:15:00+01:00','eNodeBFunctionName=ENB1,cellId=7','ENB1','1','RRC.ConnEstabAtt','100'),
+      ('measInfo_Cell','job1','PT900S','2025-07-04T13:00:00+01:00','2025-07-04T13:15:00+01:00','eNodeBFunctionName=ENB1,cellId=7','ENB1','2','RRC.ConnEstabSucc','95'),
+      ('measInfo_Cell','job1','PT900S','2025-07-04T13:00:00+01:00','2025-07-04T13:15:00+01:00','eNodeBFunctionName=ENB1,cellId=7','ENB1','3','UNKNOWN_3','7'),
+      ('measInfo_Cell','job1','PT900S','2025-07-04T13:00:00+01:00','2025-07-04T13:15:00+01:00','eNodeBFunctionName=ENB1,cellId=8','ENB1','1','RRC.ConnEstabAtt','0'),
+      ('measInfo_Cell','job1','PT900S','2025-07-04T13:00:00+01:00','2025-07-04T13:15:00+01:00','eNodeBFunctionName=ENB1,cellId=8','ENB1','2','RRC.ConnEstabSucc','50'),
+      ('measInfo_Thrp','job2','PT900S','2025-07-04T13:00:00+01:00','2025-07-04T13:15:00+01:00','eNodeBFunctionName=ENB2,cellId=1','ENB2','1','DL.Thrp','123.5')
+    ) AS t(measInfoId, jobId, granPeriod, beginTime, endTime, measObjLdn, nodeid, kpiId, kpiName, kpiValue)
+    """,
+)
+def q_meascollec_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS 32.435 XML flatten (S4/C8/C9/C10) against a golden VALUES oracle.
+
+    The fixture document exercises: measType lookup, UNKNOWN_{p} fallback,
+    NIL→0, nodeid extraction, multi-measInfo/multi-measValue explode. The
+    plan is shuffle-free (document-parallel at scale — SURVEY.md §4.2).
+    """
+    import pathlib
+    import tempfile
+
+    d = pathlib.Path(tempfile.gettempdir()) / "datapipelineetl_xml_fixture"
+    d.mkdir(exist_ok=True)
+    f = d / "A20250704.xml"
+    if not f.exists() or f.read_text() != _MEASCOLLEC_FIXTURE:
+        f.write_text(_MEASCOLLEC_FIXTURE)
+    raw = meascollec.read_meascollec(spark, str(d))
+    return meascollec.flatten_meascollec(raw, "xmlonly")
+
+
+@query(
+    "q_tumbling_window_events",
+    """
+    SELECT time_bucket(INTERVAL 5 MINUTE, ts)                    AS window_start,
+           time_bucket(INTERVAL 5 MINUTE, ts) + INTERVAL 5 MINUTE AS window_end,
+           event_type,
+           COUNT(*)              AS n,
+           ROUND(SUM(value), 2)  AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregate (ST8 semantics, batch form).
+
+    The identical ``F.window`` expression runs under Structured Streaming
+    with a watermark (streaming/runner.windowed_aggregate — tested in
+    tests/test_streaming.py); batch form here for the DuckDB oracle.
+    """
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
     )
 
 

@@ -1,0 +1,180 @@
+"""Streaming semantics (SURVEY.md §2.8, ST1–ST9), done the Spark-native way.
+
+The reference runs all four feeds as Structured Streaming jobs whose logic
+lives in ``foreachBatch`` callbacks with manual file move/backup side
+effects (/root/reference/mypy/streaming.py:109-142 et al.) — at-least-once
+by construction (ST6). This runner standardizes on:
+
+- **source-managed archival** (``cleanSource=archive`` +
+  ``sourceArchiveDir``) — the reference already does this once for the CSV
+  feed (mypy/preprocessproduce.py:185-186); we use it everywhere, removing
+  the non-transactional side effects;
+- **drain-mode triggers** via ``availableNow`` (the modern form of the
+  reference's ``trigger(once=True)``, mypy/streaming.py:153) — processes
+  everything present, respecting rate limits, then exits;
+- **declarative transforms**: the per-batch logic is a plain
+  DataFrame → DataFrame function applied to the *stream* (so Catalyst plans
+  it incrementally) — ``foreachBatch`` remains available for sinks that
+  need batch semantics (e.g. Kafka producers keyed by batch id,
+  mypy/preprocessproduce.py:71).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+
+def read_file_stream(
+    spark: SparkSession,
+    path: str,
+    fmt: str,
+    schema: T.StructType,
+    max_files_per_trigger: int | None = 1,
+    archive_dir: str | None = None,
+    lineage: bool = True,
+    **options,
+) -> DataFrame:
+    """S1/S2 file-source stream with engine-managed archival.
+
+    ``maxFilesPerTrigger=1`` mirrors the reference's per-file micro-batches
+    (mypy/preprocessproduce.py:184) — a latency/ordering knob; raise it for
+    throughput drains. ``archive_dir`` enables ``cleanSource=archive``
+    (ST6 done right). ``lineage`` adds the S3 input-file column.
+    """
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if archive_dir:
+        reader = reader.option("cleanSource", "archive").option(
+            "sourceArchiveDir", archive_dir
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    df = reader.load(path)
+    if lineage:
+        df = df.withColumn("input_file", F.input_file_name())
+    return df
+
+
+def run_drain(
+    stream: DataFrame,
+    transform: Callable[[DataFrame], DataFrame] | None,
+    checkpoint: str,
+    sink_format: str = "parquet",
+    sink_path: str | None = None,
+    query_name: str | None = None,
+    output_mode: str = "append",
+) -> StreamingQuery:
+    """ST3 drain-and-exit: apply ``transform`` to the stream, write with
+    ``availableNow``, block until drained.
+
+    The transform runs on the streaming DataFrame itself — Catalyst plans it
+    incrementally per micro-batch; no driver-side loops.
+    """
+    df = transform(stream) if transform else stream
+    writer = (
+        df.writeStream.outputMode(output_mode)
+        .format(sink_format)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
+    if query_name:
+        writer = writer.queryName(query_name)
+    if sink_path:
+        writer = writer.option("path", sink_path)
+    q = writer.start()
+    q.awaitTermination()
+    return q
+
+
+def run_foreach_batch(
+    stream: DataFrame,
+    batch_fn: Callable[[DataFrame, int], None],
+    checkpoint: str,
+    available_now: bool = True,
+    skip_empty: bool = True,
+) -> StreamingQuery:
+    """ST1 micro-batch callback runner with the P5 empty-batch skip.
+
+    Mirrors the reference's ``foreachBatch(process_batch)`` shape
+    (mypy/preprocessproduce.py:37-85) for sinks that need per-batch
+    semantics (Kafka key = batch id, C11). The empty-batch early return is
+    the reference's ``df.isEmpty()`` guard (mypy/streaming.py:111).
+    """
+
+    def wrapped(df: DataFrame, epoch_id: int) -> None:
+        if skip_empty and df.isEmpty():
+            return
+        batch_fn(df, epoch_id)
+
+    writer = stream.writeStream.foreachBatch(wrapped).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
+
+
+# --- ST8: event-time operators the reference lacks ---------------------------
+
+def windowed_aggregate(
+    stream: DataFrame,
+    ts_col: str,
+    window_duration: str,
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+    group_cols: tuple[str, ...] = (),
+    aggs: dict[str, str] | None = None,
+) -> DataFrame:
+    """Watermarked tumbling/sliding event-time aggregation.
+
+    State scale note: watermark bounds the state store to
+    O(active windows × groups); without it a 100 TB stream accretes
+    unbounded state. Late rows beyond the watermark are dropped —
+    at-most-once for stragglers, which is the documented trade.
+    """
+    aggs = aggs or {"*": "count"}
+    win = F.window(F.col(ts_col), window_duration, slide) if slide else F.window(
+        F.col(ts_col), window_duration
+    )
+    agg_cols = []
+    for col, fn in aggs.items():
+        if fn == "count":
+            agg_cols.append(F.count(F.lit(1)).alias("n" if col == "*" else f"n_{col}"))
+        else:
+            agg_cols.append(getattr(F, fn)(col).alias(f"{fn}_{col}"))
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(win, *group_cols)
+        .agg(*agg_cols)
+    )
+
+
+def dedupe_stream(
+    stream: DataFrame, keys: tuple[str, ...], ts_col: str, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming exact dedup with watermark-bounded state
+    (``dropDuplicatesWithinWatermark``): duplicates arriving within the
+    watermark horizon are suppressed; state is purged past it."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
+# --- ST7: completeness audit -------------------------------------------------
+
+def audit_leftovers(input_dir: str, pattern: str = "*") -> list[str]:
+    """Post-drain completeness audit (mypy/streaming.py:159-161): any file
+    still in the input dir after a drain was not consumed+archived."""
+    return sorted(
+        p for p in glob.glob(os.path.join(input_dir, pattern)) if os.path.isfile(p)
+    )

@@ -1,0 +1,154 @@
+"""Streaming runner tests (SURVEY.md §2.8): the flagship CSV feed as a
+drain-mode stream with source archival, plus the ST8 event-time operators
+the reference lacks."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from datapipelineetl_spark.operators.cleaning import clean_cell_metrics
+from datapipelineetl_spark.schemas import CELL_METRICS_SCHEMA
+from datapipelineetl_spark.streaming import runner
+
+CSV_HEADER = (
+    "Time,eNodeB Name,Cell Name,Frequency band,Downlink EARFCN,"
+    "Downlink bandwidth,LocalCell Id,Latitude,Longitude,Integrity,"
+    '"FT_UL.Interference","FT_AVE 4G/LTE DL USER THRPUT without Last TTI(ALL) (KBPS)(kbit/s)",'
+    '"FT_PHYSICAL RESOURCE BLOCKS LOAD DL(%)","FT_AVERAGE NB OF USERS (UEs RRC CONNECTED)",'
+    '"FT_4G/LTE CALL SETUP SUCCESS RATE"'
+)
+CSV_ROWS = [
+    '07-04-2025 13:45,ENB1,CellA,B3,100,20,11,36.8,10.1,OK,2.25,1000.5,55.5,12,0.99',
+    '07-04-2025 14:00,,CellB,B7,,,,,,OK," NIL ",,,,',
+]
+
+
+@pytest.fixture()
+def csv_feed(tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "report1.csv").write_text(CSV_HEADER + "\n" + "\n".join(CSV_ROWS) + "\n")
+    return tmp_path
+
+
+def test_csv_drain_with_archive(spark, csv_feed):
+    """S1 + C1–C6 + ST3 + ST6: stream the CSV feed, clean, drain to parquet,
+    verify the source archived the consumed file."""
+    src = str(csv_feed / "in")
+    archive = str(csv_feed / "done")
+    out = str(csv_feed / "out")
+    ckpt = str(csv_feed / "ckpt")
+
+    stream = runner.read_file_stream(
+        spark, src, "csv", CELL_METRICS_SCHEMA, archive_dir=archive, header="true"
+    )
+    assert stream.isStreaming
+
+    runner.run_drain(
+        stream,
+        lambda df: clean_cell_metrics(df.drop("input_file")),
+        checkpoint=ckpt,
+        sink_path=out,
+    )
+
+    result = spark.read.parquet(out)
+    rows = {r["Cell Name"]: r for r in result.collect()}
+    assert rows["CellB"]["eNodeB Name"] == "N/A"
+    assert rows["CellB"]["Latitude"] == 999.0
+    assert rows["CellB"]["FT_UL_Interference"] == "0"
+    assert rows["CellA"]["FT_UL_Interference"] == "2.25"
+    # ST6: source-managed archival is asynchronous — consumed files are
+    # moved when a later batch runs maintenance. Drop a second file, drain
+    # again (same checkpoint), then the first file must be archived.
+    (csv_feed / "in" / "report2.csv").write_text(
+        CSV_HEADER + "\n" + CSV_ROWS[0] + "\n"
+    )
+    stream2 = runner.read_file_stream(
+        spark, src, "csv", CELL_METRICS_SCHEMA, archive_dir=archive, header="true"
+    )
+    runner.run_drain(
+        stream2,
+        lambda df: clean_cell_metrics(df.drop("input_file")),
+        checkpoint=ckpt,
+        sink_path=out,
+    )
+    archived = [
+        f for _, _, fs in os.walk(archive) for f in fs if f.endswith(".csv")
+    ]
+    assert "report1.csv" in archived
+    assert "report1.csv" not in runner.audit_leftovers(src, "*.csv")
+
+
+def test_foreach_batch_skip_empty(spark, tmp_path):
+    """ST1/P5: empty micro-batches short-circuit before the batch fn."""
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "empty.csv").write_text(CSV_HEADER + "\n")
+    seen = []
+    stream = runner.read_file_stream(
+        spark, str(src), "csv", CELL_METRICS_SCHEMA, header="true", lineage=False
+    )
+    runner.run_foreach_batch(
+        stream, lambda df, eid: seen.append(df.count()), checkpoint=str(tmp_path / "c")
+    )
+    assert seen == []
+
+
+def test_windowed_aggregate_with_watermark(spark, tmp_path):
+    """ST8: watermarked tumbling-window agg over an event-time stream."""
+    pdir = str(tmp_path / "events")
+    rows = [
+        ("2024-01-01 00:01:00", "click", 1.0),
+        ("2024-01-01 00:02:00", "click", 2.0),
+        ("2024-01-01 00:07:00", "view", 3.0),
+        ("2024-01-01 01:00:00", "click", 4.0),  # advances watermark, closes earlier windows
+    ]
+    df = spark.createDataFrame(rows, ["ts_s", "event_type", "value"]).withColumn(
+        "ts", F.to_timestamp("ts_s")
+    ).drop("ts_s")
+    df.coalesce(1).write.parquet(pdir)
+
+    stream = spark.readStream.schema(df.schema).parquet(pdir)
+    agg = runner.windowed_aggregate(
+        stream, "ts", "5 minutes", watermark="10 minutes",
+        group_cols=("event_type",), aggs={"*": "count", "value": "sum"},
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("winagg")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.window.start.minute, r.event_type): (r.n, r.sum_value)
+        for r in spark.sql("SELECT * FROM winagg").collect()
+    }
+    assert got[(0, "click")] == (2, 3.0)
+    assert got[(5, "view")] == (1, 3.0)
+
+
+def test_dedupe_stream_within_watermark(spark, tmp_path):
+    pdir = str(tmp_path / "dups")
+    rows = [
+        ("2024-01-01 00:01:00", 1), ("2024-01-01 00:02:00", 1),
+        ("2024-01-01 00:03:00", 2),
+    ]
+    df = spark.createDataFrame(rows, ["ts_s", "k"]).withColumn(
+        "ts", F.to_timestamp("ts_s")
+    ).drop("ts_s")
+    df.coalesce(1).write.parquet(pdir)
+    stream = spark.readStream.schema(df.schema).parquet(pdir)
+    dd = runner.dedupe_stream(stream, ("k",), "ts")
+    q = (
+        dd.writeStream.outputMode("append").format("memory").queryName("dd")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    assert sorted(r.k for r in spark.sql("SELECT k FROM dd").collect()) == [1, 2]
