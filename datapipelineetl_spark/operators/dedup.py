@@ -1,0 +1,154 @@
+"""Deduplication operators: exact, fingerprint, MinHash+LSH (SURVEY.md §2.11).
+
+The scale ladder, cheapest first:
+
+1. **Exact** — ``dropDuplicates`` / md5-fingerprint groupBy: one shuffle on
+   the hash, O(n).
+2. **Canonicalized exact** — token-set fingerprint (text.py): catches
+   order/repetition-invariant duplicates, still O(n).
+3. **MinHash + LSH banding** — near-duplicates at a Jaccard threshold:
+   signatures are per-row array math (narrow); banding turns the O(n²)
+   similarity join into equi-joins on (band, band_hash) buckets, so the
+   shuffle volume is O(n × bands) and the pairwise work is confined to
+   bucket collisions. This is the standard web-scale near-dup design
+   (Broder's shingling/MinHash as used in MapReduce dedup pipelines).
+
+All hash math is the md5-based 60-bit family from text.py, reproducible in
+ANSI SQL for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from datapipelineetl_spark.operators.text import token_hash60, tokens
+
+# Fixed affine hash family h_i(x) = (a_i * (x mod P) + b_i) mod P over the
+# 60-bit token hash. P = 2^31 - 1 (Mersenne prime); coefficients are small
+# fixed odd constants so a_i * (x mod P) stays well under 2^63.
+MINHASH_P = (1 << 31) - 1
+MINHASH_COEFFS: list[tuple[int, int]] = [
+    (7, 3), (11, 5), (13, 17), (19, 23), (29, 31), (37, 41), (43, 47), (53, 59),
+    (61, 67), (71, 73), (79, 83), (89, 97), (101, 103), (107, 109), (113, 127), (131, 137),
+]
+
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    out: str = "minhash",
+    num_hashes: int = 16,
+) -> DataFrame:
+    """Per-row MinHash signature (array<long>, length ``num_hashes``).
+
+    sig_i = min over distinct tokens of (a_i*(h60(tok) mod P)+b_i) mod P.
+    Narrow, no shuffle; O(tokens × num_hashes) array math in codegen.
+    """
+    if num_hashes > len(MINHASH_COEFFS):
+        raise ValueError(f"num_hashes ≤ {len(MINHASH_COEFFS)}")
+    hs = F.transform(tokens(text_col, distinct=True), lambda t: token_hash60(t) % MINHASH_P)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(hs, lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P))
+            for a, b in MINHASH_COEFFS[:num_hashes]
+        ]
+    )
+    return df.withColumn(out, sig)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    sig_col: str = "minhash",
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """LSH banding: docs sharing ≥1 identical signature band become
+    candidate pairs (id_a < id_b, distinct).
+
+    Plan shape: posexplode bands → shuffle on (band, band_key) — the only
+    wide step, volume O(n×bands) — then a bucket-local self-join. Hot
+    buckets (boilerplate docs) are the skew risk at 100 TB; AQE skew-join
+    handles moderate cases, and a bucket-size cap (drop buckets with more
+    than ~10⁴ members — they're boilerplate, not near-dups) bounds the
+    worst case; cap not applied here to keep candidate semantics exact.
+    """
+    band_arr = F.array(
+        *[
+            F.md5(F.array_join(F.slice(F.col(sig_col), b * rows_per_band + 1, rows_per_band), ","))
+            for b in range(bands)
+        ]
+    )
+    banded = df.select(F.col(id_col), F.posexplode(band_arr).alias("band", "band_key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard(tokens_a: Column, tokens_b: Column) -> Column:
+    """Exact Jaccard over two token-set columns."""
+    inter = F.size(F.array_intersect(tokens_a, tokens_b))
+    union = F.size(F.array_union(tokens_a, tokens_b))
+    return inter / F.greatest(union, F.lit(1))
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    verify: bool = True,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
+
+    Returns (id_a, id_b, jaccard) for candidate pairs whose TRUE Jaccard ≥
+    ``threshold``. With b=4/r=4 the LSH S-curve crosses ~0.71, so recall at
+    threshold 0.7+ is high while the candidate set stays small; the verify
+    join recomputes exact Jaccard only for candidates (broadcasting the
+    token sets when the doc table is dimension-sized, else a key shuffle).
+    """
+    sigs = minhash_signature(df, text_col, "minhash", num_hashes)
+    cands = lsh_candidate_pairs(sigs, id_col, "minhash", bands, rows_per_band)
+    if not verify:
+        return cands
+    toksets = df.select(
+        F.col(id_col), tokens(text_col, distinct=True).alias("toks")
+    )
+    out = (
+        cands.join(toksets.withColumnsRenamed({id_col: "id_a", "toks": "toks_a"}), "id_a")
+        .join(toksets.withColumnsRenamed({id_col: "id_b", "toks": "toks_b"}), "id_b")
+        .withColumn("jaccard", F.round(jaccard(F.col("toks_a"), F.col("toks_b")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def dedup_by_fingerprint(
+    df: DataFrame, fingerprint_col: str, keep_cols: Sequence[str], order_col: str
+) -> DataFrame:
+    """Collapse duplicate groups to one representative (min ``order_col``)
+    + group size. One partial-aggregated shuffle on the fingerprint."""
+    return (
+        df.groupBy(fingerprint_col)
+        .agg(
+            F.min(order_col).alias(order_col),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select(fingerprint_col, order_col, "n_copies")
+    )

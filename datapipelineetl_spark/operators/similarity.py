@@ -1,0 +1,144 @@
+"""Similarity search over embedding columns (SURVEY.md §2.11).
+
+Two tiers:
+
+- **Brute-force cosine** (`cosine_topk`, `cosine_pairs`) — exact baseline.
+  The dot product is ``F.zip_with`` + ``F.aggregate`` array math (JVM-side,
+  no Python). Top-k against a query vector is a narrow map +
+  TakeOrderedAndProject: perfectly scalable (one pass, no shuffle beyond
+  the k-row heap merge). All-pairs is O(n²) — correct at fixture scale,
+  and the explicit baseline the ANN tier is measured against.
+
+- **ANN via random-hyperplane LSH** (`ann_lsh_topk`) — the scale path.
+  Sign-bit signatures bucket vectors so the pairwise work happens only
+  within buckets (multi-probe = compare against all buckets at Hamming
+  distance ≤ 1 of the query's signature). Recall/latency trades via
+  ``num_planes``. Hyperplanes are derived deterministically from a seed so
+  runs are reproducible.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_ids: tuple[int, ...] = (),
+) -> DataFrame:
+    """Exact top-k by cosine against a constant query vector.
+
+    The query vector is a literal array (broadcast by constant folding);
+    scoring is a narrow projection; ordering+limit compiles to
+    TakeOrderedAndProject — a per-partition k-heap, no global sort.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col).cast("array<double>"), q), 4).alias("cos_sim"),
+    )
+    if exclude_ids:
+        scored = scored.filter(~F.col(id_col).isin(*exclude_ids))
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+
+
+def cosine_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold (exact, O(n²) cross join).
+
+    Correctness baseline / fixture-scale tool. At 100 TB use
+    ``ann_lsh_topk`` or pre-bucket by an LSH signature equi-join instead —
+    same output contract, candidate-pruned.
+    """
+    v = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def _hyperplanes(num_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (LCG-based — no RNG
+    state, reproducible across runs/engines)."""
+    planes = []
+    state = seed
+    for _ in range(num_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            # map to (-1, 1)
+            row.append(((state >> 11) / float(1 << 53)) * 2.0 - 1.0)
+        n = math.sqrt(sum(x * x for x in row)) or 1.0
+        planes.append([x / n for x in row])
+    return planes
+
+
+def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit signature: bit p set iff dot(vec, plane_p) ≥ 0."""
+    sig = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        pl = F.array(*[F.lit(float(x)) for x in plane])
+        sig = sig + F.when(dot(vec, pl) >= 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sig
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only vectors whose LSH bucket is within
+    Hamming distance ≤ 1 of the query's bucket (multi-probe).
+
+    At scale: the signature is a narrow projection you'd persist/bucket-by;
+    a query then touches ~(num_planes+1)/2^num_planes of the data instead
+    of all of it. Exactness is traded for that pruning — measure recall
+    against ``cosine_topk`` (tests do).
+    """
+    planes = _hyperplanes(num_planes, len(query_vec), seed)
+    qsig = 0
+    for p, plane in enumerate(planes):
+        if sum(q * x for q, x in zip(query_vec, plane)) >= 0:
+            qsig |= 1 << p
+    sigs = df.withColumn("lsh_sig", lsh_signature(F.col(vec_col).cast("array<double>"), planes))
+    probe = sigs.filter(F.bit_count(F.col("lsh_sig").bitwiseXOR(F.lit(qsig))) <= 1)
+    return cosine_topk(probe, query_vec, k, id_col, vec_col)

@@ -1,0 +1,172 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md §2.11).
+
+Language-ID, quality scoring, token counting, and document fingerprinting
+over a ``text`` column — all built from JVM-side column functions (split /
+regexp / higher-order array functions), so they run inside whole-stage
+codegen on a 100 TB corpus with zero Python in the hot path.
+
+Hash parity note: fingerprints use md5 (same digest in every engine — and
+the reference itself deduplicates by MD5, mypy/streaming.py:31-46), with
+``conv(substr(md5(x),1,15),16,10)`` to get a deterministic 60-bit integer
+hash that the DuckDB oracle reproduces as ``('0x'||substr(md5(x),1,15))::BIGINT``.
+xxhash64 would be ~3× faster but engine-specific; swap in at deployment if
+oracle parity is not needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = r"\s+"
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic.
+# Order matters: ties resolve to the earlier language (deterministic).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "es": ("el", "la", "de", "que", "y"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "zh": ("的", "是", "了", "在", "和"),
+}
+
+
+def tokens(col: str | Column, distinct: bool = False) -> Column:
+    """Whitespace tokenization (lowered). ``distinct`` → token set."""
+    c = col if isinstance(col, Column) else F.col(col)
+    t = F.split(F.trim(F.lower(c)), TOKEN_SPLIT_RE)
+    return F.array_distinct(t) if distinct else t
+
+
+def token_hash60(tok: Column) -> Column:
+    """Deterministic 60-bit integer hash of a token (md5-prefix; see module
+    docstring for the cross-engine rationale)."""
+    return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: total tokens, distinct tokens, mean token length.
+
+    A BPE-ish subword proxy (``n_subwords``) counts alpha runs + digit runs
+    + punctuation marks separately — a cheap deterministic stand-in for a
+    real tokenizer's piece count.
+    """
+    toks = tokens(text_col)
+    return (
+        df.withColumn("n_tokens", F.size(toks))
+        .withColumn("n_distinct_tokens", F.size(F.array_distinct(toks)))
+        .withColumn(
+            "avg_token_len",
+            F.round(
+                F.aggregate(toks, F.lit(0).cast("double"), lambda acc, t: acc + F.length(t))
+                / F.greatest(F.size(toks), F.lit(1)),
+                4,
+            ),
+        )
+        .withColumn(
+            "n_subwords",
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)),
+        )
+    )
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality scoring: length, punctuation ratio, stopword ratio, alpha
+    ratio, and a composite [0,1] score (heuristics in the C4/Gopher-rule
+    style — deterministic, tune weights per corpus)."""
+    txt = F.col(text_col)
+    length = F.length(txt)
+    n_punct = F.size(F.regexp_extract_all(txt, F.lit(r"[^\w\s]"), 0))
+    toks = tokens(text_col)
+    n_tok = F.greatest(F.size(toks), F.lit(1))
+    stop = F.filter(toks, lambda t: t.isin(*LANG_MARKERS["en"]))
+    alpha = F.size(F.regexp_extract_all(txt, F.lit(r"[A-Za-z]"), 0))
+    df = (
+        df.withColumn("n_chars_m", length)
+        .withColumn("punct_ratio", F.round(n_punct / F.greatest(length, F.lit(1)), 4))
+        .withColumn("stopword_ratio", F.round(F.size(stop) / n_tok, 4))
+        .withColumn("alpha_ratio", F.round(alpha / F.greatest(length, F.lit(1)), 4))
+    )
+    score = (
+        F.when(length < 20, 0.0).otherwise(1.0) * 0.25
+        + F.when((F.col("stopword_ratio") >= 0.01) & (F.col("stopword_ratio") <= 0.6), 1.0).otherwise(0.0) * 0.25
+        + F.when(F.col("punct_ratio") <= 0.2, 1.0).otherwise(0.0) * 0.25
+        + F.when(F.col("alpha_ratio") >= 0.5, 1.0).otherwise(0.0) * 0.25
+    )
+    return df.withColumn("quality_score", F.round(score, 4))
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -> DataFrame:
+    """Language-ID via stopword-marker voting (n-gram heuristic class).
+
+    Scores each language by distinct marker hits in the token set; argmax
+    with deterministic tie-break on the LANG_MARKERS declaration order.
+    ``und`` (undetermined) when no marker hits at all.
+    """
+    toks = tokens(text_col, distinct=True)
+    scores = [
+        (lang, F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in markers]))))
+        for lang, markers in LANG_MARKERS.items()
+    ]
+    # argmax via greatest over (score, priority) structs: higher score wins,
+    # then earlier declaration order (higher priority index).
+    n = len(scores)
+    structs = [
+        F.struct(score.alias("s"), F.lit(n - i).alias("prio"), F.lit(lang).alias("lang"))
+        for i, (lang, score) in enumerate(scores)
+    ]
+    best = F.greatest(*structs)
+    return df.withColumn(out, F.when(best["s"] > 0, best["lang"]).otherwise(F.lit("und")))
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerprint") -> DataFrame:
+    """Exact-content fingerprint: md5 of the raw text (reference K4 parity:
+    MD5 whole-file dedup, mypy/streaming.py:31-46)."""
+    return df.withColumn(out, F.md5(F.col(text_col)))
+
+
+def with_token_set_fingerprint(
+    df: DataFrame, text_col: str = "text", out: str = "ts_fingerprint"
+) -> DataFrame:
+    """Canonicalized-content fingerprint: md5 of the sorted distinct token
+    set — invariant to word order and repetition, i.e. exact detection of
+    Jaccard-1.0 near-duplicates without any pairwise comparison.
+
+    Scale: one narrow projection + one groupBy on the fingerprint — the
+    O(n²) similarity join disappears for the equality case.
+    """
+    canon = F.array_join(F.array_sort(tokens(text_col, distinct=True)), " ")
+    return df.withColumn(out, F.md5(canon))
+
+
+def with_simhash(
+    df: DataFrame, text_col: str = "text", out: str = "simhash", bits: int = 32
+) -> DataFrame:
+    """SimHash document fingerprint over the distinct token set.
+
+    Per bit b: sum over tokens of ±1 by token-hash bit b; bit set iff the
+    sum is positive. Near-duplicate docs differ in few bits (compare with
+    ``bit_count(simhash ⊕ simhash')``). Entirely array-side per row — no
+    explode, no shuffle; the signature computation is O(tokens × bits)
+    inside codegen.
+    """
+    hs = F.transform(tokens(text_col, distinct=True), token_hash60)
+    total = F.size(hs)
+
+    def bit(b: int) -> Column:
+        ones = F.size(F.filter(hs, lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1))
+        return F.when((ones * 2) > total, F.lit(1).cast("long") * (1 << b)).otherwise(F.lit(0).cast("long"))
+
+    sig = bit(0)
+    for b in range(1, bits):
+        sig = sig + bit(b)
+    return df.withColumn(out, sig)
+
+
+def shingles(col: str | Column, n: int = 3) -> Column:
+    """Word n-gram shingles (for MinHash over n-grams instead of unigrams)."""
+    toks = tokens(col)
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )

@@ -1,0 +1,134 @@
+"""Extension-operator tests: text analysis, dedup ladder, similarity search,
+multimodal plumbing (SURVEY.md §2.11)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datapipelineetl_spark.operators import dedup, multimodal, similarity, text
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "dog lazy the over jumps fox brown quick the"),   # same token set as 1
+    (3, "the quick brown fox jumps over the lazy cat"),   # near-dup of 1 (8/10)
+    (4, "el rapido zorro marron salta sobre el perro"),
+    (5, "completely different content about spark engines"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_token_stats(spark, docs_df):
+    r = {x.doc_id: x for x in text.with_token_stats(docs_df).collect()}
+    assert r[1].n_tokens == 9 and r[1].n_distinct_tokens == 8
+    assert r[5].n_tokens == 6
+
+
+def test_lang_id(spark, docs_df):
+    r = {x.doc_id: x.lang_pred for x in text.with_lang_id(docs_df).collect()}
+    assert r[1] == "en" and r[4] == "es"
+    assert r[5] == "und"  # no marker tokens at all → undetermined
+
+
+def test_token_set_fingerprint_groups_order_invariant(spark, docs_df):
+    fp = text.with_token_set_fingerprint(docs_df)
+    groups = dedup.dedup_by_fingerprint(fp, "ts_fingerprint", ["doc_id"], "doc_id")
+    rows = {r.doc_id: r.n_copies for r in groups.collect()}
+    assert rows[1] == 2          # docs 1+2 collapse
+    assert rows.get(3, 1) == 1   # near-dup but not identical set
+
+
+def test_minhash_near_dups_finds_jaccard1_pair(spark, docs_df):
+    out = dedup.near_dup_pairs(docs_df, threshold=0.7)
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in out.collect()}
+    assert pairs[(1, 2)] == 1.0
+    # 1 vs 3 share 7 of 9 distinct tokens → jaccard 0.777… if LSH catches it
+    for (a, b), j in pairs.items():
+        assert j >= 0.7 and a < b
+
+
+def test_minhash_lsh_prunes(spark, docs_df):
+    sigs = dedup.minhash_signature(docs_df)
+    cands = dedup.lsh_candidate_pairs(sigs, "doc_id")
+    pairs = {(r.id_a, r.id_b) for r in cands.collect()}
+    assert (1, 2) in pairs
+    assert (4, 5) not in pairs  # disjoint token sets must not collide
+
+
+def test_simhash_hamming_close_for_near_dups(spark, docs_df):
+    sh = {r.doc_id: r.simhash for r in text.with_simhash(docs_df).collect()}
+    assert sh[1] == sh[2]  # identical token set → identical simhash
+    ham13 = bin(sh[1] ^ sh[3]).count("1")
+    ham15 = bin(sh[1] ^ sh[5]).count("1")
+    assert ham13 < ham15  # near-dup closer than unrelated doc
+    assert all(0 <= v < (1 << 32) for v in sh.values())
+
+
+VECS = [
+    (0, [1.0, 0.0, 0.0]),
+    (1, [0.9, 0.1, 0.0]),
+    (2, [0.0, 1.0, 0.0]),
+    (3, [-1.0, 0.0, 0.0]),
+    (4, [0.7, 0.7, 0.0]),
+]
+
+
+@pytest.fixture(scope="module")
+def vec_df(spark):
+    return spark.createDataFrame(VECS, ["vec_id", "embedding"])
+
+
+def test_cosine_topk_exact(spark, vec_df):
+    out = similarity.cosine_topk(vec_df, [1.0, 0.0, 0.0], k=2, exclude_ids=(0,))
+    rows = out.collect()
+    assert [r.vec_id for r in rows] == [1, 4]
+    assert rows[0].cos_sim == pytest.approx(0.9939, abs=1e-4)
+
+
+def test_cosine_pairs_threshold(spark, vec_df):
+    out = similarity.cosine_pairs(vec_df, 0.99)
+    assert {(r.id_a, r.id_b) for r in out.collect()} == {(0, 1)}
+
+
+def test_ann_lsh_recall_against_brute_force(spark, sf_dir):
+    from datapipelineetl_spark import catalog
+
+    emb = catalog.load(spark, sf_dir, "embeddings")
+    qv = list(emb.filter(F.col("vec_id") == 0).first().embedding)
+    exact = [r.vec_id for r in similarity.cosine_topk(emb, qv, 10, exclude_ids=(0,)).collect()]
+    approx = [r.vec_id for r in similarity.ann_lsh_topk(emb, qv, 10, num_planes=6).collect()]
+    # multi-probe LSH with 6 planes on 64-dim data: expect decent recall
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.3, f"ANN recall collapsed: {recall} ({approx} vs {exact})"
+
+
+def test_multimodal_fake_decode_plumbing(spark):
+    rows = [(1, b"hello world", ("image", "png", 2, 2, None, None)),
+            (2, None, ("audio", "wav", None, None, 1500, 16000))]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    feats = multimodal.extract_features(df, fake=True, n_features=4)
+    got = {r.media_id: r for r in feats.collect()}
+    assert got[1].n_bytes == 11 and len(got[1].features) == 4
+    assert got[2].n_bytes == 0 and got[2].checksum is None
+    import hashlib
+    assert got[1].checksum == hashlib.md5(b"hello world").hexdigest()
+
+
+def test_multimodal_real_decode_raises(spark):
+    df = spark.createDataFrame(
+        [(1, b"x", ("image", "png", 1, 1, None, None))], multimodal.MEDIA_SCHEMA
+    )
+    with pytest.raises(Exception, match="NotImplementedError|image/audio"):
+        multimodal.extract_features(df, fake=False).collect()
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame(
+        [(1, b"", ("video", "mp4", None, None, 3500, None))], multimodal.MEDIA_SCHEMA
+    )
+    out = multimodal.frame_sample_plan(df, every_ms=1000)
+    assert [r.frame_ts_ms for r in out.collect()] == [0, 1000, 2000, 3000]
