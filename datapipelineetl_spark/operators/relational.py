@@ -108,6 +108,60 @@ def dedupe_exact(df: DataFrame, subset: Sequence[str] | None = None) -> DataFram
     return df.dropDuplicates(list(subset) if subset else None)
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right_ts <= left_ts`` (direction="backward") per key — the time-series
+    join Spark lacks natively (pandas ``merge_asof`` / DuckDB ``ASOF JOIN``).
+
+    Implemented as the scalable union-and-window pattern, not a range
+    cross-join: tag both sides, union, single shuffle on (keys), sort by
+    time within partition, then ``last(right_col, ignorenulls=True)`` over
+    rows-unbounded-preceding carries the most recent right value onto each
+    left row. O(n log n) per key group, one exchange total — survives a
+    100× scale-up where a naive range join (O(|L|×|R|) per key) dies.
+    """
+    if direction != "backward":
+        raise NotImplementedError("forward as-of: flip the sort order")
+    lt = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(1))
+    rcols = list(right_cols)
+    rt = (
+        right.withColumn("__ts", F.col(right_ts)).withColumn("__side", F.lit(0))
+    )
+    lt_all = lt
+    for c in rcols:
+        lt_all = lt_all.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
+    keep_left = [c for c in left.columns]
+    rt_all = rt.select(
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c) if c not in list(on) else F.col(c)
+            for c in keep_left
+        ],
+        *[F.col(c) for c in rcols],
+        "__ts",
+        "__side",
+    )
+    unioned = lt_all.select(*keep_left, *rcols, "__ts", "__side").unionByName(rt_all)
+    # right rows sort before left rows at equal timestamps so an exact-tie
+    # right value is visible to the left row (ASOF <= semantics)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned
+    for c in rcols:
+        carried = carried.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+    return carried.filter(F.col("__side") == 1).drop("__ts", "__side")
+
+
 def sessionize(
     df: DataFrame,
     user_col: str,
