@@ -170,6 +170,74 @@ def dedupe_stream(
     )
 
 
+def stateful_running_totals(
+    stream: DataFrame,
+    key_col: str,
+    value_col: str,
+    ts_col: str,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    per-key running event count / value total / last event time, carried
+    across micro-batches in the state store.
+
+    This is the escape hatch for stateful semantics Spark's built-ins
+    (windowed agg, dropDuplicatesWithinWatermark, stream-stream join)
+    can't express. Emits one row per key per micro-batch that touched it
+    (output mode ``update`` — a memory/Kafka sink sees the latest totals).
+
+    State scale: O(distinct keys) rows of (long, double, long) — keyed
+    state is hash-partitioned across executors with the shuffle, so a
+    1000-executor cluster shards a billion keys evenly; the watermark
+    bounds replay on recovery, not state size (NoTimeout keeps keys
+    forever — add a timeout for unbounded key spaces).
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+            T.StructField("last_ts", T.TimestampType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+            T.StructField("last_us", T.LongType()),
+        ]
+    )
+
+    def fn(key, pdfs, state):  # executor-side; Arrow-batched pandas
+        import pandas as pd  # noqa: PLC0415
+
+        n, total, last_us = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value_col].fillna(0.0).sum())
+            if len(pdf):
+                last_us = max(last_us, int(pdf[ts_col].max().value // 1_000))
+        state.update((n, total, last_us))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "n_events": [n],
+                "total_value": [total],
+                "last_ts": [pd.Timestamp(last_us * 1_000)],
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout  # noqa: PLC0415
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
 # --- ST7: completeness audit -------------------------------------------------
 
 def audit_leftovers(input_dir: str, pattern: str = "*") -> list[str]:

@@ -133,6 +133,75 @@ def test_windowed_aggregate_with_watermark(spark, tmp_path):
     assert got[(5, "view")] == (1, 3.0)
 
 
+def test_sliding_window_aggregate(spark, tmp_path):
+    """ST8: sliding windows — each event lands in window_duration/slide
+    overlapping windows."""
+    pdir = str(tmp_path / "ev_slide")
+    rows = [
+        ("2024-01-01 00:03:00", "click", 1.0),
+        ("2024-01-01 01:00:00", "click", 9.0),  # watermark advance
+    ]
+    df = spark.createDataFrame(rows, ["ts_s", "event_type", "value"]).withColumn(
+        "ts", F.to_timestamp("ts_s")
+    ).drop("ts_s")
+    df.coalesce(1).write.parquet(pdir)
+    stream = spark.readStream.schema(df.schema).parquet(pdir)
+    agg = runner.windowed_aggregate(
+        stream, "ts", "10 minutes", slide="5 minutes", watermark="1 minute",
+        group_cols=("event_type",), aggs={"*": "count"},
+    )
+    q = (
+        agg.writeStream.outputMode("append").format("memory").queryName("slide")
+        .option("checkpointLocation", str(tmp_path / "cks"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    starts = sorted(
+        (r.window.start.hour, r.window.start.minute)
+        for r in spark.sql("SELECT * FROM slide").collect()
+        if r.window.start.day == 31 or r.window.start.hour == 0
+    )
+    # 00:03 event → windows [23:55,00:05) (prev day) and [00:00,00:10)
+    assert starts == [(0, 0), (23, 55)]
+
+
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): state must carry
+    across micro-batches (two files × maxFilesPerTrigger=1 → two batches)."""
+    pdir = tmp_path / "ev_state"
+    pdir.mkdir()
+    schema = "user_id long, value double, ts timestamp"
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, ["user_id", "value", "ts_s"]).withColumn(
+            "ts", F.to_timestamp("ts_s")
+        ).drop("ts_s").coalesce(1).write.mode("append").parquet(str(pdir / name))
+
+    write_file("f1", [(1, 2.0, "2024-01-01 00:01:00"), (2, 5.0, "2024-01-01 00:02:00")])
+    write_file("f2", [(1, 3.0, "2024-01-01 00:30:00")])
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(pdir / "*"))
+    )
+    totals = runner.stateful_running_totals(stream, "user_id", "value", "ts")
+    q = (
+        totals.writeStream.outputMode("update").format("memory").queryName("totals")
+        .option("checkpointLocation", str(tmp_path / "ckst"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = spark.sql(
+        "SELECT user_id, n_events, total_value FROM totals"
+    ).collect()
+    latest = {}
+    for r in rows:  # update mode appends per batch; last write wins per key
+        latest[r.user_id] = (r.n_events, r.total_value)
+    assert latest[1] == (2, 5.0)
+    assert latest[2] == (1, 5.0)
+
+
 def test_dedupe_stream_within_watermark(spark, tmp_path):
     pdir = str(tmp_path / "dups")
     rows = [
