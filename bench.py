@@ -22,17 +22,35 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from datapipelineetl_spark import queries as _q
+from datapipelineetl_spark import queries_batch2  # noqa: F401 — registers
+from datapipelineetl_spark import queries_batch3  # noqa: F401 — registers
+from datapipelineetl_spark import queries_ext  # noqa: F401 — registers
 from datapipelineetl_spark.session import get_session
 
 HEADLINE = [
+    # scan + agg
     "q1_pricing_summary",
+    "q6_revenue_delta",
+    "q_agg_stats",
+    # joins
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q10_returned_items",
+    "q18_large_orders",
+    "q_asof_join_purchase",
+    # windows / reshaping
     "q_top3_orders_per_customer",
-    "q_agg_stats",
-    "q_events_pivot",
+    "q_window_trailing_revenue",
     "q_sessionize",
+    "q_events_pivot",
     "q_unpivot_lineitem",
+    # training-data extensions. (q_minhash_near_dups is excluded on
+    # purpose: the synthetic docs are so self-similar that its output is
+    # O(n²) pairs — the timing would measure data degeneracy, not the
+    # engine. The O(n) fingerprint ladder represents dedup here.)
+    "q_dedup_token_set",
+    "q_simhash",
+    "q_cosine_topk",
 ]
 
 

@@ -65,16 +65,18 @@ def lsh_candidate_pairs(
     sig_col: str = "minhash",
     bands: int = 4,
     rows_per_band: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing ≥1 identical signature band become
     candidate pairs (id_a < id_b, distinct).
 
     Plan shape: posexplode bands → shuffle on (band, band_key) — the only
     wide step, volume O(n×bands) — then a bucket-local self-join. Hot
-    buckets (boilerplate docs) are the skew risk at 100 TB; AQE skew-join
-    handles moderate cases, and a bucket-size cap (drop buckets with more
-    than ~10⁴ members — they're boilerplate, not near-dups) bounds the
-    worst case; cap not applied here to keep candidate semantics exact.
+    buckets (boilerplate docs) are the skew risk at 100 TB: a bucket of K
+    members emits K² pairs. ``max_bucket_size`` drops buckets larger than
+    the cap (they are boilerplate clusters, not near-dup candidates worth
+    pairwise verification — the standard web-dedup mitigation); None keeps
+    candidate semantics exact.
     """
     band_arr = F.array(
         *[
@@ -83,6 +85,15 @@ def lsh_candidate_pairs(
         ]
     )
     banded = df.select(F.col(id_col), F.posexplode(band_arr).alias("band", "band_key"))
+    if max_bucket_size is not None:
+        # one extra partial-agg shuffle on the same key the join needs —
+        # AQE reuses the exchange, so the cap is ~free
+        sizes = banded.groupBy("band", "band_key").agg(F.count(F.lit(1)).alias("__bsz"))
+        banded = (
+            banded.join(sizes, ["band", "band_key"])
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -113,6 +124,7 @@ def near_dup_pairs(
     bands: int = 4,
     rows_per_band: int = 4,
     verify: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
 
@@ -123,7 +135,7 @@ def near_dup_pairs(
     token sets when the doc table is dimension-sized, else a key shuffle).
     """
     sigs = minhash_signature(df, text_col, "minhash", num_hashes)
-    cands = lsh_candidate_pairs(sigs, id_col, "minhash", bands, rows_per_band)
+    cands = lsh_candidate_pairs(sigs, id_col, "minhash", bands, rows_per_band, max_bucket_size)
     if not verify:
         return cands
     toksets = df.select(

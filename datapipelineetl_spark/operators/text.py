@@ -150,17 +150,34 @@ def with_simhash(
     explode, no shuffle; the signature computation is O(tokens × bits)
     inside codegen.
     """
-    hs = F.transform(tokens(text_col, distinct=True), token_hash60)
-    total = F.size(hs)
-
-    def bit(b: int) -> Column:
-        ones = F.size(F.filter(hs, lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1))
-        return F.when((ones * 2) > total, F.lit(1).cast("long") * (1 << b)).otherwise(F.lit(0).cast("long"))
-
-    sig = bit(0)
-    for b in range(1, bits):
-        sig = sig + bit(b)
-    return df.withColumn(out, sig)
+    toks = tokens(text_col, distinct=True)
+    hs = F.transform(toks, token_hash60)
+    # Single-pass accumulation of all per-bit ones-counts. Column
+    # expressions are trees, not DAGs: referencing `hs` from `bits`
+    # separate filter() calls would re-evaluate the md5 hash of every
+    # token `bits` times (and higher-order functions don't codegen, so no
+    # CSE rescues it) — measured 32× slower than this one aggregate.
+    counts = F.aggregate(
+        hs,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[F.shiftright(h, b).bitwiseAND(F.lit(1)).cast("long") for b in range(bits)]
+            ),
+            lambda a, x: a + x,
+        ),
+    )
+    # Materialize counts/total as columns: CollapseProject keeps expensive
+    # multi-referenced aliases un-inlined, so the aggregate runs once.
+    tmp_c, tmp_t = f"__{out}_counts", f"__{out}_total"
+    df2 = df.withColumn(tmp_c, counts).withColumn(tmp_t, F.size(toks))
+    sig: Column = F.lit(0).cast("long")
+    for b in range(bits):
+        sig = sig + F.when(
+            F.col(tmp_c)[b] * 2 > F.col(tmp_t), F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return df2.withColumn(out, sig).drop(tmp_c, tmp_t)
 
 
 def shingles(col: str | Column, n: int = 3) -> Column:

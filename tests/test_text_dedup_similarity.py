@@ -59,6 +59,14 @@ def test_minhash_lsh_prunes(spark, docs_df):
     assert (4, 5) not in pairs  # disjoint token sets must not collide
 
 
+def test_minhash_bucket_cap_drops_hot_buckets(spark, docs_df):
+    """max_bucket_size: a cap of 1 kills every bucket with ≥2 members, so
+    no candidate pairs survive; uncapped finds them."""
+    sigs = dedup.minhash_signature(docs_df)
+    assert dedup.lsh_candidate_pairs(sigs, "doc_id", max_bucket_size=1).count() == 0
+    assert dedup.lsh_candidate_pairs(sigs, "doc_id").count() > 0
+
+
 def test_simhash_hamming_close_for_near_dups(spark, docs_df):
     sh = {r.doc_id: r.simhash for r in text.with_simhash(docs_df).collect()}
     assert sh[1] == sh[2]  # identical token set → identical simhash
