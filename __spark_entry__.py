@@ -22,6 +22,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from datapipelineetl_spark import queries as _q  # noqa: E402
 from datapipelineetl_spark import queries_batch2  # noqa: E402, F401 — registers batch-2 queries
 from datapipelineetl_spark import queries_batch3  # noqa: E402, F401 — registers batch-3 queries
+from datapipelineetl_spark import queries_batch4  # noqa: E402, F401 — registers batch-4 queries
 from datapipelineetl_spark import queries_ext  # noqa: E402, F401 — registers extension queries
 
 

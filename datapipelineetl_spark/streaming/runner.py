@@ -170,6 +170,39 @@ def dedupe_stream(
     )
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    watermark: str = "10 minutes",
+    max_lag: str = "15 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream equi-join with an event-time interval bound:
+    rows match when keys are equal and ``right_ts`` ∈
+    [``left_ts`` - max_lag, ``left_ts``].
+
+    The time bound + watermarks are what make the join feasible on
+    unbounded streams: each side's state store only retains rows younger
+    than watermark + max_lag, so state is O(rate × horizon), not O(stream).
+    An unbounded stream-stream join (no time bound) is rejected by Spark
+    for outer joins and accretes state forever for inner — always bound.
+
+    Scale: the join shuffles both streams on the key once; state lives in
+    the per-partition state store (RocksDB in prod) keyed identically.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[on] == rw[on])
+        & (rw[right_ts] >= F.col(left_ts) - F.expr(f"INTERVAL {max_lag}"))
+        & (rw[right_ts] <= F.col(left_ts))
+    )
+    return lw.join(rw, cond, how).drop(rw[on])
+
+
 def stateful_running_totals(
     stream: DataFrame,
     key_col: str,

@@ -202,6 +202,36 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
     assert latest[2] == (1, 5.0)
 
 
+def test_interval_join_streams(spark, tmp_path):
+    """Stream-stream join with event-time interval bound: click joins the
+    impression that preceded it by ≤15 min on the same user."""
+    imp_dir, clk_dir = str(tmp_path / "imp"), str(tmp_path / "clk")
+    schema = "user_id long, ts timestamp"
+
+    def mk(path, rows):
+        spark.createDataFrame(rows, ["user_id", "ts_s"]).withColumn(
+            "ts", F.to_timestamp("ts_s")
+        ).drop("ts_s").coalesce(1).write.parquet(path)
+
+    mk(imp_dir, [(1, "2024-01-01 00:00:00"), (2, "2024-01-01 00:00:00")])
+    mk(clk_dir, [(1, "2024-01-01 00:05:00"),   # within 15 min → match
+                 (2, "2024-01-01 00:40:00")])  # 40 min later → no match
+    imp = spark.readStream.schema(schema).parquet(imp_dir).withColumnRenamed("ts", "imp_ts")
+    clk = spark.readStream.schema(schema).parquet(clk_dir).withColumnRenamed("ts", "click_ts")
+    joined = runner.interval_join_streams(
+        clk, imp, on="user_id", left_ts="click_ts", right_ts="imp_ts",
+        watermark="1 minute", max_lag="15 minutes",
+    )
+    q = (
+        joined.writeStream.outputMode("append").format("memory").queryName("ssjoin")
+        .option("checkpointLocation", str(tmp_path / "ckj"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {r.user_id for r in spark.sql("SELECT user_id FROM ssjoin").collect()}
+    assert got == {1}
+
+
 def test_dedupe_stream_within_watermark(spark, tmp_path):
     pdir = str(tmp_path / "dups")
     rows = [
