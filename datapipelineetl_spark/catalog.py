@@ -46,3 +46,11 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view so ``spark.sql(...)``
+    is a first-class query surface (same lazy scans as ``load`` — views
+    add no materialization, and pushdown/pruning still reach parquet)."""
+    for t, df in load_all(spark, sf_dir).items():
+        df.createOrReplaceTempView(t)

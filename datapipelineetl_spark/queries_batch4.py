@@ -234,6 +234,33 @@ def q_weekly_order_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_REGIONAL_REVENUE = """
+    SELECT r_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(DISTINCT s_suppkey) AS n_suppliers
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY r_name
+"""
+
+
+@query("q_sql_regional_revenue", _SQL_REGIONAL_REVENUE)
+def q_sql_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL surface: the engine accepts ANSI SQL directly via
+    ``spark.sql`` over ``catalog.register_views`` — the oracle IS the
+    query text, run verbatim by both engines.
+
+    Scale: identical logical plan to the DataFrame phrasing — Catalyst
+    does not care which front-end built it (broadcast dims, pushed
+    shipdate filter, partial aggs)."""
+    from datapipelineetl_spark import catalog
+
+    catalog.register_views(spark, sf_dir)
+    return spark.sql(_SQL_REGIONAL_REVENUE)
+
+
 @query(
     "q_nation_lookup",
     """

@@ -80,6 +80,28 @@ def test_flatten_variants(spark, xml_dir):
     assert hw.collect()[0].localDn == "SubNetwork=1,ManagedElement=ENB1"
 
 
+def test_streaming_meascollec_drain(spark, tmp_path):
+    """S2/S4 streaming: the XML feed as a Structured Streaming source —
+    the engine-native replacement for the reference's per-minute Airflow
+    flatten loop (dags/Dag2.py)."""
+    (tmp_path / "A20250704.xml").write_text(XML_DOC)
+    stream = mc.read_meascollec(spark, str(tmp_path), streaming=True)
+    assert stream.isStreaming
+    q = (
+        mc.flatten_meascollec(stream, "xmlonly")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("xmlstream")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM xmlstream").collect()
+    assert len(rows) > 0
+    assert {"measInfoId", "kpiName", "kpiValue", "nodeid"} <= set(rows[0].asDict())
+
+
 def test_gzip_transparent(spark, tmp_path):
     """S5: Spark reads .xml.gz transparently — no separate gunzip stage."""
     p = tmp_path / "A20250704.xml.gz"
