@@ -118,8 +118,10 @@ def asof_join(
     direction: str = "backward",
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
-    ``right_ts <= left_ts`` (direction="backward") per key — the time-series
-    join Spark lacks natively (pandas ``merge_asof`` / DuckDB ``ASOF JOIN``).
+    ``right_ts <= left_ts`` (direction="backward"), or the earliest with
+    ``right_ts >= left_ts`` (direction="forward"), per key — the
+    time-series join Spark lacks natively (pandas ``merge_asof`` / DuckDB
+    ``ASOF JOIN``).
 
     Implemented as the scalable union-and-window pattern, not a range
     cross-join: tag both sides, union, single shuffle on (keys), sort by
@@ -128,8 +130,8 @@ def asof_join(
     left row. O(n log n) per key group, one exchange total — survives a
     100× scale-up where a naive range join (O(|L|×|R|) per key) dies.
     """
-    if direction != "backward":
-        raise NotImplementedError("forward as-of: flip the sort order")
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
     lt = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(1))
     rcols = list(right_cols)
     rt = (
@@ -150,16 +152,50 @@ def asof_join(
     )
     unioned = lt_all.select(*keep_left, *rcols, "__ts", "__side").unionByName(rt_all)
     # right rows sort before left rows at equal timestamps so an exact-tie
-    # right value is visible to the left row (ASOF <= semantics)
+    # right value is visible to the left row (ASOF <=/>= semantics);
+    # forward = the same carry over the reversed time order
+    ts_order = F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .orderBy(ts_order, F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = unioned
     for c in rcols:
         carried = carried.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
     return carried.filter(F.col("__side") == 1).drop("__ts", "__side")
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    how: str = "inner",
+    buckets: int = 16,
+) -> DataFrame:
+    """Skew-mitigated equi-join: salt the (large, skewed) left side into
+    ``buckets`` sub-keys and replicate the right side once per salt value,
+    so a hot key's rows spread over ``buckets`` tasks instead of one.
+
+    Use when AQE's skew-join split isn't enough (single key ≫ partition
+    target) and the right side is small enough to replicate ``buckets``×.
+    Result is row-identical to the plain join (salt is an internal column,
+    dropped on output). Supports inner/left joins (the replicated side
+    must be the lookup side).
+
+    Salt = row-id mod buckets: deterministic within a run, uniform, and —
+    unlike hashing the join key — actually varies *within* a hot key group,
+    which is the whole point.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join replicates the right side: inner/left only")
+    lt = left.withColumn(
+        "__salt", F.pmod(F.monotonically_increasing_id(), buckets).cast("int")
+    )
+    rt = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("int"))
+    return lt.join(rt, [*on, "__salt"], how).drop("__salt")
 
 
 def sessionize(

@@ -1,0 +1,102 @@
+"""Scale-pattern tests: the techniques that matter at 100 TB — skew
+salting, bucketed co-located joins, forward as-of — verified for both
+result-correctness and plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datapipelineetl_spark.operators import relational
+from datapipelineetl_spark.sinks import tables
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting must not change results — only the key distribution."""
+    left = spark.createDataFrame(
+        [(1, i) for i in range(100)] + [(2, 0)], ["k", "v"]  # key 1 is hot
+    )
+    right = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["k", "name"])
+    plain = {(r.k, r.v, r.name) for r in left.join(right, "k").collect()}
+    salted = {
+        (r.k, r.v, r.name)
+        for r in relational.salted_join(left, right, ["k"], buckets=8).collect()
+    }
+    assert salted == plain and len(salted) == 101
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    left = spark.createDataFrame([(1, 10), (9, 90)], ["k", "v"])
+    right = spark.createDataFrame([(1, "a")], ["k", "name"])
+    got = {
+        (r.k, r.name)
+        for r in relational.salted_join(left, right, ["k"], how="left").collect()
+    }
+    assert got == {(1, "a"), (9, None)}
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """The hot key's rows must land on multiple salt sub-keys."""
+    left = spark.createDataFrame([(1, i) for i in range(64)], ["k", "v"])
+    lt = left.withColumn(
+        "__salt", F.pmod(F.monotonically_increasing_id(), 8).cast("int")
+    )
+    assert lt.select("__salt").distinct().count() > 1
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Both sides bucketed on the join key → sort-merge join with no
+    Exchange (the persisted shuffle) and no per-query Sort."""
+    n = 1000
+    a = spark.range(n).withColumn("va", F.col("id") * 2)
+    b = spark.range(n).withColumn("vb", F.col("id") * 3)
+    spark.sql("DROP TABLE IF EXISTS bkt_a")
+    spark.sql("DROP TABLE IF EXISTS bkt_b")
+    tables.write_bucketed(a, "bkt_a", ["id"], 4, path=str(tmp_path / "a"))
+    tables.write_bucketed(b, "bkt_b", ["id"], 4, path=str(tmp_path / "b"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = tables.read_table(spark, "bkt_a").join(
+            tables.read_table(spark, "bkt_b"), "id"
+        )
+        plan = _physical_plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert joined.count() == n
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_asof_join_forward(spark):
+    """Forward as-of: earliest right row at-or-after each left row."""
+    clicks = spark.createDataFrame(
+        [(1, 1, 100), (2, 1, 250), (3, 2, 100)], ["event_id", "user_id", "t"]
+    )
+    ships = spark.createDataFrame(
+        [(1, 150, "s1"), (1, 300, "s2"), (2, 50, "s0")], ["user_id", "st", "ship"]
+    )
+    out = {
+        r.event_id: r.ship
+        for r in relational.asof_join(
+            clicks, ships, ["user_id"], "t", "st", ["ship"], direction="forward"
+        ).collect()
+    }
+    # click@100 → ship@150; click@250 → ship@300; user2 click@100 → none (ship@50 is before)
+    assert out == {1: "s1", 2: "s2", 3: None}
+
+
+def test_asof_join_forward_tie_inclusive(spark):
+    """right_ts == left_ts must match in forward mode (>= semantics)."""
+    left = spark.createDataFrame([(1, 1, 100)], ["event_id", "user_id", "t"])
+    right = spark.createDataFrame([(1, 100, "x")], ["user_id", "st", "ship"])
+    out = relational.asof_join(
+        left, right, ["user_id"], "t", "st", ["ship"], direction="forward"
+    ).collect()[0]
+    assert out.ship == "x"
