@@ -23,6 +23,7 @@ from datapipelineetl_spark import queries as _q  # noqa: E402
 from datapipelineetl_spark import queries_batch2  # noqa: E402, F401 — registers batch-2 queries
 from datapipelineetl_spark import queries_batch3  # noqa: E402, F401 — registers batch-3 queries
 from datapipelineetl_spark import queries_batch4  # noqa: E402, F401 — registers batch-4 queries
+from datapipelineetl_spark import queries_batch5  # noqa: E402, F401 — registers batch-5 queries
 from datapipelineetl_spark import queries_ext  # noqa: E402, F401 — registers extension queries
 
 

@@ -180,6 +180,39 @@ def with_simhash(
     return df2.withColumn(out, sig).drop(tmp_c, tmp_t)
 
 
+def tf_idf(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+) -> DataFrame:
+    """TF-IDF per (document, token): tf = in-document count, idf =
+    ln(N / df) with df = documents containing the token.
+
+    Plan: one explode → one (doc, token) aggregate → one token-level
+    aggregate for df → broadcast the (tiny) token→df map back onto the
+    term rows, cross-join the 1-row corpus count. Two shuffles total, both
+    on keys that shrink the data (token cardinality ≪ term occurrences).
+    At 100 TB: the df map is vocabulary-sized — broadcastable for any
+    realistic vocab; `min_df` prunes hapax noise AND shrinks the broadcast.
+    """
+    terms = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token")).filter(
+        F.col("token") != ""
+    )
+    tf = terms.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") >= min_df
+    )
+    n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("idf", F.log(F.col("n_docs") / F.col("df")))
+        .withColumn("tf_idf", F.col("tf") * F.col("idf"))
+        .select(id_col, "token", "tf", "df", "tf_idf")
+    )
+
+
 def shingles(col: str | Column, n: int = 3) -> Column:
     """Word n-gram shingles (for MinHash over n-grams instead of unigrams)."""
     toks = tokens(col)

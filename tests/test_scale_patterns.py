@@ -74,6 +74,39 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bkt_b")
 
 
+def test_approx_sketches_within_tolerance(spark, sf_dir):
+    """HLL distinct count within 5% of exact; t-digest median within 2%
+    of exact — the sketch accuracy contract the rows-only
+    q_approx_sketches query relies on."""
+    from datapipelineetl_spark import catalog
+
+    li = catalog.load(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.countDistinct("l_partkey").alias("exact_d"),
+        F.approx_count_distinct("l_partkey").alias("approx_d"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_m"),
+        F.expr("approx_percentile(l_extendedprice, 0.5)").alias("approx_m"),
+    ).collect()[0]
+    assert abs(row.approx_d - row.exact_d) <= 0.05 * row.exact_d
+    assert abs(row.approx_m - row.exact_m) <= 0.02 * row.exact_m
+
+
+def test_tf_idf_hapax_and_common(spark):
+    """A token in every doc gets idf 0; a hapax gets ln(N)."""
+    import math
+
+    from datapipelineetl_spark.operators import text as t
+
+    docs = spark.createDataFrame(
+        [(1, "common alpha"), (2, "common beta"), (3, "common beta")],
+        ["doc_id", "text"],
+    )
+    out = {(r.doc_id, r.token): (r.tf, r.df, r.tf_idf) for r in t.tf_idf(docs).collect()}
+    assert out[(1, "common")][2] == 0.0
+    assert abs(out[(1, "alpha")][2] - math.log(3)) < 1e-9
+    assert out[(2, "beta")][1] == 2
+
+
 def test_asof_join_forward(spark):
     """Forward as-of: earliest right row at-or-after each left row."""
     clicks = spark.createDataFrame(
