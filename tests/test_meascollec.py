@@ -117,6 +117,16 @@ def test_lineage_column(spark, xml_dir):
     assert out.collect()[0].input_file.endswith("A20250704.xml")
 
 
+def test_malformed_xml_is_tolerated(spark, tmp_path):
+    """Robustness: a corrupt document must not fail the job (PERMISSIVE
+    default) — it contributes zero flat records; well-formed siblings in
+    the same directory still parse."""
+    (tmp_path / "good.xml").write_text(XML_DOC)
+    (tmp_path / "bad.xml").write_text("<measCollecFile><unclosed></measCollecFile")
+    out = mc.flatten_meascollec(mc.read_meascollec(spark, str(tmp_path)), "xmlonly")
+    assert out.count() == 6  # only the good doc's records
+
+
 def test_no_shuffle_in_flatten_plan(spark, xml_dir):
     """The flatten must be a narrow pipeline — no Exchange in the plan."""
     out = mc.flatten_meascollec(mc.read_meascollec(spark, xml_dir), "xmlonly")
