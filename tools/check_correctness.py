@@ -36,9 +36,21 @@ def canon(rows, colnames) -> list[tuple]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-    spark = get_session("correctness-check")
+    args = [a for a in sys.argv[1:] if a != "--default-session"]
+    default_session = "--default-session" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    if default_session:
+        # true driver simulation: the round driver builds its OWN session
+        # with stock confs (Spark 4 ANSI on, no engine tuning) — queries
+        # must not depend on session flags
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").appName(
+            "correctness-check-default"
+        ).getOrCreate()
+    else:
+        spark = get_session("correctness-check")
     con = duckdb.connect()
     for t in catalog.TABLES:
         con.execute(
