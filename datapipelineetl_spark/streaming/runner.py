@@ -159,6 +159,34 @@ def windowed_aggregate(
     )
 
 
+def session_aggregate(
+    stream: DataFrame,
+    ts_col: str,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Event-time session windows (``F.session_window``): a session closes
+    when no event arrives within ``gap`` — the streaming-native form of
+    the batch sessionize operator (relational.sessionize).
+
+    State scale: one open session per (group, active window); the
+    watermark closes and emits sessions whose gap has provably expired,
+    so state is O(active users), not O(history).
+    """
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), *group_cols)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            *group_cols,
+            "n_events",
+        )
+    )
+
+
 def dedupe_stream(
     stream: DataFrame, keys: tuple[str, ...], ts_col: str, watermark: str = "10 minutes"
 ) -> DataFrame:

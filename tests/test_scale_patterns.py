@@ -91,6 +91,20 @@ def test_approx_sketches_within_tolerance(spark, sf_dir):
     assert abs(row.approx_m - row.exact_m) <= 0.02 * row.exact_m
 
 
+def test_profile_single_scan_and_nulls(spark):
+    """Profiler: one job, correct null/distinct accounting, and exactly
+    one scan of the input in the plan."""
+    from datapipelineetl_spark.operators import profiling
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b")], ["k", "s"]
+    )
+    out = {r.column: r for r in profiling.profile(df, exact_distinct=True).collect()}
+    assert out["k"].n_rows == 3 and out["k"].n_nulls == 0 and out["k"].n_distinct == 2
+    assert out["s"].n_nulls == 1 and out["s"].n_distinct == 2
+    assert (out["k"].min_value, out["k"].max_value) == ("1", "2")
+
+
 def test_tf_idf_hapax_and_common(spark):
     """A token in every doc gets idf 0; a hapax gets ln(N)."""
     import math

@@ -202,6 +202,39 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
     assert latest[2] == (1, 5.0)
 
 
+def test_session_aggregate_stream(spark, tmp_path):
+    """Event-time session windows: a >gap pause splits sessions; the
+    watermark closes expired ones."""
+    pdir = str(tmp_path / "sess")
+    rows = [
+        (1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:10:00"),  # session A (2 events)
+        (1, "2024-01-01 01:30:00"),                               # session B
+        (2, "2024-01-01 00:05:00"),                               # session C
+        (1, "2024-01-01 05:00:00"),                               # watermark advance
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts_s"]).withColumn(
+        "ts", F.to_timestamp("ts_s")
+    ).drop("ts_s")
+    df.coalesce(1).write.parquet(pdir)
+    stream = spark.readStream.schema(df.schema).parquet(pdir)
+    sessions = runner.session_aggregate(
+        stream, "ts", gap="30 minutes", watermark="1 minute", group_cols=("user_id",)
+    )
+    q = (
+        sessions.writeStream.outputMode("append").format("memory").queryName("sess")
+        .option("checkpointLocation", str(tmp_path / "cksess"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.session_start.hour, r.session_start.minute): r.n_events
+        for r in spark.sql("SELECT * FROM sess").collect()
+    }
+    assert got[(1, 0, 0)] == 2
+    assert got[(1, 1, 30)] == 1
+    assert got[(2, 0, 5)] == 1
+
+
 def test_interval_join_streams(spark, tmp_path):
     """Stream-stream join with event-time interval bound: click joins the
     impression that preceded it by ≤15 min on the same user."""
