@@ -1,0 +1,47 @@
+"""Tests for operational sinks: dynamic partition upsert + compaction."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from datapipelineetl_spark.sinks import maintenance
+
+
+def test_overwrite_partitions_is_idempotent_and_scoped(spark, tmp_path):
+    out = str(tmp_path / "t")
+    day1 = spark.createDataFrame([("d1", 1), ("d1", 2)], ["day", "v"])
+    day2 = spark.createDataFrame([("d2", 10)], ["day", "v"])
+    maintenance.overwrite_partitions(day1, out, ["day"])
+    maintenance.overwrite_partitions(day2, out, ["day"])
+    # replay day1 with corrected data: must replace d1 only, keep d2
+    day1_fixed = spark.createDataFrame([("d1", 99)], ["day", "v"])
+    maintenance.overwrite_partitions(day1_fixed, out, ["day"])
+    got = {(r.day, r.v) for r in spark.read.parquet(out).collect()}
+    assert got == {("d1", 99), ("d2", 10)}
+    # running the same write again changes nothing (idempotent)
+    maintenance.overwrite_partitions(day1_fixed, out, ["day"])
+    assert {(r.day, r.v) for r in spark.read.parquet(out).collect()} == got
+
+
+def test_compact_reduces_file_count(spark, tmp_path):
+    out = str(tmp_path / "frag")
+    # 20 tiny files
+    spark.range(2000).repartition(20).write.parquet(out)
+    before = len(list(Path(out).rglob("*.parquet")))
+    assert before >= 20
+    n = maintenance.compact(spark, out, target_file_bytes=1 << 30)
+    after = len(list(Path(out).rglob("*.parquet")))
+    assert n == 1 and after == 1
+    assert spark.read.parquet(out).count() == 2000
+
+
+def test_compact_preserves_partition_layout(spark, tmp_path):
+    out = str(tmp_path / "part")
+    df = spark.createDataFrame(
+        [("a", i) for i in range(100)] + [("b", i) for i in range(100)], ["p", "v"]
+    )
+    df.repartition(10).write.partitionBy("p").parquet(out)
+    maintenance.compact(spark, out, target_file_bytes=1 << 30, partition_cols=["p"])
+    dirs = {d.name for d in Path(out).iterdir() if d.is_dir()}
+    assert {"p=a", "p=b"} <= dirs
+    assert spark.read.parquet(out).count() == 200

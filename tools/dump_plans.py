@@ -1,0 +1,49 @@
+"""Regenerate PLANS.md: formatted physical plans of representative queries.
+
+Usage: python tools/dump_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import __spark_entry__ as entrymod
+from datapipelineetl_spark.session import get_session
+
+PICK = {
+    "q1_pricing_summary": "Flagship aggregate: filter pushed to parquet, 7-column ReadSchema, partial+final hash agg — shuffle carries ~6 rows/task.",
+    "q6_revenue_delta": "All four predicates are PushedFilters; 4-column ReadSchema; single global sum.",
+    "q10_returned_items": "4-table join: fact filters pushed; customer/nation broadcast; top-20 as TakeOrderedAndProject (no global sort).",
+    "q18_large_orders": "IN-subquery: HAVING aggregate first, winners broadcast left-semi; no fact-fact shuffle join.",
+    "q_asof_join_purchase": "As-of via union-and-window: ONE Exchange on user_id, in-partition sort, last(ignorenulls) carry — no range cross-join.",
+    "q_minhash_near_dups": "MinHash+LSH: narrow signature math, posexplode bands, equi-join on (band,key) buckets — shuffle O(n*bands), pairwise work only on bucket collisions.",
+}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_session("plans")
+    qs = entrymod.queries()
+    lines = [
+        "# PLANS — physical plans of representative queries (sf0.1, AQE on)",
+        "",
+        "Regenerate: `python tools/dump_plans.py`. What to look for per query is",
+        "noted above each plan; the full formatted output is verbatim from",
+        "`df.explain('formatted')`.",
+        "",
+    ]
+    for name, note in PICK.items():
+        df = qs[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        lines += [f"## {name}", "", note, "", "```", plan.strip(), "```", ""]
+    Path("PLANS.md").write_text("\n".join(lines))
+    print(f"wrote PLANS.md ({len(PICK)} plans)")
+
+
+if __name__ == "__main__":
+    main()
