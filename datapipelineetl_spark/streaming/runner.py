@@ -299,6 +299,26 @@ def stateful_running_totals(
     )
 
 
+def observe_quality(
+    df: DataFrame,
+    name: str = "quality",
+    null_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Attach in-flight data-quality metrics (``Dataset.observe``): row
+    count plus a null counter per listed column, collected DURING the
+    write — no second pass over the data.
+
+    Batch: read results from a ``QueryExecutionListener``. Streaming: each
+    micro-batch's values appear in ``query.lastProgress.observedMetrics``
+    — this is the engine-native replacement for the reference's driver-side
+    completeness audit (ST7) at row granularity.
+    """
+    metrics = [F.count(F.lit(1)).alias("n_rows")]
+    for c in null_cols:
+        metrics.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"n_null_{c}"))
+    return df.observe(name, *metrics)
+
+
 # --- ST7: completeness audit -------------------------------------------------
 
 def audit_leftovers(input_dir: str, pattern: str = "*") -> list[str]:

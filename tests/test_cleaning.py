@@ -115,6 +115,25 @@ def test_clean_cell_metrics_full_chain(spark):
     assert r0["Time"] == datetime.datetime(2025, 7, 4, 13, 45)
 
 
+def test_malformed_csv_rows_tolerated(spark, tmp_path):
+    """A row whose numeric field doesn't parse yields null (PERMISSIVE) —
+    which the cleaning chain then fills; the job never dies on bad input."""
+    p = tmp_path / "bad.csv"
+    p.write_text(
+        "Time,eNodeB Name,Cell Name,Frequency band,Downlink EARFCN,"
+        "Downlink bandwidth,LocalCell Id,Latitude,Longitude,Integrity,"
+        '"FT_UL.Interference","FT_AVE 4G/LTE DL USER THRPUT without Last TTI(ALL) (KBPS)(kbit/s)",'
+        '"FT_PHYSICAL RESOURCE BLOCKS LOAD DL(%)","FT_AVERAGE NB OF USERS (UEs RRC CONNECTED)",'
+        '"FT_4G/LTE CALL SETUP SUCCESS RATE"\n'
+        "07-04-2025 13:45,ENB1,CellA,B3,NOT_A_NUMBER,20,11,36.8,10.1,OK,1.0,2.0,3.0,4,0.5\n"
+    )
+    from datapipelineetl_spark.schemas import CELL_METRICS_SCHEMA
+
+    raw = spark.read.schema(CELL_METRICS_SCHEMA).option("header", "true").csv(str(p))
+    out = cleaning.clean_cell_metrics(raw).collect()[0]
+    assert out["Downlink EARFCN"] == 0  # unparseable int → null → C2 fill
+
+
 def test_strip_file_uri_prefix(spark):
     df = spark.createDataFrame([("file:///a/b.xml",), ("file:/a/b.xml",), ("/a/b.xml",)], ["p"])
     out = [r.p for r in cleaning.strip_file_uri_prefix(df, "p").collect()]

@@ -202,6 +202,26 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
     assert latest[2] == (1, 5.0)
 
 
+def test_observe_quality_metrics_in_stream(spark, tmp_path):
+    """observe(): per-micro-batch row/null counters ride the write —
+    no second pass (the row-level ST7 audit)."""
+    pdir = str(tmp_path / "obs")
+    spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c")], ["k", "s"]
+    ).coalesce(1).write.parquet(pdir)
+    stream = spark.readStream.schema("k long, s string").parquet(pdir)
+    observed = runner.observe_quality(stream, null_cols=("s",))
+    q = (
+        observed.writeStream.outputMode("append").format("memory").queryName("obs")
+        .option("checkpointLocation", str(tmp_path / "cko"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    progresses = [p for p in q.recentProgress if p.observedMetrics]
+    metrics = progresses[-1].observedMetrics["quality"]
+    assert metrics.n_rows == 3 and metrics.n_null_s == 1
+
+
 def test_session_aggregate_stream(spark, tmp_path):
     """Event-time session windows: a >gap pause splits sessions; the
     watermark closes expired ones."""
