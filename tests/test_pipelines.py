@@ -1,0 +1,88 @@
+"""End-to-end feed pipeline tests: one call per reference job."""
+
+from __future__ import annotations
+
+import gzip
+
+from pyspark.sql import functions as F
+
+from datapipelineetl_spark import pipelines
+
+CSV_HEADER = (
+    "Time,eNodeB Name,Cell Name,Frequency band,Downlink EARFCN,"
+    "Downlink bandwidth,LocalCell Id,Latitude,Longitude,Integrity,"
+    '"FT_UL.Interference","FT_AVE 4G/LTE DL USER THRPUT without Last TTI(ALL) (KBPS)(kbit/s)",'
+    '"FT_PHYSICAL RESOURCE BLOCKS LOAD DL(%)","FT_AVERAGE NB OF USERS (UEs RRC CONNECTED)",'
+    '"FT_4G/LTE CALL SETUP SUCCESS RATE"'
+)
+
+XML_DOC = """<?xml version="1.0" encoding="UTF-8"?>
+<measCollecFile xmlns="http://www.3gpp.org/ftp/specs/archive/32_series/32.435#measCollec">
+  <fileHeader fileFormatVersion="32.435 V10.0">
+    <measCollec beginTime="2025-07-04T13:00:00+01:00"/>
+  </fileHeader>
+  <measData>
+    <managedElement localDn="SubNetwork=1,ManagedElement=ENB1"/>
+    <measInfo measInfoId="m1">
+      <job jobId="j1"/>
+      <granPeriod duration="PT900S" endTime="2025-07-04T13:15:00+01:00"/>
+      <measType p="1">KPI.A</measType>
+      <measValue measObjLdn="eNodeBFunctionName=E1,cellId=1">
+        <r p="1">41</r>
+      </measValue>
+    </measInfo>
+  </measData>
+</measCollecFile>
+"""
+
+
+def test_run_csv_feed_end_to_end(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "r.csv").write_text(
+        CSV_HEADER + "\n07-04-2025 13:45,,CellX,B3,,20,11,,,OK,\" NIL \",,55.5,,0.99\n"
+    )
+    res = pipelines.run_csv_feed(
+        spark,
+        str(src),
+        out_dir=str(tmp_path / "out"),
+        archive_dir=str(tmp_path / "done"),
+        checkpoint=str(tmp_path / "ck"),
+    )
+    assert res.rows == 1
+    got = spark.read.parquet(str(tmp_path / "out")).collect()[0]
+    assert got["eNodeB Name"] == "N/A" and got["Latitude"] == 999.0
+    assert got["feed"] == "csv"
+
+
+def test_run_xml_feed_gzip_end_to_end(spark, tmp_path):
+    src = tmp_path / "xin"
+    src.mkdir()
+    with gzip.open(src / "a.xml.gz", "wt") as f:
+        f.write(XML_DOC)
+    res = pipelines.run_xml_feed(
+        spark,
+        str(src),
+        variant="gzip",
+        out_dir=str(tmp_path / "xout"),
+        checkpoint=str(tmp_path / "xck"),
+    )
+    assert res.rows == 1
+    got = spark.read.parquet(str(tmp_path / "xout")).collect()[0]
+    assert got.kpiName == "KPI.A" and got.kpiValue == 41  # int cast (gzip feed)
+    assert got.feed == "gzip"
+
+
+def test_run_xml_feed_hardware_double_cast(spark, tmp_path):
+    src = tmp_path / "hin"
+    src.mkdir()
+    (src / "a.xml").write_text(XML_DOC)
+    pipelines.run_xml_feed(
+        spark,
+        str(src),
+        variant="hardware",
+        out_dir=str(tmp_path / "hout"),
+        checkpoint=str(tmp_path / "hck"),
+    )
+    got = spark.read.parquet(str(tmp_path / "hout")).collect()[0]
+    assert got.kpiValue == 41.0 and got.localDn == "SubNetwork=1,ManagedElement=ENB1"
