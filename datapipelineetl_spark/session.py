@@ -60,6 +60,38 @@ def session_builder(
     return builder
 
 
+def cluster_builder(
+    app_name: str = "datapipelineetl_spark",
+    streaming: bool = False,
+) -> SparkSession.Builder:
+    """``session_builder`` plus the confs that matter on a real
+    multi-executor cluster (no-ops on local[] — kept separate so local
+    tests stay lean):
+
+    - dynamic allocation + shuffle tracking: executors scale with stage
+      demand; shuffle files outlive their executor so scale-in is safe.
+    - Kryo serialization: smaller/faster shuffle payloads than Java serde.
+    - speculative execution: re-launches stragglers — at 1000 executors
+      there is *always* a slow node.
+    - (streaming) RocksDB state store: state spills to local disk instead
+      of executor heap — watermarked joins/aggs at 100 TB state don't OOM.
+    """
+    b = (
+        session_builder(app_name)
+        .config("spark.dynamicAllocation.enabled", "true")
+        .config("spark.dynamicAllocation.shuffleTracking.enabled", "true")
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.speculation", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+    )
+    if streaming:
+        b = b.config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+    return b
+
+
 def get_session(app_name: str = "datapipelineetl_spark", **kwargs) -> SparkSession:
     """Get-or-create a session with engine defaults."""
     spark = session_builder(app_name, **kwargs).getOrCreate()
