@@ -25,6 +25,7 @@ from datapipelineetl_spark import queries_batch3  # noqa: E402, F401 — registe
 from datapipelineetl_spark import queries_batch4  # noqa: E402, F401 — registers batch-4 queries
 from datapipelineetl_spark import queries_batch5  # noqa: E402, F401 — registers batch-5 queries
 from datapipelineetl_spark import queries_batch6  # noqa: E402, F401 — registers batch-6 queries
+from datapipelineetl_spark import queries_batch7  # noqa: E402, F401 — registers batch-7 queries
 from datapipelineetl_spark import queries_ext  # noqa: E402, F401 — registers extension queries
 
 

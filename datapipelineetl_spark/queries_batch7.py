@@ -1,0 +1,195 @@
+"""Seventh query battery: SQL-surface parity details — explicit GROUPING
+SETS, positional explode, array higher-order functions, null semantics
+(null-safe equality, NULLIF/COALESCE), regex group extraction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datapipelineetl_spark.queries import _t, query
+
+# =============================================================================
+# Explicit GROUPING SETS (beyond ROLLUP/CUBE)
+# =============================================================================
+
+@query(
+    "q_grouping_sets",
+    """
+    SELECT COALESCE(l_returnflag, '-') AS rf,
+           COALESCE(l_linestatus, '-') AS ls,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the asymmetric aggregation lattice
+    (per-flag, per-status, grand total; NOT the full cube).
+
+    Scale: one Expand + one shuffle for all three groupings — vs three
+    scans if issued as separate queries + union."""
+    li = _t(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, '-') AS rf,
+               COALESCE(l_linestatus, '-') AS ls,
+               COUNT(*) AS n
+        FROM {li}
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """,
+        li=li,
+    )
+
+
+# =============================================================================
+# Positional explode / array higher-order functions
+# =============================================================================
+
+@query(
+    "q_posexplode_embedding",
+    """
+    SELECT vec_id, CAST(i - 1 AS INT) AS pos, ROUND(x, 6) AS val
+    FROM (SELECT vec_id, UNNEST(embedding)::DOUBLE AS x,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings)
+    WHERE i <= 4
+    """,
+)
+def q_posexplode_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: element + ordinal (vector → long format, first 4 dims).
+
+    Scale: generator is pipelined; the pos filter applies pre-shuffle so
+    only 4 rows per vector ever move."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "vec_id", F.posexplode(F.col("embedding").cast("array<double>"))
+        )
+        .withColumnRenamed("pos", "pos")
+        .filter(F.col("pos") < 4)
+        .select("vec_id", F.col("pos").cast("int").alias("pos"), F.round("col", 6).alias("val"))
+    )
+
+
+@query(
+    "q_array_lambda_battery",
+    """
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings)
+    SELECT vec_id,
+           len(list_filter(e, x -> x > 0))                    AS n_pos,
+           ROUND(list_sum(list_transform(e, x -> abs(x))), 4) AS l1_norm,
+           ROUND(list_max(e), 6)                              AS max_dim,
+           CASE WHEN len(list_filter(e, x -> abs(x) > 2)) > 0 THEN true ELSE false END AS has_outlier
+    FROM v
+    """,
+)
+def q_array_lambda_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions (filter/transform/aggregate/exists)
+    over the embedding column — all in-row, zero shuffle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    return emb.select(
+        "vec_id",
+        F.size(F.filter(e, lambda x: x > 0)).alias("n_pos"),
+        F.round(
+            F.aggregate(e, F.lit(0.0), lambda acc, x: acc + F.abs(x)), 4
+        ).alias("l1_norm"),
+        F.round(F.array_max(e), 6).alias("max_dim"),
+        F.exists(e, lambda x: F.abs(x) > 2).alias("has_outlier"),
+    )
+
+
+# =============================================================================
+# Null semantics
+# =============================================================================
+
+@query(
+    "q_null_semantics",
+    """
+    SELECT event_type, not_view, label, COUNT(*) AS n
+    FROM (SELECT event_type,
+                 NULLIF(event_type, 'view') AS not_view,
+                 COALESCE(NULLIF(event_type, 'view'), 'suppressed') AS label
+          FROM events)
+    GROUP BY event_type, not_view, label
+    """,
+)
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULLIF / COALESCE chains and grouping-by-null (null forms its own
+    group, per SQL semantics both engines share)."""
+    ev = _t(spark, sf_dir, "events")
+    nv = F.nullif(F.col("event_type"), F.lit("view"))
+    return (
+        ev.select(
+            "event_type",
+            nv.alias("not_view"),
+            F.coalesce(nv, F.lit("suppressed")).alias("label"),
+        )
+        .groupBy("event_type", "not_view", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q_nullsafe_join",
+    """
+    WITH a AS (SELECT event_type, NULLIF(event_type, 'view') AS k FROM events),
+         d AS (SELECT DISTINCT NULLIF(event_type, 'view') AS k FROM events)
+    SELECT a.event_type, COUNT(*) AS n
+    FROM a JOIN d ON a.k IS NOT DISTINCT FROM d.k
+    GROUP BY a.event_type
+    """,
+)
+def q_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): null keys
+    MATCH each other — vs a plain equi-join which drops them. The
+    difference is exactly the 'view' rows here."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.select("event_type", F.nullif("event_type", F.lit("view")).alias("k"))
+    d = a.select("k").distinct().withColumnRenamed("k", "dk")
+    return (
+        a.join(d, a.k.eqNullSafe(d.dk))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# =============================================================================
+# Regex group extraction
+# =============================================================================
+
+@query(
+    "q_regex_extract_ldn",
+    """
+    SELECT regexp_extract(measObjLdn, 'eNodeBFunctionName=([^,]*)', 1) AS enb,
+           regexp_extract(measObjLdn, 'cellId=([0-9]+)', 1) AS cell,
+           COUNT(*) AS n
+    FROM (SELECT * FROM (VALUES
+      ('eNodeBFunctionName=ENB1,cellId=7'),
+      ('eNodeBFunctionName=ENB1,cellId=8'),
+      ('eNodeBFunctionName=ENB2,cellId=1'),
+      ('malformed')
+    ) AS t(measObjLdn))
+    GROUP BY enb, cell
+    """,
+)
+def q_regex_extract_ldn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex group extraction over LDN strings (C9 generalization) incl.
+    the non-matching case (empty string in both engines)."""
+    rows = [
+        ("eNodeBFunctionName=ENB1,cellId=7",),
+        ("eNodeBFunctionName=ENB1,cellId=8",),
+        ("eNodeBFunctionName=ENB2,cellId=1",),
+        ("malformed",),
+    ]
+    df = spark.createDataFrame(rows, ["measObjLdn"])
+    return (
+        df.select(
+            F.regexp_extract("measObjLdn", r"eNodeBFunctionName=([^,]*)", 1).alias("enb"),
+            F.regexp_extract("measObjLdn", r"cellId=([0-9]+)", 1).alias("cell"),
+        )
+        .groupBy("enb", "cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
