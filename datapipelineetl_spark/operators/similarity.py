@@ -90,6 +90,43 @@ def cosine_pairs(
     )
 
 
+def cosine_scores_pandas(
+    df: DataFrame,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out: str = "cos_sim",
+) -> DataFrame:
+    """Vectorized (Arrow-batched pandas UDF) cosine against a fixed query —
+    the numpy path for kernels the JVM can't express (here it CAN:
+    ``cosine()`` above is the production JVM version; this exists as the
+    documented escape hatch and is asserted equal to it in tests).
+
+    Scale: the batch matrix-multiplies in numpy (one BLAS call per Arrow
+    batch) — this is what 'Pandas UDFs beat row-at-a-time Python by
+    10-100×' means concretely; a row-at-a-time ``udf()`` here would do
+    |dim| Python float ops per ROW with interpreter overhead per element.
+    """
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.linalg.norm(q)) or 1.0
+
+    def _score(vecs):
+        m = np.stack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)))
+        dots = m @ q
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        return pd.Series(dots / (norms * qn))
+
+    # no type hints: this module uses `from __future__ import annotations`,
+    # which stringifies hints before pandas_udf can inspect them
+    score = pandas_udf(_score, "double")
+    return df.select(id_col, score(F.col(vec_col)).alias(out))
+
+
 def _hyperplanes(num_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random unit hyperplanes (LCG-based — no RNG
     state, reproducible across runs/engines)."""

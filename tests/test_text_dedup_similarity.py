@@ -102,6 +102,31 @@ def test_cosine_pairs_threshold(spark, vec_df):
     assert {(r.id_a, r.id_b) for r in out.collect()} == {(0, 1)}
 
 
+def test_pandas_cosine_matches_jvm(spark, vec_df):
+    """The Arrow/numpy cosine path must agree with the JVM expression
+    version to float tolerance — same operator, two execution strategies."""
+    from datapipelineetl_spark.operators import similarity as sim
+
+    q = [1.0, 0.0, 1.0]
+    jvm = {
+        r.vec_id: r.cos_sim
+        for r in vec_df.select(
+            "vec_id",
+            sim.cosine(
+                F.col("embedding").cast("array<double>"),
+                F.array(*[F.lit(x) for x in q]),
+            ).alias("cos_sim"),
+        ).collect()
+    }
+    arrow = {
+        r.vec_id: r.cos_sim
+        for r in sim.cosine_scores_pandas(vec_df, q).collect()
+    }
+    assert set(jvm) == set(arrow)
+    for k in jvm:
+        assert abs(jvm[k] - arrow[k]) < 1e-9
+
+
 def test_ann_lsh_recall_against_brute_force(spark, sf_dir):
     from datapipelineetl_spark import catalog
 
