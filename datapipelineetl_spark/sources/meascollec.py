@@ -119,6 +119,81 @@ def read_meascollec(spark: SparkSession, path: str, streaming: bool = False) -> 
     )
 
 
+def read_meascollec_portable(spark: SparkSession, path: str) -> DataFrame:
+    """Portable fallback for :func:`read_meascollec`: whole-file text read
+    + ElementTree inside Arrow-batched ``mapInPandas``, emitting the SAME
+    nested schema — so :func:`flatten_meascollec` (and everything after
+    it) is shared verbatim between the native and portable paths.
+
+    Use when the deployment's Spark lacks the XML data source (< 4.0
+    without the spark-xml package). This is the reference's parser
+    (dags/Dag2.py:70-155) relocated from the Airflow worker to executors:
+    document-level parallelism, no driver bottleneck. ``*.gz`` still
+    decompresses transparently (text source).
+
+    Scale note: ``wholetext`` materializes each document as one row —
+    fine for measurement files (KB–MB); for multi-GB documents use the
+    native source, which streams.
+    """
+
+    def parse(batches):
+        import xml.etree.ElementTree as ET  # noqa: PLC0415
+
+        import pandas as pd  # noqa: PLC0415
+
+        ns = {"ns": MEASCOLLEC_NS}
+
+        def pv(el):
+            return {"_VALUE": el.text, "_p": el.get("p")}
+
+        for pdf in batches:
+            headers, datas = [], []
+            for doc in pdf["value"]:
+                try:
+                    root = ET.fromstring(doc)
+                except ET.ParseError:
+                    continue  # PERMISSIVE parity: corrupt doc → no rows
+                mc = root.find("ns:fileHeader/ns:measCollec", ns)
+                headers.append(
+                    {"measCollec": {"_beginTime": mc.get("beginTime") if mc is not None else None}}
+                )
+                me = root.find("ns:measData/ns:managedElement", ns)
+                infos = []
+                for mi in root.findall("ns:measData/ns:measInfo", ns):
+                    job = mi.find("ns:job", ns)
+                    gran = mi.find("ns:granPeriod", ns)
+                    infos.append(
+                        {
+                            "_measInfoId": mi.get("measInfoId"),
+                            "job": {"_jobId": job.get("jobId") if job is not None else None},
+                            "granPeriod": {
+                                "_duration": gran.get("duration") if gran is not None else None,
+                                "_endTime": gran.get("endTime") if gran is not None else None,
+                            },
+                            "measType": [pv(t) for t in mi.findall("ns:measType", ns)],
+                            "measValue": [
+                                {
+                                    "_measObjLdn": v.get("measObjLdn"),
+                                    "r": [pv(r) for r in v.findall("ns:r", ns)],
+                                }
+                                for v in mi.findall("ns:measValue", ns)
+                            ],
+                        }
+                    )
+                datas.append(
+                    {
+                        "managedElement": {"_localDn": me.get("localDn") if me is not None else None},
+                        "measInfo": infos,
+                    }
+                )
+            if headers:  # an all-corrupt batch yields nothing (empty
+                # object columns degrade to float64, which Arrow rejects)
+                yield pd.DataFrame({"fileHeader": headers, "measData": datas})
+
+    txt = spark.read.text(path, wholetext=True)
+    return txt.mapInPandas(parse, MEASCOLLEC_SCHEMA)
+
+
 def flatten_meascollec(
     raw: DataFrame, variant: str = "xmlonly", lineage: bool = False
 ) -> DataFrame:
