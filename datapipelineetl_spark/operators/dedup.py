@@ -151,6 +151,69 @@ def near_dup_pairs(
     return out
 
 
+def cluster_pairs(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs → (doc_id, cluster_id)
+    with cluster_id = the component's minimum doc id. The final step of
+    every dedup pipeline: pairs say "these two match"; clusters say "keep
+    one of each group".
+
+    Iterative min-label propagation (the dataframe form of
+    union-find / the map-reduce connected-components algorithm): each
+    round every node adopts the smallest label among itself and its
+    neighbors; converges in O(component diameter) rounds — near-dup
+    clusters are dense, so diameter is small (2–3) in practice.
+
+    Scale: each round is one join + one aggregate on the edge list
+    (shuffle O(|E|)); iteration happens on the driver as plan composition
+    but data never leaves executors. ``localCheckpoint`` truncates the
+    growing lineage each round — without it, round N replans rounds
+    1..N-1. For graphs with giant diameters use the large-star/small-star
+    variant; near-dup graphs don't need it.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 def dedup_by_fingerprint(
     df: DataFrame, fingerprint_col: str, keep_cols: Sequence[str], order_col: str
 ) -> DataFrame:

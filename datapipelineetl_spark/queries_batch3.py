@@ -532,6 +532,26 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_frame_sample_plan",
+    """
+    SELECT doc_id AS media_id,
+           UNNEST(generate_series(0, GREATEST(n_chars - 1, 0), 250)) AS frame_ts_ms
+    FROM documents
+    """,
+)
+def q_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan: one row per (media, frame timestamp)
+    from duration metadata only — the explode that precedes a real frame
+    decoder (multimodal.frame_sample_plan); payload bytes stay untouched.
+    Duration here is synthesized from documents.n_chars (ms)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.struct(F.col("n_chars").cast("long").alias("duration_ms")).alias("meta"),
+    )
+    return multimodal.frame_sample_plan(docs, every_ms=250)
+
+
+@query(
     "q_multimodal_meta",
     """
     SELECT doc_id AS media_id, octet_length(text::BLOB) AS n_bytes, md5(text) AS checksum

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from datapipelineetl_spark.operators import text
+from datapipelineetl_spark.operators import dedup, text
 from datapipelineetl_spark.queries import _t, query
 from datapipelineetl_spark.queries_ext import _SQL_TOKENS
 
@@ -38,6 +38,44 @@ def q_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "token", "tf", "df", F.round("tf_idf", 6).alias("tf_idf")
     )
+
+
+@query(
+    "q_dedup_clusters",
+    rf"""
+    WITH RECURSIVE
+    toks AS (SELECT doc_id, {_SQL_TOKENS.format(c='text')} AS ts FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(ts) - 2),
+                           i -> array_to_string(list_slice(ts, i, i + 2), ' '))) AS sg
+      FROM toks),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sg, b.sg)) * 1.0
+            / (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))) >= 0.3),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    cc AS (
+      SELECT DISTINCT src AS node, src AS label FROM edges
+      UNION
+      SELECT e.src AS node, cc.label FROM edges e JOIN cc ON cc.node = e.dst)
+    SELECT node AS doc_id, MIN(label) AS cluster_id FROM cc GROUP BY node
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the n-gram-Jaccard
+    pair graph (min-label propagation, dedup.cluster_pairs) — the
+    union-find step that turns pairwise matches into keep-one groups.
+
+    An ITERATIVE algorithm, still hash-checked: the oracle computes the
+    same components with a recursive CTE. Scale analysis in the operator
+    docstring (O(|E|) per round, diameter-bounded rounds)."""
+    from datapipelineetl_spark.queries_batch3 import q_ngram_jaccard_pairs
+
+    pairs = q_ngram_jaccard_pairs(spark, sf_dir)
+    return dedup.cluster_pairs(pairs)
 
 
 # =============================================================================

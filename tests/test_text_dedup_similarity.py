@@ -102,6 +102,16 @@ def test_cosine_pairs_threshold(spark, vec_df):
     assert {(r.id_a, r.id_b) for r in out.collect()} == {(0, 1)}
 
 
+def test_cluster_pairs_connected_components(spark):
+    """Pairs (1-2, 2-3) and (5-6) → two clusters labeled by min id;
+    a chain forces >1 propagation round."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6)], ["id_a", "id_b"]
+    )
+    got = {r.doc_id: r.cluster_id for r in dedup.cluster_pairs(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5}
+
+
 def test_pandas_cosine_matches_jvm(spark, vec_df):
     """The Arrow/numpy cosine path must agree with the JVM expression
     version to float tolerance — same operator, two execution strategies."""
