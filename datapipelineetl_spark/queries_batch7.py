@@ -157,6 +157,75 @@ def q_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# Multi-EXISTS self-join (TPC-H Q21 shape)
+# =============================================================================
+
+@query(
+    "q21_blamable_suppliers",
+    """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders    ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+    GROUP BY s_name
+    """,
+)
+def q21_blamable_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the only
+    supplier late on a multi-supplier finished order — EXISTS + NOT EXISTS
+    over self-joins of the fact table.
+
+    Scale: both correlated subqueries become left-semi / left-anti joins
+    on l_orderkey — three scans of lineitem but every join is an equi-join
+    on the same key, so under one AQE partitioning the self-joins reuse
+    the exchange. 'Late' is adapted to the fixture columns
+    (shipdate > orderdate + 90d; the reference schema has no
+    commit/receipt dates)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    late_cut = F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
+
+    l1 = li.join(o, li.l_orderkey == o.o_orderkey).filter(F.col("l_shipdate") > late_cut)
+    l2 = li.select(
+        F.col("l_orderkey").alias("l2_orderkey"), F.col("l_suppkey").alias("l2_suppkey")
+    )
+    with_other = l1.join(
+        l2,
+        (F.col("l_orderkey") == F.col("l2_orderkey"))
+        & (F.col("l_suppkey") != F.col("l2_suppkey")),
+        "left_semi",
+    )
+    l3 = li.join(o, li.l_orderkey == o.o_orderkey).filter(
+        F.col("l_shipdate") > late_cut
+    ).select(
+        F.col("l_orderkey").alias("l3_orderkey"), F.col("l_suppkey").alias("l3_suppkey")
+    )
+    only_late = with_other.join(
+        l3,
+        (F.col("l_orderkey") == F.col("l3_orderkey"))
+        & (F.col("l_suppkey") != F.col("l3_suppkey")),
+        "left_anti",
+    )
+    return (
+        only_late.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+# =============================================================================
 # Histogram bucketing
 # =============================================================================
 

@@ -115,6 +115,51 @@ def test_clean_cell_metrics_full_chain(spark):
     assert r0["Time"] == datetime.datetime(2025, 7, 4, 13, 45)
 
 
+def test_cleaning_chain_property(spark):
+    """Property (hypothesis): after the full chain, targeted numeric cols
+    are never null, geo sentinels fire exactly on null coords, and the
+    nil→0 rule is case/whitespace-insensitive — for arbitrary input mixes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    nilish = st.sampled_from(["NIL", "nil", " NIL ", "Nil  ", "0.5", "7", None])
+    coord = st.one_of(st.none(), st.floats(-90, 90, allow_nan=False))
+    intval = st.one_of(st.none(), st.integers(-1000, 1000))
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(st.tuples(nilish, coord, intval), min_size=1, max_size=8))
+    def run(rows):
+        df = spark.createDataFrame(
+            [("07-04-2025 13:45", "E", "C", "B3", 20, 1, 9.9, "OK", n, c, i)
+             for n, c, i in rows],
+            T.StructType(
+                [
+                    T.StructField("Time", T.StringType()),
+                    T.StructField("eNodeB Name", T.StringType()),
+                    T.StructField("Cell Name", T.StringType()),
+                    T.StructField("Frequency band", T.StringType()),
+                    T.StructField("Downlink bandwidth", T.IntegerType()),
+                    T.StructField("LocalCell Id", T.IntegerType()),
+                    T.StructField("Longitude", T.DoubleType()),
+                    T.StructField("Integrity", T.StringType()),
+                    T.StructField("FT_UL.Interference", T.StringType()),
+                    T.StructField("Latitude", T.DoubleType()),
+                    T.StructField("Downlink EARFCN", T.IntegerType()),
+                ]
+            ),
+        )
+        out = cleaning.clean_cell_metrics(df).collect()
+        for (n, c, i), row in zip(rows, out):
+            if n is not None and n.strip().lower() == "nil":
+                assert row["FT_UL_Interference"] == "0"
+            elif n is not None:
+                assert row["FT_UL_Interference"] == n
+            assert row["Latitude"] == (999.0 if c is None else c)
+            assert row["Downlink EARFCN"] == (0 if i is None else i)
+
+    run()
+
+
 def test_malformed_csv_rows_tolerated(spark, tmp_path):
     """A row whose numeric field doesn't parse yields null (PERMISSIVE) —
     which the cleaning chain then fills; the job never dies on bad input."""

@@ -285,6 +285,41 @@ def test_interval_join_streams(spark, tmp_path):
     assert got == {1}
 
 
+def test_interval_join_streams_left_outer(spark, tmp_path):
+    """Stream-stream LEFT OUTER: unmatched left rows must emit (with null
+    right side) once the watermark proves no match can arrive."""
+    imp_dir, clk_dir = str(tmp_path / "imp2"), str(tmp_path / "clk2")
+    schema = "user_id long, ts timestamp"
+
+    def mk(path, rows):
+        spark.createDataFrame(rows, ["user_id", "ts_s"]).withColumn(
+            "ts", F.to_timestamp("ts_s")
+        ).drop("ts_s").coalesce(1).write.parquet(path)
+
+    mk(imp_dir, [(1, "2024-01-01 00:00:00"), (9, "2024-01-01 10:00:00")])
+    mk(clk_dir, [(1, "2024-01-01 00:05:00"),   # matches imp
+                 (2, "2024-01-01 00:06:00"),   # no imp → null row
+                 (3, "2024-01-01 09:59:00")])  # watermark advance
+    imp = spark.readStream.schema(schema).parquet(imp_dir).withColumnRenamed("ts", "imp_ts")
+    clk = spark.readStream.schema(schema).parquet(clk_dir).withColumnRenamed("ts", "click_ts")
+    joined = runner.interval_join_streams(
+        clk, imp, on="user_id", left_ts="click_ts", right_ts="imp_ts",
+        watermark="1 minute", max_lag="15 minutes", how="leftOuter",
+    )
+    q = (
+        joined.writeStream.outputMode("append").format("memory").queryName("ssjoin2")
+        .option("checkpointLocation", str(tmp_path / "ckj2"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        r.user_id: r.imp_ts
+        for r in spark.sql("SELECT user_id, imp_ts FROM ssjoin2").collect()
+    }
+    assert got[1] is not None
+    assert 2 in got and got[2] is None
+
+
 def test_dedupe_stream_within_watermark(spark, tmp_path):
     pdir = str(tmp_path / "dups")
     rows = [
