@@ -156,6 +156,97 @@ def q_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q8_market_share",
+    """
+    SELECT l_year, ROUND(SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0 END)
+                         / SUM(volume), 4) AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS INT) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'EUROPE'
+        AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31')
+    GROUP BY l_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): 6-table join, conditional share
+    aggregate, two roles for nation.
+
+    Scale: every dimension broadcasts; lineitem⋈orders is the only
+    repartition; the share is one conditional-sum pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between("1996-01-01", "1997-12-31")
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE").select(
+        "r_regionkey"
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("n2_key"))
+    )
+    return (
+        joined.select(F.year("o_orderdate").alias("l_year"), vol.alias("volume"), "supp_nation")
+        .groupBy("l_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_1", F.col("volume")).otherwise(F.lit(0.0)))
+                / F.sum("volume"),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "q_fuzzy_name_pairs",
+    """
+    SELECT a.s_name AS name_a, b.s_name AS name_b,
+           levenshtein(a.s_name, b.s_name) AS dist
+    FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+    WHERE levenshtein(a.s_name, b.s_name) <= 1
+    """,
+)
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching (edit distance ≤ 1) — entity-resolution
+    parity with DuckDB's levenshtein.
+
+    Scale: all-pairs on a DIMENSION table only (suppliers); for fact-scale
+    fuzzy dedup use the MinHash/SimHash ladder — edit distance does not
+    bucket, so it stays a dimension-side tool."""
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    a = s.select(F.col("s_suppkey").alias("ka"), F.col("s_name").alias("name_a"))
+    b = s.select(F.col("s_suppkey").alias("kb"), F.col("s_name").alias("name_b"))
+    d = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, F.col("ka") < F.col("kb"))
+        .select("name_a", "name_b", d.alias("dist"))
+        .filter(F.col("dist") <= 1)
+    )
+
+
 # =============================================================================
 # Multi-EXISTS self-join (TPC-H Q21 shape)
 # =============================================================================
