@@ -197,13 +197,13 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_top3_orders_per_customer",
     """
-    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn_big AS INT) AS rn
     FROM (
       SELECT o_custkey, o_orderkey, o_totalprice,
              ROW_NUMBER() OVER (PARTITION BY o_custkey
-                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn_big
       FROM orders)
-    WHERE rn <= 3
+    WHERE rn_big <= 3
     """,
 )
 def q_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:

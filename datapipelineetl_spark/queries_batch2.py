@@ -258,7 +258,7 @@ def q_orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
            CONCAT(p_brand, ':', p_type)                     AS brand_type,
            LPAD(CAST(p_size AS VARCHAR), 4, '0')            AS size_pad,
            regexp_replace(p_type, '[aeiou]', '_', 'g')      AS type_devowel,
-           LENGTH(p_name)                                   AS name_len
+           CAST(LENGTH(p_name) AS INT)                      AS name_len
     FROM part
     """,
 )

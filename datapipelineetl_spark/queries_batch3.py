@@ -297,9 +297,9 @@ def q_parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey, o_custkey, o_totalprice,
            LAG(o_totalprice)  OVER w AS prev_price,
            LEAD(o_totalprice) OVER w AS next_price,
-           date_diff('day', LAG(o_orderdate) OVER w, o_orderdate) AS days_since_prev,
-           ROW_NUMBER()   OVER w AS rn,
-           NTILE(4)       OVER w AS quartile,
+           CAST(date_diff('day', LAG(o_orderdate) OVER w, o_orderdate) AS INT) AS days_since_prev,
+           CAST(ROW_NUMBER() OVER w AS INT) AS rn,
+           CAST(NTILE(4) OVER w AS INT) AS quartile,
            ROUND(PERCENT_RANK() OVER w, 4) AS pr
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
@@ -554,7 +554,7 @@ def q_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_multimodal_meta",
     """
-    SELECT doc_id AS media_id, octet_length(text::BLOB) AS n_bytes, md5(text) AS checksum
+    SELECT doc_id AS media_id, CAST(octet_length(text::BLOB) AS INT) AS n_bytes, md5(text) AS checksum
     FROM documents
     """,
 )

@@ -78,7 +78,7 @@ def q_posexplode_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings)
     SELECT vec_id,
-           len(list_filter(e, x -> x > 0))                    AS n_pos,
+           CAST(len(list_filter(e, x -> x > 0)) AS INT)       AS n_pos,
            ROUND(list_sum(list_transform(e, x -> abs(x))), 4) AS l1_norm,
            ROUND(list_max(e), 6)                              AS max_dim,
            CASE WHEN len(list_filter(e, x -> abs(x) > 2)) > 0 THEN true ELSE false END AS has_outlier
@@ -224,7 +224,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_fuzzy_name_pairs",
     """
     SELECT a.s_name AS name_a, b.s_name AS name_b,
-           levenshtein(a.s_name, b.s_name) AS dist
+           CAST(levenshtein(a.s_name, b.s_name) AS INT) AS dist
     FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
     WHERE levenshtein(a.s_name, b.s_name) <= 1
     """,

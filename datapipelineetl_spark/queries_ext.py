@@ -32,11 +32,11 @@ _SQL_HASH60 = "('0x' || substr(md5({t}), 1, 15))::BIGINT"
     f"""
     WITH t AS (SELECT doc_id, {_SQL_TOKENS.format(c='text')} AS toks, text FROM documents)
     SELECT doc_id,
-           len(toks)                 AS n_tokens,
-           len(list_distinct(toks))  AS n_distinct_tokens,
+           CAST(len(toks) AS INT)                AS n_tokens,
+           CAST(len(list_distinct(toks)) AS INT) AS n_distinct_tokens,
            ROUND(list_sum(list_transform(toks, x -> len(x))) * 1.0
                  / GREATEST(len(toks), 1), 4) AS avg_token_len,
-           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_subwords
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_subwords
     FROM t
     """,
 )
@@ -54,7 +54,7 @@ def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     WITH t AS (
       SELECT doc_id, text,
-             length(text) AS n_chars_m,
+             CAST(length(text) AS INT) AS n_chars_m,
              ROUND(len(regexp_extract_all(text, '[^\w\s]')) * 1.0
                    / GREATEST(length(text), 1), 4) AS punct_ratio,
              ROUND(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
