@@ -454,8 +454,8 @@ _SQL_TOKS = r"string_split_regex(trim(lower(text)), '\s+')"
              len(list_intersect(a.sg, b.sg)) AS inter,
              len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg)) AS uni
       FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-    SELECT id_a, id_b, ROUND(inter * 1.0 / uni, 4) AS jaccard
-    FROM pairs WHERE inter * 1.0 / uni >= 0.3
+    SELECT id_a, id_b, ROUND(inter * 1.0 / GREATEST(uni, 1), 4) AS jaccard
+    FROM pairs WHERE inter * 1.0 / GREATEST(uni, 1) >= 0.3
     """,
 )
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -479,7 +479,9 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = withsg.select(F.col("doc_id").alias("id_b"), F.col("sg").alias("sg_b"))
     inter = F.size(F.array_intersect("sg_a", "sg_b"))
     uni = F.size("sg_a") + F.size("sg_b") - inter
-    jac = inter / uni
+    # greatest(…, 1): two <3-token docs have empty shingle sets → 0/0
+    # (ANSI error); define their similarity as 0 on both engines
+    jac = inter / F.greatest(uni, F.lit(1))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"), jac.alias("__j"))

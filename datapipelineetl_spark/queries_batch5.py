@@ -54,7 +54,7 @@ def q_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT a.doc_id AS id_a, b.doc_id AS id_b
       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
       WHERE len(list_intersect(a.sg, b.sg)) * 1.0
-            / (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))) >= 0.3),
+            / GREATEST(len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg)), 1) >= 0.3),
     edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
               UNION SELECT id_b, id_a FROM pairs),
     cc AS (

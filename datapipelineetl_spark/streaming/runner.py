@@ -299,6 +299,36 @@ def stateful_running_totals(
     )
 
 
+def idempotent_parquet_sink(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Exactly-once file sink via foreachBatch + dynamic partition
+    overwrite on the batch id: replaying a micro-batch (recovery, restart
+    after checkpoint loss within retention) REWRITES its partition instead
+    of appending duplicates.
+
+    This is the general at-least-once → exactly-once upgrade for
+    non-transactional sinks: make the write idempotent on (batch_id), let
+    the checkpoint guarantee each batch id carries the same data. The
+    reference's manual move/backup (mypy/streaming.py:119-141) has neither
+    property (ST6)."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from datapipelineetl_spark.sinks import maintenance  # noqa: PLC0415
+
+    def write(df: DataFrame, epoch_id: int) -> None:
+        maintenance.overwrite_partitions(
+            df.withColumn("__batch_id", F.lit(epoch_id)), path, ["__batch_id"]
+        )
+
+    return run_foreach_batch(
+        stream, write, checkpoint, available_now=available_now, skip_empty=True
+    )
+
+
 def observe_quality(
     df: DataFrame,
     name: str = "quality",

@@ -202,6 +202,27 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
     assert latest[2] == (1, 5.0)
 
 
+def test_idempotent_sink_replay_no_duplicates(spark, tmp_path):
+    """Exactly-once file sink: replaying batches (checkpoint wiped) must
+    not duplicate rows — the batch-id partition is overwritten."""
+    import shutil
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "sink")
+    ck = str(tmp_path / "ckpt")
+    spark.range(10).coalesce(1).write.parquet(src)
+
+    def drain():
+        stream = spark.readStream.schema("id long").parquet(src)
+        runner.idempotent_parquet_sink(stream, out, ck)
+
+    drain()
+    assert spark.read.parquet(out).count() == 10
+    shutil.rmtree(ck)  # simulate checkpoint loss → full replay
+    drain()
+    assert spark.read.parquet(out).count() == 10  # rewritten, not appended
+
+
 def test_observe_quality_metrics_in_stream(spark, tmp_path):
     """observe(): per-micro-batch row/null counters ride the write —
     no second pass (the row-level ST7 audit)."""
