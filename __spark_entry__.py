@@ -34,11 +34,83 @@ def entry(spark: SparkSession) -> DataFrame:
     return _q.q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
+# The driver verifies the FIRST 50 entries of queries() in dict order.
+# Round 1 spent that window on batch1–3 breadth and left the entire
+# §2.11 LLM tier (dedup/simhash/cosine/TF-IDF/lang-id) plus batch5–7
+# unverified (VERDICT.md "What's wrong" #2). PRIORITY pins the window:
+# slots 0–31 = everything the round-1 driver never checked, slot 32 =
+# q_sessionize (proves the round-2 hash fix), slots 33–49 = one
+# already-green representative per SURVEY §2 family so every family
+# keeps a fresh driver row. Everything else (driver-green in round 1)
+# rotates behind the window; tests/test_schemas.py pins this contract.
+PRIORITY: list[str] = [
+    # -- round-1 driver-unchecked (registration slots 50–81 last round) --
+    "q_order_quantity_profile",
+    "q_conditional_counts",
+    "q_weekly_order_volume",
+    "q_sql_regional_revenue",
+    "q_nation_lookup",
+    "q_text_token_stats",
+    "q_text_quality",
+    "q_lang_id",
+    "q_dedup_token_set",
+    "q_minhash_near_dups",
+    "q_simhash",
+    "q_cosine_topk",
+    "q_cosine_near_pairs",
+    "q_tf_idf",
+    "q_dedup_clusters",
+    "q7_volume_shipping",
+    "q13_order_count_distribution",
+    "q17_small_quantity_revenue",
+    "q_approx_sketches",
+    "q_profile_orders",
+    "q_kpi_pivot",
+    "q_session_window_events",
+    "q_grouping_sets",
+    "q_posexplode_embedding",
+    "q_array_lambda_battery",
+    "q_null_semantics",
+    "q_nullsafe_join",
+    "q8_market_share",
+    "q_fuzzy_name_pairs",
+    "q21_blamable_suppliers",
+    "q_price_histogram",
+    "q_regex_extract_ldn",
+    # -- round-1 hash FAIL, fixed this round --
+    "q_sessionize",
+    # -- family representatives (driver-green r1; keep one row fresh each) --
+    "q1_pricing_summary",
+    "q_meascollec_flatten",
+    "q_clean_cell_metrics",
+    "q_clean_kpi_int",
+    "q_envelope_roundtrip",
+    "q_tumbling_window_events",
+    "q_asof_join_purchase",
+    "q_ngram_jaccard_pairs",
+    "q_ann_lsh_topk",
+    "q_ann_recall",
+    "q_multimodal_features",
+    "q_multimodal_meta",
+    "q_frame_sample_plan",
+    "q_window_trailing_revenue",
+    "q_percentiles_by_priority",
+    "q_events_pivot",
+    "q_cube_lineitem",
+]
+
+
+def _ordered(mapping: dict) -> dict:
+    front = {n: mapping[n] for n in PRIORITY if n in mapping}
+    back = {n: v for n, v in mapping.items() if n not in front}
+    return {**front, **back}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return dict(_q.QUERIES)
+    return _ordered(dict(_q.QUERIES))
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query; omitted keys → rows-only check."""
-    return dict(_q.ORACLES)
+    return _ordered(dict(_q.ORACLES))

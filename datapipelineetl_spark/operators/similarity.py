@@ -162,20 +162,41 @@ def ann_lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    num_tables: int = 1,
+    radius: int = 1,
+    exclude_ids: tuple[int, ...] = (),
 ) -> DataFrame:
     """Approximate top-k: score only vectors whose LSH bucket is within
-    Hamming distance ≤ 1 of the query's bucket (multi-probe).
+    Hamming distance ≤ ``radius`` of the query's bucket in ANY of
+    ``num_tables`` independent hash tables (standard SRP-LSH OR-of-ANDs
+    amplification, Charikar 2002 / Indyk–Motwani 1998).
 
-    At scale: the signature is a narrow projection you'd persist/bucket-by;
-    a query then touches ~(num_planes+1)/2^num_planes of the data instead
-    of all of it. Exactness is traded for that pruning — measure recall
-    against ``cosine_topk`` (tests do).
+    Recall math (public SRP result): a neighbor at cosine θ matches one
+    plane with p = 1 − θ/π; a table probes it with
+    P₁ = Σ_{i≤radius} C(planes,i) (1−p)^i p^(planes−i); L tables give
+    recall ≈ 1 − (1 − P₁)^L. Tune (planes, radius, tables) per corpus —
+    high-sim corpora need 1 table; near-uniform fixtures need several.
+
+    At scale: the L signatures are narrow persistable columns you'd
+    bucket-by; a query touches only the union of probed buckets —
+    ~L·Σ_{i≤r} C(planes,i)/2^planes of the data instead of all of it.
+    Exactness is traded for that pruning — measure recall against
+    ``cosine_topk`` (tests and q_ann_recall do).
     """
-    planes = _hyperplanes(num_planes, len(query_vec), seed)
-    qsig = 0
-    for p, plane in enumerate(planes):
-        if sum(q * x for q, x in zip(query_vec, plane)) >= 0:
-            qsig |= 1 << p
-    sigs = df.withColumn("lsh_sig", lsh_signature(F.col(vec_col).cast("array<double>"), planes))
-    probe = sigs.filter(F.bit_count(F.col("lsh_sig").bitwiseXOR(F.lit(qsig))) <= 1)
-    return cosine_topk(probe, query_vec, k, id_col, vec_col)
+    dim = len(query_vec)
+    vec = F.col(vec_col).cast("array<double>")
+    probe_any = F.lit(False)
+    sigs = df
+    for t in range(num_tables):
+        planes = _hyperplanes(num_planes, dim, seed + 1000003 * t)
+        qsig = 0
+        for p, plane in enumerate(planes):
+            if sum(q * x for q, x in zip(query_vec, plane)) >= 0:
+                qsig |= 1 << p
+        col = f"lsh_sig_{t}"
+        sigs = sigs.withColumn(col, lsh_signature(vec, planes))
+        probe_any = probe_any | (
+            F.bit_count(F.col(col).bitwiseXOR(F.lit(qsig))) <= radius
+        )
+    probe = sigs.filter(probe_any).drop(*[f"lsh_sig_{t}" for t in range(num_tables)])
+    return cosine_topk(probe, query_vec, k, id_col, vec_col, exclude_ids)

@@ -454,14 +454,14 @@ def q_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_sessionize",
     """
     SELECT user_id, session_id, COUNT(*) AS n_events,
-           ROUND(SUM(value), 2) AS session_value
+           SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0 AS session_value
     FROM (
       SELECT user_id, value,
-             SUM(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END)
-               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+             CAST(SUM(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_id
       FROM (
         SELECT user_id, ts, event_id, value,
-               epoch(ts) - LAG(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+               FLOOR(epoch(ts)) - LAG(FLOOR(epoch(ts))) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
         FROM events))
     GROUP BY user_id, session_id
     """,
@@ -472,6 +472,13 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one shuffle on user_id shared by both window evaluations, then
     a partial-aggregated groupBy on (user_id, session_id) — which AQE can
     run shuffle-free since the data is already user-partitioned.
+
+    Engine-parity notes (driver hash gate): session_value is summed as
+    integer cents (order-independent; double sums are not), the oracle
+    casts session_id to BIGINT (DuckDB SUM(int) yields HUGEINT/int128,
+    which some client paths stringify differently), and the oracle FLOORs
+    epoch(ts) to whole seconds to match Spark's truncating timestamp→long
+    cast on sub-second event times.
     """
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -482,7 +489,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sess.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("session_value"),
+        (F.sum(F.round(F.col("value") * 100, 0).cast("long")) / 100.0).alias("session_value"),
     )
 
 

@@ -33,3 +33,27 @@ def test_schema_shapes():
     assert len(KPI_GZIP_SCHEMA) == 9
     assert KPI_XMLONLY_SCHEMA.names[-1] == "nodeid"
     assert KPI_XMLHARD_SCHEMA.names[-1] == "localDn"
+
+
+def test_driver_check_window_contract():
+    """The driver verifies the FIRST 50 queries() entries. PRIORITY must
+    fill that window exactly: every round-1-unchecked query, the fixed
+    q_sessionize, and one representative per family (VERDICT.md item 1)."""
+    import __spark_entry__ as entrymod
+
+    qs = list(entrymod.queries())
+    oracles = entrymod.oracle_sql()
+    assert len(entrymod.PRIORITY) == 50
+    assert len(set(entrymod.PRIORITY)) == 50
+    assert qs[:50] == entrymod.PRIORITY
+    # every priority name must actually be registered
+    assert set(entrymod.PRIORITY) <= set(qs)
+    # §2.11 LLM tier must sit inside the window
+    llm = {"q_dedup_token_set", "q_minhash_near_dups", "q_dedup_clusters",
+           "q_simhash", "q_cosine_topk", "q_cosine_near_pairs", "q_tf_idf",
+           "q_lang_id", "q_text_quality", "q_text_token_stats",
+           "q_ann_lsh_topk", "q_ann_recall"}
+    assert llm <= set(qs[:50])
+    assert "q_sessionize" in qs[:50]
+    # oracle dict must follow the same ordering for driver-side zip
+    assert [n for n in qs if n in oracles][:1] == [n for n in oracles][:1]

@@ -175,3 +175,17 @@ def test_frame_sample_plan(spark):
     )
     out = multimodal.frame_sample_plan(df, every_ms=1000)
     assert [r.frame_ts_ms for r in out.collect()] == [0, 1000, 2000, 3000]
+
+
+def test_ann_multitable_lsh_high_recall(spark, sf_dir):
+    """OR-amplification across independent tables lifts recall to ~1.0
+    even on the near-uniform fixture (the hardest corpus for LSH)."""
+    from datapipelineetl_spark import catalog
+
+    emb = catalog.load(spark, sf_dir, "embeddings")
+    qv = list(emb.filter(F.col("vec_id") == 0).first().embedding)
+    exact = [r.vec_id for r in similarity.cosine_topk(emb, qv, 10, exclude_ids=(0,)).collect()]
+    approx = [r.vec_id for r in similarity.ann_lsh_topk(
+        emb, qv, 10, num_planes=8, num_tables=8, radius=2, exclude_ids=(0,)).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.9, f"multi-table ANN recall too low: {recall}"

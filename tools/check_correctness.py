@@ -25,14 +25,33 @@ from datapipelineetl_spark.session import get_session
 
 
 def canon(rows, colnames) -> list[tuple]:
+    # Full-precision repr (NOT %.9g): the driver's hash is stricter than
+    # 9 significant digits, so the local gate must be at least as strict
+    # or local green stops predicting driver green.
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
 
     def cell(v):
         if isinstance(v, float):
-            return f"{v:.9g}"
+            return repr(v)
         return str(v)
 
     return sorted(tuple(cell(r[i]) for i in order) for r in rows)
+
+
+# DuckDB output types that common client paths (pandas .df(), some Arrow
+# conversions) stringify differently from Spark's long/int — e.g. HUGEINT
+# → float64 "3.0" vs Spark "3". Cast these away in the oracle SQL.
+_RISKY_DUCK_TYPES = {"HUGEINT", "UHUGEINT", "UBIGINT", "UINTEGER", "USMALLINT", "UTINYINT", "FLOAT"}
+
+
+def warn_risky_oracle_types(con, name: str, sql: str) -> None:
+    try:
+        rel = con.sql(sql)
+        bad = [(c, str(t)) for c, t in zip(rel.columns, rel.types) if str(t) in _RISKY_DUCK_TYPES]
+    except Exception:  # noqa: BLE001 — the execute path reports oracle errors
+        return
+    if bad:
+        print(f"WARN  {name}: oracle emits driver-risky types {bad}; add explicit CASTs")
 
 
 def main() -> int:
@@ -72,6 +91,7 @@ def main() -> int:
         if name not in oracles:
             print(f"rows-only  {name}: {len(srows)} rows")
             continue
+        warn_risky_oracle_types(con, name, oracles[name])
         try:
             res = con.execute(oracles[name])
             orows = res.fetchall()
