@@ -66,9 +66,17 @@ def lsh_candidate_pairs(
     bands: int = 4,
     rows_per_band: int = 4,
     max_bucket_size: int | None = None,
+    sig_len: int | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing ≥1 identical signature band become
     candidate pairs (id_a < id_b, distinct).
+
+    ``bands × rows_per_band`` must not exceed the signature length:
+    F.slice past the array end yields identical short/empty trailing
+    bands for EVERY doc, hashing all rows into one bucket (quadratic
+    blowup + wrong candidates when verify is skipped). Pass ``sig_len``
+    (callers that built the signature know it) for a free eager check;
+    without it the first row's actual length is probed (one tiny job).
 
     Plan shape: posexplode bands → shuffle on (band, band_key) — the only
     wide step, volume O(n×bands) — then a bucket-local self-join. Hot
@@ -78,6 +86,13 @@ def lsh_candidate_pairs(
     pairwise verification — the standard web-dedup mitigation); None keeps
     candidate semantics exact.
     """
+    if sig_len is None:
+        probe = df.select(F.size(F.col(sig_col)).alias("n")).first()
+        sig_len = probe.n if probe is not None else None
+    if sig_len is not None and bands * rows_per_band > sig_len:
+        raise ValueError(
+            f"bands×rows_per_band = {bands}×{rows_per_band} exceeds signature length {sig_len}"
+        )
     band_arr = F.array(
         *[
             F.md5(F.array_join(F.slice(F.col(sig_col), b * rows_per_band + 1, rows_per_band), ","))
@@ -135,7 +150,9 @@ def near_dup_pairs(
     token sets when the doc table is dimension-sized, else a key shuffle).
     """
     sigs = minhash_signature(df, text_col, "minhash", num_hashes)
-    cands = lsh_candidate_pairs(sigs, id_col, "minhash", bands, rows_per_band, max_bucket_size)
+    cands = lsh_candidate_pairs(
+        sigs, id_col, "minhash", bands, rows_per_band, max_bucket_size, sig_len=num_hashes
+    )
     if not verify:
         return cands
     toksets = df.select(

@@ -105,13 +105,18 @@ def run_xml_feed(
     checkpoint: str | None = None,
     sink: str = "parquet",
     bootstrap: str | None = None,
+    archive_dir: str | None = None,
 ) -> FeedResult:
     """The three XML feeds (gzip / fast / hardware): streaming measCollec
     scan (S4, ``*.xml`` and ``*.xml.gz`` alike — S5 is implicit) →
     executor-side flatten → C7 clean (int for gzip, double otherwise) →
-    envelope/route. Replaces Dag2/Dag3/Dag4 + their Spark jobs."""
+    envelope/route. Replaces Dag2/Dag3/Dag4 + their Spark jobs.
+
+    ``archive_dir`` threads source-managed archival through the XML scan
+    (mirrors run_csv_feed); without it, consumed files stay in ``in_dir``
+    and the leftover audit reports them — pass it in production."""
     checkpoint = checkpoint or f"{in_dir.rstrip('/')}__ckpt_{variant}"
-    raw = meascollec.read_meascollec(spark, in_dir, streaming=True)
+    raw = meascollec.read_meascollec(spark, in_dir, streaming=True, archive_dir=archive_dir)
 
     rows = 0
 

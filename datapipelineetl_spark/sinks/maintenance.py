@@ -62,15 +62,23 @@ def compact(
         out = df.repartition(n_files, *[F.col(c) for c in partition_cols])
     else:
         out = df.repartition(n_files)
-    # write to a temp sibling then swap — a crash mid-compact must not
-    # leave the table half-rewritten
+    # write to a temp sibling, then swap via two renames (old aside →
+    # tmp into place → drop old). The table directory is never absent:
+    # a crash before the second rename leaves the original intact at
+    # path__old for manual restore; a crash after it only leaks the
+    # __old copy. Local-FS only — rglob/rename don't apply to object
+    # stores (there, compact into a NEW prefix and flip a pointer/view).
+    import shutil
+
     tmp = f"{path}__compacting"
+    old = f"{path}__old"
     writer = out.write.mode("overwrite")
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(tmp)
-    import shutil
-
-    shutil.rmtree(path)
+    if Path(old).exists():
+        shutil.rmtree(old)
+    shutil.move(path, old)
     shutil.move(tmp, path)
+    shutil.rmtree(old)
     return n_files

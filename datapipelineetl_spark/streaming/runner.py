@@ -253,9 +253,11 @@ def stateful_running_totals(
     bounds replay on recovery, not state size (NoTimeout keeps keys
     forever — add a timeout for unbounded key spaces).
     """
+    # key field mirrors the stream's actual key type — hardcoding long
+    # would yield nulls / Arrow type errors for string or int key streams
     out_schema = T.StructType(
         [
-            T.StructField(key_col, T.LongType()),
+            T.StructField(key_col, stream.schema[key_col].dataType),
             T.StructField("n_events", T.LongType()),
             T.StructField("total_value", T.DoubleType()),
             T.StructField("last_ts", T.TimestampType()),

@@ -45,3 +45,15 @@ def test_compact_preserves_partition_layout(spark, tmp_path):
     dirs = {d.name for d in Path(out).iterdir() if d.is_dir()}
     assert {"p=a", "p=b"} <= dirs
     assert spark.read.parquet(out).count() == 200
+
+
+def test_compact_swap_leaves_no_temp_dirs(spark, tmp_path):
+    """The rename-swap must clean up both the __compacting temp and the
+    __old safety copy, and the data must survive the swap."""
+    out = str(tmp_path / "sw")
+    df = spark.createDataFrame([(i, i * 2) for i in range(100)], ["k", "v"])
+    df.repartition(10).write.parquet(out)
+    maintenance.compact(spark, out)
+    assert not Path(out + "__compacting").exists()
+    assert not Path(out + "__old").exists()
+    assert spark.read.parquet(out).count() == 100

@@ -86,3 +86,23 @@ def test_run_xml_feed_hardware_double_cast(spark, tmp_path):
     )
     got = spark.read.parquet(str(tmp_path / "hout")).collect()[0]
     assert got.kpiValue == 41.0 and got.localDn == "SubNetwork=1,ManagedElement=ENB1"
+
+
+def test_run_xml_feed_archives_sources(spark, tmp_path):
+    """archive_dir must thread cleanSource through the XML scan so
+    consumed files leave in_dir and the ST7 leftover audit is clean."""
+    src = tmp_path / "ain"
+    src.mkdir()
+    (src / "a.xml").write_text(XML_DOC)
+    res = pipelines.run_xml_feed(
+        spark,
+        str(src),
+        variant="xmlonly",
+        out_dir=str(tmp_path / "aout"),
+        checkpoint=str(tmp_path / "ack"),
+        archive_dir=str(tmp_path / "adone"),
+    )
+    assert res.rows == 1
+    assert res.leftovers == []
+    archived = list((tmp_path / "adone").rglob("*.xml"))
+    assert len(archived) == 1

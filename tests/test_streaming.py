@@ -360,3 +360,30 @@ def test_dedupe_stream_within_watermark(spark, tmp_path):
     )
     q.awaitTermination()
     assert sorted(r.k for r in spark.sql("SELECT k FROM dd").collect()) == [1, 2]
+
+
+def test_stateful_running_totals_string_key(spark, tmp_path):
+    """The output key field must mirror the stream's key type — string
+    keys previously hit the hardcoded LongType and died in Arrow."""
+    pdir = tmp_path / "ev_state_str"
+    pdir.mkdir()
+    spark.createDataFrame(
+        [("alice", 2.0, "2024-01-01 00:01:00"), ("bob", 5.0, "2024-01-01 00:02:00")],
+        ["user", "value", "ts_s"],
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s").coalesce(1).write.parquet(
+        str(pdir / "f1")
+    )
+    stream = (
+        spark.readStream.schema("user string, value double, ts timestamp")
+        .parquet(str(pdir / "*"))
+    )
+    totals = runner.stateful_running_totals(stream, "user", "value", "ts")
+    q = (
+        totals.writeStream.outputMode("update").format("memory").queryName("totals_str")
+        .option("checkpointLocation", str(tmp_path / "ckst2"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {r.user: (r.n_events, r.total_value)
+           for r in spark.sql("SELECT * FROM totals_str").collect()}
+    assert got == {"alice": (1, 2.0), "bob": (1, 5.0)}

@@ -189,3 +189,15 @@ def test_ann_multitable_lsh_high_recall(spark, sf_dir):
         emb, qv, 10, num_planes=8, num_tables=8, radius=2, exclude_ids=(0,)).collect()]
     recall = len(set(exact) & set(approx)) / 10
     assert recall >= 0.9, f"multi-table ANN recall too low: {recall}"
+
+
+def test_lsh_band_geometry_validated(spark, docs_df):
+    """bands×rows_per_band beyond the signature length must raise — a
+    silent short slice would bucket every doc together (quadratic blowup)."""
+    import pytest
+
+    sigs = dedup.minhash_signature(docs_df, num_hashes=16)
+    with pytest.raises(ValueError, match="exceeds signature length"):
+        dedup.lsh_candidate_pairs(sigs, "doc_id", bands=8, rows_per_band=4)
+    with pytest.raises(ValueError, match="exceeds signature length"):
+        dedup.lsh_candidate_pairs(sigs, "doc_id", bands=8, rows_per_band=4, sig_len=16)
