@@ -94,6 +94,8 @@ def run_csv_feed(
         rows = max(rows, _sink(cleaned, "csv", sink, out_dir, bootstrap))
 
     runner.run_foreach_batch(stream, batch, checkpoint)
+    if archive_dir:
+        runner.archive_committed_sources(checkpoint, archive_dir)
     return FeedResult(rows=rows, leftovers=runner.audit_leftovers(in_dir, "*.csv"))
 
 
@@ -113,8 +115,12 @@ def run_xml_feed(
     envelope/route. Replaces Dag2/Dag3/Dag4 + their Spark jobs.
 
     ``archive_dir`` threads source-managed archival through the XML scan
-    (mirrors run_csv_feed); without it, consumed files stay in ``in_dir``
-    and the leftover audit reports them — pass it in production."""
+    (mirrors run_csv_feed). Spark's ``cleanSource`` cleaner is async and
+    lags one batch behind, so after the drain we sweep the checkpoint's
+    committed source log (``runner.archive_committed_sources``) — every
+    consumed file leaves ``in_dir`` before this returns and the leftover
+    audit is clean. Without ``archive_dir``, consumed files stay in
+    ``in_dir`` and the audit reports them — pass it in production."""
     checkpoint = checkpoint or f"{in_dir.rstrip('/')}__ckpt_{variant}"
     raw = meascollec.read_meascollec(spark, in_dir, streaming=True, archive_dir=archive_dir)
 
@@ -129,4 +135,6 @@ def run_xml_feed(
         rows = max(rows, _sink(cleaned, variant, sink, out_dir, bootstrap))
 
     runner.run_foreach_batch(raw, batch, checkpoint)
+    if archive_dir:
+        runner.archive_committed_sources(checkpoint, archive_dir)
     return FeedResult(rows=rows, leftovers=runner.audit_leftovers(in_dir, "*.xml*"))

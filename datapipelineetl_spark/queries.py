@@ -116,10 +116,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-style: selective 3-way join + agg + deterministic top-10.
 
-    Scale: customer (filtered on segment) is far below the broadcast
-    threshold → both joins plan as broadcast-hash on the lineitem side; the
-    only shuffle is the final groupBy on l_orderkey. ORDER BY + LIMIT
-    executes as TakeOrderedAndProject (no global sort materialization).
+    Scale: only the segment-filtered customer (~1/5 of a dimension table)
+    carries a broadcast hint. orders filtered by ``o_orderdate <
+    1998-03-15`` keeps ~97% of the table — fact-sized, never hinted: at
+    100× a forced broadcast of it OOMs the driver. The orders⋈lineitem
+    join shuffles on orderkey (AQE converts to broadcast only if the
+    post-filter side actually fits). ORDER BY + LIMIT executes as
+    TakeOrderedAndProject (no global sort materialization).
     """
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders").filter(
@@ -129,7 +132,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
     )
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
@@ -162,10 +165,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-style 6-way star join.
 
-    Scale: region/nation/supplier/customer are dimensions → all broadcast;
-    the fact-side pipeline (orders⋈lineitem) is the only shuffle-bearing
-    join and AQE converts it to broadcast when the filtered orders side
-    fits. Dimension filters prune before the join (predicate pushdown).
+    Scale: region/nation/supplier are small dimensions → broadcast hints.
+    customer is NOT hinted: at SF100 it's 15M rows (~3.5 GB), past any
+    safe broadcast size — it shuffle-joins on custkey and AQE converts to
+    broadcast only where it genuinely fits. The fact-side orders⋈lineitem
+    join shuffles on orderkey. Dimension filters prune before the join
+    (predicate pushdown).
     """
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders").filter(
@@ -180,7 +185,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(
-            F.broadcast(cust),
+            cust,
             (orders.o_custkey == cust.c_custkey) & (cust.c_nationkey == supp.s_nationkey),
         )
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)

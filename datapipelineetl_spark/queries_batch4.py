@@ -165,7 +165,7 @@ def q_name_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_orderkey,
            COUNT(*) AS n_items,
-           list_sort(list(CAST(l_quantity AS INT))) AS quantities,
+           array_to_string(list_sort(list(CAST(l_quantity AS INT))), ',') AS quantities,
            CAST(MAX(l_quantity) AS INT) AS max_qty
     FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) >= 6
     """,
@@ -175,13 +175,22 @@ def q_order_quantity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     collect_list order is nondeterministic under parallel merge —
     sort_array AFTER collection makes the result well-defined (and
-    engine-comparable). State is bounded by HAVING's group-size filter."""
+    engine-comparable). The sorted list is emitted as a ','-joined
+    string: the driver's canonicalizer hashes rows via pandas, and a
+    raw array<int> column is unhashable there (r1/r2 checker crash) —
+    same information, string-typed, hash-comparable on both engines.
+    State is bounded by HAVING's group-size filter."""
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_orderkey")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.sort_array(F.collect_list(F.col("l_quantity").cast("int"))).alias("quantities"),
+            F.array_join(
+                F.sort_array(F.collect_list(F.col("l_quantity").cast("int"))).cast(
+                    "array<string>"
+                ),
+                ",",
+            ).alias("quantities"),
             F.max("l_quantity").cast("int").alias("max_qty"),
         )
         .filter(F.col("n_items") >= 6)

@@ -22,8 +22,10 @@ by construction (ST6). This runner standardizes on:
 from __future__ import annotations
 
 import glob
+import json
 import os
 from collections.abc import Callable
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -122,6 +124,58 @@ def run_foreach_batch(
         q.awaitTermination()
         return q
     return writer.start()
+
+
+def archive_committed_sources(checkpoint: str, archive_dir: str) -> list[str]:
+    """ST6 deterministic post-drain archival sweep.
+
+    ``cleanSource=archive`` is asynchronous: Spark's file-source cleaner
+    archives a batch's inputs during a LATER batch's maintenance pass, so
+    an ``availableNow`` drain that stops after its final batch leaves that
+    batch's files in the input dir. The reference's manual move-to-done
+    (mypy/streaming.py:119-141, dags/Dag3.py:111-113) has no such lag —
+    this sweep restores that semantics transactionally: it replays the
+    checkpoint's own source log and moves exactly the files Spark has
+    COMMITTED (``sources/0`` entries whose batch appears in ``commits/``)
+    into ``archive_dir``, mirroring Spark's archival layout (original
+    path appended under the archive root).
+
+    Idempotent and race-safe vs the async cleaner: files already archived
+    are skipped; each move is a single-filesystem rename. Returns the
+    list of source paths moved.
+    """
+    sources_dir = os.path.join(checkpoint, "sources", "0")
+    commits_dir = os.path.join(checkpoint, "commits")
+    if not os.path.isdir(sources_dir):
+        return []
+    committed: set[str] = set()
+    if os.path.isdir(commits_dir):
+        committed = {n for n in os.listdir(commits_dir) if not n.startswith(".")}
+    moved: list[str] = []
+    for log_name in sorted(os.listdir(sources_dir)):
+        if log_name.startswith("."):
+            continue
+        batch_id = log_name.removesuffix(".compact")
+        # .compact logs fold earlier batches' entries in — parse them too,
+        # but only archive entries whose own batch has committed.
+        if batch_id not in committed and not log_name.endswith(".compact"):
+            continue
+        with open(os.path.join(sources_dir, log_name)) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line or line.startswith("v"):
+                    continue
+                entry = json.loads(line)
+                if str(entry.get("batchId", batch_id)) not in committed:
+                    continue
+                src = unquote(urlparse(entry["path"]).path)
+                if not os.path.isfile(src):
+                    continue  # async cleaner (or a prior sweep) got it
+                dest = os.path.join(archive_dir, src.lstrip("/"))
+                os.makedirs(os.path.dirname(dest), exist_ok=True)
+                os.replace(src, dest)
+                moved.append(src)
+    return moved
 
 
 # --- ST8: event-time operators the reference lacks ---------------------------

@@ -16,6 +16,8 @@ from datapipelineetl_spark.session import get_session
 PICK = {
     "q1_pricing_summary": "Flagship aggregate: filter pushed to parquet, 7-column ReadSchema, partial+final hash agg — shuffle carries ~6 rows/task.",
     "q6_revenue_delta": "All four predicates are PushedFilters; 4-column ReadSchema; single global sum.",
+    "q3_shipping_priority": "3-way join: segment-filtered customer broadcast; orders (fact-sized after its 97%-selectivity filter) is NOT hinted — shuffle join on orderkey, AQE free to convert; top-10 as TakeOrderedAndProject.",
+    "q5_local_supplier_volume": "Star join: region/nation/supplier broadcast; customer (15M rows at SF100) NOT hinted — shuffle join, AQE converts only when it fits; single agg shuffle on n_name.",
     "q10_returned_items": "4-table join: fact filters pushed; customer/nation broadcast; top-20 as TakeOrderedAndProject (no global sort).",
     "q18_large_orders": "IN-subquery: HAVING aggregate first, winners broadcast left-semi; no fact-fact shuffle join.",
     "q_asof_join_purchase": "As-of via union-and-window: ONE Exchange on user_id, in-partition sort, last(ignorenulls) carry — no range cross-join.",
