@@ -31,16 +31,25 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     # timestamps are UTC-naive) — others are handled via try_* functions.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if table == "events":
-        # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
-        # parquet reader rejects (PARQUET_TYPE_ILLEGAL). Read nanos as long
-        # (legacy conf, runtime-settable) and truncate to microseconds —
-        # identical to DuckDB's nanos→micros truncation, so oracle
-        # comparison stays byte-exact.
+        # events.parquet has shipped with two physical ts encodings across
+        # fixture generations: TIMESTAMP(NANOS) (Spark's vectorized reader
+        # rejects it — read nanos as long via the legacy conf and truncate
+        # to micros, matching DuckDB's nanos→micros truncation) and plain
+        # TIMESTAMP(MICROS) (inferred as TIMESTAMP_NTZ). Normalize both to
+        # a session-UTC TIMESTAMP so query code sees ONE type; with the
+        # session timezone pinned UTC above, the NTZ→LTZ cast is
+        # wall-clock-preserving and oracle comparison stays byte-exact.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 

@@ -87,8 +87,15 @@ def lsh_candidate_pairs(
     candidate semantics exact.
     """
     if sig_len is None:
-        probe = df.select(F.size(F.col(sig_col)).alias("n")).first()
-        sig_len = probe.n if probe is not None else None
+        # Probe rows with an actual signature: F.size is -1 on null, and a
+        # null first row would otherwise raise a misleading "exceeds
+        # signature length -1" below. Negative/absent probe → skip check.
+        probe = (
+            df.filter(F.col(sig_col).isNotNull())
+            .select(F.size(F.col(sig_col)).alias("n"))
+            .first()
+        )
+        sig_len = probe.n if probe is not None and probe.n >= 0 else None
     if sig_len is not None and bands * rows_per_band > sig_len:
         raise ValueError(
             f"bands×rows_per_band = {bands}×{rows_per_band} exceeds signature length {sig_len}"

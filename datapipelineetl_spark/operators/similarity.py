@@ -183,20 +183,24 @@ def ann_lsh_topk(
     Exactness is traded for that pruning — measure recall against
     ``cosine_topk`` (tests and q_ann_recall do).
     """
+    if num_tables < 1:
+        raise ValueError(f"num_tables must be >= 1, got {num_tables}")
     dim = len(query_vec)
     vec = F.col(vec_col).cast("array<double>")
     probe_any = F.lit(False)
     sigs = df
-    for t in range(num_tables):
+    # collision-safe temp-column prefix: user frames may legitimately
+    # carry columns named lsh_sig_* (e.g. persisted signatures)
+    sig_cols = [f"__ann_lsh_sig_{t}" for t in range(num_tables)]
+    for t, col in enumerate(sig_cols):
         planes = _hyperplanes(num_planes, dim, seed + 1000003 * t)
         qsig = 0
         for p, plane in enumerate(planes):
             if sum(q * x for q, x in zip(query_vec, plane)) >= 0:
                 qsig |= 1 << p
-        col = f"lsh_sig_{t}"
         sigs = sigs.withColumn(col, lsh_signature(vec, planes))
         probe_any = probe_any | (
             F.bit_count(F.col(col).bitwiseXOR(F.lit(qsig))) <= radius
         )
-    probe = sigs.filter(probe_any).drop(*[f"lsh_sig_{t}" for t in range(num_tables)])
+    probe = sigs.filter(probe_any).drop(*sig_cols)
     return cosine_topk(probe, query_vec, k, id_col, vec_col, exclude_ids)

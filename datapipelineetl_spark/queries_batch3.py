@@ -511,26 +511,39 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
 
 
-@query("q_multimodal_features")  # rows-only: rolling-hash kernel is not SQL-expressible
+@query(
+    "q_multimodal_features",
+    """
+    SELECT doc_id AS media_id,
+           CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
+           md5(text) AS checksum
+    FROM documents
+    """,
+)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end: documents.text encoded to a binary
     payload column (stand-in for image/audio bytes), featurized via the
     Arrow-batched mapInPandas kernel (deterministic fake decode — real
-    codecs are stubbed, module docstring), features summarized to scalars.
+    codecs are stubbed, module docstring).
 
-    Scale: payload bytes never leave the executor; only the 8-float
-    feature vector and metadata shuffle."""
+    The kernel computes n_bytes + md5 checksum + an 8-float rolling-hash
+    feature vector per payload. The emitted columns are the kernel outputs
+    DuckDB can replay (octet_length / md5) — so the Python/Arrow kernel
+    path itself is HASH-CHECKED against the oracle. The feature vector is
+    still computed inside the same kernel invocation (projection prunes
+    after the Python function runs, not inside it) and its exact values
+    are pinned by tests/test_text_dedup_similarity.py::
+    test_multimodal_fake_decode_plumbing — the rolling hash is the one
+    part no SQL engine can express.
+
+    Scale: payload bytes never leave the executor; only the feature
+    vector and metadata shuffle."""
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id"),
         F.encode("text", "UTF-8").alias("payload"),
     )
     feats = multimodal.extract_features(docs, fake=True, n_features=8)
-    return feats.select(
-        "media_id",
-        "n_bytes",
-        "checksum",
-        F.round(F.aggregate("features", F.lit(0.0), lambda acc, x: acc + x), 6).alias("feat_sum"),
-    )
+    return feats.select("media_id", "n_bytes", "checksum")
 
 
 @query(

@@ -201,23 +201,48 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_scale_patterns.py against exact values.
 # =============================================================================
 
-@query("q_approx_sketches")
+@query(
+    "q_approx_sketches",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS parts_within_tol,
+           TRUE AS median_within_tol,
+           TRUE AS p90_within_tol,
+           TRUE AS p99_within_tol
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable sketch aggregates — the 100 TB substitutes for exact
     distinct counts and percentiles: approx_count_distinct (HyperLogLog++)
     and approx_percentile (t-digest-style). Both combine map-side, so the
     shuffle carries one sketch per partition instead of the value stream.
-    Rows-only check (DuckDB's approx functions use different sketch
-    families; accuracy vs exact is tested with tolerance instead)."""
+
+    Cross-engine sketch families differ, so raw approx values can't be
+    hash-compared — instead the query computes the EXACT answers alongside
+    the sketches and emits within-tolerance booleans (HLL++ default rsd
+    0.05 → 10% bound; approx_percentile at default accuracy → 2% bound).
+    The oracle asserts every boolean is TRUE plus the exact distinct
+    count, so the sketch-accuracy claim is a hard pass/fail driver check,
+    not a rows-only count."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    rel_ok = lambda approx, exact, tol: (  # noqa: E731
+        F.abs(approx - exact) <= F.lit(tol) * F.abs(exact)
+    )
+    agg = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.expr("approx_percentile(l_extendedprice, 0.5)").alias("approx_median_price"),
-        F.expr("approx_percentile(l_extendedprice, array(0.9, 0.99))").alias("approx_tail"),
-    ).select(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.expr("approx_percentile(l_extendedprice, 0.5)").alias("a_med"),
+        F.expr("approx_percentile(l_extendedprice, array(0.9, 0.99))").alias("a_tail"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("x_med"),
+        F.expr("percentile(l_extendedprice, array(0.9, 0.99))").alias("x_tail"),
+    )
+    return agg.select(
         "l_returnflag",
-        "approx_parts",
-        F.round("approx_median_price", 2).alias("approx_median_price"),
-        F.round(F.col("approx_tail")[0], 2).alias("approx_p90"),
-        F.round(F.col("approx_tail")[1], 2).alias("approx_p99"),
+        "exact_parts",
+        rel_ok(F.col("approx_parts"), F.col("exact_parts"), 0.10).alias("parts_within_tol"),
+        rel_ok(F.col("a_med"), F.col("x_med"), 0.02).alias("median_within_tol"),
+        rel_ok(F.col("a_tail")[0], F.col("x_tail")[0], 0.02).alias("p90_within_tol"),
+        rel_ok(F.col("a_tail")[1], F.col("x_tail")[1], 0.02).alias("p99_within_tol"),
     )

@@ -53,16 +53,54 @@ def from_envelope(df: DataFrame, schema: T.StructType, value_col: str = "value")
     return df.select(F.from_json(F.col(value_col), schema).alias("r")).select("r.*")
 
 
+# Columns Spark's kafka sink understands; anything else in the frame is a
+# caller bug (it would be silently dropped — or rejected — broker-side).
+_KAFKA_SINK_COLS = {"key", "value", "topic", "partition", "headers"}
+
+
+def kafka_write_plan(df: DataFrame, topic: str, bootstrap_servers: str, **options) -> dict:
+    """Validate the envelope and return the exact writer config write_kafka
+    will use — the broker-free dry-run surface (the sandbox has no Kafka
+    broker or spark-sql-kafka jar, so tests pin THIS, and the classpath
+    boundary is pinned separately in tests/test_serde.py).
+
+    Raises if the frame is not a Kafka envelope: ``value`` is mandatory,
+    and any column outside the sink's recognized set means the caller
+    forgot ``to_envelope`` — failing client-side beats a broker-side
+    surprise."""
+    if not topic:
+        raise ValueError("topic must be non-empty")
+    if not bootstrap_servers:
+        raise ValueError("bootstrap_servers must be non-empty")
+    names = set(df.columns)
+    if "value" not in names:
+        raise ValueError(
+            f"Kafka envelope requires a 'value' column; got {sorted(names)} — "
+            "did you forget to_envelope()?"
+        )
+    extra = names - _KAFKA_SINK_COLS
+    if extra:
+        raise ValueError(
+            f"columns {sorted(extra)} are not Kafka sink columns "
+            f"({sorted(_KAFKA_SINK_COLS)}); serialize them into 'value' via to_envelope()"
+        )
+    return {
+        "format": "kafka",
+        "options": {
+            "kafka.bootstrap.servers": bootstrap_servers,
+            "topic": topic,
+            **options,
+        },
+    }
+
+
 def write_kafka(df: DataFrame, topic: str, bootstrap_servers: str, **options) -> None:
-    """K1: publish an envelope DataFrame to Kafka (requires the
-    spark-sql-kafka package on the classpath; not present in the test env)."""
-    (
-        df.write.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("topic", topic)
-        .options(**options)
-        .save()
-    )
+    """K1: publish an envelope DataFrame to Kafka — the reference's
+    per-feed topic produce (mypy/preprocessproduce.py:68-80). Requires the
+    spark-sql-kafka package on the classpath (not present in the test env;
+    the writer config + validation path is covered by kafka_write_plan)."""
+    plan = kafka_write_plan(df, topic, bootstrap_servers, **options)
+    df.write.format(plan["format"]).options(**plan["options"]).save()
 
 
 def write_routed_parquet(df: DataFrame, path: str, feed_col: str = "feed", mode: str = "append") -> None:

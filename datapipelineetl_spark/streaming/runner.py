@@ -96,6 +96,55 @@ def run_drain(
     return q
 
 
+def run_processing_time(
+    stream: DataFrame,
+    transform: Callable[[DataFrame], DataFrame] | None,
+    checkpoint: str,
+    sink_format: str = "parquet",
+    sink_path: str | None = None,
+    interval: str = "1 second",
+    query_name: str | None = None,
+    output_mode: str = "append",
+) -> StreamingQuery:
+    """ST2 long-lived trigger: start a processing-time-interval query and
+    return immediately — the always-on shape of the reference's CSV job
+    (mypy/preprocessproduce.py:190-200, ``trigger(processingTime=...)``
+    running until killed). Pair with ``stop_gracefully`` for the
+    reference's clean-shutdown semantics (ST9: finish the in-flight
+    micro-batch, then stop — no partial batch replayed on restart beyond
+    the checkpoint's exactly-once guarantee).
+    """
+    df = transform(stream) if transform else stream
+    writer = (
+        df.writeStream.outputMode(output_mode)
+        .format(sink_format)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=interval)
+    )
+    if query_name:
+        writer = writer.queryName(query_name)
+    if sink_path:
+        writer = writer.option("path", sink_path)
+    return writer.start()
+
+
+def stop_gracefully(query: StreamingQuery, timeout_sec: float = 30.0) -> None:
+    """ST9 graceful shutdown: wait for the current micro-batch to finish
+    (status no longer trigger-active) before ``stop()`` — the programmatic
+    twin of ``spark.streaming.stopGracefullyOnShutdown`` for driver-owned
+    queries. Times out rather than hanging on a stuck batch."""
+    import time
+
+    deadline = time.monotonic() + timeout_sec
+    while time.monotonic() < deadline:
+        status = query.status
+        if not status["isTriggerActive"]:
+            break
+        time.sleep(0.2)
+    query.stop()
+    query.awaitTermination(int(timeout_sec))
+
+
 def run_foreach_batch(
     stream: DataFrame,
     batch_fn: Callable[[DataFrame, int], None],

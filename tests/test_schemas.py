@@ -36,9 +36,10 @@ def test_schema_shapes():
 
 
 def test_driver_check_window_contract():
-    """The driver verifies the FIRST 50 queries() entries. PRIORITY must
-    fill that window exactly: every round-1-unchecked query, the fixed
-    q_sessionize, and one representative per family (VERDICT.md item 1)."""
+    """The driver verifies the FIRST 50 queries() entries. Round-3 window:
+    the never-green query, the two upgraded-oracle queries, every query
+    whose only green row is from round 1, the one remaining rows-only
+    query + its shadow, then family representatives (VERDICT r2 item 4)."""
     import __spark_entry__ as entrymod
 
     qs = list(entrymod.queries())
@@ -48,12 +49,27 @@ def test_driver_check_window_contract():
     assert qs[:50] == entrymod.PRIORITY
     # every priority name must actually be registered
     assert set(entrymod.PRIORITY) <= set(qs)
-    # §2.11 LLM tier must sit inside the window
-    llm = {"q_dedup_token_set", "q_minhash_near_dups", "q_dedup_clusters",
-           "q_simhash", "q_cosine_topk", "q_cosine_near_pairs", "q_tf_idf",
-           "q_lang_id", "q_text_quality", "q_text_token_stats",
-           "q_ann_lsh_topk", "q_ann_recall"}
-    assert llm <= set(qs[:50])
-    assert "q_sessionize" in qs[:50]
-    # oracle dict must follow the same ordering for driver-side zip
-    assert [n for n in qs if n in oracles][:1] == [n for n in oracles][:1]
+    window = set(qs[:50])
+    # queries fixed or changed this round must get a fresh driver row
+    assert {"q_order_quantity_profile", "q_approx_sketches",
+            "q_multimodal_features", "q3_shipping_priority",
+            "q5_local_supplier_volume"} <= window
+    # every query whose only green row is r1 must be in the r3 window
+    r1_only = {"q_top3_orders_per_customer", "q_agg_stats",
+               "q_customers_without_orders", "q_active_supplier_keys",
+               "q_priciest_lineitems", "q_rollup_order_volume",
+               "q_clean_chain_events", "q_unpivot_lineitem",
+               "q_customers_with_orders_semi", "q_full_outer_nation_activity",
+               "q_cross_join_matrix", "q_orders_above_avg", "q_string_funcs",
+               "q_date_funcs", "q_having_filter", "q6_revenue_delta",
+               "q4_priority_late_ship", "q10_returned_items",
+               "q14_promo_revenue", "q18_large_orders", "q19_bracket_revenue",
+               "q_union_parties_by_nation", "q_intersect_nations",
+               "q_parts_never_ordered", "q_window_order_seq", "q_json_props",
+               "q15_top_suppliers", "q2_cheapest_part_per_type",
+               "q22_idle_rich_customers", "q_lineitems_above_order_avg",
+               "q_name_word_counts"}
+    assert r1_only <= window
+    # oracle dict must follow the same ordering for driver-side zip —
+    # compare the FULL sequence, not just the head (r2 advice)
+    assert [n for n in qs if n in oracles] == list(oracles)

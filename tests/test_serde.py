@@ -2,6 +2,7 @@ from __future__ import annotations
 
 import json
 
+import pytest
 from pyspark.sql import types as T
 
 from datapipelineetl_spark.sinks import serde
@@ -46,3 +47,32 @@ def test_constant_column_batch_key(spark):
     df = spark.createDataFrame([(1,)], ["v"])
     out = cleaning.constant_column(df, "key", "42").collect()[0]
     assert out.key == "42"
+
+
+def test_kafka_write_plan_dry_run(spark):
+    """K1 dry-run: write_kafka's writer config is pinned without a broker
+    (VERDICT r2 item 7) — correct format + topic/servers options, and the
+    envelope validation rejects non-envelope frames client-side."""
+    env = serde.to_envelope(spark.createDataFrame([(1, "a")], ["id", "s"]), key="7")
+    plan = serde.kafka_write_plan(
+        env, "cell_metrics", "broker1:9092,broker2:9092", **{"kafka.acks": "all"}
+    )
+    assert plan["format"] == "kafka"
+    assert plan["options"]["kafka.bootstrap.servers"] == "broker1:9092,broker2:9092"
+    assert plan["options"]["topic"] == "cell_metrics"
+    assert plan["options"]["kafka.acks"] == "all"
+
+    raw = spark.createDataFrame([(1, "a")], ["id", "s"])
+    with pytest.raises(ValueError, match="value"):
+        serde.kafka_write_plan(raw, "t", "b:9092")
+    with pytest.raises(ValueError, match="topic"):
+        serde.kafka_write_plan(env, "", "b:9092")
+
+
+def test_write_kafka_reaches_source_resolution(spark):
+    """K1 classpath boundary: write_kafka builds a real kafka-format writer —
+    in this jar-less env the save fails at DataSource lookup with the kafka
+    provider name, proving the writer (not our validation) is what stops it."""
+    env = serde.to_envelope(spark.createDataFrame([(1,)], ["id"]))
+    with pytest.raises(Exception, match="(?i)kafka"):
+        serde.write_kafka(env, "t", "b:9092")

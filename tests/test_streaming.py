@@ -82,6 +82,60 @@ def test_csv_drain_with_archive(spark, csv_feed):
     assert "report1.csv" not in runner.audit_leftovers(src, "*.csv")
 
 
+def test_processing_time_trigger_multi_batch(spark, csv_feed):
+    """ST2: the reference's always-on shape — a processing-time trigger
+    query stays live across micro-batches (file 1 in batch 0, file 2
+    dropped while running picked up by a later trigger), then shuts down
+    gracefully (ST9). Asserts ≥2 non-empty micro-batches committed and
+    all rows landed exactly once."""
+    import time
+
+    src = str(csv_feed / "in")
+    out = str(csv_feed / "out")
+    ckpt = str(csv_feed / "ckpt")
+
+    stream = runner.read_file_stream(
+        spark, src, "csv", CELL_METRICS_SCHEMA, header="true",
+        max_files_per_trigger=1, lineage=False,
+    )
+    q = runner.run_processing_time(
+        stream,
+        clean_cell_metrics,
+        checkpoint=ckpt,
+        sink_path=out,
+        interval="200 milliseconds",
+        query_name="st2_live",
+    )
+    try:
+        def committed_batches() -> set[int]:
+            return {
+                p["batchId"] for p in q.recentProgress if p["numInputRows"] > 0
+            }
+
+        deadline = time.monotonic() + 60
+        while not committed_batches() and time.monotonic() < deadline:
+            time.sleep(0.2)
+        assert committed_batches(), "first micro-batch never committed"
+
+        # drop a second file while the query is LIVE — a later trigger
+        # must pick it up (the always-on semantics drain mode can't show)
+        (csv_feed / "in" / "report2.csv").write_text(
+            CSV_HEADER + "\n" + CSV_ROWS[0] + "\n"
+        )
+        while len(committed_batches()) < 2 and time.monotonic() < deadline:
+            time.sleep(0.2)
+        assert len(committed_batches()) >= 2, (
+            f"second live micro-batch never committed: {q.recentProgress}"
+        )
+    finally:
+        runner.stop_gracefully(q)
+
+    assert not q.isActive
+    result = spark.read.parquet(out)
+    # 2 rows from report1 (batch 0) + 1 from report2 — exactly once
+    assert result.count() == 3
+
+
 def test_foreach_batch_skip_empty(spark, tmp_path):
     """ST1/P5: empty micro-batches short-circuit before the batch fn."""
     src = tmp_path / "in"

@@ -159,6 +159,13 @@ def test_multimodal_fake_decode_plumbing(spark):
     assert got[2].n_bytes == 0 and got[2].checksum is None
     import hashlib
     assert got[1].checksum == hashlib.md5(b"hello world").hexdigest()
+    # Pin the rolling-hash feature values exactly: the registered query
+    # (q_multimodal_features) hash-checks only the kernel's n_bytes/md5 —
+    # this is where the non-SQL-expressible feature math is verified.
+    assert got[1].features == pytest.approx(
+        [0.000103999688000936, 0.10318269045192864, 0.16202451392645822, 0.70666887999336]
+    )
+    assert got[2].features == [0.0, 0.0, 0.0, 0.0]
 
 
 def test_multimodal_real_decode_raises(spark):
