@@ -26,6 +26,7 @@ from datapipelineetl_spark import queries_batch4  # noqa: E402, F401 — registe
 from datapipelineetl_spark import queries_batch5  # noqa: E402, F401 — registers batch-5 queries
 from datapipelineetl_spark import queries_batch6  # noqa: E402, F401 — registers batch-6 queries
 from datapipelineetl_spark import queries_batch7  # noqa: E402, F401 — registers batch-7 queries
+from datapipelineetl_spark import queries_batch8  # noqa: E402, F401 — registers batch-8 queries
 from datapipelineetl_spark import queries_ext  # noqa: E402, F401 — registers extension queries
 
 
@@ -87,6 +88,9 @@ PRIORITY: list[str] = [
     "q22_idle_rich_customers",
     "q_lineitems_above_order_avg",
     "q_name_word_counts",
+    # -- new this round (need their first driver rows) --
+    "q12_line_priority_split",
+    "q_winnowing_fingerprints",
     # -- last rows-only query + its hash-checked shadow --
     "q_ann_lsh_topk",
     "q_ann_recall",
@@ -101,8 +105,6 @@ PRIORITY: list[str] = [
     "q_minhash_near_dups",
     "q_dedup_clusters",
     "q_simhash",
-    "q_cosine_topk",
-    "q_tf_idf",
 ]
 
 

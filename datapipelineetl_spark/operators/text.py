@@ -139,6 +139,58 @@ def with_token_set_fingerprint(
     return df.withColumn(out, F.md5(canon))
 
 
+def with_winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    out: str = "winnow_fps",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer–Wilkerson–Aiken,
+    SIGMOD'03): hash every character ``k``-gram, then keep the minimum
+    hash of each sliding ``window`` of consecutive k-gram hashes. The
+    selected-hash set is the document's fingerprint — position-robust
+    (guaranteed to share a fingerprint with any copy that overlaps by
+    ≥ window+k−1 chars), ~1/window the size of the full k-gram set.
+
+    Output: ``out`` = sorted distinct selected hashes (array<long>).
+    Degenerate inputs: text shorter than ``k`` → empty fingerprint set;
+    fewer k-grams than ``window`` → the single global min (the standard
+    short-document convention).
+
+    Scale: entirely per-row array math — transform over a sequence, no
+    explode, no shuffle, runs in codegen. Cost is O(len × k) md5 work
+    (same cross-engine-parity tradeoff as the module docstring; xxhash64
+    is the deployment swap). Downstream, docs sharing any fingerprint are
+    collision candidates: ``explode(winnow_fps)`` + groupBy is the same
+    bucketed O(n×fps) join shape as MinHash-LSH banding — never pairwise.
+    """
+    if k < 1 or window < 1:
+        raise ValueError(f"k and window must be >= 1, got k={k} window={window}")
+    norm = F.lower(F.col(text_col))
+    n_grams = F.length(norm) - k + 1
+    hs = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: token_hash60(norm.substr(i, F.lit(k))),
+    )
+    # sequence(1, n) with n < 1 generates a DESCENDING sequence — guard
+    # every branch explicitly instead of relying on greatest() clamps.
+    mins = (
+        F.when(
+            n_grams >= window,
+            F.transform(
+                F.sequence(F.lit(1), n_grams - window + 1),
+                lambda w: F.array_min(F.slice(hs, w, window)),
+            ),
+        )
+        .when(n_grams >= 1, F.array(F.array_min(hs)))
+        .otherwise(F.lit(None).cast("array<long>"))
+    )
+    return df.withColumn(
+        out, F.coalesce(F.array_sort(F.array_distinct(mins)), F.array().cast("array<long>"))
+    )
+
+
 def with_simhash(
     df: DataFrame, text_col: str = "text", out: str = "simhash", bits: int = 32
 ) -> DataFrame:

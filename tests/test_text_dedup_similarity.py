@@ -208,3 +208,35 @@ def test_lsh_band_geometry_validated(spark, docs_df):
         dedup.lsh_candidate_pairs(sigs, "doc_id", bands=8, rows_per_band=4)
     with pytest.raises(ValueError, match="exceeds signature length"):
         dedup.lsh_candidate_pairs(sigs, "doc_id", bands=8, rows_per_band=4, sig_len=16)
+
+
+def test_winnowing_fingerprints(spark):
+    """Winnowing (SIGMOD'03): shared-substring guarantee, short-doc and
+    empty-doc conventions, and order/selection determinism."""
+    k, w = 5, 4
+    base = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (1, base),
+        (2, "PREFIX padding here " + base),  # contains base as substring
+        (3, "tiny"),                          # shorter than k → empty set
+        (4, ""),                              # empty → empty set
+        (5, "exact"),                         # exactly k chars → 1 gram
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: list(r.winnow_fps)
+        for r in text.with_winnowing_fingerprints(df, k=k, window=w).collect()
+    }
+    # guarantee: any match of length >= w+k-1 shares >= 1 fingerprint;
+    # doc 2 contains ALL of doc 1, so overlap must be substantial
+    assert set(out[1]) & set(out[2]), "copied substring shares no fingerprint"
+    assert out[3] == [] and out[4] == []
+    assert len(out[5]) == 1  # single k-gram → its hash is the fingerprint
+    # deterministic: sorted distinct longs
+    assert out[1] == sorted(set(out[1]))
+
+
+def test_winnowing_rejects_bad_params(spark):
+    df = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="k and window"):
+        text.with_winnowing_fingerprints(df, k=0)
