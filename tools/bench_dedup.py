@@ -47,10 +47,21 @@ def main() -> int:
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(f"bench-dedup-{cpus}")
         .config("spark.sql.shuffle.partitions", cpus)
+        # local mode = driver JVM hosts all executor threads; the default
+        # 1g heap OOMs with 32 concurrent token-array tasks at sf0.1
+        .config("spark.driver.memory", "16g")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    # The fixture is ONE parquet file → one input split, which would cap
+    # every narrow stage at parallelism 1 regardless of master. A 100 TB
+    # table has millions of splits; repartition to the worker count so the
+    # measurement reflects per-core scaling, not fixture file layout.
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .repartition(int(cpus))
+    )
     docs.cache().count()
 
     stages: dict[str, float] = {}
