@@ -22,6 +22,8 @@ PICK = {
     "q18_large_orders": "IN-subquery: HAVING aggregate first, winners broadcast left-semi; no fact-fact shuffle join.",
     "q_asof_join_purchase": "As-of via union-and-window: ONE Exchange on user_id, in-partition sort, last(ignorenulls) carry — no range cross-join.",
     "q_minhash_near_dups": "MinHash+LSH: narrow signature math, posexplode bands, equi-join on (band,key) buckets — shuffle O(n*bands), pairwise work only on bucket collisions.",
+    "q12_line_priority_split": "Q12 shape: IN-list + year range as PushedFilters on lineitem; fact-fact join UNHINTED (shuffle on orderkey, AQE decides); 2-group conditional agg collapses map-side.",
+    "q_winnowing_fingerprints": "Winnowing: whole ladder (k-gram hash, window-min, distinct/sort, digest) is one Project inside WholeStageCodegen — zero Exchange; embarrassingly parallel at any scale.",
 }
 
 
