@@ -42,8 +42,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # this round (q_approx_sketches tolerance booleans, q_multimodal_features
 # kernel-output hash check); slots 3–35 = the 33 queries whose only green
 # row is from round 1 (rotated out of the r2 window) — q3/q5 first since
-# their broadcast hints changed this round; then q_ann_lsh_topk (the one
-# remaining rows-only query) with its hash-checked shadow q_ann_recall;
+# their broadcast hints changed this round; then q_ann_lsh_topk (upgraded
+# this round from rows-only to oracle-checked — the seed-fixed hyperplanes
+# are embedded as SQL literals) with its recall shadow q_ann_recall;
 # the tail = r2-green family representatives so every SURVEY §2 family
 # keeps a fresh row. Every registered query's newest driver row is ≤2
 # rounds old under this window; tests/test_schemas.py pins the contract.

@@ -491,23 +491,69 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
-# Rows-only checked operators (no SQL-expressible oracle; driver records
-# the weaker check — SURVEY.md §5)
+# ANN top-k — oracle-checked by embedding the deterministic hyperplanes
+# as SQL literals (the LCG that derives them is seed-fixed, so the planes
+# are compile-time constants, not runtime algebra)
 # =============================================================================
 
-@query("q_ann_lsh_topk")  # rows-only: LCG hyperplane algebra not SQL-expressible
+_ANN_DIM = 64          # fixture embedding width; q_ann_lsh_topk asserts it
+_ANN_PLANES = similarity._hyperplanes(8, _ANN_DIM, seed=42)
+_ANN_PROBE = [(1.0 if i % 7 == 0 else 0.1) for i in range(_ANN_DIM)]
+
+
+def _ann_oracle() -> str:
+    """DuckDB replay of the full SRP-LSH probe: identical hyperplane
+    constants (full-precision literals), identical sign-bit signature,
+    identical Hamming≤1 multi-probe filter, identical cosine + ordering.
+    The dot products fold left-to-right in both engines, so the sign
+    decisions and rounded scores are bit-identical."""
+    qsig = 0
+    for p, plane in enumerate(_ANN_PLANES):
+        if sum(q * x for q, x in zip(_ANN_PROBE, plane)) >= 0:
+            qsig |= 1 << p
+    def arr(xs):
+        return "[" + ", ".join(repr(float(x)) for x in xs) + "]"
+    sig_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {arr(plane)}) >= 0 THEN {1 << p} ELSE 0 END)"
+        for p, plane in enumerate(_ANN_PLANES)
+    )
+    probe = arr(_ANN_PROBE)
+    return f"""
+    WITH s AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sig AS (
+      SELECT vec_id, v, ({sig_terms})::BIGINT AS sig FROM s)
+    SELECT vec_id,
+           ROUND(list_dot_product(v, {probe})
+                 / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product({probe}, {probe}))),
+                 4) AS cos_sim
+    FROM sig
+    WHERE bit_count(xor(sig, {qsig}::BIGINT)) <= 1
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 10
+    """
+
+
+@query("q_ann_lsh_topk", _ann_oracle())
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN: LSH-bucketed cosine top-10 around a fixed probe vector
-    (multi-probe Hamming ≤ 1). Recall vs the exact q_cosine_topk baseline
-    is asserted in tests/test_text_dedup_similarity.py.
+    (multi-probe Hamming ≤ 1). Oracle-checked end-to-end: the seed-42 LCG
+    hyperplanes are embedded in the oracle as literal constants, so the
+    signature/bucket/score path is value-verified, not just row-counted
+    (recall vs the exact baseline is separately gated by q_ann_recall and
+    tests/test_text_dedup_similarity.py).
 
     Scale: signature is a persistable narrow column; a probe touches
     ~(planes+1)/2^planes of rows instead of all — the IVF-style pruning
     path for 100 TB embedding stores."""
     emb = _t(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()[0])
-    probe = [(1.0 if i % 7 == 0 else 0.1) for i in range(dim)]
-    out = similarity.ann_lsh_topk(emb, probe, k=10, num_planes=8)
+    if dim != _ANN_DIM:
+        raise ValueError(
+            f"embeddings dim {dim} != {_ANN_DIM}; the ANN oracle's hyperplane "
+            "literals are derived for the fixture width — regenerate _ANN_PLANES"
+        )
+    out = similarity.ann_lsh_topk(emb, _ANN_PROBE, k=10, num_planes=8)
     return out.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
 
 
