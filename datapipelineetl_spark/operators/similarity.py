@@ -127,6 +127,64 @@ def cosine_scores_pandas(
     return df.select(id_col, score(F.col(vec_col)).alias(out))
 
 
+def lsh_cosine_near_pairs(
+    df: DataFrame,
+    threshold: float,
+    num_planes: int = 8,
+    num_tables: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    dim: int | None = None,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Embedding near-duplicate PAIRS via LSH bucketing — the scale path
+    next to the exact O(n²) ``cosine_pairs`` baseline (same output
+    contract: (id_a, id_b, cos_sim) with cos_sim ≥ threshold, id_a < id_b).
+
+    Candidates are pairs sharing a full signature bucket in ANY of
+    ``num_tables`` independent tables (OR amplification); only candidates
+    get the exact cosine verification. Recall for a pair at cosine θ is
+    1 − (1 − p^planes)^tables with p = 1 − arccos(θ)/π — tune
+    (planes, tables) to the corpus like MinHash-LSH's (bands, rows).
+
+    Scale: per table, one narrow signature column + one equi-join shuffle
+    on the signature — O(n × tables) shuffle volume, never pairwise.
+    Hot buckets (near-constant vectors) are the skew risk:
+    ``max_bucket_size`` drops buckets above the cap, same mitigation and
+    same caveat as ``dedup.lsh_candidate_pairs``. The verify join touches
+    candidate ids only — embeddings shuffle once per side, not per pair.
+    """
+    if num_tables < 1:
+        raise ValueError(f"num_tables must be >= 1, got {num_tables}")
+    if dim is None:
+        probe = df.filter(F.col(vec_col).isNotNull()).select(F.size(vec_col).alias("n")).first()
+        if probe is None or probe.n < 0:
+            raise ValueError("cannot infer embedding dim from an empty/null column")
+        dim = probe.n
+    vec = F.col(vec_col).cast("array<double>")
+    cand: DataFrame | None = None
+    for t in range(num_tables):
+        planes = _hyperplanes(num_planes, dim, seed + 1000003 * t)
+        sigs = df.select(F.col(id_col), lsh_signature(vec, planes).alias("__sig"))
+        if max_bucket_size is not None:
+            sizes = sigs.groupBy("__sig").count().filter(F.col("count") <= max_bucket_size)
+            sigs = sigs.join(F.broadcast(sizes.select("__sig")), "__sig")
+        a = sigs.select(F.col(id_col).alias("id_a"), "__sig")
+        b = sigs.select(F.col(id_col).alias("id_b"), "__sig")
+        pairs_t = a.join(b, "__sig").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+        cand = pairs_t if cand is None else cand.unionByName(pairs_t)
+    cand = cand.distinct()
+    v = df.select(F.col(id_col), vec.alias("__v"))
+    return (
+        cand.join(v.withColumnsRenamed({id_col: "id_a", "__v": "__va"}), "id_a")
+        .join(v.withColumnsRenamed({id_col: "id_b", "__v": "__vb"}), "id_b")
+        .withColumn("cos_sim", F.round(cosine(F.col("__va"), F.col("__vb")), 4))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
 def _hyperplanes(num_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random unit hyperplanes (LCG-based — no RNG
     state, reproducible across runs/engines)."""
