@@ -169,26 +169,41 @@ def with_winnowing_fingerprints(
         raise ValueError(f"k and window must be >= 1, got k={k} window={window}")
     norm = F.lower(F.col(text_col))
     n_grams = F.length(norm) - k + 1
-    hs = F.transform(
-        F.sequence(F.lit(1), n_grams),
-        lambda i: token_hash60(norm.substr(i, F.lit(k))),
-    )
     # sequence(1, n) with n < 1 generates a DESCENDING sequence — guard
     # every branch explicitly instead of relying on greatest() clamps.
+    hs_expr = F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: token_hash60(norm.substr(i, F.lit(k))),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    # Materialize the k-gram hash array ONCE per row. Column expressions
+    # are trees, not DAGs: referencing the raw `hs_expr` from inside the
+    # window-min transform lambda would re-inline (and re-evaluate) the
+    # whole O(len·k) md5 array at EVERY window position — O(len²·k) per
+    # row, measured 22× slower on 300-char docs. A withColumn alias that
+    # is multi-referenced and non-cheap is kept un-inlined by
+    # CollapseProject, so the hash array is computed once (same pattern
+    # as with_simhash's counts column).
+    tmp = f"__{out}_hs"
+    df2 = df.withColumn(tmp, hs_expr)
+    hs = F.col(tmp)
+    n_hs = F.size(hs)
     mins = (
         F.when(
-            n_grams >= window,
+            n_hs >= window,
             F.transform(
-                F.sequence(F.lit(1), n_grams - window + 1),
+                F.sequence(F.lit(1), n_hs - window + 1),
                 lambda w: F.array_min(F.slice(hs, w, window)),
             ),
         )
-        .when(n_grams >= 1, F.array(F.array_min(hs)))
+        .when(n_hs >= 1, F.array(F.array_min(hs)))
         .otherwise(F.lit(None).cast("array<long>"))
     )
-    return df.withColumn(
+    return df2.withColumn(
         out, F.coalesce(F.array_sort(F.array_distinct(mins)), F.array().cast("array<long>"))
-    )
+    ).drop(tmp)
 
 
 def with_simhash(

@@ -24,10 +24,10 @@ from datapipelineetl_spark.queries import _t, query
     "q12_line_priority_split",
     """
     SELECT l_returnflag,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON l_orderkey = o_orderkey
     WHERE l_returnflag IN ('R', 'A')
       AND l_shipdate >= TIMESTAMP '1996-01-01'
@@ -110,11 +110,19 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-gram-hash / window-min / distinct-sort algebra in SQL, so the
     whole fingerprint construction is value-checked, not just counted.
 
-    Scale: fingerprinting is narrow per-row codegen (no shuffle); the
-    downstream collision join (explode fingerprints → groupBy) is the
-    same bucketed shape as LSH banding — documented in
-    text.with_winnowing_fingerprints."""
-    docs = _t(spark, sf_dir, "documents")
+    Scale: fingerprinting is narrow per-row codegen (no shuffle in the
+    operator itself); the downstream collision join (explode fingerprints
+    → groupBy) is the same bucketed shape as LSH banding — documented in
+    text.with_winnowing_fingerprints. The repartition below exists because
+    the work is CPU-bound (md5 per k-gram) and parallelism follows input
+    splits: the test corpus is ONE small parquet split, which would pin
+    the whole fingerprint pass to one core. Shuffling the narrow
+    (doc_id, text) projection costs far less than the md5 work it
+    parallelizes. At 100 TB the scan itself yields thousands of splits
+    and the same repartition is a cheap rebalance (or drop it)."""
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     fps = text.with_winnowing_fingerprints(docs, k=_WINNOW_K, window=_WINNOW_W)
     return fps.select(
         "doc_id",
