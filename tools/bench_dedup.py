@@ -8,8 +8,16 @@ to evidence the shuffle-volume claims in ``dedup.py`` docstrings:
     python tools/bench_dedup.py 32   # local[32]
     python tools/bench_dedup.py 4    # local[4]
     python tools/bench_dedup.py 32 /root/testdata/sf0.1
+    python tools/bench_dedup.py 32 .scratch/docs10x 50   # capped ladder
 
 Prints one JSON line: {"master": "local[N]", "sf_dir": ..., "stages": {...}}.
+
+The optional third argument is a hot-bucket cap (``max_bucket_size``) for
+the banding/verify/cluster stages — REQUIRED on the 10× replicated corpus
+(tools/gen_docs.py), where every source doc is an R-member near-dup
+cluster and the uncapped bucket self-join's pair emission grows ~R² (the
+capped ladder is the production configuration; measuring the uncapped one
+there measures data degeneracy, not the engine).
 
 A narrow codegen stage (minhash, simhash) should barely move between
 local[4] and local[32] at this size (single-wave, overhead-bound), while
@@ -43,6 +51,7 @@ def timed(fn, reps: int = 2) -> float:
 def main() -> int:
     cpus = sys.argv[1] if len(sys.argv) > 1 else "32"
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    cap = int(sys.argv[3]) if len(sys.argv) > 3 else None
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(f"bench-dedup-{cpus}")
@@ -78,14 +87,16 @@ def main() -> int:
     sigs = dedup.minhash_signature(docs)
     sigs.cache().count()
     stages["lsh_candidate_pairs"] = timed(
-        lambda: dedup.lsh_candidate_pairs(sigs, "doc_id", sig_len=16).count()
+        lambda: dedup.lsh_candidate_pairs(
+            sigs, "doc_id", sig_len=16, max_bucket_size=cap
+        ).count()
     )
-    cands = dedup.lsh_candidate_pairs(sigs, "doc_id", sig_len=16)
+    cands = dedup.lsh_candidate_pairs(sigs, "doc_id", sig_len=16, max_bucket_size=cap)
     cands.cache().count()
     stages["verify_jaccard_join"] = timed(
-        lambda: dedup.near_dup_pairs(docs, threshold=0.7).count()
+        lambda: dedup.near_dup_pairs(docs, threshold=0.7, max_bucket_size=cap).count()
     )
-    pairs = dedup.near_dup_pairs(docs, threshold=0.7)
+    pairs = dedup.near_dup_pairs(docs, threshold=0.7, max_bucket_size=cap)
     pairs.cache().count()
     stages["cluster_pairs"] = timed(
         lambda: dedup.cluster_pairs(pairs.select("id_a", "id_b")).count(), reps=1
