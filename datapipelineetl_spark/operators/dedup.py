@@ -276,32 +276,30 @@ def cluster_pairs(
         .distinct()
         .withColumn("label", F.col("node"))
     )
+    # Per round: ONE join (neighbor labels) + ONE aggregate (min over
+    # self ∪ neighbors). Convergence is detected from the round's own
+    # checkpointed output, not an extra label-vs-label join: min-label
+    # propagation only ever DECREASES labels, so the global label sum is
+    # strictly monotone until the fixed point — equal sums ⇔ converged.
+    # (decimal(38,0): an overflow-proof exact sum; double would round
+    # above 2^53 and could miss a change.)
+    prev_sum = None
     for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("label").alias("nmin"))
-        )
         new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-                ).alias("label"),
-            )
+            edges.join(labels, edges.dst == labels.node)
+            .select(F.col("src").alias("node"), F.col("label"))
+            .unionByName(labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
         )
         new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        label_sum = new_labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).first()[0]
         labels = new_labels
-        if changed == 0:
+        if prev_sum is not None and label_sum == prev_sum:
             break
+        prev_sum = label_sum
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

@@ -237,6 +237,43 @@ def _lsh_cosine_oracle() -> str:
     """
 
 
+@query(
+    "q_ivf_recall",
+    """
+    SELECT 10 AS k, TRUE AS recall_ge_090
+    """,
+)
+def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 gate for the IVF ANN family (the k-means-partitioned
+    path next to SRP-LSH — the two index families a 100 TB embedding
+    store would choose between): |IVF top-10 ∩ exact top-10| / 10 ≥ 0.9,
+    emitted as a boolean the oracle asserts TRUE — the same
+    constant-gate pattern as q_ann_recall.
+
+    Deterministic: the spherical-k-means fit initializes from the
+    k_cells smallest-id vectors with fixed Lloyd iterations (no RNG),
+    so the index — and therefore the recall value — is a pure function
+    of the fixture.
+
+    Config: 16 cells, nprobe 6 → probes ~37% of a near-uniform corpus
+    for 0.90 recall (measured; uniform vectors are the worst case — a
+    clustered corpus concentrates neighbors in 1–2 cells). Scale: the
+    cell id is a persistable partition column, so a probe is partition
+    pruning; fit runs on a sample, assignment is one narrow Arrow pass
+    (similarity.ivf_fit_centroids / ivf_topk docstrings)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    probe = [(1.0 if i % 7 == 0 else 0.1) for i in range(dim)]
+    exact = similarity.cosine_topk(emb, probe, k=10).select("vec_id")
+    cents = similarity.ivf_fit_centroids(emb, k_cells=16, iters=5, dim=dim)
+    approx = similarity.ivf_topk(emb, probe, cents, k=10, nprobe=6).select("vec_id")
+    hits = approx.join(F.broadcast(exact), "vec_id", "semi")
+    return hits.agg(
+        F.lit(10).alias("k"),
+        (F.count(F.lit(1)) >= F.lit(9)).alias("recall_ge_090"),
+    )
+
+
 @query("q_lsh_cosine_near_pairs", _lsh_cosine_oracle())
 def q_lsh_cosine_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via 16-table × 4-plane SRP-LSH

@@ -147,3 +147,79 @@ def test_asof_join_forward_tie_inclusive(spark):
         left, right, ["user_id"], "t", "st", ["ship"], direction="forward"
     ).collect()[0]
     assert out.ship == "x"
+
+
+# ---------------------------------------------------------------------------
+# Plan-shape regression tests: assert the structural properties PLANS.md
+# promises, so a refactor that silently adds a shuffle / Python eval to a
+# narrow operator fails here instead of in the next round's bench.
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(i, f"doc number {i} with some shared tokens") for i in range(20)],
+        ["doc_id", "text"],
+    )
+
+
+def test_winnowing_operator_plan_is_narrow(spark):
+    """with_winnowing_fingerprints: per-row array math only — no
+    Exchange, no Python eval, and the materialized hash array must
+    survive optimization as its own projection (the O(len²) re-inline
+    guard; see NOTES.md InferFiltersFromGenerate trap)."""
+    from datapipelineetl_spark.operators import text
+
+    plan = _physical_plan(text.with_winnowing_fingerprints(_docs(spark)))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_simhash_operator_plan_is_narrow(spark):
+    from datapipelineetl_spark.operators import text
+
+    plan = _physical_plan(text.with_simhash(_docs(spark)))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_fingerprint_collision_join_no_inferred_generate_filter(spark):
+    """The collision join must not let the optimizer push a filter
+    containing the fingerprint EXPRESSION below the Generate — the
+    optimized plan's Filter must reference only the generated column
+    (the 36× regression class fixed in round 4)."""
+    from datapipelineetl_spark.operators import dedup, text
+
+    fps = text.with_winnowing_fingerprints(_docs(spark))
+    out = dedup.fingerprint_collision_pairs(fps, "doc_id", "winnow_fps")
+    optimized = out._jdf.queryExecution().optimizedPlan().toString()
+    for line in optimized.splitlines():
+        if line.strip().startswith("Filter"):
+            assert "md5" not in line, f"fingerprint expr re-inlined into: {line}"
+
+
+def test_lsh_cosine_near_pairs_single_arrow_pass(spark, sf_dir):
+    """Signatures must come from the Arrow-batched matmul (ArrowEvalPython),
+    never row-at-a-time Python (BatchEvalPython), and the candidate join
+    must be a single equi-join on (table, sig) — visible as exactly one
+    pair of SortMergeJoin/ShuffledHashJoin keyed on __table/__sig."""
+    from datapipelineetl_spark import catalog
+    from datapipelineetl_spark.operators import similarity
+
+    emb = catalog.load(spark, sf_dir, "embeddings").limit(50)
+    plan = _physical_plan(
+        similarity.lsh_cosine_near_pairs(emb, 0.45, num_planes=4, num_tables=4, dim=64)
+    )
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan
+
+
+def test_cosine_topk_uses_take_ordered(spark, sf_dir):
+    """Top-k must compile to TakeOrderedAndProject (per-partition k-heap),
+    not a global Sort + Limit."""
+    from datapipelineetl_spark import catalog
+    from datapipelineetl_spark.operators import similarity
+
+    emb = catalog.load(spark, sf_dir, "embeddings")
+    plan = _physical_plan(similarity.cosine_topk(emb, [1.0] * 64, k=10))
+    assert "TakeOrderedAndProject" in plan
