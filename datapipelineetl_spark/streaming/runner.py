@@ -340,6 +340,7 @@ def stateful_running_totals(
     value_col: str,
     ts_col: str,
     watermark: str = "10 minutes",
+    ttl: str | None = None,
 ) -> DataFrame:
     """Custom stateful streaming operator (``applyInPandasWithState``):
     per-key running event count / value total / last event time, carried
@@ -350,22 +351,38 @@ def stateful_running_totals(
     can't express. Emits one row per key per micro-batch that touched it
     (output mode ``update`` — a memory/Kafka sink sees the latest totals).
 
+    ``ttl`` (duration string, e.g. ``"30 minutes"``): event-time state
+    expiry. A key idle past its last event + ttl (as proven by the
+    watermark) emits one final row with ``expired=True`` and its state is
+    REMOVED — the next event for that key starts from zero. Without a
+    ttl the output has no ``expired`` column and keys live forever.
+
     State scale: O(distinct keys) rows of (long, double, long) — keyed
     state is hash-partitioned across executors with the shuffle, so a
     1000-executor cluster shards a billion keys evenly; the watermark
-    bounds replay on recovery, not state size (NoTimeout keeps keys
-    forever — add a timeout for unbounded key spaces).
+    bounds replay on recovery. For an unbounded key space (user ids,
+    session ids at 100 TB) the ttl is what bounds STATE SIZE to
+    O(active keys in the ttl horizon) — without it state grows with
+    every key ever seen.
     """
+    has_ttl = ttl is not None
+    if has_ttl:
+        import pandas as _pd  # noqa: PLC0415
+
+        ttl_ms = int(_pd.Timedelta(ttl).total_seconds() * 1000)
+        if ttl_ms <= 0:
+            raise ValueError(f"ttl must be a positive duration, got {ttl!r}")
     # key field mirrors the stream's actual key type — hardcoding long
     # would yield nulls / Arrow type errors for string or int key streams
-    out_schema = T.StructType(
-        [
-            T.StructField(key_col, stream.schema[key_col].dataType),
-            T.StructField("n_events", T.LongType()),
-            T.StructField("total_value", T.DoubleType()),
-            T.StructField("last_ts", T.TimestampType()),
-        ]
-    )
+    out_fields = [
+        T.StructField(key_col, stream.schema[key_col].dataType),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("last_ts", T.TimestampType()),
+    ]
+    if has_ttl:
+        out_fields.append(T.StructField("expired", T.BooleanType()))
+    out_schema = T.StructType(out_fields)
     state_schema = T.StructType(
         [
             T.StructField("n", T.LongType()),
@@ -377,6 +394,23 @@ def stateful_running_totals(
     def fn(key, pdfs, state):  # executor-side; Arrow-batched pandas
         import pandas as pd  # noqa: PLC0415
 
+        def row(n, total, last_us, expired):
+            out = {
+                key_col: [key[0]],
+                "n_events": [n],
+                "total_value": [total],
+                "last_ts": [pd.Timestamp(last_us * 1_000)],
+            }
+            if has_ttl:
+                out["expired"] = [expired]
+            return pd.DataFrame(out)
+
+        if has_ttl and state.hasTimedOut:
+            # watermark passed last event + ttl: final row, state dropped
+            n, total, last_us = state.get
+            state.remove()
+            yield row(n, total, last_us, True)
+            return
         n, total, last_us = state.get if state.exists else (0, 0.0, 0)
         for pdf in pdfs:
             n += len(pdf)
@@ -384,23 +418,23 @@ def stateful_running_totals(
             if len(pdf):
                 last_us = max(last_us, int(pdf[ts_col].max().value // 1_000))
         state.update((n, total, last_us))
-        yield pd.DataFrame(
-            {
-                key_col: [key[0]],
-                "n_events": [n],
-                "total_value": [total],
-                "last_ts": [pd.Timestamp(last_us * 1_000)],
-            }
-        )
+        if has_ttl:
+            # must be strictly ahead of the current watermark or Spark
+            # rejects it (late data can put last_event + ttl in the past)
+            state.setTimeoutTimestamp(
+                max(last_us // 1_000 + ttl_ms, state.getCurrentWatermarkMs() + 1)
+            )
+        yield row(n, total, last_us, False)
 
     from pyspark.sql.streaming.state import GroupStateTimeout  # noqa: PLC0415
 
+    timeout = (
+        GroupStateTimeout.EventTimeTimeout if has_ttl else GroupStateTimeout.NoTimeout
+    )
     return (
         stream.withWatermark(ts_col, watermark)
         .groupBy(key_col)
-        .applyInPandasWithState(
-            fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
-        )
+        .applyInPandasWithState(fn, out_schema, state_schema, "update", timeout)
     )
 
 

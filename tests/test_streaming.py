@@ -256,6 +256,66 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
     assert latest[2] == (1, 5.0)
 
 
+def test_stateful_running_totals_ttl_expires_idle_keys(spark, tmp_path):
+    """Event-time TTL: a key idle past last_event + ttl (proven by the
+    watermark) emits a final expired=True row and its state is DROPPED —
+    a later event for the same key restarts the totals from zero. This
+    is what bounds state size on unbounded key spaces."""
+    pdir = tmp_path / "ev_ttl"
+    pdir.mkdir()
+    schema = "user_id long, value double, ts timestamp"
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, ["user_id", "value", "ts_s"]).withColumn(
+            "ts", F.to_timestamp("ts_s")
+        ).drop("ts_s").coalesce(1).write.mode("append").parquet(str(pdir / name))
+
+    def drain(qname):
+        # foreachBatch, not the memory sink: the memory sink cannot
+        # recover from an existing checkpoint, and this test restarts
+        # the query three times against the same state store
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(pdir / "*"))
+        )
+        totals = runner.stateful_running_totals(
+            stream, "user_id", "value", "ts", watermark="1 minute", ttl="10 minutes"
+        )
+        rows = []
+
+        def sink(df, _bid):
+            rows.extend(df.collect())
+
+        q = (
+            totals.writeStream.outputMode("update").foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ck_ttl"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return rows
+
+    # run 1: key 1 accumulates two events
+    write_file("f1", [(1, 2.0, "2024-01-01 00:01:00")])
+    write_file("f2", [(1, 3.0, "2024-01-01 00:02:00")])
+    rows = drain("ttl_run1")
+    live = [r for r in rows if not r.expired]
+    assert live and max(r.n_events for r in live if r.user_id == 1) == 2
+
+    # run 2: only key 2, an hour later → watermark passes key 1's
+    # last_event + ttl → key 1 must emit its final expired row
+    write_file("f3", [(2, 7.0, "2024-01-01 01:00:00")])
+    rows = drain("ttl_run2")
+    exp = [r for r in rows if r.expired]
+    assert any(r.user_id == 1 and r.n_events == 2 and r.total_value == 5.0 for r in exp)
+
+    # run 3: key 1 reappears → totals restart from zero (state was dropped)
+    write_file("f4", [(1, 9.0, "2024-01-01 01:30:00")])
+    rows = drain("ttl_run3")
+    k1 = [r for r in rows if r.user_id == 1 and not r.expired]
+    assert any(r.n_events == 1 and r.total_value == 9.0 for r in k1)
+
+
 def test_idempotent_sink_replay_no_duplicates(spark, tmp_path):
     """Exactly-once file sink: replaying batches (checkpoint wiped) must
     not duplicate rows — the batch-id partition is overwritten."""
