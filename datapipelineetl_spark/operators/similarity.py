@@ -137,6 +137,7 @@ def lsh_cosine_near_pairs(
     seed: int = 42,
     dim: int | None = None,
     max_bucket_size: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Embedding near-duplicate PAIRS via LSH bucketing — the scale path
     next to the exact O(n²) ``cosine_pairs`` baseline (same output
@@ -181,6 +182,12 @@ def lsh_cosine_near_pairs(
     tabled = df.select(
         F.col(id_col), F.posexplode_outer(sig_arr).alias("__table", "__sig")
     )
+    # localCheckpoint: the self-join (and the optional bucket-size
+    # aggregate) reference this subtree 2–3×, each re-running the Arrow
+    # signature pass — materialize the narrow (id, table, sig) rows once
+    # (same discipline as dedup.fingerprint_collision_pairs).
+    if materialize:
+        tabled = tabled.localCheckpoint(eager=True)
     if max_bucket_size is not None:
         sizes = (
             tabled.groupBy("__table", "__sig")

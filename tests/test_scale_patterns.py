@@ -191,7 +191,11 @@ def test_fingerprint_collision_join_no_inferred_generate_filter(spark):
     from datapipelineetl_spark.operators import dedup, text
 
     fps = text.with_winnowing_fingerprints(_docs(spark))
-    out = dedup.fingerprint_collision_pairs(fps, "doc_id", "winnow_fps")
+    # materialize=False: inspect the LOGICAL shape the optimizer produces
+    # (a checkpoint would hide the Generate behind an RDD scan)
+    out = dedup.fingerprint_collision_pairs(
+        fps, "doc_id", "winnow_fps", materialize=False
+    )
     optimized = out._jdf.queryExecution().optimizedPlan().toString()
     for line in optimized.splitlines():
         if line.strip().startswith("Filter"):
@@ -208,7 +212,9 @@ def test_lsh_cosine_near_pairs_single_arrow_pass(spark, sf_dir):
 
     emb = catalog.load(spark, sf_dir, "embeddings").limit(50)
     plan = _physical_plan(
-        similarity.lsh_cosine_near_pairs(emb, 0.45, num_planes=4, num_tables=4, dim=64)
+        similarity.lsh_cosine_near_pairs(
+            emb, 0.45, num_planes=4, num_tables=4, dim=64, materialize=False
+        )
     )
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" in plan
