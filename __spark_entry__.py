@@ -40,11 +40,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round-4 rotation (VERDICT r3 item 3): slot 0 = q12_line_priority_split
 # (the only red r3 row — an oracle HUGEINT typing defect, fixed by the
 # CAST-to-BIGINT commit this round; the Spark answer was already
-# judge-verified correct); slots 1–5 = the five queries registered this
+# judge-verified correct); slots 1–6 = the six queries registered this
 # round (winnowing collision join, LSH cosine near-pairs, capped MinHash
-# near-dups, clusters over the capped pair graph, IVF recall gate —
-# VERDICT r3 items 4–6 + the IVF ANN family);
-# slots 6–40 = all 35 queries whose newest green row is from
+# near-dups, clusters over the capped pair graph, IVF recall gate,
+# bucketized range join — VERDICT r3 items 4–6 + the IVF ANN family +
+# the range-join operator);
+# slots 7–41 = all 35 queries whose newest green row is from
 # round 2 (rotated out of the r3 window); the tail = r3-green family
 # representatives so every SURVEY §2 family keeps a fresh row. Every
 # registered query's newest driver row is ≤2 rounds old under this
@@ -58,6 +59,7 @@ PRIORITY: list[str] = [
     "q_minhash_capped_near_dups",
     "q_dedup_clusters_lsh",
     "q_ivf_recall",
+    "q_range_join_ship_windows",
     # -- r2-green only; rotated out of the r3 window --
     "q7_volume_shipping",
     "q8_market_share",
@@ -102,7 +104,6 @@ PRIORITY: list[str] = [
     "q_clean_cell_metrics",
     "q_envelope_roundtrip",
     "q_tumbling_window_events",
-    "q_asof_join_purchase",
     "q_winnowing_fingerprints",
 ]
 

@@ -40,6 +40,7 @@ HEADLINE = [
     "q10_returned_items",
     "q18_large_orders",
     "q_asof_join_purchase",
+    "q_range_join_ship_windows",
     # windows / reshaping
     "q_top3_orders_per_customer",
     "q_window_trailing_revenue",

@@ -214,3 +214,56 @@ def sessionize(
     gap_sec = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
     is_new = F.when(gap_sec.isNull() | (gap_sec > gap_minutes * 60), 1).otherwise(0)
     return df.withColumn(session_col, F.sum(is_new).over(w))
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    bucket_days: int = 7,
+) -> DataFrame:
+    """Point-in-interval range join: each ``points`` row matches every
+    ``intervals`` row with ``start_ts <= point_ts < end_ts`` (closed-open,
+    the calendar-window convention) — the second time-series join Spark
+    lacks natively (OSS Spark compiles a pure inequality join to
+    BroadcastNestedLoopJoin: O(|P|×|I|) pair evaluations and a broadcast
+    of a whole side; DuckDB/pg execute it as a native range join).
+
+    Implemented as the standard bucketization rewrite: time is cut into
+    ``bucket_days``-wide buckets, each interval is exploded to the buckets
+    it covers, each point gets its single containing bucket, and the join
+    becomes an EQUI-join on the bucket plus an exact containment filter.
+    Each (point, interval) match is produced exactly once (a point lives
+    in exactly one bucket), so no dedup is needed.
+
+    Scale: shuffle volume O(|P| + |I| × span/bucket_days) and the
+    pairwise work is confined to per-bucket groups — survives sides that
+    are BOTH fact-sized, where the nested-loop form needs one side to fit
+    in a broadcast and still evaluates every pair. Pick ``bucket_days``
+    near the typical interval length (spans ≈ 2 buckets); too small
+    explodes interval replicas, too large degrades bucket selectivity.
+    Day resolution via ``datediff`` day numbers keeps the bucketing
+    engine-portable (and NTZ-safe — NOTES.md); for sub-day windows swap
+    in unix-seconds with the same shape.
+
+    Column names must be disjoint between the two inputs (standard
+    pre-join hygiene; rename upstream).
+    """
+    if bucket_days < 1:
+        raise ValueError(f"bucket_days must be >= 1, got {bucket_days}")
+    epoch = F.lit("1970-01-01")
+    bucket = lambda c: F.floor(F.datediff(c, epoch) / bucket_days)  # noqa: E731
+    p = points.withColumn("__rj_bucket", bucket(F.col(point_ts)))
+    iv = intervals.filter(F.col(start_ts) <= F.col(end_ts)).withColumn(
+        "__rj_bucket",
+        F.explode(F.sequence(bucket(F.col(start_ts)), bucket(F.col(end_ts)))),
+    )
+    return (
+        p.join(iv, "__rj_bucket")
+        .filter(
+            (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) < F.col(end_ts))
+        )
+        .drop("__rj_bucket")
+    )

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from datapipelineetl_spark.operators import dedup, similarity, text
+from datapipelineetl_spark.operators import dedup, relational, similarity, text
 from datapipelineetl_spark.operators.dedup import MINHASH_P
 from datapipelineetl_spark.queries import _t, query
 from datapipelineetl_spark.queries_batch8 import _WINNOW_K, _WINNOW_W, _winnow_cte
@@ -75,6 +75,55 @@ def q_winnow_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps = text.with_winnowing_fingerprints(docs, k=_WINNOW_K, window=_WINNOW_W)
     return dedup.fingerprint_collision_pairs(
         fps, "doc_id", "winnow_fps", max_bucket_size=_WINNOW_CAP
+    )
+
+
+# =============================================================================
+# Range join — point-in-interval, bucketized (the non-equi join scale path)
+# =============================================================================
+
+@query(
+    "q_range_join_ship_windows",
+    """
+    WITH w AS (
+      SELECT o_orderkey, o_orderdate AS w_start,
+             o_orderdate + INTERVAL 3 DAY AS w_end
+      FROM orders WHERE o_orderpriority = '1-URGENT')
+    SELECT w.o_orderkey,
+           CAST(COUNT(*) AS BIGINT) AS n_shipments,
+           SUM(l_quantity) AS sum_qty
+    FROM w JOIN lineitem
+      ON l_shipdate >= w_start AND l_shipdate < w_end
+    GROUP BY w.o_orderkey
+    """,
+)
+def q_range_join_ship_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: global shipment count/volume inside each urgent
+    order's 3-day window — a pure point-in-interval join (NO key
+    equality), the shape OSS Spark would execute as
+    BroadcastNestedLoopJoin. relational.range_join rewrites it to an
+    equi-join on time buckets + exact containment filter; the oracle is
+    DuckDB's native inequality join, so the whole rewrite is
+    value-checked (same technique as the as-of join's oracle).
+
+    Scale: bucket equi-join shuffles O(|points| + |intervals| ×
+    spans) rows and confines pair evaluation to per-bucket groups —
+    ~work ∝ (window + bucket)/horizon × |P|×|I|, a ~500× reduction vs
+    the naive form here; bucket_days=2 measured best for the 3-day
+    windows (A/B in the round-4 log: 1d 3.7s / 2d 3.3s / 4d 4.0s warm
+    at sf0.1). Plan-asserted free of nested-loop/cartesian operators in
+    tests/test_scale_patterns.py."""
+    orders = _t(spark, sf_dir, "orders")
+    windows = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey",
+        F.col("o_orderdate").alias("w_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 3 DAYS")).alias("w_end"),
+    )
+    points = _t(spark, sf_dir, "lineitem").select("l_shipdate", "l_quantity")
+    joined = relational.range_join(points, windows, "l_shipdate", "w_start", "w_end", bucket_days=2)
+    return joined.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("n_shipments"),
+        F.sum("l_quantity").alias("sum_qty"),
     )
 
 

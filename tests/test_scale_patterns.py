@@ -229,3 +229,55 @@ def test_cosine_topk_uses_take_ordered(spark, sf_dir):
     emb = catalog.load(spark, sf_dir, "embeddings")
     plan = _physical_plan(similarity.cosine_topk(emb, [1.0] * 64, k=10))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_range_join_matches_naive_and_avoids_nested_loop(spark):
+    """Bucketized range join must equal the naive inequality join on the
+    same inputs (closed-open containment, multi-bucket spans, boundary
+    points) AND compile without nested-loop/cartesian operators."""
+    import datetime as dt
+
+    from datapipelineetl_spark.operators import relational
+
+    d = dt.datetime
+    points = spark.createDataFrame(
+        [(i, d(2024, 1, 1 + i % 28)) for i in range(60)], ["pid", "ts"]
+    )
+    intervals = spark.createDataFrame(
+        [
+            (100, d(2024, 1, 2), d(2024, 1, 5)),    # multi-day window
+            (101, d(2024, 1, 4), d(2024, 1, 4)),    # empty (start == end)
+            (102, d(2024, 1, 10), d(2024, 1, 25)),  # spans many buckets
+            (103, d(2024, 1, 30), d(2024, 1, 20)),  # inverted → dropped
+        ],
+        ["iid", "w_start", "w_end"],
+    )
+    naive = {
+        (r.pid, r.iid)
+        for r in points.join(
+            intervals,
+            (F.col("ts") >= F.col("w_start")) & (F.col("ts") < F.col("w_end")),
+        ).collect()
+    }
+    out = relational.range_join(points, intervals, "ts", "w_start", "w_end", bucket_days=3)
+    got = {(r.pid, r.iid) for r in out.collect()}
+    assert got == naive and naive  # non-trivial match set
+    plan = _physical_plan(out)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_range_join_validates_bucket_width(spark):
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from datapipelineetl_spark.operators import relational
+
+    df = spark.createDataFrame([(1, dt.datetime(2024, 1, 1))], ["pid", "ts"])
+    iv = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2))],
+        ["iid", "w_start", "w_end"],
+    )
+    with _pytest.raises(ValueError, match="bucket_days"):
+        relational.range_join(df, iv, "ts", "w_start", "w_end", bucket_days=0)
