@@ -128,6 +128,68 @@ def q_range_join_ship_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# Hypertable-style multi-resolution rollup (continuous-aggregate shape)
+# =============================================================================
+
+@query(
+    "q_hypertable_rollup",
+    """
+    WITH ev AS (
+      SELECT date_trunc('hour', ts) AS h, date_trunc('day', ts) AS d,
+             date_trunc('month', ts) AS m, event_type, value
+      FROM events)
+    SELECT CASE WHEN GROUPING(h) = 0 THEN 'hour'
+                WHEN GROUPING(d) = 0 THEN 'day'
+                ELSE 'month' END AS grain,
+           COALESCE(h, d, m) AS bucket_ts,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM ev
+    GROUP BY GROUPING SETS ((h, event_type), (d, event_type), (m, event_type))
+    """,
+)
+def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable rollup: the TimescaleDB continuous-aggregate shape —
+    one pass over the event stream producing hour, day, AND month
+    buckets per event type via GROUPING SETS over pre-truncated time
+    buckets (grain disambiguated with GROUPING(), not nullness, so a
+    legitimately-null bucket can't masquerade as a coarser grain).
+
+    Scale: ONE scan + one partial-aggregated shuffle for all three
+    grains — Spark's Expand operator replicates rows per grouping set
+    AFTER partial aggregation shrinks them, which is the whole point vs
+    three separate groupBys (three scans, three shuffles). At 100 TB
+    this is the batch form of the streaming tumbling-window aggregate
+    (ST8) materialized at multiple resolutions."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("h"),
+        F.date_trunc("day", "ts").alias("d"),
+        F.date_trunc("month", "ts").alias("m"),
+        "event_type",
+        "value",
+    )
+    grain = (
+        F.when(F.grouping("h") == 0, F.lit("hour"))
+        .when(F.grouping("d") == 0, F.lit("day"))
+        .otherwise(F.lit("month"))
+    )
+    return (
+        ev.groupingSets(
+            [["h", "event_type"], ["d", "event_type"], ["m", "event_type"]],
+            "h", "d", "m", "event_type",
+        )
+        .agg(
+            grain.alias("grain"),
+            F.coalesce("h", "d", "m").alias("bucket_ts"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select("grain", "bucket_ts", "event_type", "n_events", "sum_value")
+    )
+
+
+# =============================================================================
 # Capped MinHash near-dups + clusters — the dedup ladder's production shape
 # =============================================================================
 
