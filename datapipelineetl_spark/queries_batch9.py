@@ -156,12 +156,15 @@ def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets (grain disambiguated with GROUPING(), not nullness, so a
     legitimately-null bucket can't masquerade as a coarser grain).
 
-    Scale: ONE scan + one partial-aggregated shuffle for all three
-    grains — Spark's Expand operator replicates rows per grouping set
-    AFTER partial aggregation shrinks them, which is the whole point vs
-    three separate groupBys (three scans, three shuffles). At 100 TB
-    this is the batch form of the streaming tumbling-window aggregate
-    (ST8) materialized at multiple resolutions."""
+    Scale: ONE scan + ONE shuffle for all three grains (plan: Scan →
+    Expand ×3 → partial HashAggregate → Exchange → final). Expand
+    replicates rows in-memory before the partial aggregate — 3× map-side
+    rows, but the partial agg collapses them to bucket cardinality
+    BEFORE the exchange, so the shuffle carries only aggregated buckets;
+    vs three separate groupBys this saves two full scans and two
+    shuffles. At 100 TB this is the batch form of the streaming
+    tumbling-window aggregate (ST8) materialized at multiple
+    resolutions."""
     ev = _t(spark, sf_dir, "events").select(
         F.date_trunc("hour", "ts").alias("h"),
         F.date_trunc("day", "ts").alias("d"),
