@@ -47,6 +47,7 @@ HEADLINE = [
     "q_sessionize",
     "q_events_pivot",
     "q_unpivot_lineitem",
+    "q_hypertable_rollup",
     # streaming-source flatten (the reference's XML feed, batch form)
     "q_meascollec_flatten",
     # training-data extensions. (Uncapped q_minhash_near_dups stays
