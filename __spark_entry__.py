@@ -40,12 +40,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round-4 rotation (VERDICT r3 item 3): slot 0 = q12_line_priority_split
 # (the only red r3 row — an oracle HUGEINT typing defect, fixed by the
 # CAST-to-BIGINT commit this round; the Spark answer was already
-# judge-verified correct); slots 1–7 = the seven queries registered this
+# judge-verified correct); slots 1–9 = the nine queries registered this
 # round (winnowing collision join, LSH cosine near-pairs, capped MinHash
 # near-dups, clusters over the capped pair graph, IVF recall gate,
-# bucketized range join, hypertable rollup — VERDICT r3 items 4–6 plus
-# the IVF/range-join/rollup operator families);
-# slots 8–42 = all 35 queries whose newest green row is from
+# bucketized range join, hypertable rollup, forward as-of, salted-join
+# parity — VERDICT r3 items 4–6 plus the new operator families);
+# slots 10–44 = all 35 queries whose newest green row is from
 # round 2 (rotated out of the r3 window); the tail = r3-green family
 # representatives so every SURVEY §2 family keeps a fresh row. Every
 # registered query's newest driver row is ≤2 rounds old under this
@@ -61,6 +61,8 @@ PRIORITY: list[str] = [
     "q_ivf_recall",
     "q_range_join_ship_windows",
     "q_hypertable_rollup",
+    "q_asof_join_next_purchase",
+    "q_salted_join_volume",
     # -- r2-green only; rotated out of the r3 window --
     "q7_volume_shipping",
     "q8_market_share",
@@ -97,14 +99,14 @@ PRIORITY: list[str] = [
     "q_fuzzy_name_pairs",
     "q_price_histogram",
     "q_regex_extract_ldn",
-    # -- r3-green family representatives (keep one row fresh per family) --
+    # -- r3-green family representatives (keep one row fresh per family;
+    #    families of the dropped reps stay fresh via the new queries:
+    #    winnowing via q_winnow_collisions, star joins via q5) --
     "q1_pricing_summary",
-    "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q_meascollec_flatten",
     "q_clean_cell_metrics",
     "q_envelope_roundtrip",
-    "q_winnowing_fingerprints",
 ]
 
 

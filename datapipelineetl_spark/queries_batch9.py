@@ -128,6 +128,88 @@ def q_range_join_ship_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# Forward as-of join + salted join — tested-only scale paths, now oracled
+# =============================================================================
+
+@query(
+    "q_asof_join_next_purchase",
+    """
+    SELECT c.event_id, c.user_id, c.ts, p.ts AS next_purchase_ts,
+           ROUND(p.value, 2) AS next_purchase_value
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND c.ts <= p.ts
+    """,
+)
+def q_asof_join_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each click gets the user's EARLIEST purchase
+    at or after it — the attribution-window direction
+    (q_asof_join_purchase covers backward; this oracles the other half
+    of relational.asof_join via DuckDB's ASOF with the inequality
+    flipped). Same union-and-window plan: one shuffle, no pair blowup."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts").alias("next_purchase_ts"),
+            F.round("value", 2).alias("next_purchase_value"),
+        )
+    )
+    return relational.asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="next_purchase_ts",
+        right_cols=["next_purchase_ts", "next_purchase_value"],
+        direction="forward",
+    ).select("event_id", "user_id", "ts", "next_purchase_ts", "next_purchase_value")
+
+
+@query(
+    "q_salted_join_volume",
+    """
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q_salted_join_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join, value-checked: order volume per nation computed
+    through relational.salted_join (orders⋈customer spread over 8 salt
+    sub-keys) must equal the plain join the oracle runs — salting
+    changes the key DISTRIBUTION, never the result. The aggregate output
+    is deterministic even though row→salt assignment is not.
+
+    Scale: this is the hot-key mitigation for when AQE's skew split
+    isn't available/enough (relational.salted_join docstring) — the
+    salted key spreads one giant hash bucket over N reducers at the
+    cost of replicating the small side N×."""
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    customer = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_nationkey"
+    )
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = relational.salted_join(orders, customer, on=["custkey"], buckets=8)
+    return (
+        joined.join(F.broadcast(nation), joined.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+# =============================================================================
 # Hypertable-style multi-resolution rollup (continuous-aggregate shape)
 # =============================================================================
 
