@@ -281,3 +281,32 @@ def test_range_join_validates_bucket_width(spark):
     )
     with _pytest.raises(ValueError, match="bucket_days"):
         relational.range_join(df, iv, "ts", "w_start", "w_end", bucket_days=0)
+
+
+def test_ivf_partitioned_store_prunes_partitions(spark, sf_dir, tmp_path):
+    """The IVF scale story made concrete: write embeddings partitioned by
+    ivf_cell, probe-read with a cell filter — the scan must touch only
+    the probed cells' directories (partition pruning), visible as a
+    PartitionFilters entry and a pruned partition count in the plan."""
+    from datapipelineetl_spark import catalog
+    from datapipelineetl_spark.operators import similarity
+
+    emb = catalog.load(spark, sf_dir, "embeddings")
+    cents = similarity.ivf_fit_centroids(emb, k_cells=8, iters=2)
+    store = str(tmp_path / "ivf_store")
+    similarity.ivf_assign(emb, cents).write.partitionBy("ivf_cell").parquet(store)
+
+    probe_cells = [0, 3]
+    df = spark.read.parquet(store).filter(F.col("ivf_cell").isin(probe_cells))
+    plan = _physical_plan(df)
+    assert "PartitionFilters" in plan and "ivf_cell" in plan
+    # the FileIndex must have selected a strict subset of the 8 cell dirs
+    import re
+
+    m = re.search(r"partition.*?(\d+)\s*/\s*(\d+)", plan, re.IGNORECASE)
+    if m:  # Spark prints "N/M partitions read" in some versions
+        assert int(m.group(1)) < int(m.group(2))
+    # rows read == rows in the probed cells, never the full table
+    full = spark.read.parquet(store).count()
+    probed = df.count()
+    assert 0 < probed < full

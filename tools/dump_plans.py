@@ -27,6 +27,8 @@ PICK = {
     "q_winnow_collisions": "Fingerprint collision join: explode_outer (NOT explode — the inferred size()>0 filter would re-inline the whole fingerprint expression below the Generate), bucket-size cap on the same Exchange the pair join reuses, equi-join on the fingerprint — O(n*fps) shuffle, never pairwise.",
     "q_minhash_capped_near_dups": "Capped MinHash ladder: banding posexplode, the HAVING<=cap bucket filter sharing the banding Exchange (AQE reuse), candidate equi-join, exact-Jaccard verify on candidates only.",
     "q_lsh_cosine_near_pairs": "SRP-LSH near-pairs: ALL 16 table signatures from one Arrow-batched matmul (ArrowEvalPython, not 4096 interpreted fold steps), posexplode to (table,sig), ONE equi-join shuffle, cosine verify on collisions only.",
+    "q_range_join_ship_windows": "Bucketized range join: intervals explode to covered time buckets, points get one bucket, equi-join on the bucket + exact containment filter — no BroadcastNestedLoopJoin/CartesianProduct anywhere in the plan.",
+    "q_hypertable_rollup": "Multi-grain rollup: Scan → Expand ×3 → partial HashAggregate → ONE Exchange → final — three grains for the price of one scan and one shuffle; only aggregated buckets cross the wire.",
 }
 
 
