@@ -61,3 +61,51 @@ def test_winnowing_shared_substring_guarantee(spark, shared, p1, s1, p2, s2):
         f"shared {len(shared)}-char substring produced no shared fingerprint: "
         f"{doc1!r} / {doc2!r}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Range-join property: the bucketization rewrite must equal the naive
+# inequality join for arbitrary point/interval layouts and bucket widths.
+# ---------------------------------------------------------------------------
+
+_day = st.integers(min_value=0, max_value=40)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(_day, min_size=1, max_size=15),
+    st.lists(st.tuples(_day, _day), min_size=1, max_size=8),
+    st.integers(min_value=1, max_value=9),
+)
+def test_range_join_property_matches_naive(spark, point_days, intervals, bucket_days):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from datapipelineetl_spark.operators import relational
+
+    base = dt.datetime(2024, 1, 1)
+    pts = spark.createDataFrame(
+        [(i, base + dt.timedelta(days=d)) for i, d in enumerate(point_days)],
+        ["pid", "ts"],
+    )
+    ivs = spark.createDataFrame(
+        [
+            (i, base + dt.timedelta(days=a), base + dt.timedelta(days=b))
+            for i, (a, b) in enumerate(intervals)
+        ],
+        ["iid", "w_start", "w_end"],
+    )
+    naive = {
+        (r.pid, r.iid)
+        for r in pts.join(
+            ivs, (F.col("ts") >= F.col("w_start")) & (F.col("ts") < F.col("w_end"))
+        ).collect()
+    }
+    got = {
+        (r.pid, r.iid)
+        for r in relational.range_join(
+            pts, ivs, "ts", "w_start", "w_end", bucket_days=bucket_days
+        ).collect()
+    }
+    assert got == naive
