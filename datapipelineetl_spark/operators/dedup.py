@@ -67,14 +67,16 @@ def lsh_candidate_pairs(
     rows_per_band: int = 4,
     max_bucket_size: int | None = None,
     sig_len: int | None = None,
-    materialize: bool = True,
+    materialize: bool = False,
 ) -> DataFrame:
     """LSH banding: docs sharing ≥1 identical signature band become
-    candidate pairs (id_a < id_b, distinct). ``materialize`` (default
-    True) localCheckpoints the banded (id, band, band_key) rows once —
-    the self-join and the bucket-size aggregate otherwise re-execute the
+    candidate pairs (id_a < id_b, distinct). ``materialize=True``
+    localCheckpoints the banded (id, band, band_key) rows once — the
+    self-join and the bucket-size aggregate otherwise re-execute the
     signature pipeline per reference (same rationale as
-    ``fingerprint_collision_pairs``).
+    ``fingerprint_collision_pairs``). Default False keeps the operator
+    fully lazy (plan construction runs no job); opt in from the query
+    layer where the reuse is known to pay.
 
     ``bands × rows_per_band`` must not exceed the signature length:
     F.slice past the array end yields identical short/empty trailing
@@ -141,7 +143,7 @@ def fingerprint_collision_pairs(
     id_col: str = "doc_id",
     fp_col: str = "winnow_fps",
     max_bucket_size: int | None = None,
-    materialize: bool = True,
+    materialize: bool = False,
 ) -> DataFrame:
     """Candidate pairs from any array-of-fingerprints column (winnowing
     selected hashes, shingle hash sets, …): docs sharing ≥1 fingerprint
@@ -167,17 +169,18 @@ def fingerprint_collision_pairs(
     such filter; the null filter above the Generate touches only the
     generated column and costs nothing.
 
-    ``materialize`` (default True) localCheckpoints the exploded
-    (id, fingerprint) rows once: the pair join references that subtree
-    up to 4× (bucket-size aggregate + both join sides), each
-    re-executing the full fingerprint computation — the subtrees prune
-    columns differently, so exchange reuse never canonicalizes them
-    equal. The checkpointed form is narrow (two columns) and the same
+    ``materialize=True`` localCheckpoints the exploded (id, fingerprint)
+    rows once: the pair join references that subtree up to 4×
+    (bucket-size aggregate + both join sides), each re-executing the
+    full fingerprint computation — the subtrees prune columns
+    differently, so exchange reuse never canonicalizes them equal. The
+    checkpointed form is narrow (two columns) and the same
     persist-the-reused-intermediate discipline as ``cluster_pairs``.
     Measured: break-even on the 5k-doc fixture (recompute ≈ checkpoint
     cost), 2.1× at 50k docs (18.2s → 8.8s warm) — the win grows with
     per-row fingerprint cost, which is the 100 TB direction. Costs one
-    eager job; pass False to keep the operator fully lazy.
+    eager job at CALL time, which breaks the lazy-DataFrame contract —
+    hence default False; queries that reuse the subtree opt in.
     """
     fps = df.select(F.col(id_col), F.explode_outer(F.col(fp_col)).alias("__fp")).filter(
         F.col("__fp").isNotNull()
@@ -224,6 +227,7 @@ def near_dup_pairs(
     rows_per_band: int = 4,
     verify: bool = True,
     max_bucket_size: int | None = None,
+    materialize: bool = False,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
 
@@ -232,10 +236,12 @@ def near_dup_pairs(
     threshold 0.7+ is high while the candidate set stays small; the verify
     join recomputes exact Jaccard only for candidates (broadcasting the
     token sets when the doc table is dimension-sized, else a key shuffle).
+    ``materialize`` forwards to ``lsh_candidate_pairs`` (one eager job).
     """
     sigs = minhash_signature(df, text_col, "minhash", num_hashes)
     cands = lsh_candidate_pairs(
-        sigs, id_col, "minhash", bands, rows_per_band, max_bucket_size, sig_len=num_hashes
+        sigs, id_col, "minhash", bands, rows_per_band, max_bucket_size,
+        sig_len=num_hashes, materialize=materialize,
     )
     if not verify:
         return cands
@@ -257,6 +263,7 @@ def cluster_pairs(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    steps_per_round: int = 4,
 ) -> DataFrame:
     """Connected components over near-dup pairs → (doc_id, cluster_id)
     with cluster_id = the component's minimum doc id. The final step of
@@ -265,16 +272,28 @@ def cluster_pairs(
 
     Iterative min-label propagation (the dataframe form of
     union-find / the map-reduce connected-components algorithm): each
-    round every node adopts the smallest label among itself and its
-    neighbors; converges in O(component diameter) rounds — near-dup
-    clusters are dense, so diameter is small (2–3) in practice.
+    step every node adopts the smallest label among itself and its
+    neighbors; a label travels one hop per step, so convergence takes
+    O(max component diameter) steps. Near-dup graphs are NOT always
+    short-diameter — capped-LSH pair graphs form 10+-hop chains of
+    borderline-similar docs (measured 12 steps on the sf0.1 fixture) —
+    so steps are UNROLLED: ``steps_per_round`` propagation steps compose
+    into ONE lazy plan per materialized round, amortizing the fixed
+    per-job cost (scheduling + checkpoint + probe) over k hops.
+    Measured at sf0.1: k=1 → 12 jobs / 4.8 s, k=4 → 4 jobs / 3.1 s;
+    k≫4 regresses (too-deep plans cost more per job than they save).
+    Rounds still needed: ceil(diameter / k) + 1; at most k-1 steps are
+    wasted re-aggregating already-converged labels (tiny frames — the
+    label set, not the corpus).
 
-    Scale: each round is one join + one aggregate on the edge list
-    (shuffle O(|E|)); iteration happens on the driver as plan composition
-    but data never leaves executors. ``localCheckpoint`` truncates the
-    growing lineage each round — without it, round N replans rounds
-    1..N-1. For graphs with giant diameters use the large-star/small-star
-    variant; near-dup graphs don't need it.
+    Convergence is an exact changed-row COUNT: each node's previous
+    label joins back onto the round's output and the probe counts
+    ``label != old`` — works for ANY comparable label type (numeric,
+    string, …), unlike a numeric label-sum (which cast-throws under
+    ANSI for string ids, or null-sums into false convergence with ANSI
+    off). The round's checkpoint is LAZY and the probe action
+    materializes it, so compute + checkpoint + convergence check share
+    a single Spark job.
 
     The edge list itself is checkpointed ONCE up front: it is re-read in
     every round's join plus the convergence probe, and without the
@@ -285,6 +304,8 @@ def cluster_pairs(
     iterative graph algorithm (reliable storage instead of
     localCheckpoint if executor loss matters).
     """
+    if steps_per_round < 1:
+        raise ValueError(f"steps_per_round must be >= 1, got {steps_per_round}")
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -296,30 +317,32 @@ def cluster_pairs(
         .distinct()
         .withColumn("label", F.col("node"))
     )
-    # Per round: ONE join (neighbor labels) + ONE aggregate (min over
-    # self ∪ neighbors). Convergence is detected from the round's own
-    # checkpointed output, not an extra label-vs-label join: min-label
-    # propagation only ever DECREASES labels, so the global label sum is
-    # strictly monotone until the fixed point — equal sums ⇔ converged.
-    # (decimal(38,0): an overflow-proof exact sum; double would round
-    # above 2^53 and could miss a change.)
-    prev_sum = None
-    for _ in range(max_iter):
-        new_labels = (
-            edges.join(labels, edges.dst == labels.node)
-            .select(F.col("src").alias("node"), F.col("label"))
-            .unionByName(labels)
+
+    def step(lbl: DataFrame) -> DataFrame:
+        return (
+            edges.join(lbl, edges.dst == lbl.node)
+            .select(F.col("src").alias("node"), "label")
+            .unionByName(lbl.select("node", "label"))
             .groupBy("node")
             .agg(F.min("label").alias("label"))
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
-        label_sum = new_labels.agg(
-            F.sum(F.col("label").cast("decimal(38,0)"))
+
+    for _ in range(max_iter):
+        old = labels.select(F.col("node").alias("__on"), F.col("label").alias("__ol"))
+        new_labels = labels
+        for _ in range(steps_per_round):
+            new_labels = step(new_labels)
+        new_labels = (
+            new_labels.join(old, new_labels.node == F.col("__on"))
+            .select("node", "label", F.col("__ol").alias("__old"))
+            .localCheckpoint(eager=False)
+        )
+        changed = new_labels.agg(
+            F.count(F.when(F.col("label") != F.col("__old"), F.lit(1))).alias("n")
         ).first()[0]
-        labels = new_labels
-        if prev_sum is not None and label_sum == prev_sum:
+        labels = new_labels.drop("__old")
+        if not changed:
             break
-        prev_sum = label_sum
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

@@ -90,6 +90,27 @@ def cosine_pairs(
     )
 
 
+def _stack_nullable(vecs, dim: int):
+    """Stack an Arrow batch of array<double> values into a dense
+    (batch × dim) float64 matrix, tolerating NULL rows: nulls become
+    zero rows and the returned boolean mask marks them so callers emit
+    null outputs instead of crashing ``np.stack`` (embedding columns
+    legitimately carry nulls — decode failures, filtered docs)."""
+    import numpy as np  # noqa: PLC0415
+
+    rows = []
+    mask = np.zeros(len(vecs), dtype=bool)
+    zero = np.zeros(dim, dtype=np.float64)
+    for i, v in enumerate(vecs):
+        if v is None or (isinstance(v, float) and v != v):
+            mask[i] = True
+            rows.append(zero)
+        else:
+            rows.append(np.asarray(v, dtype=np.float64))
+    m = np.stack(rows) if rows else np.zeros((0, dim), dtype=np.float64)
+    return m, mask
+
+
 def cosine_scores_pandas(
     df: DataFrame,
     query_vec: list[float],
@@ -115,11 +136,13 @@ def cosine_scores_pandas(
     qn = float(np.linalg.norm(q)) or 1.0
 
     def _score(vecs):
-        m = np.stack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)))
+        m, mask = _stack_nullable(vecs, len(q))
         dots = m @ q
         norms = np.linalg.norm(m, axis=1)
         norms[norms == 0] = 1.0
-        return pd.Series(dots / (norms * qn))
+        out = pd.array(dots / (norms * qn), dtype="Float64")
+        out[mask] = pd.NA  # null embedding → null score, not a crash
+        return pd.Series(out)
 
     # no type hints: this module uses `from __future__ import annotations`,
     # which stringifies hints before pandas_udf can inspect them
@@ -137,7 +160,7 @@ def lsh_cosine_near_pairs(
     seed: int = 42,
     dim: int | None = None,
     max_bucket_size: int | None = None,
-    materialize: bool = True,
+    materialize: bool = False,
 ) -> DataFrame:
     """Embedding near-duplicate PAIRS via LSH bucketing — the scale path
     next to the exact O(n²) ``cosine_pairs`` baseline (same output
@@ -182,10 +205,11 @@ def lsh_cosine_near_pairs(
     tabled = df.select(
         F.col(id_col), F.posexplode_outer(sig_arr).alias("__table", "__sig")
     )
-    # localCheckpoint: the self-join (and the optional bucket-size
-    # aggregate) reference this subtree 2–3×, each re-running the Arrow
-    # signature pass — materialize the narrow (id, table, sig) rows once
-    # (same discipline as dedup.fingerprint_collision_pairs).
+    # localCheckpoint (opt-in — default keeps the operator lazy; the
+    # registered query passes True): the self-join (and the optional
+    # bucket-size aggregate) reference this subtree 2–3×, each re-running
+    # the Arrow signature pass — materialize the narrow (id, table, sig)
+    # rows once (same discipline as dedup.fingerprint_collision_pairs).
     if materialize:
         tabled = tabled.localCheckpoint(eager=True)
     if max_bucket_size is not None:
@@ -233,9 +257,14 @@ def _lsh_signatures_pandas(planes_t: list[list[list[float]]]):
     whole-stage-codegen — at 16 tables × 4 planes × 64 dims that is
     ~4096 interpreted lambda steps per row, which dominated
     q_lsh_cosine_near_pairs' runtime. One BLAS call per Arrow batch
-    replaces all of it (same sign decisions: both paths are float64
-    dot products; parity pinned by
-    tests/test_text_dedup_similarity.py::test_lsh_signature_pandas_matches_jvm).
+    replaces all of it. Both paths are float64 dot products and agree on
+    the fixture (parity pinned by tests/test_text_dedup_similarity.py::
+    test_lsh_signature_pandas_matches_jvm), but BLAS pairwise summation
+    vs a sequential fold CAN round differently and flip a sign bit when
+    a dot product lands within float ulps of zero — for a vector exactly
+    on a hyperplane the bucket choice is arbitrary either way. If oracle
+    flakiness ever appears on borderline vectors, exclude pairs whose
+    winning dot is within an epsilon of zero.
     """
     import numpy as np  # noqa: PLC0415
     import pandas as pd  # noqa: PLC0415
@@ -249,13 +278,15 @@ def _lsh_signatures_pandas(planes_t: list[list[list[float]]]):
     pack = 1 << np.arange(n_planes, dtype=np.int64)
 
     def _sig(vecs):
-        m = np.stack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)))
+        m, mask = _stack_nullable(vecs, w.shape[0])
         bits = (m @ w) >= 0  # batch × (tables·planes)
         sigs = np.stack(
             [bits[:, t * n_planes : (t + 1) * n_planes] @ pack for t in range(n_tables)],
             axis=1,
         )  # batch × tables
-        return pd.Series(list(sigs))
+        # null embedding → null signature array; downstream equi-joins on
+        # (table, sig) drop those rows, matching the old JVM-fold behavior
+        return pd.Series([None if mask[i] else sigs[i] for i in range(len(sigs))])
 
     # no type hints: `from __future__ import annotations` stringifies them
     # before pandas_udf can inspect them (module convention)
@@ -343,7 +374,10 @@ def ivf_fit_centroids(
     for _ in range(iters):
         cell = _ivf_assign_pandas(centroids.tolist())(vec)
         sums = (
-            df.select(cell.alias("__cell"), vec.alias("__v"))
+            # null vectors take no part in the fit (their cell is null);
+            # dropping them here keeps the centroid update well-defined
+            df.filter(vec.isNotNull())
+            .select(cell.alias("__cell"), vec.alias("__v"))
             .groupBy("__cell")
             .agg(*[F.avg(F.col("__v")[i]).alias(f"c{i}") for i in range(dim)])
             .collect()
@@ -367,8 +401,10 @@ def _ivf_assign_pandas(centroids: list[list[float]]):
     c = np.asarray(centroids, dtype=np.float64).T  # dim × k
 
     def _assign(vecs):
-        m = np.stack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)))
-        return pd.Series((m @ c).argmax(axis=1).astype(np.int32))
+        m, mask = _stack_nullable(vecs, c.shape[0])
+        cells = pd.array((m @ c).argmax(axis=1).astype(np.int32), dtype="Int32")
+        cells[mask] = pd.NA  # null embedding → null cell (no crash)
+        return pd.Series(cells)
 
     return pandas_udf(_assign, "int")
 

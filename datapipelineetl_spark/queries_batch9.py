@@ -74,7 +74,7 @@ def q_winnow_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fps = text.with_winnowing_fingerprints(docs, k=_WINNOW_K, window=_WINNOW_W)
     return dedup.fingerprint_collision_pairs(
-        fps, "doc_id", "winnow_fps", max_bucket_size=_WINNOW_CAP
+        fps, "doc_id", "winnow_fps", max_bucket_size=_WINNOW_CAP, materialize=True
     )
 
 
@@ -345,7 +345,7 @@ def q_minhash_capped_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text",
         threshold=_MH_THRESHOLD, num_hashes=16,
         bands=_MH_BANDS, rows_per_band=_MH_ROWS,
-        max_bucket_size=_MH_CAP,
+        max_bucket_size=_MH_CAP, materialize=True,
     )
 
 
@@ -497,4 +497,5 @@ def q_lsh_cosine_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_tables=_LSH_N_TABLES,
         seed=42,
         dim=_LSH_DIM,
+        materialize=True,
     )

@@ -184,7 +184,8 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairwise Jaccard only on bucket collisions (SURVEY.md §2.11)."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.near_dup_pairs(
-        docs, "doc_id", "text", threshold=0.7, num_hashes=16, bands=4, rows_per_band=4
+        docs, "doc_id", "text", threshold=0.7, num_hashes=16, bands=4,
+        rows_per_band=4, materialize=True,
     )
 
 

@@ -112,6 +112,51 @@ def test_cluster_pairs_connected_components(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5}
 
 
+def test_cluster_pairs_string_ids(spark):
+    """Labels need only be COMPARABLE, not numeric: string doc ids must
+    cluster correctly (the old decimal-sum convergence probe threw under
+    ANSI / silently mis-converged with ANSI off — r4 ADVICE)."""
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], ["id_a", "id_b"]
+    )
+    got = {r.doc_id: r.cluster_id for r in dedup.cluster_pairs(pairs).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_null_embeddings_survive_pandas_kernels(spark):
+    """Null embedding rows must flow through every Arrow kernel as null
+    outputs — not ValueError from np.stack (r4 ADVICE): signatures,
+    IVF assignment, cosine scores, and the pair/fit entry points that
+    feed the unfiltered column."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    base = [(i, [float((i * 7 + j * 3) % 5) - 2.0 for j in range(8)]) for i in range(20)]
+    df = spark.createDataFrame(base + [(98, None), (99, None)], schema)
+
+    scores = {r.vec_id: r.cos_sim for r in similarity.cosine_scores_pandas(df, [1.0] * 8).collect()}
+    assert scores[99] is None and scores[0] is not None
+
+    cells = {r.vec_id: r.ivf_cell for r in similarity.ivf_assign(
+        df, [[1.0] * 8, [-1.0] * 8]
+    ).collect()}
+    assert cells[98] is None and cells[0] in (0, 1)
+
+    # pair search: null rows silently drop from candidates, no crash
+    pairs = similarity.lsh_cosine_near_pairs(df, 0.5, num_planes=4, num_tables=2, dim=8)
+    ids = {x for r in pairs.collect() for x in (r.id_a, r.id_b)}
+    assert 98 not in ids and 99 not in ids
+
+    # fit: null vectors take no part; centroids stay finite
+    cents = similarity.ivf_fit_centroids(df, k_cells=2, iters=2)
+    assert all(all(c == c for c in row) for row in cents)
+
+
 def test_pandas_cosine_matches_jvm(spark, vec_df):
     """The Arrow/numpy cosine path must agree with the JVM expression
     version to float tolerance — same operator, two execution strategies."""

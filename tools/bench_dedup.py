@@ -88,15 +88,19 @@ def main() -> int:
     sigs.cache().count()
     stages["lsh_candidate_pairs"] = timed(
         lambda: dedup.lsh_candidate_pairs(
-            sigs, "doc_id", sig_len=16, max_bucket_size=cap
+            sigs, "doc_id", sig_len=16, max_bucket_size=cap, materialize=True
         ).count()
     )
-    cands = dedup.lsh_candidate_pairs(sigs, "doc_id", sig_len=16, max_bucket_size=cap)
+    cands = dedup.lsh_candidate_pairs(
+        sigs, "doc_id", sig_len=16, max_bucket_size=cap, materialize=True
+    )
     cands.cache().count()
     stages["verify_jaccard_join"] = timed(
-        lambda: dedup.near_dup_pairs(docs, threshold=0.7, max_bucket_size=cap).count()
+        lambda: dedup.near_dup_pairs(
+            docs, threshold=0.7, max_bucket_size=cap, materialize=True
+        ).count()
     )
-    pairs = dedup.near_dup_pairs(docs, threshold=0.7, max_bucket_size=cap)
+    pairs = dedup.near_dup_pairs(docs, threshold=0.7, max_bucket_size=cap, materialize=True)
     pairs.cache().count()
     stages["cluster_pairs"] = timed(
         lambda: dedup.cluster_pairs(pairs.select("id_a", "id_b")).count(), reps=1
