@@ -28,6 +28,7 @@ from datapipelineetl_spark import queries_batch6  # noqa: E402, F401 — registe
 from datapipelineetl_spark import queries_batch7  # noqa: E402, F401 — registers batch-7 queries
 from datapipelineetl_spark import queries_batch8  # noqa: E402, F401 — registers batch-8 queries
 from datapipelineetl_spark import queries_batch9  # noqa: E402, F401 — registers batch-9 queries
+from datapipelineetl_spark import queries_batch10  # noqa: E402, F401 — registers batch-10 queries
 from datapipelineetl_spark import queries_ext  # noqa: E402, F401 — registers extension queries
 
 
@@ -37,76 +38,71 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver verifies the FIRST 50 entries of queries() in dict order.
-# Round-4 rotation (VERDICT r3 item 3): slot 0 = q12_line_priority_split
-# (the only red r3 row — an oracle HUGEINT typing defect, fixed by the
-# CAST-to-BIGINT commit this round; the Spark answer was already
-# judge-verified correct); slots 1–9 = the nine queries registered this
-# round (winnowing collision join, LSH cosine near-pairs, capped MinHash
-# near-dups, clusters over the capped pair graph, IVF recall gate,
-# bucketized range join, hypertable rollup, forward as-of, salted-join
-# parity — VERDICT r3 items 4–6 plus the new operator families);
-# slots 10–44 = all 35 queries whose newest green row is from
-# round 2 (rotated out of the r3 window); the tail = r3-green family
-# representatives so every SURVEY §2 family keeps a fresh row. Every
-# registered query's newest driver row is ≤2 rounds old under this
-# window; tests/test_schemas.py pins the contract.
+# Round-5 rotation (VERDICT r4 item 1): slots 0–4 = the five queries
+# registered this round (the sub-day range join from VERDICT r4 item 5
+# plus the four TPC-H shapes completing the 22-query suite); slot 5 =
+# q_dedup_clusters_lsh, re-verified because cluster_pairs' convergence
+# probe was rebuilt this round (type-agnostic changed-row count, fused
+# into the checkpoint job — VERDICT item 4 + ADVICE medium); slots 6–49
+# = ALL 44 queries whose newest green row is from round 3 (the exact set
+# test_driver_check_window_contract enumerated against
+# CORRECTNESS_r04.json). Every registered query's newest driver row is
+# ≤2 rounds old under this window; tests/test_schemas.py pins the
+# contract.
 PRIORITY: list[str] = [
-    # -- red in r3 (oracle typing, fixed this round) --
-    "q12_line_priority_split",
     # -- new this round (need their first driver rows) --
-    "q_winnow_collisions",
-    "q_lsh_cosine_near_pairs",
-    "q_minhash_capped_near_dups",
+    "q_range_join_event_windows",
+    "q9_product_type_profit",
+    "q11_important_parts",
+    "q16_supplier_part_counts",
+    "q20_top_part_shippers",
+    # -- implementation changed this round (cluster_pairs rework) --
     "q_dedup_clusters_lsh",
-    "q_ivf_recall",
-    "q_range_join_ship_windows",
-    "q_hypertable_rollup",
-    "q_asof_join_next_purchase",
-    "q_salted_join_volume",
-    # -- r2-green only; rotated out of the r3 window --
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q13_order_count_distribution",
-    "q17_small_quantity_revenue",
-    "q21_blamable_suppliers",
-    "q_events_pivot",
-    "q_clean_kpi_int",
-    "q_cube_lineitem",
-    "q_window_trailing_revenue",
-    "q_percentiles_by_priority",
-    "q_ngram_jaccard_pairs",
-    "q_frame_sample_plan",
-    "q_multimodal_meta",
-    "q_conditional_counts",
-    "q_weekly_order_volume",
-    "q_sql_regional_revenue",
-    "q_nation_lookup",
-    "q_text_token_stats",
-    "q_text_quality",
-    "q_lang_id",
-    "q_dedup_token_set",
-    "q_cosine_topk",
-    "q_cosine_near_pairs",
-    "q_tf_idf",
-    "q_profile_orders",
-    "q_kpi_pivot",
-    "q_session_window_events",
-    "q_grouping_sets",
-    "q_posexplode_embedding",
-    "q_array_lambda_battery",
-    "q_null_semantics",
-    "q_nullsafe_join",
-    "q_fuzzy_name_pairs",
-    "q_price_histogram",
-    "q_regex_extract_ldn",
-    # -- r3-green family representatives (keep one row fresh per family;
-    #    families of the dropped reps stay fresh via the new queries:
-    #    winnowing via q_winnow_collisions, star joins via q5) --
-    "q1_pricing_summary",
-    "q5_local_supplier_volume",
-    "q_meascollec_flatten",
-    "q_clean_cell_metrics",
-    "q_envelope_roundtrip",
+    # -- r3-green only; rotated out of the r4 window --
+    "q3_shipping_priority",
+    "q_top3_orders_per_customer",
+    "q_agg_stats",
+    "q_customers_without_orders",
+    "q_active_supplier_keys",
+    "q_priciest_lineitems",
+    "q_rollup_order_volume",
+    "q_clean_chain_events",
+    "q_sessionize",
+    "q_tumbling_window_events",
+    "q_unpivot_lineitem",
+    "q_asof_join_purchase",
+    "q_customers_with_orders_semi",
+    "q_full_outer_nation_activity",
+    "q_cross_join_matrix",
+    "q_orders_above_avg",
+    "q_string_funcs",
+    "q_date_funcs",
+    "q_having_filter",
+    "q6_revenue_delta",
+    "q4_priority_late_ship",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q19_bracket_revenue",
+    "q_union_parties_by_nation",
+    "q_intersect_nations",
+    "q_parts_never_ordered",
+    "q_window_order_seq",
+    "q_json_props",
+    "q_ann_lsh_topk",
+    "q_multimodal_features",
+    "q15_top_suppliers",
+    "q2_cheapest_part_per_type",
+    "q22_idle_rich_customers",
+    "q_lineitems_above_order_avg",
+    "q_name_word_counts",
+    "q_order_quantity_profile",
+    "q_minhash_near_dups",
+    "q_simhash",
+    "q_ann_recall",
+    "q_dedup_clusters",
+    "q_approx_sketches",
+    "q_winnowing_fingerprints",
 ]
 
 

@@ -223,6 +223,7 @@ def range_join(
     start_ts: str,
     end_ts: str,
     bucket_days: int = 7,
+    bucket_seconds: int | None = None,
 ) -> DataFrame:
     """Point-in-interval range join: each ``points`` row matches every
     ``intervals`` row with ``start_ts <= point_ts < end_ts`` (closed-open,
@@ -245,16 +246,28 @@ def range_join(
     near the typical interval length (spans ≈ 2 buckets); too small
     explodes interval replicas, too large degrades bucket selectivity.
     Day resolution via ``datediff`` day numbers keeps the bucketing
-    engine-portable (and NTZ-safe — NOTES.md); for sub-day windows swap
-    in unix-seconds with the same shape.
+    engine-portable (and NTZ-safe — NOTES.md). For SUB-DAY windows
+    (minute-scale event intervals — the first thing a time-series user
+    asks of a range join) pass ``bucket_seconds``: the bucket key becomes
+    ``floor(unix_seconds / bucket_seconds)``, same plan shape, same
+    exactly-once match guarantee. The bucket function only needs to be
+    monotone and consistent WITHIN the engine — the exact containment
+    filter uses the original timestamps — so unix-seconds portability
+    across engines is not a correctness concern. Pick it near the typical
+    interval length, same trade-off as ``bucket_days``.
 
     Column names must be disjoint between the two inputs (standard
     pre-join hygiene; rename upstream).
     """
-    if bucket_days < 1:
-        raise ValueError(f"bucket_days must be >= 1, got {bucket_days}")
-    epoch = F.lit("1970-01-01")
-    bucket = lambda c: F.floor(F.datediff(c, epoch) / bucket_days)  # noqa: E731
+    if bucket_seconds is not None:
+        if bucket_seconds < 1:
+            raise ValueError(f"bucket_seconds must be >= 1, got {bucket_seconds}")
+        bucket = lambda c: F.floor(F.unix_timestamp(c) / bucket_seconds)  # noqa: E731
+    else:
+        if bucket_days < 1:
+            raise ValueError(f"bucket_days must be >= 1, got {bucket_days}")
+        epoch = F.lit("1970-01-01")
+        bucket = lambda c: F.floor(F.datediff(c, epoch) / bucket_days)  # noqa: E731
     p = points.withColumn("__rj_bucket", bucket(F.col(point_ts)))
     iv = intervals.filter(F.col(start_ts) <= F.col(end_ts)).withColumn(
         "__rj_bucket",

@@ -267,6 +267,47 @@ def test_range_join_matches_naive_and_avoids_nested_loop(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_range_join_sub_day_bucket_seconds(spark):
+    """bucket_seconds mode: minute-scale windows must match the naive
+    inequality join (closed-open, multi-bucket spans, boundary points)
+    and keep the no-nested-loop plan — the events-fixture use case
+    day-granularity bucketing can't serve (VERDICT r4 item 5)."""
+    import datetime as dt
+
+    from datapipelineetl_spark.operators import relational
+
+    base = dt.datetime(2024, 1, 1)
+    points = spark.createDataFrame(
+        [(i, base + dt.timedelta(minutes=3 * i)) for i in range(200)], ["pid", "ts"]
+    )
+    intervals = spark.createDataFrame(
+        [
+            (100, base + dt.timedelta(minutes=10), base + dt.timedelta(minutes=40)),
+            (101, base + dt.timedelta(minutes=30), base + dt.timedelta(minutes=30)),  # empty
+            (102, base + dt.timedelta(minutes=55), base + dt.timedelta(hours=4)),  # many buckets
+            (103, base + dt.timedelta(minutes=21), base + dt.timedelta(minutes=24)),  # boundary
+        ],
+        ["iid", "w_start", "w_end"],
+    )
+    naive = {
+        (r.pid, r.iid)
+        for r in points.join(
+            intervals,
+            (F.col("ts") >= F.col("w_start")) & (F.col("ts") < F.col("w_end")),
+        ).collect()
+    }
+    out = relational.range_join(
+        points, intervals, "ts", "w_start", "w_end", bucket_seconds=1800
+    )
+    got = {(r.pid, r.iid) for r in out.collect()}
+    assert got == naive and naive
+    plan = _physical_plan(out)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    with pytest.raises(ValueError, match="bucket_seconds"):
+        relational.range_join(points, intervals, "ts", "w_start", "w_end", bucket_seconds=0)
+
+
 def test_range_join_validates_bucket_width(spark):
     import datetime as dt
 
@@ -310,3 +351,99 @@ def test_ivf_partitioned_store_prunes_partitions(spark, sf_dir, tmp_path):
     full = spark.read.parquet(store).count()
     probed = df.count()
     assert 0 < probed < full
+
+
+# ---------------------------------------------------------------------------
+# Broadcast-side plan tests for the headline TPC-H stars (VERDICT r4 item 3):
+# the r2 regression class was a fact-side broadcast hint — OOM at 100 TB.
+# These pin the hint STRUCTURE: with auto-broadcast disabled, every
+# BroadcastExchange in the plan must cover only dimension scans (or an
+# aggregate survivor set), never a raw fact scan.
+# ---------------------------------------------------------------------------
+
+
+def _tree_depth(line: str) -> int:
+    i = 0
+    while line[i : i + 3] in ("   ", ":  ", ":- ", "+- "):
+        i += 3
+    return i // 3
+
+
+def _broadcast_subtrees(plan: str) -> list[list[str]]:
+    """For each BroadcastExchange node, the plan lines of its subtree."""
+    lines = plan.splitlines()
+    out = []
+    for idx, line in enumerate(lines):
+        if "BroadcastExchange" in line:
+            d = _tree_depth(line)
+            sub = []
+            for nxt in lines[idx + 1 :]:
+                if _tree_depth(nxt) <= d:
+                    break
+                sub.append(nxt)
+            out.append(sub)
+    return out
+
+
+def _assert_broadcasts_are_dim_only(plan: str, n_expected: int, fact_tables=("lineitem", "orders")):
+    subs = _broadcast_subtrees(plan)
+    assert len(subs) == n_expected, f"expected {n_expected} broadcasts, plan has {len(subs)}"
+    for sub in subs:
+        scans = [ln for ln in sub if "Scan parquet" in ln or "FileScan" in ln]
+        for ln in scans:
+            if any(t in ln for t in fact_tables):
+                # broadcasting an AGGREGATE of a fact table (e.g. q18's
+                # >300-qty survivor keys) is fine — the subtree must
+                # contain the aggregate that shrinks it
+                assert any("HashAggregate" in s for s in sub), (
+                    f"fact-table scan directly under BroadcastExchange: {ln.strip()}"
+                )
+
+
+@pytest.fixture()
+def no_auto_broadcast(spark):
+    """Disable size-based broadcast so the plan shows ONLY hinted ones
+    (at test SF everything is tiny and would otherwise auto-broadcast)."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_q3_broadcasts_only_customer(spark, sf_dir, no_auto_broadcast):
+    from datapipelineetl_spark.queries import q3_shipping_priority
+
+    plan = _physical_plan(q3_shipping_priority(spark, sf_dir))
+    _assert_broadcasts_are_dim_only(plan, n_expected=1)
+    # and the one broadcast is the segment-filtered customer dimension
+    assert any(
+        any("customer" in ln for ln in sub) for sub in _broadcast_subtrees(plan)
+    )
+
+
+def test_q5_broadcasts_only_dimensions(spark, sf_dir, no_auto_broadcast):
+    from datapipelineetl_spark.queries import q5_local_supplier_volume
+
+    plan = _physical_plan(q5_local_supplier_volume(spark, sf_dir))
+    # supplier, nation, region hinted; customer/orders/lineitem shuffle
+    _assert_broadcasts_are_dim_only(plan, n_expected=3)
+
+
+def test_q18_broadcasts_survivors_not_facts(spark, sf_dir, no_auto_broadcast):
+    from datapipelineetl_spark.queries_batch3 import q18_large_orders
+
+    plan = _physical_plan(q18_large_orders(spark, sf_dir))
+    # broadcast(big survivor keys) + broadcast(customer)
+    _assert_broadcasts_are_dim_only(plan, n_expected=2)
+
+
+def test_hypertable_rollup_single_expand_single_exchange(spark, sf_dir):
+    """The multi-grain rollup must stay ONE scan → ONE Expand → partial
+    agg → ONE hash exchange → final agg (PLANS.md contract): a refactor
+    to per-grain groupBys would triple the scans and shuffles."""
+    from datapipelineetl_spark.queries_batch9 import q_hypertable_rollup
+
+    plan = _physical_plan(q_hypertable_rollup(spark, sf_dir))
+    assert plan.count("Expand") == 1
+    assert sum(1 for ln in plan.splitlines() if "Exchange hashpartitioning" in ln) == 1
+    assert sum(1 for ln in plan.splitlines() if "Scan parquet" in ln or "FileScan" in ln) == 1
