@@ -1,0 +1,329 @@
+"""Corpus-preparation operators (SURVEY.md §2.11 extensions, round 5).
+
+The last-mile operations between a deduplicated document store and a
+training run: deterministic sampling, stratified sampling, weighted
+corpus mixing, sequence packing, PII redaction, and the one-call
+``prepare_corpus`` composition over the existing cleaning/dedup ladder.
+
+Design rules shared with the rest of §2.11:
+
+- **Deterministic, RNG-free.** Sampling gates use the engine's md5-based
+  60-bit hash (``text.token_hash60``) so a run is reproducible across
+  executors, retries, AND engines — the same gate replays in ANSI SQL
+  (DuckDB oracle) as ``('0x' || substr(md5(x),1,15))::BIGINT``. Spark's
+  ``df.sample`` is per-partition-seeded (result changes with the split
+  layout), which is exactly what a reproducible training corpus cannot
+  have.
+- **Narrow where possible.** Sampling/redaction are pure column maps (no
+  shuffle); mixing is a union of narrow filters; packing shuffles ONCE
+  on the shard key.
+- **Driver touches metadata only** (per-source counts in ``mix_corpora``
+  — one partial-agg aggregate each, same class as IVF's centroid fetch).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from datapipelineetl_spark.operators import dedup, text
+
+# Sampling gates quantize fractions to millionths: hash mod 1e6 < frac*1e6.
+# 60-bit md5 prefix mod 1e6 is uniform to ~1e-12 bias — far below the
+# sampling noise at any corpus size.
+_GATE = 1_000_000
+
+
+def _hash_gate(key: Column, salt: str) -> Column:
+    """Uniform [0, 1e6) bucket from a row key + salt — the reproducible
+    coin every sampler here flips. Changing ``salt`` draws an independent
+    sample (e.g. train/validation splits from the same corpus)."""
+    return F.pmod(text.token_hash60(F.concat(key.cast("string"), F.lit(salt))), F.lit(_GATE))
+
+
+def sample_fraction(
+    df: DataFrame,
+    fraction: float,
+    key_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic Bernoulli-style sample: keeps a row iff
+    ``hash(key, salt) mod 1e6 < fraction × 1e6``. Same key + salt →
+    same decision everywhere, forever; disjoint salts → independent
+    samples (split a corpus into train/val with two calls).
+
+    Scale: a narrow filter — no shuffle, no RNG state, pushes down to
+    the scan when ``key_col`` is a stored column.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return df.filter(_hash_gate(F.col(key_col), salt) < int(round(fraction * _GATE)))
+
+
+def sample_stratified(
+    df: DataFrame,
+    strata_col: str,
+    fractions: Mapping[str, float],
+    key_col: str,
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — THE training-data rebalance
+    op (e.g. keep 100% of high-quality docs, 10% of medium, drop low):
+    each row's keep-threshold comes from its stratum value, the coin is
+    the same reproducible hash gate as ``sample_fraction``.
+
+    Scale: the fraction lookup compiles to a CASE chain over a
+    (small, driver-known) strata map — still a narrow filter, no join,
+    no shuffle.
+    """
+    for s, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for stratum {s!r} must be in [0, 1], got {f}")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(f"default_fraction must be in [0, 1], got {default_fraction}")
+    thr: Column = F.lit(int(round(default_fraction * _GATE)))
+    for s, f in fractions.items():
+        thr = F.when(F.col(strata_col) == s, F.lit(int(round(f * _GATE)))).otherwise(thr)
+    return df.filter(_hash_gate(F.col(key_col), salt) < thr)
+
+
+def mix_corpora(
+    sources: Mapping[str, DataFrame],
+    weights: Mapping[str, float],
+    key_col: str,
+    source_col: str = "source",
+    salt: str = "",
+) -> DataFrame:
+    """Weighted corpus mixing: unions the sources down-sampled so their
+    row proportions match ``weights`` (the data-mixture step of every
+    pretraining pipeline — e.g. web 0.6 / code 0.3 / reference 0.1).
+
+    The limiting source (largest weight-to-size ratio) is kept whole and
+    every other source down-samples to match — mixing never up-samples
+    (duplicating rows would re-introduce the duplicates dedup just
+    removed; repeat-epoch weighting belongs to the training loader).
+    Output gains ``source_col`` tagging each row's origin.
+
+    Scale: one count per source (metadata aggregates, driver-side
+    scalars), then narrow deterministic filters + UNION ALL — no
+    shuffle. Counts are exact; the realized mix matches ``weights`` to
+    sampling noise (hash-uniform within each source).
+    """
+    if set(sources) != set(weights):
+        raise ValueError(f"sources {sorted(sources)} != weights {sorted(weights)}")
+    if not sources:
+        raise ValueError("need at least one source")
+    for name, w in weights.items():
+        if w <= 0:
+            raise ValueError(f"weight for {name!r} must be > 0, got {w}")
+    counts = {name: sdf.count() for name, sdf in sources.items()}
+    for name, n in counts.items():
+        if n == 0:
+            raise ValueError(f"source {name!r} is empty")
+    # total output T maximal s.t. w_i * T <= n_i for all i
+    total = min(n / weights[name] for name, n in counts.items())
+    out = None
+    for name, sdf in sources.items():
+        frac = min(1.0, weights[name] * total / counts[name])
+        part = sample_fraction(sdf, frac, key_col, salt=salt + name).withColumn(
+            source_col, F.lit(name)
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def pack_chunks(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    order_col: str,
+    n_shards: int = 256,
+    pack_col: str = "pack_id",
+) -> DataFrame:
+    """Sequence packing, contiguous-chunk form: rows are sharded by a
+    hash of ``order_col``, ordered within their shard, and assigned
+    ``pack_id = shard × 2^32 + floor(exclusive_cumsum(tokens) / budget)``
+    — a document joins the pack where its token offset STARTS, so packs
+    average ``budget`` tokens (boundary docs straddle; the training
+    loader truncates or spills the tail, the standard contiguous-packing
+    contract). Fully SQL-expressible — unlike exact greedy packing,
+    whose data-dependent reset recurrence needs a sequential pass
+    (``pack_greedy`` below).
+
+    Scale: ONE shuffle on the shard key; each shard's window sort is
+    independent, so parallelism = ``n_shards`` regardless of corpus
+    size. A single global window (n_shards=1) would serialize the whole
+    corpus through one task — the same mistake as a global ORDER BY.
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    shard = F.pmod(text.token_hash60(F.col(order_col).cast("string")), F.lit(n_shards))
+    w = (
+        Window.partitionBy("__shard")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum(token_col).over(w), F.lit(0))
+    return (
+        df.withColumn("__shard", shard)
+        .withColumn(
+            pack_col,
+            (F.col("__shard").cast("long") * F.lit(1 << 32))
+            + F.floor(start / budget),
+        )
+        .drop("__shard")
+    )
+
+
+def pack_greedy(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    n_shards: int = 256,
+    pack_col: str = "pack_id",
+) -> DataFrame:
+    """Sequence packing, exact-greedy form: within each shard, rows are
+    taken in ``id_col`` order and a pack closes when adding the next row
+    would exceed ``budget`` — no pack exceeds the budget (except a
+    single row that alone does). The fill recurrence (reset on overflow)
+    is data-dependent, so it runs as a sequential pass per shard via
+    Arrow-batched ``applyInPandas`` — the §2.9 escape hatch, used
+    because no window function expresses a reset-on-condition scan.
+
+    Scale: ONE shuffle on the shard hash; each shard packs
+    independently (parallelism = n_shards); state per task is two
+    integers. Shards are hash-disjoint so pack ids never collide
+    (shard × 2^32 + local counter, same scheme as ``pack_chunks``).
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(pack_col, T.LongType())]
+    )
+
+    def _pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        base = int(key[0]) << 32
+        packs, fill, pack = [], 0, 0
+        for t in pdf[token_col]:
+            t = int(t)
+            if fill and fill + t > budget:
+                pack += 1
+                fill = 0
+            fill += t
+            packs.append(base + pack)
+        pdf[pack_col] = pd.array(packs, dtype="int64")
+        return pdf
+
+    shard = F.pmod(text.token_hash60(F.col(id_col).cast("string")), F.lit(n_shards))
+    return (
+        df.withColumn("__shard", shard)
+        .groupBy("__shard")
+        .applyInPandas(_pack, schema=out_schema.add("__shard", T.LongType()))
+        .drop("__shard")
+    )
+
+
+# PII patterns, most-specific first (an SSN is also a phone-shaped digit
+# run; emails before bare domains would matter if domains were scrubbed).
+# Deliberately conservative/simple — the redaction CONTRACT (ordered
+# regexp_replace chain, idempotent, replay-able in any regex engine) is
+# the operator; production pattern packs slot into the same chain.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"\b(?:\d[ -]?){13,16}\b", "<CARD>"),
+    (r"\+?\d{1,3}[ .-]?\(?\d{2,3}\)?[ .-]?\d{3}[ .-]?\d{4}\b", "<PHONE>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    out: str | None = None,
+    patterns: tuple[tuple[str, str], ...] = PII_PATTERNS,
+) -> DataFrame:
+    """PII redaction: an ordered ``regexp_replace`` chain substituting
+    typed placeholder tokens — the scrub step a training corpus runs
+    after dedup and before packing. Idempotent (placeholders match no
+    pattern); pattern order is part of the contract (see PII_PATTERNS).
+
+    Scale: pure narrow column map, whole-stage-codegen'd JVM regex —
+    no shuffle, no Python.
+    """
+    col: Column = F.col(text_col)
+    for pat, token in patterns:
+        col = F.regexp_replace(col, pat, token)
+    return df.withColumn(out or text_col, col)
+
+
+def prepare_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float | None = 0.5,
+    langs: tuple[str, ...] | None = None,
+    near_dup_threshold: float | None = 0.7,
+    max_bucket_size: int | None = 50,
+    redact: bool = True,
+) -> DataFrame:
+    """One-call training-corpus preparation — the §2.11 ladder composed
+    in its production order:
+
+    1. quality + language annotation (narrow; ``text.with_quality_score``,
+       ``with_lang_id``) and filtering,
+    2. EXACT dedup first (token-set fingerprint groupBy — O(n), removes
+       identical copies before any pairwise machinery sees them),
+    3. near-dup removal: capped MinHash-LSH pairs → connected components
+       → keep each cluster's min-id representative (anti-join the rest),
+    4. PII redaction (narrow).
+
+    Returns the surviving rows of ``df`` (annotation columns included)
+    — every stage is the already-oracle-checked operator, composed.
+
+    Scale: the expensive stage (3) is the capped ladder whose 100 TB
+    design is argued/measured in dedup.py + SCALING.md; stages 1/2/4 are
+    one narrow pass + one partial-agg shuffle.
+    """
+    out = text.with_lang_id(text.with_quality_score(df, text_col), text_col)
+    if min_quality is not None:
+        out = out.filter(F.col("quality_score") >= min_quality)
+    if langs:
+        out = out.filter(F.col("lang_pred").isin(*langs))
+    # exact dedup: keep min-id row per token-set fingerprint
+    out = text.with_token_set_fingerprint(out, text_col, out="__fp")
+    w = Window.partitionBy("__fp").orderBy(id_col)
+    out = out.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop(
+        "__rn", "__fp"
+    )
+    if near_dup_threshold is not None:
+        pairs = dedup.near_dup_pairs(
+            out,
+            id_col,
+            text_col,
+            threshold=near_dup_threshold,
+            max_bucket_size=max_bucket_size,
+        )
+        clusters = dedup.cluster_pairs(pairs)
+        losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+            F.col("doc_id").alias("__loser")
+        )
+        # no broadcast hint: the loser set scales with the corpus's
+        # duplication rate (can be most of a crawl) — AQE broadcasts it
+        # only when it actually fits
+        out = out.join(losers, out[id_col] == F.col("__loser"), "left_anti")
+    if redact:
+        out = redact_pii(out, text_col)
+    return out

@@ -1,0 +1,156 @@
+"""Corpus-preparation operator tests (operators/corpus.py): deterministic
+sampling, stratified sampling, weighted mixing, sequence packing (both
+forms), PII redaction, and the one-call prepare_corpus composition."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datapipelineetl_spark.operators import corpus
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (i, f"document number {i} " + ("quality text with many varied words here " * 5))
+        for i in range(200)
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_sample_fraction_deterministic_and_proportional(docs):
+    a = corpus.sample_fraction(docs, 0.3, "doc_id")
+    b = corpus.sample_fraction(docs, 0.3, "doc_id")
+    ids_a = {r.doc_id for r in a.collect()}
+    ids_b = {r.doc_id for r in b.collect()}
+    assert ids_a == ids_b  # same keys → same decisions, run to run
+    assert 0.15 * 200 <= len(ids_a) <= 0.45 * 200  # ~proportional
+    # a larger fraction with the same salt is a SUPERSET (nested samples)
+    ids_half = {r.doc_id for r in corpus.sample_fraction(docs, 0.6, "doc_id").collect()}
+    assert ids_a <= ids_half
+
+
+def test_sample_fraction_salt_gives_independent_split(docs):
+    train = corpus.sample_fraction(docs, 0.8, "doc_id", salt="train")
+    val = corpus.sample_fraction(docs, 0.8, "doc_id", salt="val")
+    ids_t = {r.doc_id for r in train.collect()}
+    ids_v = {r.doc_id for r in val.collect()}
+    assert ids_t != ids_v  # different salts → different coins
+
+
+def test_sample_fraction_bounds(docs):
+    assert corpus.sample_fraction(docs, 0.0, "doc_id").count() == 0
+    assert corpus.sample_fraction(docs, 1.0, "doc_id").count() == 200
+    with pytest.raises(ValueError, match="fraction"):
+        corpus.sample_fraction(docs, 1.5, "doc_id")
+
+
+def test_sample_stratified_per_stratum_rates(spark):
+    rows = [(i, "high" if i % 2 == 0 else "low") for i in range(400)]
+    df = spark.createDataFrame(rows, ["k", "tier"])
+    out = corpus.sample_stratified(
+        df, "tier", {"high": 1.0, "low": 0.2}, key_col="k"
+    )
+    got = out.groupBy("tier").count().collect()
+    by = {r.tier: r["count"] for r in got}
+    assert by["high"] == 200  # fraction 1.0 keeps everything
+    assert 10 <= by.get("low", 0) <= 80  # ~20% of 200
+    # unknown strata fall back to default_fraction (0.0 → dropped)
+    df2 = spark.createDataFrame([(1, "other")], ["k", "tier"])
+    assert corpus.sample_stratified(df2, "tier", {"high": 1.0}, key_col="k").count() == 0
+
+
+def test_mix_corpora_proportions_and_tags(spark):
+    web = spark.createDataFrame([(i, "w") for i in range(1000)], ["k", "payload"])
+    code = spark.createDataFrame([(10_000 + i, "c") for i in range(200)], ["k", "payload"])
+    out = corpus.mix_corpora(
+        {"web": web, "code": code}, {"web": 0.5, "code": 0.5}, key_col="k"
+    )
+    by = {r.source: r["count"] for r in out.groupBy("source").count().collect()}
+    # code (200 rows) limits: target ≈ 200 web + 200 code
+    assert by["code"] == 200  # limiting source kept whole
+    assert 140 <= by["web"] <= 260  # down-sampled to ~200, never up-sampled
+    with pytest.raises(ValueError, match="weights"):
+        corpus.mix_corpora({"web": web}, {"web": 0.5, "code": 0.5}, key_col="k")
+
+
+def test_pack_chunks_offsets_and_sharding(spark):
+    df = spark.createDataFrame([(i, 100) for i in range(300)], ["doc_id", "n_tokens"])
+    out = corpus.pack_chunks(df, "n_tokens", budget=1000, order_col="doc_id", n_shards=4)
+    rows = out.collect()
+    assert len(rows) == 300  # packing annotates, never drops
+    sizes = (
+        out.groupBy("pack_id").agg(F.sum("n_tokens").alias("s")).collect()
+    )
+    # contiguous chunking: all packs ≈ budget except each shard's tail
+    full = [r.s for r in sizes if r.s == 1000]
+    assert len(full) >= len(sizes) - 4  # ≤1 partial pack per shard
+    # deterministic
+    again = {(r.doc_id, r.pack_id) for r in corpus.pack_chunks(
+        df, "n_tokens", budget=1000, order_col="doc_id", n_shards=4
+    ).collect()}
+    assert {(r.doc_id, r.pack_id) for r in rows} == again
+
+
+def test_pack_greedy_never_exceeds_budget(spark):
+    # ragged sizes incl. one oversized doc
+    rows = [(i, (i * 37) % 400 + 50) for i in range(200)] + [(999, 5000)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    out = corpus.pack_greedy(df, "doc_id", "n_tokens", budget=1000, n_shards=8)
+    assert out.count() == 201
+    per_pack = out.groupBy("pack_id").agg(
+        F.sum("n_tokens").alias("s"), F.count(F.lit(1)).alias("n")
+    ).collect()
+    for r in per_pack:
+        assert r.s <= 1000 or r.n == 1  # only a singleton may exceed
+    # the oversized doc sits alone in its pack
+    big = out.filter(F.col("doc_id") == 999).collect()[0]
+    mates = out.filter(F.col("pack_id") == big.pack_id).count()
+    assert mates == 1
+
+
+def test_redact_pii_patterns_and_idempotence(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.user+tag@example.co.uk or call +1 (555) 123-4567 now"),
+            (2, "ssn 123-45-6789 card 4111 1111 1111 1111 host 10.0.0.1"),
+            (3, "clean text stays untouched"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.text for r in corpus.redact_pii(df).collect()}
+    assert "<EMAIL>" in out[1] and "@" not in out[1]
+    assert "<PHONE>" in out[1] and "555" not in out[1]
+    assert "<SSN>" in out[2] and "6789" not in out[2]
+    assert "<CARD>" in out[2] and "4111" not in out[2]
+    assert "<IP>" in out[2] and "10.0.0.1" not in out[2]
+    assert out[3] == "clean text stays untouched"
+    # idempotent: redacting redacted text is a no-op
+    twice = {r.doc_id: r.text for r in corpus.redact_pii(corpus.redact_pii(df)).collect()}
+    assert twice == out
+
+
+def test_redact_pii_plan_is_narrow(spark):
+    df = spark.createDataFrame([(1, "a@b.co")], ["doc_id", "text"])
+    plan = corpus.redact_pii(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_prepare_corpus_end_to_end(spark):
+    base = "the quick brown fox jumps over the lazy dog near the riverbank today"
+    rows = [
+        (1, base),                      # keeper
+        (2, base),                      # exact duplicate of 1 → dropped
+        (3, base + " extra"),           # near-duplicate of 1 → dropped
+        (4, "x y"),                     # low quality (too short) → dropped
+        (5, "reach me at someone@example.com " + base + " totally different words follow here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = corpus.prepare_corpus(df, min_quality=0.6, near_dup_threshold=0.7)
+    got = {r.doc_id: r.text for r in out.collect()}
+    assert 2 not in got and 3 not in got  # exact + near dup removed
+    assert 4 not in got                   # quality-filtered
+    assert 1 in got and 5 in got
+    assert "<EMAIL>" in got[5] and "@" not in got[5]

@@ -29,6 +29,11 @@ PICK = {
     "q_lsh_cosine_near_pairs": "SRP-LSH near-pairs: ALL 16 table signatures from one Arrow-batched matmul (ArrowEvalPython, not 4096 interpreted fold steps), posexplode to (table,sig), ONE equi-join shuffle, cosine verify on collisions only.",
     "q_range_join_ship_windows": "Bucketized range join: intervals explode to covered time buckets, points get one bucket, equi-join on the bucket + exact containment filter — no BroadcastNestedLoopJoin/CartesianProduct anywhere in the plan.",
     "q_hypertable_rollup": "Multi-grain rollup: Scan → Expand ×3 → partial HashAggregate → ONE Exchange → final — three grains for the price of one scan and one shuffle; only aggregated buckets cross the wire.",
+    "q_range_join_event_windows": "SUB-DAY range join (bucket_seconds=1800): purchase windows explode to ≤2 half-hour buckets, clicks get one bucket each, equi-join on the bucket + exact containment — the minute-scale form of the same no-nested-loop rewrite.",
+    "q9_product_type_profit": "Q9 star: p_name filter pushed into the part scan; part/supplier/nation broadcast; lineitem⋈orders is the single fact-fact shuffle; rollup by (nation, year) collapses map-side.",
+    "q11_important_parts": "Q11 decorrelation: nation's supplier keys broadcast-semi onto lineitem, ONE partkey aggregate, grand-total threshold as a 1-row broadcast over the SAME aggregate (exchange reuse, no second scan).",
+    "q16_supplier_part_counts": "Q16: part attribute filters broadcast; blacklist as broadcast ANTI join; COUNT(DISTINCT) two-phase expand+aggregate shuffling only (brand,size,suppkey) triples.",
+    "q20_top_part_shippers": "Q20: filtered part broadcast prunes before the suppkey aggregate; scalar AVG threshold as 1-row broadcast; qualifying suppliers broadcast into the final dim join.",
 }
 
 
