@@ -1,0 +1,204 @@
+"""Eleventh query battery — STAGED for the round-6 verify window.
+
+Oracle-paired queries for the round-5 corpus-preparation operators
+(``operators/corpus.py``). NOT yet imported by ``__spark_entry__`` /
+``bench.py``: the driver verifies only the first 50 ``queries()``
+entries and round 5's window is fully committed to rotating the 44
+aged queries plus this round's five registrations — so these four wait
+one round. They are verified NOW by ``tests/test_corpus_oracles.py``,
+which runs exactly the driver's comparison (row count + sorted-column
+value compare vs DuckDB) locally; wiring them in next round is one
+import line plus window slots (NOTES.md round-6 checklist).
+
+Oracle conventions identical to queries_ext.py: the md5-60-bit hash
+gate replays as ``('0x' || substr(md5(x), 1, 15))::BIGINT`` so the
+DETERMINISTIC sampling decisions — the whole point of hash-gated
+sampling — are value-checked row by row across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datapipelineetl_spark.operators import corpus, text
+from datapipelineetl_spark.queries import _t
+from datapipelineetl_spark.queries import QUERIES as _GLOBAL_QUERIES
+from datapipelineetl_spark.queries import ORACLES as _GLOBAL_ORACLES
+from datapipelineetl_spark.queries_ext import _SQL_TOKENS
+
+# STAGED registry — deliberately separate from queries.QUERIES so that
+# importing this module (the oracle test does) cannot grow the live
+# queries() surface mid-round and break the 50-slot window contract.
+STAGED_QUERIES: dict = {}
+STAGED_ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        STAGED_QUERIES[name] = fn
+        if oracle is not None:
+            STAGED_ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def register() -> None:
+    """Round-6 wiring: promote the staged queries into the live registry
+    (call from __spark_entry__ next to the batch-10 import, then give
+    each a window slot)."""
+    _GLOBAL_QUERIES.update(STAGED_QUERIES)
+    _GLOBAL_ORACLES.update(STAGED_ORACLES)
+
+
+# the engine's sampling gate, replayed in DuckDB SQL ({k}: key expression
+# already cast to VARCHAR; {s}: salt literal)
+_SQL_GATE = "(('0x' || substr(md5({k} || '{s}'), 1, 15))::BIGINT % 1000000)"
+
+
+@query(
+    "q_sample_stratified",
+    f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE {_SQL_GATE.format(k='doc_id::VARCHAR', s='')} <
+          CASE lang WHEN 'en' THEN 1000000
+                    WHEN 'de' THEN 500000
+                    ELSE 100000 END
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: keep all English docs, half the
+    German, 10% of everything else — the training-data rebalance op. The
+    oracle replays the md5-gate per row, so every individual keep/drop
+    DECISION is value-checked, not just the realized rates.
+
+    Scale: narrow filter (CASE over a driver-known strata map + hash
+    compare) — no shuffle, no RNG state, no join."""
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.sample_stratified(
+        docs, "lang", {"en": 1.0, "de": 0.5}, key_col="doc_id", default_fraction=0.1
+    ).select("doc_id", "lang")
+
+
+@query(
+    "q_corpus_mix",
+    f"""
+    WITH web AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0),
+    code AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 1),
+    n AS (SELECT (SELECT COUNT(*) FROM web) AS nw, (SELECT COUNT(*) FROM code) AS nc),
+    t AS (SELECT LEAST(nw / 0.8, nc / 0.2) AS total, nw, nc FROM n)
+    SELECT doc_id, 'web' AS mix_source FROM web, t
+    WHERE {_SQL_GATE.format(k='doc_id::VARCHAR', s='web')} <
+          CAST(ROUND(LEAST(1.0, 0.8 * total / nw) * 1000000) AS BIGINT)
+    UNION ALL
+    SELECT doc_id, 'code' AS mix_source FROM code, t
+    WHERE {_SQL_GATE.format(k='doc_id::VARCHAR', s='code')} <
+          CAST(ROUND(LEAST(1.0, 0.2 * total / nc) * 1000000) AS BIGINT)
+    """,
+)
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mixing: the documents fixture split into two
+    pseudo-sources by id parity, remixed 80/20 — the data-mixture step
+    of a pretraining pipeline. The oracle replays the full derivation:
+    per-source counts, the limiting-source total, the down-sample
+    fractions, AND each row's hash-gate decision.
+
+    Scale: one metadata count per source, then narrow filters + UNION
+    ALL — the mix never shuffles or up-samples (corpus.mix_corpora)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    web = docs.filter(F.col("doc_id") % 2 == 0)
+    code = docs.filter(F.col("doc_id") % 2 == 1)
+    return corpus.mix_corpora(
+        {"web": web, "code": code},
+        {"web": 0.8, "code": 0.2},
+        key_col="doc_id",
+        source_col="mix_source",
+    ).select("doc_id", "mix_source")
+
+
+@query(
+    "q_pack_chunks",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             len({_SQL_TOKENS.format(c='text')}) AS nt,
+             {_SQL_GATE.format(k='doc_id::VARCHAR', s='')} % 8 AS shard
+      FROM documents),
+    p AS (
+      SELECT doc_id,
+             CAST(shard * 4294967296 + FLOOR(
+               COALESCE(SUM(nt) OVER (PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512
+             ) AS BIGINT) AS pack_id,
+             nt
+      FROM t)
+    SELECT pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS pack_tokens
+    FROM p GROUP BY pack_id
+    """,
+)
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (contiguous-chunk form) over the documents
+    corpus: 8 hash shards, 512-token budget, per-pack doc count and
+    token totals. The oracle replays the shard hash, the exclusive
+    cumulative sum, and the pack-id arithmetic in window SQL — the
+    packing ASSIGNMENT is value-checked, not just pack statistics.
+
+    Scale: ONE shuffle on the shard key; per-shard window sorts are
+    independent (corpus.pack_chunks docstring — a single global window
+    would serialize the corpus through one task)."""
+    docs = text.with_token_stats(_t(spark, sf_dir, "documents"))
+    # corpus.pack_chunks shards by token_hash60(order_col) % n_shards and
+    # the oracle replays it with % (hash is non-negative, pmod ≡ %)
+    packed = corpus.pack_chunks(
+        docs, "n_tokens", budget=512, order_col="doc_id", n_shards=8
+    )
+    return packed.groupBy("pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("pack_tokens"),
+    )
+
+
+def _redact_oracle() -> str:
+    """The operator's PII_PATTERNS replayed verbatim — DuckDB's RE2 and
+    Spark's Java regex agree on this (anchorless, ASCII) pattern subset;
+    the value compare is exactly what pins that."""
+    expr = "text"
+    for pat, token in corpus.PII_PATTERNS:
+        sql_pat = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{sql_pat}', '{token}', 'g')"
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             'reach user' || doc_id::VARCHAR ||
+             '@example.com or 10.0.' || (doc_id % 256)::VARCHAR ||
+             '.7 ssn 123-45-6789 ' || text AS text
+      FROM documents)
+    SELECT doc_id, {expr} AS redacted
+    FROM t
+    """
+
+
+@query("q_redact_pii", _redact_oracle())
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction value-checked byte-for-byte: synthetic PII (a
+    per-row email, IP, and SSN) is prepended to every document and the
+    ordered regexp_replace chain must produce identical redacted text in
+    Spark (Java regex) and DuckDB (RE2) — pinning the patterns to the
+    dialect-portable subset.
+
+    Scale: narrow codegen'd column map — no shuffle, no Python
+    (plan-asserted in test_redact_pii_plan_is_narrow)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("reach user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 ssn 123-45-6789 "), F.col("text"),
+        ).alias("text"),
+    )
+    return corpus.redact_pii(docs, "text", out="redacted").select("doc_id", "redacted")

@@ -455,6 +455,60 @@ def test_interval_join_streams_left_outer(spark, tmp_path):
     assert 2 in got and got[2] is None
 
 
+def test_interval_join_drops_late_rows_after_watermark(spark, tmp_path):
+    """State-timeout edge cases across a restart on the same checkpoint:
+    once the global watermark has advanced, (a) a late LEFT row and (b) a
+    late RIGHT row are dropped by the watermark filter — neither produces
+    a match, even though their event times satisfy the join interval.
+    This is the state-eviction contract that bounds the join's state to
+    O(rate × (watermark + max_lag)) on unbounded streams."""
+    imp_dir, clk_dir = str(tmp_path / "imp3"), str(tmp_path / "clk3")
+    ck = str(tmp_path / "ckj3")
+    schema = "user_id long, ts timestamp"
+
+    def mk(path, name, rows):
+        spark.createDataFrame(rows, ["user_id", "ts_s"]).withColumn(
+            "ts", F.to_timestamp("ts_s")
+        ).drop("ts_s").coalesce(1).write.mode("append").parquet(path)
+
+    out_dir = str(tmp_path / "out3")
+
+    def drain(_qname):
+        imp = spark.readStream.schema(schema).parquet(imp_dir).withColumnRenamed("ts", "imp_ts")
+        clk = spark.readStream.schema(schema).parquet(clk_dir).withColumnRenamed("ts", "click_ts")
+        joined = runner.interval_join_streams(
+            clk, imp, on="user_id", left_ts="click_ts", right_ts="imp_ts",
+            watermark="1 minute", max_lag="15 minutes",
+        )
+        # parquet sink (memory sink cannot recover from a checkpoint, and
+        # the restart-on-same-checkpoint IS the thing under test)
+        q = (
+            joined.writeStream.outputMode("append").format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return {r.user_id for r in spark.read.parquet(out_dir).collect()}
+
+    # drain 1: one matchable pair + watermark pushers at 02:00 on BOTH
+    # sides (global watermark = min over inputs) → watermark ≈ 01:59
+    mk(imp_dir, "i1", [(1, "2024-01-01 00:00:00"), (98, "2024-01-01 02:00:00")])
+    mk(clk_dir, "c1", [(1, "2024-01-01 00:05:00"), (99, "2024-01-01 02:00:00")])
+    got1 = drain("ssjoin3a")
+    assert 1 in got1
+
+    # drain 2: LATE left (click ts 00:06 ≪ watermark; its imp is long
+    # evicted) and LATE right (imp ts 01:58 < watermark) + an on-time
+    # click at 02:05 whose interval [01:50, 02:05] would cover that imp
+    # had it arrived on time. Both must be dropped: no user-2, no user-3.
+    mk(clk_dir, "c2", [(2, "2024-01-01 00:06:00"), (3, "2024-01-01 02:05:00")])
+    mk(imp_dir, "i2", [(2, "2024-01-01 00:00:30"), (3, "2024-01-01 01:58:00")])
+    got2 = drain("ssjoin3b")
+    assert 2 not in got2, "late left row escaped the watermark filter"
+    assert 3 not in got2, "late right row revived evicted-state semantics"
+
+
 def test_dedupe_stream_within_watermark(spark, tmp_path):
     pdir = str(tmp_path / "dups")
     rows = [
