@@ -4,7 +4,7 @@ Oracle-paired queries for the round-5 corpus-preparation operators
 (``operators/corpus.py``). NOT yet imported by ``__spark_entry__`` /
 ``bench.py``: the driver verifies only the first 50 ``queries()``
 entries and round 5's window is fully committed to rotating the 44
-aged queries plus this round's five registrations — so these four wait
+aged queries plus this round's five registrations — so these five wait
 one round. They are verified NOW by ``tests/test_corpus_oracles.py``,
 which runs exactly the driver's comparison (row count + sorted-column
 value compare vs DuckDB) locally; wiring them in next round is one
@@ -25,7 +25,14 @@ from datapipelineetl_spark.operators import corpus, text
 from datapipelineetl_spark.queries import _t
 from datapipelineetl_spark.queries import QUERIES as _GLOBAL_QUERIES
 from datapipelineetl_spark.queries import ORACLES as _GLOBAL_ORACLES
-from datapipelineetl_spark.queries_ext import _SQL_TOKENS
+from datapipelineetl_spark.queries_batch9 import (
+    _MH_BANDS,
+    _MH_CAP,
+    _MH_ROWS,
+    _MH_THRESHOLD,
+    _minhash_capped_pairs_cte,
+)
+from datapipelineetl_spark.queries_ext import _SQL_TOKENS, _SQL_TOKSET
 
 # STAGED registry — deliberately separate from queries.QUERIES so that
 # importing this module (the oracle test does) cannot grow the live
@@ -202,3 +209,91 @@ def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return corpus.redact_pii(docs, "text", out="redacted").select("doc_id", "redacted")
+
+
+def _prepare_corpus_oracle() -> str:
+    """The WHOLE prepare_corpus pipeline replayed in one SQL statement:
+    quality scoring (q_text_quality's exact formula) → exact dedup
+    (min-id per sorted-token-set md5) → the capped MinHash ladder
+    (queries_batch9's shared CTE, re-based onto the survivors) →
+    recursive-CTE connected components → drop non-representatives →
+    the PII regexp chain. Every stage reuses the SQL fragment already
+    proven equal to its operator by that operator's own oracle query —
+    this one checks the COMPOSITION (stage order and the survivor set
+    each stage hands the next)."""
+    toks = _SQL_TOKENS.format(c="text")
+    redact = "text"
+    for pat, token in corpus.PII_PATTERNS:
+        redact = f"regexp_replace({redact}, '{pat.replace(chr(39), chr(39) * 2)}', '{token}', 'g')"
+    ladder = _minhash_capped_pairs_cte(
+        _MH_THRESHOLD, _MH_BANDS, _MH_ROWS, _MH_CAP
+    ).replace("FROM documents)", "FROM base)")
+    return rf"""
+    WITH RECURSIVE q0 AS (
+      SELECT doc_id, text,
+             CAST(length(text) AS INT) AS n_chars_m,
+             ROUND(len(regexp_extract_all(text, '[^\w\s]')) * 1.0
+                   / GREATEST(length(text), 1), 4) AS punct_ratio,
+             ROUND(len(list_filter({toks}, x -> x IN ('the','and','of','to','is'))) * 1.0
+                   / GREATEST(len({toks}), 1), 4) AS stopword_ratio,
+             ROUND(len(regexp_extract_all(text, '[A-Za-z]')) * 1.0
+                   / GREATEST(length(text), 1), 4) AS alpha_ratio
+      FROM documents),
+    scored AS (
+      SELECT doc_id, text,
+             ROUND(CAST(
+               (CASE WHEN n_chars_m < 20 THEN 0.0 ELSE 1.0 END) * 0.25
+               + (CASE WHEN stopword_ratio >= 0.01 AND stopword_ratio <= 0.6 THEN 1.0 ELSE 0.0 END) * 0.25
+               + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END) * 0.25
+               + (CASE WHEN alpha_ratio >= 0.5 THEN 1.0 ELSE 0.0 END) * 0.25
+               AS DOUBLE), 4) AS quality_score
+      FROM q0),
+    kept AS (SELECT doc_id, text FROM scored WHERE quality_score >= 0.5),
+    fp AS (
+      SELECT doc_id, text,
+             md5(array_to_string(list_sort({_SQL_TOKSET.format(c='text')}), ' ')) AS f
+      FROM kept),
+    base AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text, ROW_NUMBER() OVER (PARTITION BY f ORDER BY doc_id) AS rn
+        FROM fp)
+      WHERE rn = 1),
+    {ladder},
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    cc AS (
+      SELECT DISTINCT src AS node, src AS label FROM edges
+      UNION
+      SELECT e.src AS node, cc.label FROM edges e JOIN cc ON cc.node = e.dst),
+    losers AS (
+      SELECT node FROM (SELECT node, MIN(label) AS cid FROM cc GROUP BY node)
+      WHERE node <> cid)
+    SELECT doc_id, {redact} AS text
+    FROM base WHERE doc_id NOT IN (SELECT node FROM losers)
+    """
+
+
+@query("q_prepare_corpus", _prepare_corpus_oracle())
+def q_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-call training-corpus preparation, end-to-end vs a single
+    SQL statement: quality filter (≥0.5) → exact dedup → capped MinHash
+    near-dup clustering (the production ladder configuration shared with
+    q_minhash_capped_near_dups) → keep each cluster's min-id
+    representative → PII redaction. Each stage's algebra is already
+    value-checked by its own oracle query; THIS query checks the
+    composition — stage order and the survivor set handed down the
+    pipeline.
+
+    Scale: see corpus.prepare_corpus — one narrow pass + one partial-agg
+    shuffle around the capped ladder, whose 100 TB design is the
+    measured one (SCALING.md)."""
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    out = corpus.prepare_corpus(
+        docs,
+        min_quality=0.5,
+        near_dup_threshold=_MH_THRESHOLD,
+        max_bucket_size=_MH_CAP,
+    )
+    return out.select("doc_id", "text")

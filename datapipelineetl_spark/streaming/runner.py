@@ -468,6 +468,91 @@ def idempotent_parquet_sink(
     )
 
 
+ROLLUP_GRAINS = ("hour", "day", "month")
+
+
+def continuous_rollup(
+    stream: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    value_col: str,
+    store: str,
+    checkpoint: str,
+    grains: tuple[str, ...] = ROLLUP_GRAINS,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming continuous aggregate — the incremental form of
+    q_hypertable_rollup (TimescaleDB's continuous aggregate / a
+    materialized multi-grain rollup): each micro-batch computes its
+    PARTIAL (grain, bucket, keys) → (count, sum) aggregates in one
+    Expand pass and writes them to ``store`` partitioned by batch id.
+
+    Exactly-once WITHOUT a transactional sink: merges are dangerous to
+    replay (re-merging a recovered batch double-counts), so nothing is
+    merged at write time — partials land under their ``__batch_id``
+    partition via dynamic partition overwrite (same idempotence contract
+    as ``idempotent_parquet_sink``: a replayed batch REWRITES its
+    partition). ``read_rollup`` folds partials into finals at read time;
+    count/sum partials are associative, so the fold is exact. Compact
+    partials periodically with ``sinks.maintenance.compact`` when batch
+    count grows.
+
+    Scale: per batch ONE Expand + ONE partial-agg shuffle over that
+    batch only (never the history); state lives in the store as data,
+    not in the state store — restarts replay nothing but the unfinished
+    batch.
+    """
+    from datapipelineetl_spark.sinks import maintenance  # noqa: PLC0415
+
+    def agg(df: DataFrame, epoch_id: int) -> None:
+        ev = df.select(
+            *[F.date_trunc(g, ts_col).alias(f"__g_{g}") for g in grains],
+            *key_cols,
+            F.col(value_col).alias("__v"),
+        )
+        grain = F.lit(None).cast("string")
+        for g in grains:  # finest grain with GROUPING()==0 wins
+            grain = F.when(F.grouping(f"__g_{g}") == 0, F.lit(g)).otherwise(grain)
+        partial = (
+            ev.groupingSets(
+                [[f"__g_{g}", *key_cols] for g in grains],
+                *[f"__g_{g}" for g in grains],
+                *key_cols,
+            )
+            .agg(
+                grain.alias("grain"),
+                F.coalesce(*[f"__g_{g}" for g in grains]).alias("bucket_ts"),
+                F.count(F.lit(1)).alias("n_partial"),
+                F.sum("__v").alias("sum_partial"),
+            )
+            .select("grain", "bucket_ts", *key_cols, "n_partial", "sum_partial")
+        )
+        maintenance.overwrite_partitions(
+            partial.withColumn("__batch_id", F.lit(epoch_id)), store, ["__batch_id"]
+        )
+
+    return run_foreach_batch(
+        stream, agg, checkpoint, available_now=available_now, skip_empty=True
+    )
+
+
+def read_rollup(
+    spark: SparkSession, store: str, key_cols: list[str]
+) -> DataFrame:
+    """Serve the continuous aggregate: fold the per-batch partials into
+    final (grain, bucket, keys) rows. One partial-agg shuffle over the
+    partial store — whose size is O(buckets × batches), not O(events);
+    compaction keeps the batch factor bounded."""
+    return (
+        spark.read.parquet(store)
+        .groupBy("grain", "bucket_ts", *key_cols)
+        .agg(
+            F.sum("n_partial").alias("n_events"),
+            F.sum("sum_partial").alias("sum_value"),
+        )
+    )
+
+
 def observe_quality(
     df: DataFrame,
     name: str = "quality",

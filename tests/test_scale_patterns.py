@@ -447,3 +447,21 @@ def test_hypertable_rollup_single_expand_single_exchange(spark, sf_dir):
     assert plan.count("Expand") == 1
     assert sum(1 for ln in plan.splitlines() if "Exchange hashpartitioning" in ln) == 1
     assert sum(1 for ln in plan.splitlines() if "Scan parquet" in ln or "FileScan" in ln) == 1
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    """ORC as a first-class batch format: write the lineitem fixture to
+    ORC, read it back, and confirm filters reach the ORC scan (ORC has
+    the same pushdown/pruning machinery as parquet — a 100 TB store in
+    either format scans only what the predicate needs)."""
+    from datapipelineetl_spark import catalog
+
+    li = catalog.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_shipdate"
+    )
+    path = str(tmp_path / "li_orc")
+    li.write.orc(path)
+    back = spark.read.orc(path).filter(F.col("l_quantity") > 45)
+    assert back.count() == li.filter(F.col("l_quantity") > 45).count() > 0
+    plan = _physical_plan(back)
+    assert "PushedFilters: [" in plan and "l_quantity" in plan.split("PushedFilters")[1][:200]

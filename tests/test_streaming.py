@@ -8,6 +8,7 @@ import os
 
 import pytest
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from datapipelineetl_spark.operators.cleaning import clean_cell_metrics
 from datapipelineetl_spark.schemas import CELL_METRICS_SCHEMA
@@ -455,6 +456,50 @@ def test_interval_join_streams_left_outer(spark, tmp_path):
     assert 2 in got and got[2] is None
 
 
+def test_stateful_totals_on_rocksdb_state_store(spark, tmp_path):
+    """The custom stateful operator must run unchanged on the RocksDB
+    state-store provider — the production backend at 100 TB (keyed state
+    spills to disk instead of living on the JVM heap). Engagement is
+    proven from the query's own metrics, not just the conf."""
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        rows = [
+            ("2024-01-01 00:01:00", 1, 10.0),
+            ("2024-01-01 00:02:00", 1, 5.0),
+            ("2024-01-01 00:03:00", 2, 1.0),
+        ]
+        df = spark.createDataFrame(rows, ["ts_s", "k", "v"]).withColumn(
+            "ts", F.to_timestamp("ts_s")
+        ).drop("ts_s")
+        df.coalesce(1).write.parquet(str(tmp_path / "in"))
+        stream = spark.readStream.schema(df.schema).parquet(str(tmp_path / "in"))
+        out = runner.stateful_running_totals(stream, "k", "v", "ts")
+        q = (
+            out.writeStream.outputMode("update").format("memory").queryName("rdb")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        got = {
+            r.k: (r.n_events, r.total_value)
+            for r in spark.sql("SELECT * FROM rdb").collect()
+        }
+        assert got == {1: (2, 15.0), 2: (1, 1.0)}
+        metrics = q.lastProgress["stateOperators"][0]["customMetrics"]
+        assert any(name.startswith("rocksdb") for name in metrics), (
+            f"RocksDB provider not engaged; state metrics: {sorted(metrics)[:5]}"
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
 def test_interval_join_drops_late_rows_after_watermark(spark, tmp_path):
     """State-timeout edge cases across a restart on the same checkpoint:
     once the global watermark has advanced, (a) a late LEFT row and (b) a
@@ -507,6 +552,83 @@ def test_interval_join_drops_late_rows_after_watermark(spark, tmp_path):
     got2 = drain("ssjoin3b")
     assert 2 not in got2, "late left row escaped the watermark filter"
     assert 3 not in got2, "late right row revived evicted-state semantics"
+
+
+def test_continuous_rollup_incremental_equals_batch(spark, tmp_path):
+    """Streaming continuous aggregate: per-batch partials folded at read
+    time must equal the one-shot batch rollup over the same events, with
+    the partial store actually holding MULTIPLE batch partitions (i.e.
+    the aggregate really accumulated incrementally, replay-safely)."""
+    src = str(tmp_path / "ev_in")
+    store = str(tmp_path / "rollup_store")
+    rows1 = [("2024-01-01 00:10:00", "click", 1.0), ("2024-01-01 00:40:00", "click", 2.0)]
+    rows2 = [("2024-01-01 01:10:00", "view", 4.0), ("2024-01-02 03:00:00", "click", 8.0)]
+
+    def mk(rows):
+        spark.createDataFrame(rows, ["ts_s", "event_type", "value"]).withColumn(
+            "ts", F.to_timestamp("ts_s")
+        ).drop("ts_s").coalesce(1).write.mode("append").parquet(src)
+
+    mk(rows1)
+    mk(rows2)
+    schema = "event_type string, value double, ts timestamp"
+    stream = runner.read_file_stream(
+        spark, src, "parquet", T._parse_datatype_string(schema),
+        max_files_per_trigger=1, lineage=False,
+    )
+    q = runner.continuous_rollup(
+        stream, "ts", ["event_type"], "value", store, str(tmp_path / "ckroll")
+    )
+    q.awaitTermination()
+
+    served = {
+        (r.grain, r.bucket_ts, r.event_type): (r.n_events, r.sum_value)
+        for r in runner.read_rollup(spark, store, ["event_type"]).collect()
+    }
+    # one-shot batch reference over the identical rows
+    ev = spark.read.parquet(src).select(
+        F.date_trunc("hour", "ts").alias("h"), F.date_trunc("day", "ts").alias("d"),
+        F.date_trunc("month", "ts").alias("m"), "event_type", "value",
+    )
+    grain = (
+        F.when(F.grouping("h") == 0, F.lit("hour"))
+        .when(F.grouping("d") == 0, F.lit("day")).otherwise(F.lit("month"))
+    )
+    ref = {
+        (r.grain, r.bucket_ts, r.event_type): (r.n_events, r.sum_value)
+        for r in ev.groupingSets(
+            [["h", "event_type"], ["d", "event_type"], ["m", "event_type"]],
+            "h", "d", "m", "event_type",
+        ).agg(
+            grain.alias("grain"), F.coalesce("h", "d", "m").alias("bucket_ts"),
+            F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"),
+        ).collect()
+    }
+    assert served == ref and len(served) > 5
+    # incrementality: the store holds one partial partition per micro-batch
+    batches = {r["__batch_id"] for r in
+               spark.read.parquet(store).select("__batch_id").distinct().collect()}
+    assert len(batches) >= 2
+
+
+def test_orc_file_stream_drain(spark, tmp_path):
+    """read_file_stream is format-generic: an ORC feed drains through the
+    same source-managed path as CSV/JSON/parquet (S1/S2 machinery is one
+    implementation, N formats)."""
+    src = str(tmp_path / "orc_in")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "s"])
+    df.coalesce(1).write.orc(src)
+    stream = runner.read_file_stream(
+        spark, src, "orc", df.schema, max_files_per_trigger=None, lineage=False
+    )
+    q = (
+        stream.writeStream.outputMode("append").format("memory").queryName("orcdr")
+        .option("checkpointLocation", str(tmp_path / "ckorc"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {(r.k, r.s) for r in spark.sql("SELECT * FROM orcdr").collect()}
+    assert got == {(1, "a"), (2, "b")}
 
 
 def test_dedupe_stream_within_watermark(spark, tmp_path):
