@@ -327,3 +327,123 @@ def prepare_corpus(
     if redact:
         out = redact_pii(out, text_col)
     return out
+
+
+def split_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 64,
+    overlap: int = 16,
+    chunk_col: str = "chunk_idx",
+    out: str = "chunk_text",
+) -> DataFrame:
+    """Document chunking: split each document into token windows of
+    ``max_tokens`` with ``overlap`` tokens shared between consecutive
+    chunks — the context-window splitter between a document store and a
+    tokenizer. Chunk ``i`` covers tokens ``[i·step, i·step+max_tokens)``
+    with ``step = max_tokens − overlap``; a doc of ≤ max_tokens tokens
+    yields exactly one chunk; chunk text is the space-rejoined token
+    window (token-level chunking — original inter-token whitespace is
+    not preserved, by contract).
+
+    Scale: pure per-row array math (tokens → sequence → slice/join) in
+    codegen — no shuffle, 1 row → ceil(n/step) rows. ``posexplode_outer``
+    not ``posexplode``: the chunk-index array is computed, and a
+    non-outer explode would re-inline it below the Generate via the
+    inferred size()>0 filter (the InferFiltersFromGenerate trap,
+    NOTES.md).
+    """
+    if max_tokens < 1 or not 0 <= overlap < max_tokens:
+        raise ValueError(
+            f"need max_tokens >= 1 and 0 <= overlap < max_tokens, got {max_tokens}, {overlap}"
+        )
+    step = max_tokens - overlap
+    toks = text.tokens(text_col)
+    n_chunks = F.greatest(
+        F.ceil((F.size(toks) - F.lit(overlap)) / F.lit(step)), F.lit(1)
+    ).cast("int")
+    chunked = df.withColumn("__toks", toks).select(
+        F.col(id_col),
+        F.posexplode_outer(F.sequence(F.lit(0), n_chunks - 1)).alias(chunk_col, "__i"),
+        F.col("__toks"),
+    )
+    return (
+        chunked.filter(F.col(chunk_col).isNotNull())
+        .withColumn(
+            out,
+            F.array_join(
+                F.slice(F.col("__toks"), F.col(chunk_col) * step + 1, max_tokens), " "
+            ),
+        )
+        .select(id_col, chunk_col, out)
+    )
+
+
+def contamination_pairs(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Train/test contamination check: (test_id, train_id, n_shared)
+    for every cross-corpus pair sharing ≥1 distinct word ``n``-gram —
+    the eval-set decontamination step of a training pipeline (n≈8–13
+    word-gram overlap is the standard published criterion). The
+    CROSS-corpus form of ``dedup.fingerprint_collision_pairs``: same
+    bucketed equi-join on the n-gram hash, so the work is
+    O(corpus × grams/doc) shuffle + per-bucket pairing — never a
+    |train|×|test| comparison.
+
+    ``max_bucket_size`` drops n-grams present in more than that many
+    TRAIN docs (boilerplate phrases) before pairing — same skew cap,
+    same caveat as the dedup ladder.
+    """
+    def grams(df: DataFrame, side: str) -> DataFrame:
+        g = F.array_distinct(text.shingles(text_col, n))
+        return (
+            df.withColumn("__gs", g)
+            .select(
+                F.col(id_col).alias(f"{side}_id"),
+                F.explode_outer(
+                    F.transform(F.col("__gs"), text.token_hash60)
+                ).alias("__g"),
+            )
+            .filter(F.col("__g").isNotNull())
+        )
+
+    tr, te = grams(train, "train"), grams(test, "test")
+    if max_bucket_size is not None:
+        sizes = (
+            tr.groupBy("__g")
+            .agg(F.count(F.lit(1)).alias("__bsz"))
+            .filter(F.col("__bsz") <= max_bucket_size)
+        )
+        tr = tr.join(sizes.select("__g"), "__g")
+    return (
+        te.join(tr, "__g")
+        .groupBy("test_id", "train_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+def contaminated_ids(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_shared: int = 1,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """The decontamination drop-list: distinct test ids sharing at least
+    ``min_shared`` n-grams with ANY train doc. Anti-join this against
+    the eval set (or the train set, per your decontamination policy)."""
+    pairs = contamination_pairs(train, test, id_col, text_col, n, max_bucket_size)
+    return (
+        pairs.filter(F.col("n_shared") >= min_shared)
+        .select(F.col("test_id").alias(id_col))
+        .distinct()
+    )

@@ -287,3 +287,28 @@ def shingles(col: str | Column, n: int = 3) -> Column:
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
         lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
     )
+
+
+def ngram_counts(
+    df: DataFrame, text_col: str = "text", n: int = 2, k: int = 20
+) -> DataFrame:
+    """Corpus-wide top-k word n-grams — the vocabulary/phrase-statistics
+    pass of corpus analysis (tokenizer vocab candidates, boilerplate
+    detection feeding the collision-join caps). Deterministic ordering:
+    count desc, then the n-gram itself.
+
+    Scale: explode → ONE partial-aggregated shuffle on the n-gram
+    (map-side combine collapses each partition's repeats first) →
+    TakeOrderedAndProject for the top-k (per-partition k-heaps, no
+    global sort). ``explode_outer`` per the computed-array rule
+    (NOTES.md InferFiltersFromGenerate trap).
+    """
+    grams = df.select(
+        F.explode_outer(F.array_distinct(shingles(text_col, n))).alias("ngram")
+    ).filter(F.col("ngram").isNotNull() & (F.col("ngram") != ""))
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.col("n_docs").desc(), F.col("ngram"))
+        .limit(k)
+    )

@@ -297,3 +297,99 @@ def q_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_bucket_size=_MH_CAP,
     )
     return out.select("doc_id", "text")
+
+
+# shingle replay shared by the chunking/contamination/ngram oracles:
+# text.shingles(col, n) = word n-grams from the whitespace token array
+def _sql_shingles(n: int) -> str:
+    return (
+        f"list_transform(generate_series(0, GREATEST(len(toks) - {n}, 0)), "
+        f"i -> array_to_string(list_slice(toks, i + 1, i + {n}), ' '))"
+    )
+
+
+@query(
+    "q_split_documents",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKENS.format(c='text')} AS toks FROM documents),
+    c AS (
+      SELECT doc_id, toks,
+             GREATEST(CAST(CEIL((len(toks) - 16) / 48.0) AS INT), 1) AS nc
+      FROM t)
+    SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+           array_to_string(list_slice(toks, i * 48 + 1, i * 48 + 64), ' ') AS chunk_text
+    FROM c, LATERAL UNNEST(generate_series(0, nc - 1)) AS u(i)
+    """,
+)
+def q_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking over the corpus: 64-token windows, 16-token
+    overlap (step 48). The oracle replays the chunk-count arithmetic,
+    the window slicing, AND the rejoined chunk text — so the exact
+    token-window contents are value-checked byte-for-byte.
+
+    Scale: narrow per-row array math, 1 row → ceil(n/step) rows, no
+    shuffle (corpus.split_documents; posexplode_outer per the
+    computed-array rule)."""
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.split_documents(docs, max_tokens=64, overlap=16)
+
+
+@query(
+    "q_contamination_pairs",
+    f"""
+    WITH toks_all AS (
+      SELECT doc_id, {_SQL_TOKENS.format(c='text')} AS toks FROM documents),
+    grams AS (
+      SELECT doc_id, g
+      FROM (SELECT doc_id, UNNEST(list_distinct({_sql_shingles(8)})) AS g
+            FROM toks_all)),
+    tr AS (SELECT doc_id AS train_id, g FROM grams WHERE doc_id < 250),
+    te AS (SELECT doc_id AS test_id, g FROM grams WHERE doc_id >= 250)
+    SELECT test_id, train_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM te JOIN tr USING (g)
+    GROUP BY test_id, train_id
+    """,
+)
+def q_contamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination: the corpus split into pseudo-train
+    (doc_id < 250) and pseudo-eval (≥ 250) halves, cross-joined on
+    shared distinct 8-grams — the eval-decontamination step of a
+    training pipeline. The oracle replays shingling, distinct, the
+    cross-corpus equi-join, and the shared counts. (The operator joins
+    on the 60-bit md5 of each gram; the oracle joins on the gram text —
+    identical pairs unless md5-60 collides, which the value compare
+    would expose.)
+
+    Scale: bucketed equi-join on the n-gram hash, O(corpus × grams/doc)
+    shuffle — never |train|×|test| (corpus.contamination_pairs; hot
+    boilerplate grams capped via max_bucket_size in production)."""
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") < 250)
+    test = docs.filter(F.col("doc_id") >= 250)
+    return corpus.contamination_pairs(train, test, n=8)
+
+
+@query(
+    "q_ngram_counts",
+    f"""
+    WITH toks_all AS (
+      SELECT doc_id, {_SQL_TOKENS.format(c='text')} AS toks FROM documents),
+    g AS (
+      SELECT UNNEST(list_distinct({_sql_shingles(2)})) AS ngram FROM toks_all)
+    SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM g WHERE ngram IS NOT NULL AND ngram <> ''
+    GROUP BY ngram
+    ORDER BY n_docs DESC, ngram
+    LIMIT 20
+    """,
+)
+def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 bigrams by document frequency (vocabulary /
+    boilerplate statistics). Deterministic tiebreak on the ngram itself;
+    the oracle replays shingling + distinct-per-doc + the ordered top-k.
+
+    Scale: one partial-agg shuffle on the ngram + TakeOrderedAndProject
+    (text.ngram_counts)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.ngram_counts(docs, n=2, k=20)

@@ -35,6 +35,76 @@ def overwrite_partitions(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    partition_cols: list[str] | None = None,
+    order_col: str | None = None,
+) -> None:
+    """Keyed MERGE/upsert into a parquet store without a transactional
+    table format: rows in ``updates`` replace same-key rows in the store;
+    new keys insert. The SCD-1 write every dimension/state table needs.
+
+    With ``partition_cols``, only the partitions TOUCHED by the updates
+    are read, merged, and rewritten (semi-join prune + dynamic partition
+    overwrite) — cost scales with the update's partition footprint, not
+    the table. Without them, the whole store rewrites (fine for
+    dimension-sized tables; partition anything fact-sized).
+
+    ``order_col``: when ``updates`` itself can carry multiple rows per
+    key (e.g. a CDC batch), the max-``order_col`` row wins; default
+    expects unique keys in ``updates`` (duplicate keys then keep an
+    arbitrary single row, same as SQL MERGE's multi-match error class —
+    pass order_col to make it deterministic).
+
+    Not atomic across partitions (each partition swap is); replaying the
+    same merge is idempotent — the second run replaces rows with
+    identical content. For multi-writer or cross-partition atomicity use
+    a transactional format; this is the engine-native form of the
+    reference's replace-on-reprocess pattern at KEY granularity.
+    """
+    from pathlib import Path as _P
+
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    store_exists = _P(path).exists()
+    if order_col is not None:
+        w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
+        updates = (
+            updates.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    if not store_exists:
+        writer = updates.write.mode("overwrite")
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        writer.parquet(path)
+        return
+    current = spark.read.parquet(path)
+    if partition_cols:
+        touched = updates.select(*partition_cols).distinct()
+        # broadcast semi-join: reads only partitions the update touches
+        # (partition pruning applies when `touched` is small enough to
+        # fold; otherwise the filter still prunes at the row level)
+        current = current.join(F.broadcast(touched), partition_cols, "semi")
+    survivors = current.join(updates.select(*key_cols), key_cols, "anti")
+    merged = survivors.unionByName(updates)
+    if partition_cols:
+        overwrite_partitions(merged, path, partition_cols)
+    else:
+        # full rewrite via a staging swap (overwrite would truncate the
+        # input of its own scan mid-plan)
+        import shutil  # noqa: PLC0415
+
+        tmp = f"{path}__merging"
+        merged.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(path)
+        shutil.move(tmp, path)
+
+
 def compact(
     spark: SparkSession,
     path: str,

@@ -154,3 +154,79 @@ def test_prepare_corpus_end_to_end(spark):
     assert 4 not in got                   # quality-filtered
     assert 1 in got and 5 in got
     assert "<EMAIL>" in got[5] and "@" not in got[5]
+
+
+def test_split_documents_windows_and_overlap(spark):
+    txt = " ".join(f"w{i}" for i in range(10))  # 10 tokens
+    df = spark.createDataFrame([(1, txt), (2, "a b")], ["doc_id", "text"])
+    out = {
+        (r.doc_id, r.chunk_idx): r.chunk_text
+        for r in corpus.split_documents(
+            df, max_tokens=4, overlap=2
+        ).collect()
+    }
+    # doc 1: step=2 → chunks at offsets 0,2,4,6 (ceil((10-2)/2)=4)
+    assert out[(1, 0)] == "w0 w1 w2 w3"
+    assert out[(1, 1)] == "w2 w3 w4 w5"
+    assert out[(1, 3)] == "w6 w7 w8 w9"
+    assert (1, 4) not in out
+    # short doc → exactly one chunk, whole text
+    assert out[(2, 0)] == "a b" and (2, 1) not in out
+    # consecutive chunks share `overlap` tokens
+    assert out[(1, 0)].split()[-2:] == out[(1, 1)].split()[:2]
+    with pytest.raises(ValueError, match="overlap"):
+        corpus.split_documents(df, max_tokens=4, overlap=4)
+
+
+def test_split_documents_plan_is_narrow(spark):
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    plan = corpus.split_documents(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_contamination_pairs_and_drop_list(spark):
+    shared = "the quick brown fox jumps over the lazy dog entirely today"
+    train = spark.createDataFrame(
+        [(100, shared + " train tail one"),
+         (101, "completely unrelated training text with other words here now")],
+        ["doc_id", "text"],
+    )
+    test = spark.createDataFrame(
+        [(1, shared + " eval tail two"),       # contaminated (shares 8-grams)
+         (2, "pristine evaluation sentence nothing in common with training")],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r.test_id, r.train_id): r.n_shared
+        for r in corpus.contamination_pairs(train, test, n=8).collect()
+    }
+    assert (1, 100) in pairs and pairs[(1, 100)] >= 1
+    assert all(t != 2 for (t, _tr) in pairs)  # clean doc pairs with nothing
+    drop = {r.doc_id for r in corpus.contaminated_ids(train, test, n=8).collect()}
+    assert drop == {1}
+
+
+def test_contamination_bucket_cap_drops_boilerplate(spark):
+    boiler = "this exact boilerplate phrase appears in every single document here"
+    train = spark.createDataFrame(
+        [(i, boiler) for i in range(10)], ["doc_id", "text"]
+    )
+    test = spark.createDataFrame([(1, boiler)], ["doc_id", "text"])
+    capped = corpus.contamination_pairs(train, test, n=8, max_bucket_size=5)
+    assert capped.count() == 0  # the phrase is in >5 train docs → capped out
+    uncapped = corpus.contamination_pairs(train, test, n=8)
+    assert uncapped.count() == 10
+
+
+def test_ngram_counts_top_k(spark):
+    from datapipelineetl_spark.operators import text as t
+
+    df = spark.createDataFrame(
+        [(1, "red fox runs"), (2, "red fox sleeps"), (3, "blue fox runs")],
+        ["doc_id", "text"],
+    )
+    out = [(r.ngram, r.n_docs) for r in t.ngram_counts(df, n=2, k=3).collect()]
+    # "red fox" and "fox runs" both appear in 2 docs; ties order by ngram
+    assert out[:2] == [("fox runs", 2), ("red fox", 2)]
+    assert len(out) == 3 and out[2][1] == 1

@@ -57,3 +57,50 @@ def test_compact_swap_leaves_no_temp_dirs(spark, tmp_path):
     assert not Path(out + "__compacting").exists()
     assert not Path(out + "__old").exists()
     assert spark.read.parquet(out).count() == 100
+
+
+def test_merge_upsert_updates_inserts_preserves(spark, tmp_path):
+    """Keyed MERGE: same-key rows replaced, new keys inserted, untouched
+    keys preserved; replaying the identical merge changes nothing."""
+    store = str(tmp_path / "dim")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], ["k", "name", "v"]
+    )
+    maintenance.merge_upsert(spark, store, base, ["k"])
+    upd = spark.createDataFrame([(2, "B", 99), (4, "d", 40)], ["k", "name", "v"])
+    maintenance.merge_upsert(spark, store, upd, ["k"])
+    got = {r.k: (r.name, r.v) for r in spark.read.parquet(store).collect()}
+    assert got == {1: ("a", 10), 2: ("B", 99), 3: ("c", 30), 4: ("d", 40)}
+    maintenance.merge_upsert(spark, store, upd, ["k"])  # replay → same state
+    again = {r.k: (r.name, r.v) for r in spark.read.parquet(store).collect()}
+    assert again == got
+
+
+def test_merge_upsert_partitioned_touches_only_update_partitions(spark, tmp_path):
+    """With partition_cols, the merge must leave data FILES of untouched
+    partitions physically in place (cost ∝ update footprint)."""
+    store = str(tmp_path / "facts")
+    base = spark.createDataFrame(
+        [("2024-01-01", 1, 10), ("2024-01-01", 2, 20), ("2024-01-02", 3, 30)],
+        ["day", "k", "v"],
+    )
+    maintenance.merge_upsert(spark, store, base, ["k"], partition_cols=["day"])
+    before = {p.name for p in (Path(store) / "day=2024-01-02").glob("*.parquet")}
+    upd = spark.createDataFrame([("2024-01-01", 2, 99)], ["day", "k", "v"])
+    maintenance.merge_upsert(spark, store, upd, ["k"], partition_cols=["day"])
+    after = {p.name for p in (Path(store) / "day=2024-01-02").glob("*.parquet")}
+    assert after == before  # untouched partition not rewritten
+    got = {r.k: r.v for r in spark.read.parquet(store).collect()}
+    assert got == {1: 10, 2: 99, 3: 30}
+
+
+def test_merge_upsert_cdc_latest_row_wins(spark, tmp_path):
+    store = str(tmp_path / "cdc")
+    base = spark.createDataFrame([(1, 0, "old")], ["k", "seq", "val"])
+    maintenance.merge_upsert(spark, store, base, ["k"])
+    cdc = spark.createDataFrame(
+        [(1, 5, "mid"), (1, 9, "new"), (2, 1, "x")], ["k", "seq", "val"]
+    )
+    maintenance.merge_upsert(spark, store, cdc, ["k"], order_col="seq")
+    got = {r.k: r.val for r in spark.read.parquet(store).collect()}
+    assert got == {1: "new", 2: "x"}

@@ -465,3 +465,34 @@ def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
     assert back.count() == li.filter(F.col("l_quantity") > 45).count() > 0
     plan = _physical_plan(back)
     assert "PushedFilters: [" in plan and "l_quantity" in plan.split("PushedFilters")[1][:200]
+
+
+def test_q9_q11_q16_q20_broadcast_only_dims_or_aggregates(spark, sf_dir, no_auto_broadcast):
+    """The round-5 TPC-H shapes keep the same hint discipline as q3/q5/
+    q18: every BroadcastExchange covers a dimension scan or an aggregate
+    survivor set — never a raw fact scan (the r2 regression class)."""
+    from datapipelineetl_spark.queries_batch10 import (
+        q9_product_type_profit,
+        q11_important_parts,
+        q16_supplier_part_counts,
+        q20_top_part_shippers,
+    )
+
+    # exact counts vary with plan-tree duplication (q11's val subtree
+    # prints twice pre-AQE-reuse), so pin a MINIMUM plus the dim-only
+    # property for every broadcast present
+    for fn, n_min in (
+        (q9_product_type_profit, 3),     # part, supplier, nation
+        (q11_important_parts, 3),        # nation, nation-suppliers, scalar total
+        (q16_supplier_part_counts, 2),   # filtered part, blacklist
+        (q20_top_part_shippers, 3),      # filtered part, scalar thr, qualifiers
+    ):
+        plan = _physical_plan(fn(spark, sf_dir))
+        subs = _broadcast_subtrees(plan)
+        assert len(subs) >= n_min, f"{fn.__name__}: only {len(subs)} broadcasts"
+        for sub in subs:
+            for ln in (s for s in sub if "Scan parquet" in s or "FileScan" in s):
+                if "lineitem" in ln or "orders" in ln:
+                    assert any("HashAggregate" in s for s in sub), (
+                        f"{fn.__name__}: raw fact scan under BroadcastExchange: {ln.strip()}"
+                    )
