@@ -393,3 +393,105 @@ def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (text.ngram_counts)."""
     docs = _t(spark, sf_dir, "documents")
     return text.ngram_counts(docs, n=2, k=20)
+
+
+@query(
+    "q_funnel_stages",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS v0 FROM events WHERE event_type = 'view'
+      GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS c0
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.v0
+      GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS p0
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.c0
+      GROUP BY e.user_id)
+    SELECT 'view' AS stage, CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_users
+    UNION ALL
+    SELECT 'view>click', CAST((SELECT COUNT(*) FROM c) AS BIGINT)
+    UNION ALL
+    SELECT 'view>click>purchase', CAST((SELECT COUNT(*) FROM p) AS BIGINT)
+    """,
+)
+def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis: users who viewed, then clicked AFTER
+    their first view, then purchased AFTER that click — the ordered
+    event-sequence query of product analytics (strictly stronger than
+    per-type distinct counts: the ORDER is the semantics).
+
+    Scale: three per-user aggregates, each ONE shuffle on user_id with
+    map-side combine; each stage's survivor set (already aggregated,
+    one row per user) joins the next — no event-level self-join, no
+    collect_list of whole histories."""
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("v0"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("v0"))
+        .groupBy("user_id").agg(F.min("ts").alias("c0"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("c0"))
+        .groupBy("user_id").agg(F.min("ts").alias("p0"))
+    )
+
+    def stage(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"), F.count(F.lit(1)).alias("n_users")
+        )
+
+    return (
+        stage("view", v)
+        .unionByName(stage("view>click", c))
+        .unionByName(stage("view>click>purchase", p))
+    )
+
+
+@query(
+    "q_retention_cohorts",
+    """
+    WITH first_seen AS (
+      SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_week
+      FROM events GROUP BY user_id)
+    SELECT cohort_week,
+           CAST(FLOOR(date_diff('day', cohort_week, date_trunc('week', e.ts)) / 7) AS INT)
+             AS week_offset,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    GROUP BY cohort_week, week_offset
+    """,
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by first-active week, counted
+    distinct in each subsequent week offset — the retention triangle of
+    product analytics.
+
+    Scale: one per-user aggregate (first week), joined back (AQE
+    broadcasts the per-user frame when it fits, else shuffles on the
+    same user_id partitioning the aggregate produced), then a
+    two-phase distinct-count on (cohort, offset)."""
+    ev = _t(spark, sf_dir, "events")
+    # cast to DATE: Spark's date_trunc returns TIMESTAMP, DuckDB's a DATE —
+    # the hash compare is on rendered values, so align the type explicitly
+    week = F.date_trunc("week", "ts").cast("date")
+    first = ev.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    return (
+        ev.join(first, "user_id")
+        .withColumn(
+            "week_offset",
+            F.floor(F.datediff(week, F.col("cohort_week")) / 7).cast("int"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )

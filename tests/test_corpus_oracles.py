@@ -61,4 +61,4 @@ def test_staged_registry_is_isolated():
 
     assert not (set(b11.STAGED_QUERIES) & set(q.QUERIES))
     assert set(b11.STAGED_ORACLES) <= set(b11.STAGED_QUERIES)
-    assert len(b11.STAGED_QUERIES) == 8
+    assert len(b11.STAGED_QUERIES) == 10
