@@ -15,19 +15,19 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_ZBITS = 16  # rank resolution per column; 2 cols × 16 bits → 32-bit z-value
+_ZBITS = 16  # code resolution per column; 2 cols × 16 bits → 32-bit z-value
 
 
-def z_value(rank_cols: Sequence[Column]) -> Column:
-    """Bit-interleave per-column integer rank codes (each in
-    [0, 2^16)) into one Z/Morton value — the space-filling-curve key.
-    Pure integer shift/mask expressions: codegen, no UDF."""
+def z_value(code_cols: Sequence[Column]) -> Column:
+    """Bit-interleave per-column integer codes (each in [0, 2^16)) into
+    one Z/Morton value — the space-filling-curve key. Pure integer
+    shift/mask expressions: codegen, no UDF."""
     z: Column = F.lit(0).cast("long")
-    n = len(rank_cols)
-    for c_idx, col in enumerate(rank_cols):
+    n = len(code_cols)
+    for c_idx, col in enumerate(code_cols):
         for bit in range(_ZBITS):
             z = z + (
                 F.shiftleft(
@@ -45,29 +45,44 @@ def zorder_write(
     n_files: int = 8,
 ) -> None:
     """Write ``df`` as ``n_files`` parquet files Z-ordered on ``cols``:
-    each column is rank-coded to 16 bits (percent_rank — value-
-    distribution-proof, so skewed columns still spread over the code
-    space), ranks interleave into a z-value, and a range-repartition +
+    each (numeric) column is code-mapped to 16 bits by linear min/max
+    scaling, codes interleave into a z-value, and a range-repartition +
     in-partition sort on it clusters each output file on a hyper-
     rectangle of the value space.
 
-    Scale: two window passes for the rank codes (one shuffle each at
-    most — at 100 TB swap percent_rank for a cheap quantile-map from
-    ``approx_percentile`` on a sample, same code space, no global
-    window), then ONE range shuffle for the write. The payoff is on the
-    READ side forever after: min/max stats per file/row-group become
-    selective on every z-column (``tests/test_layout.py`` measures it
-    from the actual parquet footers).
+    Scale: ONE metadata aggregate for the per-column min/max (driver
+    scalars), narrow code/interleave expressions, then ONE range shuffle
+    for the write — deliberately NOT a ``percent_rank`` global window,
+    which would serialize the whole table through one task (the repo's
+    own global-ORDER-BY rule). Linear coding is skew-sensitive: a
+    heavily skewed column crowds its code space and weakens skipping on
+    that axis; for such columns pre-map through a quantile lookup
+    (``approx_percentile`` boundaries on a sample) and z-order the
+    mapped column. The payoff is on the READ side forever after: min/max
+    stats per file/row-group become selective on every z-column
+    (``tests/test_layout.py`` measures it from the actual parquet
+    footers).
     """
     if not cols or len(cols) > 3:
         raise ValueError(f"z-order 1–3 columns, got {list(cols)}")
-    ranks = []
+    bounds = df.agg(
+        *[F.min(c).cast("double").alias(f"mn_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"mx_{c}") for c in cols],
+    ).first()
+    codes = []
     for c in cols:
-        w = Window.orderBy(F.col(c))
-        ranks.append(
-            F.floor(F.percent_rank().over(w) * ((1 << _ZBITS) - 1)).cast("long")
+        mn, mx = bounds[f"mn_{c}"], bounds[f"mx_{c}"]
+        if mn is None:
+            raise ValueError(f"z-order column {c!r} is all-null")
+        span = (mx - mn) or 1.0
+        scaled = (F.col(c).cast("double") - F.lit(mn)) / F.lit(span)
+        codes.append(
+            F.least(
+                F.floor(scaled * (1 << _ZBITS)).cast("long"),
+                F.lit((1 << _ZBITS) - 1),
+            )
         )
-    zed = df.withColumn("__z", z_value(ranks))
+    zed = df.withColumn("__z", z_value(codes))
     (
         zed.repartitionByRange(n_files, F.col("__z"))
         .sortWithinPartitions("__z")

@@ -104,3 +104,20 @@ def test_merge_upsert_cdc_latest_row_wins(spark, tmp_path):
     maintenance.merge_upsert(spark, store, cdc, ["k"], order_col="seq")
     got = {r.k: r.val for r in spark.read.parquet(store).collect()}
     assert got == {1: "new", 2: "x"}
+
+
+def test_schema_evolution_merge_on_read(spark, tmp_path):
+    """A long-lived store whose later files gained a column must read
+    whole with mergeSchema (old rows null-fill) — and the narrower
+    default read stays cheap (no footer merge) when the new column is
+    not needed. The add-a-column migration every 100 TB table lives
+    through."""
+    store = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], ["k", "v"]).write.parquet(store)
+    spark.createDataFrame([(2, "b", 99)], ["k", "v", "extra"]).write.mode(
+        "append"
+    ).parquet(store)
+    merged = spark.read.option("mergeSchema", "true").parquet(store)
+    assert set(merged.columns) == {"k", "v", "extra"}
+    got = {r.k: r.extra for r in merged.collect()}
+    assert got == {1: None, 2: 99}
