@@ -116,3 +116,43 @@ def file_stats(path: str, cols: Sequence[str]) -> list[dict]:
             stats[c] = (mn, mx)
         out.append(stats)
     return out
+
+
+def quantile_code(
+    df: DataFrame,
+    col: str,
+    out: str | None = None,
+    bits: int = 8,
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """The skew escape hatch for ``zorder_write``: map ``col`` to a
+    [0, 2^bits) code by its approximate quantile bucket, so a heavily
+    skewed column spreads UNIFORMLY over the code space (equal-frequency
+    instead of equal-width coding). Z-order the coded column:
+
+        df2 = quantile_code(df, "user_id", "user_code")
+        zorder_write(df2, path, ["ts_day", "user_code"])
+
+    Scale: one ``approx_percentile`` aggregate (GK sketch, driver gets
+    2^bits boundary scalars — metadata), then the code is a narrow
+    binary-search expression over the boundary array literal
+    (``array_position`` on a sorted literal; O(2^bits) comparisons in
+    codegen, fine for bits ≤ 10). No window, no shuffle.
+    """
+    if not 1 <= bits <= 10:
+        raise ValueError(f"bits must be in [1, 10], got {bits}")
+    n = 1 << bits
+    qs = [i / n for i in range(1, n)]
+    row = df.agg(
+        F.expr(
+            f"approx_percentile({col}, array({', '.join(str(q) for q in qs)}), "
+            f"{int(1 / relative_error)})"
+        ).alias("b")
+    ).first()
+    if row.b is None:
+        raise ValueError(f"quantile_code column {col!r} is all-null")
+    bounds = sorted(set(row.b))  # duplicates collapse on low-cardinality cols
+    code = F.lit(0)
+    for b in bounds:
+        code = code + F.when(F.col(col) > F.lit(b), 1).otherwise(0)
+    return df.withColumn(out or f"{col}_qcode", code.cast("long"))

@@ -1,0 +1,81 @@
+"""End-to-end demo: raw document store → packed, decontaminated,
+PII-scrubbed training corpus — the engine's §2.11 surface in one
+runnable script.
+
+    python examples/prepare_training_corpus.py [sf_dir]
+
+Stages (each one an oracle-checked operator; see COVERAGE.md):
+  1. prepare_corpus     quality/lang filter → exact dedup → capped
+                        near-dup clustering → representative keep →
+                        PII redaction
+  2. contaminated_ids   drop docs sharing 8-grams with the held-out set
+  3. train/val split    deterministic hash-gated sampling (salted)
+  4. split_documents    64-token windows, 16-token overlap
+  5. pack_greedy        1024-token training packs (budget-bounded)
+  6. zorder_write       pack store laid out for (pack, doc) skipping
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from datapipelineetl_spark import catalog
+from datapipelineetl_spark.operators import corpus, text
+from datapipelineetl_spark.session import get_session
+from datapipelineetl_spark.sinks import layout
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else ".scratch/training_corpus"
+    spark = get_session("prepare-corpus-demo")
+    docs = catalog.load(spark, sf_dir, "documents")
+    n0 = docs.count()
+
+    # 1. clean + dedup + redact (each stage oracle-checked individually;
+    #    the composition by the staged q_prepare_corpus oracle)
+    clean = corpus.prepare_corpus(
+        docs, min_quality=0.5, near_dup_threshold=0.7, max_bucket_size=50
+    ).select("doc_id", "text")
+    n1 = clean.count()
+
+    # 2. decontaminate against a pretend eval set (last 10% of doc ids)
+    cut = docs.agg(F.expr("percentile(doc_id, 0.9)")).first()[0]
+    evalset = docs.filter(F.col("doc_id") > cut)
+    drop = corpus.contaminated_ids(clean, evalset, n=8, max_bucket_size=50)
+    decon = clean.join(drop, "doc_id", "anti")
+    n2 = decon.count()
+
+    # 3. deterministic 95/5 train/val split (reproducible forever)
+    train = corpus.sample_fraction(decon, 0.95, "doc_id", salt="train")
+    n3 = train.count()
+
+    # 4. chunk to context windows, 5. pack to training sequences
+    chunks = corpus.split_documents(train, max_tokens=64, overlap=16)
+    chunks = text.with_token_stats(
+        chunks.withColumnRenamed("chunk_text", "text")
+    ).withColumn("chunk_key", F.col("doc_id") * 10_000 + F.col("chunk_idx"))
+    packed = corpus.pack_greedy(
+        chunks.select("chunk_key", "doc_id", "chunk_idx", "text", "n_tokens"),
+        "chunk_key", "n_tokens", budget=1024, n_shards=32,
+    )
+    n4 = packed.count()
+
+    # 6. write z-ordered on (pack_id, doc_id): a loader reading one pack
+    #    OR one document's chunks skips most files
+    layout.zorder_write(packed, out_dir, ["pack_id", "doc_id"], n_files=8)
+    packs = spark.read.parquet(out_dir).select("pack_id").distinct().count()
+    print(
+        f"documents {n0} -> cleaned {n1} -> decontaminated {n2} -> "
+        f"train {n3} -> chunks {n4} -> packs {packs} (store: {out_dir})"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -67,3 +67,28 @@ def test_zorder_preserves_rows_and_values(grid, spark, tmp_path):
 def test_zorder_validates_columns(grid, tmp_path):
     with pytest.raises(ValueError, match="z-order"):
         layout.zorder_write(grid, str(tmp_path / "bad"), [])
+
+
+def test_quantile_code_restores_skipping_on_skewed_column(spark, tmp_path):
+    """A Zipf-ish skewed column crowds the linear z-code space; the
+    quantile premap spreads it equal-frequency so per-file spans become
+    selective again in CODE space (the documented escape hatch)."""
+    # 90% of rows share tiny values, a long tail spreads to 1e6
+    df = spark.range(10_000).select(
+        F.col("id"),
+        F.when(F.col("id") % 10 < 9, F.col("id") % 7)
+        .otherwise((F.col("id") * 997) % 1_000_000)
+        .alias("skewed"),
+        (F.col("id") % 100).alias("x"),
+    )
+    coded = layout.quantile_code(df, "skewed", "s_code", bits=8)
+    # equal-frequency: no single code holds more than ~the head mass
+    top = (
+        coded.groupBy("s_code").count().orderBy(F.col("count").desc()).first()
+    )
+    assert top["count"] <= 9_200  # the 90% head can't exceed its own mass
+    zpath = str(tmp_path / "zq")
+    layout.zorder_write(coded, zpath, ["x", "s_code"], n_files=16)
+    zs = layout.file_stats(zpath, ["x", "s_code"])
+    spans = [s["s_code"][1] - s["s_code"][0] for s in zs]
+    assert sum(spans) / len(spans) < 120  # code space is 0..255: selective
