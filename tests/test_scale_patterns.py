@@ -496,3 +496,37 @@ def test_q9_q11_q16_q20_broadcast_only_dims_or_aggregates(spark, sf_dir, no_auto
                     assert any("HashAggregate" in s for s in sub), (
                         f"{fn.__name__}: raw fact scan under BroadcastExchange: {ln.strip()}"
                     )
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, tmp_path):
+    """Spark's runtime bloom-filter injection — the engine-native bloom-
+    pruned join: a selective dim filter materializes a bloom of its join
+    keys and the FACT scan pre-filters through might_contain BEFORE the
+    shuffle, shrinking shuffle volume without changing results. On by
+    default in production (creation ≤10 MB dim, ≥10 GB fact scan); the
+    size thresholds are lowered here so the 100 TB behavior is visible
+    and pinned at test scale."""
+    fpath, dpath = str(tmp_path / "fact"), str(tmp_path / "dim")
+    spark.range(200_000).selectExpr("id AS k", "id % 997 AS v").write.parquet(fpath)
+    spark.range(500).selectExpr("id * 400 AS k", "id AS dv").write.parquet(dpath)
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # broadcast would subsume it
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = spark.read.parquet(fpath)
+        dim = spark.read.parquet(dpath).filter(F.col("dv") < 50)
+        joined = fact.join(dim, "k")
+        opt = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in opt, "runtime bloom filter not injected"
+        assert "might_contain" in opt
+        # semantics unchanged: bloom is a pre-filter superset, the exact
+        # join still decides membership
+        assert joined.count() == 50
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
