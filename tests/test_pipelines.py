@@ -106,3 +106,21 @@ def test_run_xml_feed_archives_sources(spark, tmp_path):
     assert res.leftovers == []
     archived = list((tmp_path / "adone").rglob("*.xml"))
     assert len(archived) == 1
+
+
+def test_training_corpus_example_runs_end_to_end(spark, tmp_path, capsys):
+    """The README's demo script must stay runnable: full pipeline from
+    raw documents to a z-ordered pack store at sf0.001."""
+    import examples.prepare_training_corpus as demo
+
+    out = str(tmp_path / "corpus_demo")
+    import sys as _sys
+
+    argv, _sys.argv = _sys.argv, ["demo", "/root/testdata/sf0.001", out]
+    try:
+        assert demo.main() == 0
+    finally:
+        _sys.argv = argv
+    packed = spark.read.parquet(out)
+    assert packed.count() > 0
+    assert {"pack_id", "doc_id", "chunk_idx", "text", "n_tokens"} <= set(packed.columns)
