@@ -312,3 +312,48 @@ def ngram_counts(
         .orderBy(F.col("n_docs").desc(), F.col("ngram"))
         .limit(k)
     )
+
+
+def normalize_url(col: str | Column, drop_params: tuple[str, ...] = ("utm_", "fbclid", "gclid")) -> Column:
+    """URL canonicalization — the pre-dedup step for web-crawl corpora
+    (two fetches of one page must map to ONE key before exact dedup):
+    lowercases scheme+host, strips default ports and fragments, drops
+    tracking query params (prefix match for ``utm_``-style families),
+    sorts the surviving params, and trims trailing slashes from the
+    path. Pure JVM string/array expressions — narrow, codegen, no UDF.
+
+    Not a full RFC 3986 normalizer (no percent-encoding case folding or
+    dot-segment removal) — the documented 80% that collapses the
+    overwhelming share of crawl aliases; extend the regex chain for the
+    rest.
+    """
+    c = col if isinstance(col, Column) else F.col(col)
+    # split off fragment, then query — F.get (not getItem): a URL without
+    # '?' yields a 1-element split and getItem(1) THROWS under ANSI
+    no_frag = F.get(F.split(c, "#", 2), 0)
+    parts = F.split(no_frag, r"\?", 2)
+    base, query = F.get(parts, 0), F.get(parts, 1)
+    # lowercase scheme://host (everything before the path slash), keep path case
+    head = F.regexp_extract(base, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)", 1)
+    path = F.substring(base, F.length(head) + 1, F.lit(1 << 30))
+    head = F.lower(head)
+    head = F.regexp_replace(head, r"^(https?://[^/:]+):(?:80|443)$", r"$1")
+    path = F.regexp_replace(path, r"/+$", "")
+    keep = F.filter(
+        F.split(F.coalesce(query, F.lit("")), "&"),
+        lambda p: (p != "")
+        & ~reduce_or([p.startswith(d) if d.endswith("_") else (F.split(p, "=", 2).getItem(0) == d) for d in drop_params]),
+    )
+    qnorm = F.array_join(F.array_sort(keep), "&")
+    return F.concat(
+        head, path, F.when(qnorm == "", F.lit("")).otherwise(F.concat(F.lit("?"), qnorm))
+    )
+
+
+def reduce_or(conds: list[Column]) -> Column:
+    """OR-fold a non-empty list of boolean columns (helper for lambda
+    bodies, where Python's ``any`` can't apply)."""
+    out = conds[0]
+    for c in conds[1:]:
+        out = out | c
+    return out

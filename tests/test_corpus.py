@@ -230,3 +230,27 @@ def test_ngram_counts_top_k(spark):
     # "red fox" and "fox runs" both appear in 2 docs; ties order by ngram
     assert out[:2] == [("fox runs", 2), ("red fox", 2)]
     assert len(out) == 3 and out[2][1] == 1
+
+
+def test_normalize_url_collapses_crawl_aliases(spark):
+    """URL canonicalization (the pre-dedup key for web crawls): scheme/
+    host case, default ports, fragments, tracking params, param order,
+    and trailing slashes must all collapse; non-URLs pass through."""
+    from datapipelineetl_spark.operators import text as t
+
+    pairs = [
+        ("HTTPS://Example.COM:443/Path/?b=2&utm_source=x&a=1#frag",
+         "https://example.com/Path?a=1&b=2"),
+        ("https://example.com/Path?a=1&b=2", "https://example.com/Path?a=1&b=2"),
+        ("http://example.com:80/", "http://example.com"),
+        ("https://example.com/page?fbclid=abc", "https://example.com/page"),
+        ("not a url at all", "not a url at all"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in pairs], ["url"])
+    got = [r.n for r in df.select(t.normalize_url("url").alias("n")).collect()]
+    assert got == [want for _, want in pairs]
+    # the whole point: the two aliases of /Path produce ONE dedup key
+    assert got[0] == got[1]
+    # narrow plan: no shuffle, no Python
+    plan = df.select(t.normalize_url("url"))._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan
