@@ -51,3 +51,65 @@ def test_sample_fraction_nested_and_reproducible(spark, keys, f1, f2):
     assert small <= big  # same salt → larger fraction is a superset
     again = {r.k for r in corpus.sample_fraction(df, lo, "k").collect()}
     assert small == again  # pure function of (key, salt, fraction)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(min_value=2, max_value=40), min_size=1, max_size=6),
+    st.integers(min_value=2, max_value=12),
+    st.integers(min_value=0, max_value=6),
+)
+def test_split_documents_reconstructs_original_tokens(spark, lengths, max_tokens, overlap):
+    """Dropping each chunk's first `overlap` tokens (except chunk 0) and
+    concatenating must reproduce the document exactly — i.e. chunking
+    loses nothing and overlaps are exactly the declared width."""
+    if overlap >= max_tokens:
+        overlap = max_tokens - 1
+    docs = [
+        (i, " ".join(f"t{i}_{j}" for j in range(n))) for i, n in enumerate(lengths)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = corpus.split_documents(df, max_tokens=max_tokens, overlap=overlap)
+    by_doc: dict[int, list[tuple[int, str]]] = {}
+    for r in out.collect():
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk_text))
+    for doc_id, text in docs:
+        chunks = [t for _, t in sorted(by_doc[doc_id])]
+        rebuilt = chunks[0].split()
+        for ch in chunks[1:]:
+            toks = ch.split()
+            assert rebuilt[-overlap:] == toks[:overlap] if overlap else True
+            rebuilt.extend(toks[overlap:])
+        assert rebuilt == text.split(), f"doc {doc_id} lost/dup'd tokens"
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.data())
+def test_contamination_pairs_match_bruteforce(spark, data):
+    """The bucketed cross-corpus collision join must find EXACTLY the
+    pairs a brute-force n-gram intersection finds."""
+    words = [f"w{i}" for i in range(12)]
+    def mk_doc():
+        n = data.draw(st.integers(min_value=3, max_value=10))
+        return " ".join(data.draw(st.sampled_from(words)) for _ in range(n))
+    train = [(100 + i, mk_doc()) for i in range(4)]
+    test = [(200 + i, mk_doc()) for i in range(3)]
+    n = 3
+    tdf = spark.createDataFrame(train, ["doc_id", "text"])
+    edf = spark.createDataFrame(test, ["doc_id", "text"])
+    got = {
+        (r.test_id, r.train_id): r.n_shared
+        for r in corpus.contamination_pairs(tdf, edf, n=n).collect()
+    }
+    def grams(text):
+        toks = text.lower().split()
+        if len(toks) <= n:
+            return {" ".join(toks[: max(len(toks), 1)])} if toks else set()
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+    expect = {}
+    for te_id, te_text in test:
+        for tr_id, tr_text in train:
+            shared = len(grams(te_text) & grams(tr_text))
+            if shared:
+                expect[(te_id, tr_id)] = shared
+    assert got == expect

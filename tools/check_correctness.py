@@ -8,6 +8,10 @@ everything matches. Use while iterating; the driver's own check is the
 gate of record.
 
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
+       python tools/check_correctness.py --staged [sf_dir] [query ...]
+
+``--staged`` ALSO checks the queries_batch11 STAGED set (not yet in the
+driver window — see its module docstring) with the same comparison.
 """
 
 from __future__ import annotations
@@ -58,8 +62,10 @@ def risky_oracle_types(con, name: str, sql: str) -> list[tuple[str, str]]:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--default-session"]
+    flags = {"--default-session", "--staged"}
+    args = [a for a in sys.argv[1:] if a not in flags]
     default_session = "--default-session" in sys.argv[1:]
+    staged = "--staged" in sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
     if default_session:
@@ -79,6 +85,11 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    if staged:
+        from datapipelineetl_spark import queries_batch11 as b11
+
+        qs = {**qs, **b11.STAGED_QUERIES}
+        oracles = {**oracles, **b11.STAGED_ORACLES}
     failed = []
     for name, fn in qs.items():
         if only and name not in only:
