@@ -447,3 +447,70 @@ def contaminated_ids(
         .select(F.col("test_id").alias(id_col))
         .distinct()
     )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_doc_frac: float = 0.2,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Boilerplate line removal (the C4-style cleanup pass): lines whose
+    trimmed form appears in more than ``max(min_docs, max_doc_frac ×
+    corpus)`` DISTINCT documents (nav bars, cookie banners, footers) are
+    deleted from every document; remaining lines keep their original
+    order. Returns (id, text) with the rebuilt text — documents whose
+    every line was boilerplate come back empty (drop them with the
+    quality filter, which is the pipeline order ``prepare_corpus``
+    implies).
+
+    Scale: explode to (doc, line-index, line) — O(total lines), narrow;
+    line doc-frequency is one partial-agg shuffle on the trimmed line;
+    the boilerplate set anti-joins back (AQE broadcasts it when small —
+    it is, by construction: lines above a corpus-fraction threshold);
+    the rebuild is one groupBy(doc) with an in-aggregate sorted
+    reassembly (array_sort over (index, line) structs — no per-group
+    window, no second shuffle beyond the groupBy). One driver-side
+    metadata count for the corpus size, same class as mix_corpora.
+    """
+    if not 0.0 < max_doc_frac <= 1.0:
+        raise ValueError(f"max_doc_frac must be in (0, 1], got {max_doc_frac}")
+    total_docs = df.count()
+    threshold = max(min_docs, int(max_doc_frac * total_docs) + 1)
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode_outer(F.split(F.col(text_col), "\n")).alias("__idx", "__line"),
+    ).filter(F.col("__line").isNotNull())
+    norm = F.trim(F.col("__line"))
+    boiler = (
+        lines.filter(norm != "")
+        .select(F.col(id_col), norm.alias("__key"))
+        .distinct()
+        .groupBy("__key")
+        .agg(F.count(F.lit(1)).alias("__docs"))
+        .filter(F.col("__docs") >= threshold)
+        .select("__key")
+    )
+    kept = lines.join(boiler, norm == F.col("__key"), "anti")
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("__idx"), F.col("__line")))
+                    ),
+                    lambda s: s["__line"],
+                ),
+                "\n",
+            ).alias(text_col)
+        )
+    )
+    # docs whose EVERY line was boilerplate vanish from `kept` — restore
+    # them with empty text so the operator never silently drops rows
+    return (
+        df.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .fillna({text_col: ""})
+    )

@@ -254,3 +254,31 @@ def test_normalize_url_collapses_crawl_aliases(spark):
     # narrow plan: no shuffle, no Python
     plan = df.select(t.normalize_url("url"))._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_remove_boilerplate_lines(spark):
+    footer = "subscribe to our newsletter"
+    docs = [
+        (1, "unique alpha\n" + footer + "\nunique beta"),
+        (2, footer + "\ndifferent body two"),
+        (3, "different body three\n  " + footer + "  "),  # trimmed match
+        (4, footer),                                      # all boilerplate
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {
+        r.doc_id: r.text
+        for r in corpus.remove_boilerplate_lines(
+            df, max_doc_frac=0.5, min_docs=2
+        ).collect()
+    }
+    assert out[1] == "unique alpha\nunique beta"  # order preserved
+    assert out[2] == "different body two"
+    assert out[3] == "different body three"
+    assert out[4] == ""                            # emptied, not dropped
+    assert len(out) == 4
+    # below-threshold lines survive everywhere
+    rare = corpus.remove_boilerplate_lines(
+        spark.createDataFrame(docs[:2], ["doc_id", "text"]),
+        max_doc_frac=0.95, min_docs=3,
+    )
+    assert {r.doc_id: r.text for r in rare.collect()}[1] == docs[0][1]
