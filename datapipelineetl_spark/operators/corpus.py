@@ -36,11 +36,26 @@ from datapipelineetl_spark.operators import dedup, text
 _GATE = 1_000_000
 
 
+_NULL_KEY = "__null__"
+
+
 def _hash_gate(key: Column, salt: str) -> Column:
     """Uniform [0, 1e6) bucket from a row key + salt — the reproducible
     coin every sampler here flips. Changing ``salt`` draws an independent
-    sample (e.g. train/validation splits from the same corpus)."""
-    return F.pmod(text.token_hash60(F.concat(key.cast("string"), F.lit(salt))), F.lit(_GATE))
+    sample (e.g. train/validation splits from the same corpus). NULL keys
+    coalesce to a sentinel so they get a deterministic coin like any
+    other value (a null gate would null the filter predicate and SILENTLY
+    drop those rows even at fraction 1.0); replay in SQL as
+    ``COALESCE(key::VARCHAR, '__null__')``."""
+    k = F.coalesce(key.cast("string"), F.lit(_NULL_KEY))
+    return F.pmod(text.token_hash60(F.concat(k, F.lit(salt))), F.lit(_GATE))
+
+
+def _gate_threshold(fraction: float) -> int:
+    """fraction → integer gate threshold, rounding half AWAY FROM ZERO —
+    matching SQL ROUND() (the oracle replay), not Python round()'s
+    banker's rounding, which diverges on exact half-millionths."""
+    return int(fraction * _GATE + 0.5)
 
 
 def sample_fraction(
@@ -59,7 +74,7 @@ def sample_fraction(
     """
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
-    return df.filter(_hash_gate(F.col(key_col), salt) < int(round(fraction * _GATE)))
+    return df.filter(_hash_gate(F.col(key_col), salt) < _gate_threshold(fraction))
 
 
 def sample_stratified(
@@ -84,9 +99,9 @@ def sample_stratified(
             raise ValueError(f"fraction for stratum {s!r} must be in [0, 1], got {f}")
     if not 0.0 <= default_fraction <= 1.0:
         raise ValueError(f"default_fraction must be in [0, 1], got {default_fraction}")
-    thr: Column = F.lit(int(round(default_fraction * _GATE)))
+    thr: Column = F.lit(_gate_threshold(default_fraction))
     for s, f in fractions.items():
-        thr = F.when(F.col(strata_col) == s, F.lit(int(round(f * _GATE)))).otherwise(thr)
+        thr = F.when(F.col(strata_col) == s, F.lit(_gate_threshold(f))).otherwise(thr)
     return df.filter(_hash_gate(F.col(key_col), salt) < thr)
 
 
@@ -437,14 +452,24 @@ def contaminated_ids(
     n: int = 8,
     min_shared: int = 1,
     max_bucket_size: int | None = None,
+    side: str = "test",
 ) -> DataFrame:
-    """The decontamination drop-list: distinct test ids sharing at least
-    ``min_shared`` n-grams with ANY train doc. Anti-join this against
-    the eval set (or the train set, per your decontamination policy)."""
+    """The decontamination drop-list: distinct ids from ``side`` sharing
+    at least ``min_shared`` n-grams with ANY doc on the other side.
+    ``side="test"`` lists eval docs leaked into training data (drop from
+    the eval set); ``side="train"`` lists TRAINING docs containing
+    held-out material (drop from the training set — the usual
+    pretraining decontamination direction). The id comes from the
+    declared side's column of ``contamination_pairs``, so cross-id
+    contamination is caught either way — anti-joining one side's ids
+    against the OTHER side's frame would only ever remove coincidental
+    id collisions."""
+    if side not in ("test", "train"):
+        raise ValueError(f"side must be 'test' or 'train', got {side!r}")
     pairs = contamination_pairs(train, test, id_col, text_col, n, max_bucket_size)
     return (
         pairs.filter(F.col("n_shared") >= min_shared)
-        .select(F.col("test_id").alias(id_col))
+        .select(F.col(f"{side}_id").alias(id_col))
         .distinct()
     )
 
@@ -477,7 +502,9 @@ def remove_boilerplate_lines(
     if not 0.0 < max_doc_frac <= 1.0:
         raise ValueError(f"max_doc_frac must be in (0, 1], got {max_doc_frac}")
     total_docs = df.count()
-    threshold = max(min_docs, int(max_doc_frac * total_docs) + 1)
+    # strictly MORE than max(min_docs, frac×corpus) — the +1 makes the
+    # >= filter an exclusive bound on BOTH branches of the max
+    threshold = max(min_docs, int(max_doc_frac * total_docs)) + 1
     lines = df.select(
         F.col(id_col),
         F.posexplode_outer(F.split(F.col(text_col), "\n")).alias("__idx", "__line"),

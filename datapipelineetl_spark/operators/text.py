@@ -337,7 +337,10 @@ def normalize_url(col: str | Column, drop_params: tuple[str, ...] = ("utm_", "fb
     head = F.regexp_extract(base, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)", 1)
     path = F.substring(base, F.length(head) + 1, F.lit(1 << 30))
     head = F.lower(head)
-    head = F.regexp_replace(head, r"^(https?://[^/:]+):(?:80|443)$", r"$1")
+    # scheme-SPECIFIC default ports: http:443 / https:80 are different
+    # origins from the portless form and must NOT collapse
+    head = F.regexp_replace(head, r"^(http://[^/:]+):80$", r"$1")
+    head = F.regexp_replace(head, r"^(https://[^/:]+):443$", r"$1")
     path = F.regexp_replace(path, r"/+$", "")
     keep = F.filter(
         F.split(F.coalesce(query, F.lit("")), "&"),

@@ -60,8 +60,12 @@ def register() -> None:
 
 
 # the engine's sampling gate, replayed in DuckDB SQL ({k}: key expression
-# already cast to VARCHAR; {s}: salt literal)
-_SQL_GATE = "(('0x' || substr(md5({k} || '{s}'), 1, 15))::BIGINT % 1000000)"
+# already cast to VARCHAR; {s}: salt literal). COALESCE mirrors
+# corpus._hash_gate's null-key sentinel exactly.
+_SQL_GATE = (
+    "(('0x' || substr(md5(COALESCE({k}, '__null__') || '{s}'), 1, 15))::BIGINT"
+    " % 1000000)"
+)
 
 
 @query(

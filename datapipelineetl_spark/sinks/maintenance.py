@@ -42,16 +42,25 @@ def merge_upsert(
     key_cols: list[str],
     partition_cols: list[str] | None = None,
     order_col: str | None = None,
+    keys_partition_stable: bool = True,
 ) -> None:
     """Keyed MERGE/upsert into a parquet store without a transactional
     table format: rows in ``updates`` replace same-key rows in the store;
     new keys insert. The SCD-1 write every dimension/state table needs.
 
-    With ``partition_cols``, only the partitions TOUCHED by the updates
-    are read, merged, and rewritten (semi-join prune + dynamic partition
+    With ``partition_cols``, only the partitions TOUCHED by the merge are
+    read, merged, and rewritten (semi-join prune + dynamic partition
     overwrite) — cost scales with the update's partition footprint, not
     the table. Without them, the whole store rewrites (fine for
     dimension-sized tables; partition anything fact-sized).
+
+    ``keys_partition_stable`` declares that a key's partition value never
+    changes (the usual contract — partition on an immutable attribute).
+    When it can change (e.g. partitioned by mutable status), pass False:
+    the key columns are scanned store-wide (column-pruned scan, not a
+    full-row read) to ALSO locate and rewrite the partitions a moved key
+    is leaving — otherwise its old row would survive as a stale
+    duplicate. True keeps the cheap update-footprint-only path.
 
     ``order_col``: when ``updates`` itself can carry multiple rows per
     key (e.g. a CDC batch), the max-``order_col`` row wins; default
@@ -86,14 +95,51 @@ def merge_upsert(
     current = spark.read.parquet(path)
     if partition_cols:
         touched = updates.select(*partition_cols).distinct()
-        # broadcast semi-join: reads only partitions the update touches
+        if not keys_partition_stable:
+            # a moved key's OLD partition must be rewritten too (to drop
+            # the stale row): find every partition currently holding an
+            # updated key — a key+partition-column-pruned scan of the
+            # store, not a full-row read
+            moved_from = (
+                spark.read.parquet(path)
+                .select(*key_cols, *partition_cols)
+                .join(F.broadcast(updates.select(*key_cols).distinct()), key_cols, "semi")
+                .select(*partition_cols)
+                .distinct()
+            )
+            touched = touched.unionByName(moved_from).distinct()
+        # broadcast semi-join: reads only partitions the merge touches
         # (partition pruning applies when `touched` is small enough to
         # fold; otherwise the filter still prunes at the row level)
         current = current.join(F.broadcast(touched), partition_cols, "semi")
     survivors = current.join(updates.select(*key_cols), key_cols, "anti")
     merged = survivors.unionByName(updates)
     if partition_cols:
+        emptied: list = []
+        if not keys_partition_stable:
+            # dynamic overwrite only replaces partitions PRESENT in the
+            # written data: a touched partition whose every row moved
+            # away would keep its stale files. Compute the emptied set
+            # BEFORE the write — these plans read the store, and the
+            # overwrite below mutates it.
+            written = {
+                tuple(r[c] for c in partition_cols)
+                for r in merged.select(*partition_cols).distinct().collect()
+            }
+            emptied = [
+                r for r in touched.collect()
+                if tuple(r[c] for c in partition_cols) not in written
+            ]
         overwrite_partitions(merged, path, partition_cols)
+        if emptied:
+            import shutil  # noqa: PLC0415
+
+            for row in emptied:
+                part_dir = _P(path).joinpath(
+                    *[f"{c}={row[c]}" for c in partition_cols]
+                )
+                if part_dir.exists():
+                    shutil.rmtree(part_dir)
     else:
         # full rewrite via a staging swap (overwrite would truncate the
         # input of its own scan mid-plan)

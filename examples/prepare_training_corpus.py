@@ -44,10 +44,14 @@ def main() -> int:
     ).select("doc_id", "text")
     n1 = clean.count()
 
-    # 2. decontaminate against a pretend eval set (last 10% of doc ids)
+    # 2. decontaminate against a pretend eval set (last 10% of doc ids):
+    #    side="train" lists the TRAINING docs that contain held-out
+    #    8-grams — those are what must leave the training corpus
     cut = docs.agg(F.expr("percentile(doc_id, 0.9)")).first()[0]
     evalset = docs.filter(F.col("doc_id") > cut)
-    drop = corpus.contaminated_ids(clean, evalset, n=8, max_bucket_size=50)
+    drop = corpus.contaminated_ids(
+        clean, evalset, n=8, max_bucket_size=50, side="train"
+    )
     decon = clean.join(drop, "doc_id", "anti")
     n2 = decon.count()
 

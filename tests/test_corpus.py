@@ -282,3 +282,53 @@ def test_remove_boilerplate_lines(spark):
         max_doc_frac=0.95, min_docs=3,
     )
     assert {r.doc_id: r.text for r in rare.collect()}[1] == docs[0][1]
+
+
+def test_sample_fraction_null_keys_get_deterministic_coin(spark):
+    """NULL keys must not be silently dropped: they coalesce to a
+    sentinel and sample like any value (kept at fraction 1.0)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("k", T.LongType(), True)])
+    df = spark.createDataFrame([(1,), (2,), (None,)], schema)
+    assert corpus.sample_fraction(df, 1.0, "k").count() == 3
+    assert corpus.sample_fraction(df, 0.0, "k").count() == 0
+    a = {r.k for r in corpus.sample_fraction(df, 0.5, "k").collect()}
+    b = {r.k for r in corpus.sample_fraction(df, 0.5, "k").collect()}
+    assert a == b  # null's coin is deterministic too
+
+
+def test_contaminated_ids_train_side(spark):
+    """side='train' must list the TRAINING doc ids that contain held-out
+    n-grams — cross-id contamination, not id coincidence."""
+    shared = "one two three four five six seven eight nine ten"
+    train = spark.createDataFrame(
+        [(100, shared + " train only tail"), (101, "totally unrelated training words here today")],
+        ["doc_id", "text"],
+    )
+    test = spark.createDataFrame([(900, shared + " eval tail")], ["doc_id", "text"])
+    drop_train = {r.doc_id for r in corpus.contaminated_ids(
+        train, test, n=8, side="train"
+    ).collect()}
+    assert drop_train == {100}
+    with pytest.raises(ValueError, match="side"):
+        corpus.contaminated_ids(train, test, side="both")
+
+
+def test_normalize_url_ports_are_scheme_specific(spark):
+    """http:443 / https:80 are DIFFERENT origins from the portless form
+    and must not collapse; only each scheme's own default port strips."""
+    from datapipelineetl_spark.operators import text as t
+
+    urls = [
+        "http://example.com:443/a",
+        "http://example.com/a",
+        "https://example.com:80/a",
+        "https://example.com/a",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    got = [r.n for r in df.select(t.normalize_url("url").alias("n")).collect()]
+    assert got[0] != got[1]  # http:443 stays distinct
+    assert got[2] != got[3]  # https:80 stays distinct
+    assert got[0] == "http://example.com:443/a"
+    assert got[2] == "https://example.com:80/a"

@@ -121,3 +121,22 @@ def test_schema_evolution_merge_on_read(spark, tmp_path):
     assert set(merged.columns) == {"k", "v", "extra"}
     got = {r.k: r.extra for r in merged.collect()}
     assert got == {1: None, 2: 99}
+
+
+def test_merge_upsert_partition_moving_key(spark, tmp_path):
+    """keys_partition_stable=False: an update that moves a key to a new
+    partition value must remove the stale row from the OLD partition —
+    including deleting a partition the move emptied entirely."""
+    store = str(tmp_path / "moving")
+    base = spark.createDataFrame(
+        [("d1", 1, 10), ("d1", 2, 20), ("d3", 3, 30)], ["day", "k", "v"]
+    )
+    maintenance.merge_upsert(spark, store, base, ["k"], partition_cols=["day"])
+    # k=1 moves d1 -> d2; k=3 moves d3 -> d2 (emptying d3 entirely)
+    upd = spark.createDataFrame([("d2", 1, 99), ("d2", 3, 33)], ["day", "k", "v"])
+    maintenance.merge_upsert(
+        spark, store, upd, ["k"], partition_cols=["day"], keys_partition_stable=False
+    )
+    got = {(r.day, r.k): r.v for r in spark.read.parquet(store).collect()}
+    assert got == {("d2", 1): 99, ("d1", 2): 20, ("d2", 3): 33}
+    assert not (Path(store) / "day=d3").exists()  # emptied partition gone
