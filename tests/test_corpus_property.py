@@ -113,3 +113,45 @@ def test_contamination_pairs_match_bruteforce(spark, data):
             if shared:
                 expect[(te_id, tr_id)] = shared
     assert got == expect
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=9),    # key
+                st.integers(min_value=0, max_value=2),    # partition
+                st.integers(min_value=0, max_value=99),   # value
+            ),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_merge_upsert_matches_dict_model(spark, tmp_path_factory, batches):
+    """A sequence of keyed merges (keys free to move partitions) must end
+    in exactly the state of a dict keyed by k — the reference model of
+    SCD-1 semantics."""
+    from datapipelineetl_spark.sinks import maintenance
+
+    store = str(tmp_path_factory.mktemp("merge_prop") / "store")
+    model: dict[int, tuple[str, int]] = {}
+    for batch in batches:
+        # dedupe within the batch (last-wins via seq = position)
+        rows = [
+            (f"p{p}", k, v, i) for i, (k, p, v) in enumerate(batch)
+        ]
+        df = spark.createDataFrame(rows, ["part", "k", "v", "seq"])
+        maintenance.merge_upsert(
+            spark, store, df, ["k"], partition_cols=["part"],
+            order_col="seq", keys_partition_stable=False,
+        )
+        for i, (k, p, v) in enumerate(batch):
+            model[k] = (f"p{p}", v)
+    got = {
+        r.k: (r.part, r.v) for r in spark.read.parquet(store).collect()
+    }
+    assert got == model

@@ -1,0 +1,75 @@
+"""Compute the next round's PRIORITY window (the perennial round-start
+task — VERDICT item 1 in rounds 4 and 5).
+
+Reads the NEWEST CORRECTNESS_r*.json, derives which registered queries'
+freshest green row is about to age past 2 rounds (i.e. not green in that
+file), folds in any staged batch-11 promotions, and prints a suggested
+50-slot window plus the arithmetic. Purely advisory — paste the result
+into ``__spark_entry__.PRIORITY`` and let
+``tests/test_schemas.py::test_driver_check_window_contract`` be the
+gate of record.
+
+    python tools/rotate_window.py [n_promote_staged]
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import __spark_entry__ as entrymod
+from datapipelineetl_spark import queries_batch11 as b11
+
+WINDOW = 50
+
+
+def main() -> int:
+    n_promote = int(sys.argv[1]) if len(sys.argv) > 1 else None
+    repo = Path(entrymod.__file__).resolve().parent
+    latest = max(
+        repo.glob("CORRECTNESS_r*.json"),
+        key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)),
+    )
+    rec = json.loads(latest.read_text())
+    green = {
+        n
+        for n, row in rec.items()
+        if row.get("hash_match") or (row.get("rows_match") and "hash_match" not in row)
+    }
+    registered = list(entrymod.queries())
+    aged = [q for q in registered if q not in green]
+    red = [q for q in rec if q in registered and q not in green]
+    staged = [q for q in b11.STAGED_QUERIES if q not in registered]
+    print(f"latest record : {latest.name} ({len(green)} green)")
+    print(f"registered    : {len(registered)}")
+    print(f"aging out     : {len(aged)} (must re-verify this round)")
+    if red:
+        print(f"RED last round: {red} (must be in the window)")
+    print(f"staged backlog: {len(staged)} ({', '.join(staged)})")
+    free = WINDOW - len(aged)
+    print(f"free slots    : {free} of {WINDOW}")
+    take = min(len(staged), max(free, 0)) if n_promote is None else n_promote
+    if len(aged) + take > WINDOW:
+        print(
+            f"WARNING: {len(aged)} aged + {take} promotions > {WINDOW} — "
+            "stagger promotions or accept rows at exactly 2-rounds-old "
+            "(see NOTES.md round-6 checklist)"
+        )
+        take = max(0, WINDOW - len(aged))
+    window = staged[:take] + aged
+    window = window[:WINDOW]
+    pad = [q for q in registered if q not in window]
+    while len(window) < WINDOW:
+        window.append(pad.pop(0))
+    print(f"\nsuggested PRIORITY ({len(window)} slots; promotions first):")
+    for q in window:
+        print(f'    "{q}",')
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
