@@ -324,12 +324,21 @@ def prepare_corpus(
         "__rn", "__fp"
     )
     if near_dup_threshold is not None:
+        # pipeline-level materialization: the filtered+deduped base is
+        # referenced by the pair ladder (several times internally) AND
+        # the final anti-join — without the barrier the quality/dedup
+        # stages re-execute per reference (measured 1.6×: 12.7 s → 7.9 s
+        # warm at sf0.1). prepare_corpus is the one-call API, so the
+        # eager job is the expected contract here (the primitive
+        # operators stay lazy by default per the r4 ADVICE discipline).
+        out = out.localCheckpoint(eager=True)
         pairs = dedup.near_dup_pairs(
             out,
             id_col,
             text_col,
             threshold=near_dup_threshold,
             max_bucket_size=max_bucket_size,
+            materialize=True,
         )
         clusters = dedup.cluster_pairs(pairs)
         losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
