@@ -427,3 +427,37 @@ def test_winnowing_rejects_bad_params(spark):
     df = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="k and window"):
         text.with_winnowing_fingerprints(df, k=0)
+
+
+def test_decode_headers_parses_real_media_bytes(spark):
+    """The header-decode kernel runs against REAL bytes: an actual WAV
+    produced by the stdlib wave module (RIFF chunk walk must recover
+    rate/channels/depth/duration), a hand-built PPM and BMP, and
+    corrupt/None payloads degrading to valid=False rows — no stub, no
+    external libraries."""
+    import io
+    import struct
+    import wave
+
+    from datapipelineetl_spark.operators import multimodal
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)        # 16-bit
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x00" * 2 * 4000)  # 4000 frames = 500 ms
+    wav = buf.getvalue()
+    ppm = b"P6\n# a comment\n640 480\n255\n" + b"\x00" * 16
+    bmp = (b"BM" + b"\x00" * 16 + struct.pack("<ii", 320, -200) + b"\x00" * 8)
+    rows = [(1, wav), (2, ppm), (3, bmp), (4, b"garbage bytes here"), (5, None)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: r.asDict() for r in multimodal.decode_headers(df).collect()}
+
+    assert got[1]["detected_format"] == "wav" and got[1]["valid"]
+    assert got[1]["sample_rate"] == 8000 and got[1]["n_channels"] == 2
+    assert got[1]["bit_depth"] == 16 and got[1]["duration_ms"] == 500
+    assert got[2]["detected_format"] == "ppm" and (got[2]["width"], got[2]["height"]) == (640, 480)
+    assert got[3]["detected_format"] == "bmp" and (got[3]["width"], got[3]["height"]) == (320, 200)
+    assert not got[4]["valid"] and not got[5]["valid"]
+    assert len(got) == 5  # corrupt rows are data, not dropped
