@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -111,3 +111,45 @@ def write_routed_parquet(df: DataFrame, path: str, feed_col: str = "feed", mode:
     feed column for free.
     """
     df.write.mode(mode).partitionBy(feed_col).parquet(path)
+
+
+def write_es_bulk(
+    df: DataFrame,
+    path: str,
+    index: str,
+    id_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """K2's last mile: write rows as Elasticsearch **Bulk-API** files —
+    newline-delimited (action, source) JSON pairs, the exact byte format
+    ``POST _bulk`` ingests (the reference ships rows to ES via Logstash,
+    logstash.conf:13-46; this produces the same documents as replayable
+    files instead of a live socket, the same pattern as
+    ``kafka_write_plan`` for the absent broker). Load with e.g.::
+
+        curl -H 'Content-Type: application/x-ndjson' \
+             --data-binary @part-*.txt localhost:9200/_bulk
+
+    ``id_col`` makes the load IDEMPOTENT (index actions carry ``_id``, so
+    re-posting a file upserts instead of duplicating) — the ES-side
+    equivalent of the engine's replay-safe sinks; without it ES assigns
+    ids and replays duplicate.
+
+    Scale: one narrow ``to_json`` projection + concat per row, text
+    files written in parallel; no driver involvement, no per-row Python.
+    """
+    action: Column
+    if id_col is not None:
+        action = F.concat(
+            F.lit('{"index":{"_index":"' + index + '","_id":"'),
+            F.col(id_col).cast("string"),
+            F.lit('"}}'),
+        )
+    else:
+        action = F.lit('{"index":{"_index":"' + index + '"}}')
+    source = F.to_json(F.struct(*[c for c in df.columns]))
+    (
+        df.select(F.concat(action, F.lit("\n"), source).alias("value"))
+        .write.mode(mode)
+        .text(path)
+    )

@@ -1,6 +1,7 @@
 from __future__ import annotations
 
 import json
+from pathlib import Path
 
 import pytest
 from pyspark.sql import types as T
@@ -76,3 +77,31 @@ def test_write_kafka_reaches_source_resolution(spark):
     env = serde.to_envelope(spark.createDataFrame([(1,)], ["id"]))
     with pytest.raises(Exception, match="(?i)kafka"):
         serde.write_kafka(env, "t", "b:9092")
+
+
+def test_write_es_bulk_format_and_idempotent_ids(spark, tmp_path):
+    """The ES bulk sink must emit byte-valid _bulk input: alternating
+    action/source JSON lines, _id carried from the id column (the
+    idempotent-replay handle), and every source line parseable with the
+    row's fields."""
+    import json
+
+    out = str(tmp_path / "bulk")
+    df = spark.createDataFrame(
+        [(1, "alpha", 3.5), (2, "beta", 4.5)], ["k", "name", "score"]
+    )
+    serde.write_es_bulk(df, out, index="metrics", id_col="k")
+    lines = [
+        ln
+        for f in sorted(Path(out).glob("part-*"))
+        for ln in Path(f).read_text().splitlines()
+        if ln
+    ]
+    assert len(lines) == 4  # action+source per row
+    actions = [json.loads(ln) for ln in lines[0::2]]
+    sources = [json.loads(ln) for ln in lines[1::2]]
+    assert all(a["index"]["_index"] == "metrics" for a in actions)
+    assert {a["index"]["_id"] for a in actions} == {"1", "2"}
+    by_id = {a["index"]["_id"]: s for a, s in zip(actions, sources)}
+    assert by_id["1"] == {"k": 1, "name": "alpha", "score": 3.5}
+    assert by_id["2"]["name"] == "beta"
