@@ -140,8 +140,8 @@ def frame_sample_plan(
     )
 
 
-_HEADER_SCHEMA = (
-    "media_id long, detected_format string, width int, height int, "
+_HEADER_FIELDS = (
+    "detected_format string, width int, height int, "
     "duration_ms long, sample_rate int, n_channels int, bit_depth int, valid boolean"
 )
 
@@ -167,7 +167,10 @@ def _parse_media_header(b: bytes | None) -> dict:
             while pos + 8 <= len(b):
                 cid = b[pos : pos + 4]
                 (clen,) = struct.unpack_from("<I", b, pos + 4)
-                if cid == b"fmt " and pos + 24 <= len(b):
+                # honor the chunk's OWN declared length too: a corrupt
+                # fmt chunk (clen < 16) must not read the next chunk's
+                # bytes as audio parameters
+                if cid == b"fmt " and clen >= 16 and pos + 24 <= len(b):
                     _fmt, ch, sr, byte_rate = struct.unpack_from("<HHII", b, pos + 8)
                     (bits,) = struct.unpack_from("<H", b, pos + 22)
                 elif cid == b"data":
@@ -202,7 +205,17 @@ def _parse_media_header(b: bytes | None) -> dict:
                 width=w, height=h, valid=True,
             )
         elif b[:2] == b"BM" and len(b) >= 26:
-            w, h = struct.unpack_from("<ii", b, 18)
+            # dimension offsets depend on the DIB header variant: the
+            # size field at 14 disambiguates BITMAPINFOHEADER-and-later
+            # (>= 40, int32 dims at 18/22) from the OS/2
+            # BITMAPCOREHEADER (12, uint16 dims at 18/20)
+            (dib,) = struct.unpack_from("<I", b, 14)
+            if dib >= 40:
+                w, h = struct.unpack_from("<ii", b, 18)
+            elif dib == 12:
+                w, h = struct.unpack_from("<HH", b, 18)
+            else:
+                return out  # unknown DIB variant → valid=False
             out.update(detected_format="bmp", width=w, height=abs(h), valid=True)
     except Exception:  # noqa: BLE001 — malformed header → valid=False row
         return {**out, "valid": False}
@@ -233,7 +246,7 @@ def decode_headers(
             parsed = [_parse_media_header(b) for b in pdf[payload_col]]
             yield pd.DataFrame(
                 {
-                    "media_id": pdf[id_col],
+                    id_col: pdf[id_col],
                     **{
                         k: [p[k] for p in parsed]
                         for k in (
@@ -244,4 +257,9 @@ def decode_headers(
                 }
             )
 
-    return df.select(id_col, payload_col).mapInPandas(kernel, _HEADER_SCHEMA)
+    # the id column keeps its OWN name and type in the output schema —
+    # hardcoding e.g. "media_id long" would crash the Arrow conversion
+    # for string/other id columns
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, {_HEADER_FIELDS}"
+    return df.select(id_col, payload_col).mapInPandas(kernel, schema)

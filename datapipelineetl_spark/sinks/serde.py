@@ -133,21 +133,28 @@ def write_es_bulk(
     ``id_col`` makes the load IDEMPOTENT (index actions carry ``_id``, so
     re-posting a file upserts instead of duplicating) — the ES-side
     equivalent of the engine's replay-safe sinks; without it ES assigns
-    ids and replays duplicate.
+    ids and replays duplicate. A NULL id falls back to the no-``_id``
+    action for that row (``to_json`` omits null fields) — the row still
+    ships, it just loses the idempotency handle; pre-filter if nulls
+    should fail instead.
 
-    Scale: one narrow ``to_json`` projection + concat per row, text
+    Both lines are built with ``to_json`` (never string concatenation),
+    so ids/index names containing quotes or backslashes stay valid JSON.
+
+    Scale: two narrow ``to_json`` projections + one concat per row, text
     files written in parallel; no driver involvement, no per-row Python.
     """
-    action: Column
-    if id_col is not None:
-        action = F.concat(
-            F.lit('{"index":{"_index":"' + index + '","_id":"'),
-            F.col(id_col).cast("string"),
-            F.lit('"}}'),
+    id_field = (
+        F.col(id_col).cast("string") if id_col is not None else F.lit(None).cast("string")
+    )
+    action: Column = F.to_json(
+        F.struct(
+            F.struct(
+                F.lit(index).alias("_index"), id_field.alias("_id")
+            ).alias("index")
         )
-    else:
-        action = F.lit('{"index":{"_index":"' + index + '"}}')
-    source = F.to_json(F.struct(*[c for c in df.columns]))
+    )
+    source = F.to_json(F.struct(*df.columns))
     (
         df.select(F.concat(action, F.lit("\n"), source).alias("value"))
         .write.mode(mode)

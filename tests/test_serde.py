@@ -105,3 +105,28 @@ def test_write_es_bulk_format_and_idempotent_ids(spark, tmp_path):
     by_id = {a["index"]["_id"]: s for a, s in zip(actions, sources)}
     assert by_id["1"] == {"k": 1, "name": "alpha", "score": 3.5}
     assert by_id["2"]["name"] == "beta"
+
+
+def test_write_es_bulk_escapes_and_null_ids(spark, tmp_path):
+    """Quoted ids must stay valid JSON (action line built with to_json,
+    not concatenation), and NULL ids must fall back to the no-_id
+    action instead of silently dropping the row."""
+    import json
+
+    out = str(tmp_path / "bulk2")
+    df = spark.createDataFrame(
+        [('doc"1', "alpha"), (None, "beta")], ["k", "name"]
+    )
+    serde.write_es_bulk(df, out, index="metrics", id_col="k")
+    lines = [
+        ln
+        for f in sorted(Path(out).glob("part-*"))
+        for ln in Path(f).read_text().splitlines()
+        if ln
+    ]
+    assert len(lines) == 4  # both rows shipped
+    actions = [json.loads(ln) for ln in lines[0::2]]  # all parse cleanly
+    sources = [json.loads(ln) for ln in lines[1::2]]
+    by_name = {s["name"]: a["index"] for a, s in zip(actions, sources)}
+    assert by_name["alpha"]["_id"] == 'doc"1'
+    assert "_id" not in by_name["beta"]  # null id → ES-assigned id

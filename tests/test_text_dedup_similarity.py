@@ -449,7 +449,8 @@ def test_decode_headers_parses_real_media_bytes(spark):
         w.writeframes(b"\x00\x00" * 2 * 4000)  # 4000 frames = 500 ms
     wav = buf.getvalue()
     ppm = b"P6\n# a comment\n640 480\n255\n" + b"\x00" * 16
-    bmp = (b"BM" + b"\x00" * 16 + struct.pack("<ii", 320, -200) + b"\x00" * 8)
+    # well-formed BITMAPINFOHEADER: DIB size 40 at offset 14, int32 dims
+    bmp = b"BM" + b"\x00" * 12 + struct.pack("<Iii", 40, 320, -200) + b"\x00" * 8
     rows = [(1, wav), (2, ppm), (3, bmp), (4, b"garbage bytes here"), (5, None)]
     df = spark.createDataFrame(rows, "media_id long, payload binary")
     got = {r.media_id: r.asDict() for r in multimodal.decode_headers(df).collect()}
@@ -461,3 +462,26 @@ def test_decode_headers_parses_real_media_bytes(spark):
     assert got[3]["detected_format"] == "bmp" and (got[3]["width"], got[3]["height"]) == (320, 200)
     assert not got[4]["valid"] and not got[5]["valid"]
     assert len(got) == 5  # corrupt rows are data, not dropped
+
+
+def test_decode_headers_edge_variants(spark):
+    """Header-decode robustness: OS/2 BITMAPCOREHEADER dims parse from
+    their 16-bit offsets (not garbage from INFOHEADER offsets), a
+    truncated fmt chunk yields valid=False rather than neighboring-chunk
+    bytes as audio params, and a non-long id column flows through."""
+    import struct
+
+    from datapipelineetl_spark.operators import multimodal
+
+    core_bmp = b"BM" + b"\x00" * 12 + struct.pack("<IHH", 12, 100, 50) + b"\x00" * 8
+    bad_wav = (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 4) + b"\x01\x00\x02\x00"   # truncated fmt
+        + b"data" + struct.pack("<I", 4) + b"\x00\x00\x00\x00"
+    )
+    rows = [("a", core_bmp), ("b", bad_wav)]
+    df = spark.createDataFrame(rows, "uri string, payload binary")
+    got = {r.uri: r.asDict() for r in multimodal.decode_headers(df, id_col="uri").collect()}
+    assert got["a"]["detected_format"] == "bmp"
+    assert (got["a"]["width"], got["a"]["height"]) == (100, 50)
+    assert not got["b"]["valid"]  # truncated fmt chunk is corrupt, not data
