@@ -255,10 +255,19 @@ def pack_greedy(
 # Deliberately conservative/simple — the redaction CONTRACT (ordered
 # regexp_replace chain, idempotent, replay-able in any regex engine) is
 # the operator; production pattern packs slot into the same chain.
+# Portability constraint (the reason these avoid lookarounds): the
+# oracle replays every pattern through DuckDB's RE2, which has no
+# lookbehind/lookahead — so anchoring is \b-based. Known \b caveats
+# (ADVICE r5, deliberate): digit runs LONGER than 16 are not redacted
+# as cards (both \b anchors sit digit-adjacent inside the run — and a
+# 17+-digit run is not card-shaped anyway), and a card number embedded
+# inside a longer digit run is likewise left alone. The CARD pattern
+# starts and ends on a digit (separators only BETWEEN digits), so a
+# trailing space/dash can no longer strand the final \b on a separator.
 PII_PATTERNS: tuple[tuple[str, str], ...] = (
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
-    (r"\b(?:\d[ -]?){13,16}\b", "<CARD>"),
+    (r"\b\d(?:[ -]?\d){12,15}\b", "<CARD>"),
     (r"\+?\d{1,3}[ .-]?\(?\d{2,3}\)?[ .-]?\d{3}[ .-]?\d{4}\b", "<PHONE>"),
     (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
 )
@@ -369,7 +378,10 @@ def split_documents(
     with ``step = max_tokens − overlap``; a doc of ≤ max_tokens tokens
     yields exactly one chunk; chunk text is the space-rejoined token
     window (token-level chunking — original inter-token whitespace is
-    not preserved, by contract).
+    not preserved, by contract). NULL text is treated as empty (the
+    doc yields one empty chunk) — consistent with the family-wide rule
+    that corpus operators never silently drop rows (ADVICE r5: a bare
+    tokenize of NULL propagates null chunk counts and the row vanished).
 
     Scale: pure per-row array math (tokens → sequence → slice/join) in
     codegen — no shuffle, 1 row → ceil(n/step) rows. ``posexplode_outer``
@@ -383,7 +395,7 @@ def split_documents(
             f"need max_tokens >= 1 and 0 <= overlap < max_tokens, got {max_tokens}, {overlap}"
         )
     step = max_tokens - overlap
-    toks = text.tokens(text_col)
+    toks = text.tokens(F.coalesce(F.col(text_col), F.lit("")))
     n_chunks = F.greatest(
         F.ceil((F.size(toks) - F.lit(overlap)) / F.lit(step)), F.lit(1)
     ).cast("int")
@@ -401,6 +413,37 @@ def split_documents(
             ),
         )
         .select(id_col, chunk_col, out)
+    )
+
+
+def ngram_hashes(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    gram_col: str = "__g",
+) -> DataFrame:
+    """(id, gram_hash) rows: each document's DISTINCT word ``n``-gram
+    60-bit hashes — the precomputable half of the contamination join.
+    Persist this over the held-out set once (it is tiny next to a
+    training corpus) and every decontamination pass — batch
+    (``contamination_pairs``) or streaming
+    (``streaming.runner.streaming_decontaminate``) — becomes a plain
+    equi-join against it instead of re-shingling the eval side.
+
+    Scale: narrow shingle/hash array math + one explode — O(tokens) per
+    row, no shuffle.
+    """
+    g = F.array_distinct(text.shingles(text_col, n))
+    return (
+        df.withColumn("__gs", g)
+        .select(
+            F.col(id_col),
+            F.explode_outer(F.transform(F.col("__gs"), text.token_hash60)).alias(
+                gram_col
+            ),
+        )
+        .filter(F.col(gram_col).isNotNull())
     )
 
 
@@ -426,16 +469,8 @@ def contamination_pairs(
     same caveat as the dedup ladder.
     """
     def grams(df: DataFrame, side: str) -> DataFrame:
-        g = F.array_distinct(text.shingles(text_col, n))
-        return (
-            df.withColumn("__gs", g)
-            .select(
-                F.col(id_col).alias(f"{side}_id"),
-                F.explode_outer(
-                    F.transform(F.col("__gs"), text.token_hash60)
-                ).alias("__g"),
-            )
-            .filter(F.col("__g").isNotNull())
+        return ngram_hashes(df, id_col=id_col, text_col=text_col, n=n).select(
+            F.col(id_col).alias(f"{side}_id"), "__g"
         )
 
     tr, te = grams(train, "train"), grams(test, "test")
@@ -550,3 +585,74 @@ def remove_boilerplate_lines(
         .join(rebuilt, id_col, "left")
         .fillna({text_col: ""})
     )
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_ns: tuple[int, ...] = (2, 3),
+) -> DataFrame:
+    """Intra-document repetition metrics (the Gopher/MassiveText
+    repetition-removal rules, Rae et al. 2021 §A1.1): per document,
+
+    - ``dup_line_frac``: fraction of non-empty (trimmed) lines that are
+      repeats of an earlier line;
+    - ``dup_line_char_frac``: fraction of those lines' characters inside
+      the repeated copies (each distinct line's first occurrence is not
+      a repeat);
+    - ``dup_{n}gram_frac``: fraction of word ``n``-grams that are
+      repeats of an earlier identical n-gram, for each n in
+      ``gram_ns`` (the deterministic proxy for Gopher's duplicate
+      n-gram character fractions).
+
+    Filter on these upstream of dedup (`prepare_corpus` order): a doc
+    that is 60% one repeated line is low-quality REGARDLESS of its
+    corpus-wide uniqueness, which is why this is a separate operator
+    from the cross-document ladder.
+
+    All ratios round to 4 places and are 0.0 (never null) for empty /
+    NULL text. Scale: pure per-row array math in codegen — split, trim,
+    distinct, length sums via higher-order functions; no shuffle, no
+    explode, no Python.
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    raw_lines = F.split(txt, "\n")
+    lines = F.filter(F.transform(raw_lines, F.trim), lambda l: l != "")
+    n_lines = F.size(lines)
+    n_distinct = F.size(F.array_distinct(lines))
+    chars = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    line_chars = chars(lines)
+    distinct_chars = chars(F.array_distinct(lines))
+    out = df.withColumn("__lines", lines).withColumn(
+        "dup_line_frac",
+        F.round(
+            (n_lines - n_distinct) / F.greatest(n_lines, F.lit(1)), 4
+        ).cast("double"),
+    )
+    out = out.withColumn(
+        "dup_line_char_frac",
+        F.round(
+            (line_chars - distinct_chars)
+            / F.greatest(line_chars, F.lit(1)).cast("double"),
+            4,
+        ),
+    )
+    for n in gram_ns:
+        grams = text.shingles(text_col, n)
+        # shingles() pads short docs to one window; an n-token-or-shorter
+        # doc has no real n-gram repeats, so clamp via the token count
+        toks = text.tokens(txt)
+        n_grams = F.when(F.size(toks) >= n, F.size(grams)).otherwise(F.lit(0))
+        n_dist = F.when(
+            F.size(toks) >= n, F.size(F.array_distinct(grams))
+        ).otherwise(F.lit(0))
+        out = out.withColumn(
+            f"dup_{n}gram_frac",
+            F.round(
+                (n_grams - n_dist) / F.greatest(n_grams, F.lit(1)), 4
+            ).cast("double"),
+        )
+    return out.drop("__lines")

@@ -359,3 +359,57 @@ def dedup_by_fingerprint(
         )
         .select(fingerprint_col, order_col, "n_copies")
     )
+
+
+def semantic_dupes(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = False,
+    num_planes: int = 8,
+    num_tables: int = 2,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Embedding-space near-duplicate DROP LIST (the SemDeDup-style
+    semantic dedup pass, Abbas et al. 2023): documents whose embeddings
+    sit within cosine ``threshold`` of each other form components, and
+    every member except the component's minimum-id representative is
+    listed for removal. The embedding twin of the MinHash ladder →
+    ``cluster_pairs`` → keep-representative pipeline, for duplicates
+    that share no surface n-grams (translations, templated rewrites,
+    near-paraphrases).
+
+    ``exact=True`` uses the O(n²) ``cosine_pairs`` baseline (fixture
+    scale / oracle parity); the default routes through the LSH-bucketed
+    ``lsh_cosine_near_pairs`` — same output contract, candidate-pruned,
+    with the usual ``max_bucket_size`` skew cap.
+
+    Returns one column ``id_col`` (distinct ids to drop); anti-join it
+    against the corpus.
+
+    Scale: pairs via one Arrow signature pass + (table, sig) equi-join
+    (see lsh_cosine_near_pairs); components via the k-step-unrolled
+    min-label propagation (see cluster_pairs) — edges checkpointed once,
+    O(component diameter / k) jobs.
+    """
+    from datapipelineetl_spark.operators import similarity  # noqa: PLC0415
+
+    if exact:
+        pairs = similarity.cosine_pairs(df, threshold, id_col=id_col, vec_col=vec_col)
+    else:
+        pairs = similarity.lsh_cosine_near_pairs(
+            df,
+            threshold,
+            num_planes=num_planes,
+            num_tables=num_tables,
+            id_col=id_col,
+            vec_col=vec_col,
+            max_bucket_size=max_bucket_size,
+        )
+    clusters = cluster_pairs(pairs)
+    return (
+        clusters.filter(F.col("doc_id") != F.col("cluster_id"))
+        .select(F.col("doc_id").alias(id_col))
+        .distinct()
+    )

@@ -1,0 +1,267 @@
+"""Twelfth query battery — STAGED for the round-7 verify window.
+
+Oracle-paired queries for the two §2.11 corpus operators that until now
+had tests but no oracle query (VERDICT r5 item 3): ``pack_greedy`` (the
+exact-greedy sequence packer — its reset-on-overflow recurrence replays
+as a DuckDB recursive CTE) and ``remove_boilerplate_lines`` (the
+C4-style shared-line scrub — its doc-frequency threshold and ordered
+text rebuild replay in window/aggregate SQL).
+
+Same staging contract as queries_batch11 (round 5): separate dicts so
+importing this module cannot grow the live ``queries()`` surface
+mid-round; ``tests/test_corpus_oracles.py`` runs the driver-style
+comparison locally; ``register()`` promotes them when the r7 window has
+slots (the r6 window is fully committed to the batch-11 promotions plus
+the 40 rotating r4-green queries).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datapipelineetl_spark.operators import corpus, dedup, text
+from datapipelineetl_spark.queries import _t
+from datapipelineetl_spark.queries import QUERIES as _GLOBAL_QUERIES
+from datapipelineetl_spark.queries import ORACLES as _GLOBAL_ORACLES
+from datapipelineetl_spark.queries_ext import _SQL_TOKENS
+
+STAGED_QUERIES: dict = {}
+STAGED_ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        STAGED_QUERIES[name] = fn
+        if oracle is not None:
+            STAGED_ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def register() -> None:
+    """Round-7 wiring: promote the staged queries into the live registry
+    (call from __spark_entry__ next to the batch-11 register, then give
+    them window slots)."""
+    _GLOBAL_QUERIES.update(STAGED_QUERIES)
+    _GLOBAL_ORACLES.update(STAGED_ORACLES)
+
+
+@query(
+    "q_pack_greedy",
+    f"""
+    WITH RECURSIVE t0 AS (
+      SELECT doc_id,
+             len({_SQL_TOKENS.format(c='text')}) AS nt,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 8 AS shard
+      FROM documents),
+    t AS (
+      SELECT doc_id, nt, shard,
+             ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+      FROM t0),
+    g AS (
+      SELECT shard, rn, doc_id, nt,
+             nt AS fill, CAST(0 AS BIGINT) AS pack
+      FROM t WHERE rn = 1
+      UNION ALL
+      SELECT t.shard, t.rn, t.doc_id, t.nt,
+             CASE WHEN g.fill > 0 AND g.fill + t.nt > 512
+                  THEN t.nt ELSE g.fill + t.nt END,
+             CASE WHEN g.fill > 0 AND g.fill + t.nt > 512
+                  THEN g.pack + 1 ELSE g.pack END
+      FROM t JOIN g ON t.shard = g.shard AND t.rn = g.rn + 1)
+    SELECT doc_id, CAST(shard * 4294967296 + pack AS BIGINT) AS pack_id
+    FROM g
+    """,
+)
+def q_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-greedy sequence packing over the documents corpus: 8 hash
+    shards, 512-token budget; within a shard (doc_id order) a pack
+    closes when the next document would overflow it — the oracle replays
+    the data-dependent reset recurrence as a per-shard recursive CTE
+    (fill' = t if fill>0 and fill+t>B else fill+t), so every PACK
+    ASSIGNMENT is value-checked row by row, including the single-doc-
+    over-budget case (fill>0 guard, `corpus.pack_greedy`'s `if fill`).
+
+    Scale: the engine side is ONE shuffle on the shard hash, then a
+    sequential Arrow pass per shard with two integers of state
+    (`corpus.pack_greedy` — applyInPandas because no window function
+    expresses reset-on-condition). The oracle's recursive CTE is
+    O(rows) per shard too, but single-threaded — it exists to pin
+    semantics at fixture scale, not as a scale path."""
+    docs = text.with_token_stats(_t(spark, sf_dir, "documents"))
+    packed = corpus.pack_greedy(
+        docs, id_col="doc_id", token_col="n_tokens", budget=512, n_shards=8
+    )
+    return packed.select("doc_id", "pack_id")
+
+
+# the boilerplate fixture needs boilerplate: a header line shared by ALL
+# docs (must be removed), a rare line on ~1/97 of docs (must stay), the
+# original text in between. Replayed identically on both sides.
+_BOILER_DOC = (
+    "SELECT doc_id, 'COOKIE BANNER - ACCEPT ALL' || chr(10) || text || "
+    "CASE WHEN doc_id % 97 = 0 THEN chr(10) || 'rare footer line' ELSE '' END"
+    " AS text FROM documents"
+)
+
+
+@query(
+    "q_boilerplate_removal",
+    f"""
+    WITH src AS ({_BOILER_DOC}),
+    params AS (
+      SELECT GREATEST(2, CAST(FLOOR(0.2 * COUNT(*)) AS BIGINT)) + 1 AS thr
+      FROM src),
+    lines AS (
+      SELECT doc_id, i AS idx, parts[i + 1] AS line
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS parts FROM src),
+           LATERAL UNNEST(generate_series(0, len(parts) - 1)) AS u(i)),
+    boiler AS (
+      SELECT key FROM (
+        SELECT DISTINCT doc_id, trim(line) AS key FROM lines
+        WHERE trim(line) <> '')
+      GROUP BY key HAVING COUNT(*) >= (SELECT thr FROM params)),
+    kept AS (
+      SELECT * FROM lines WHERE trim(line) NOT IN (SELECT key FROM boiler)),
+    rebuilt AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text
+      FROM kept GROUP BY doc_id)
+    SELECT s.doc_id, COALESCE(r.text, '') AS text
+    FROM src s LEFT JOIN rebuilt r ON s.doc_id = r.doc_id
+    """,
+)
+def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate line removal, value-checked byte-for-byte on
+    the rebuilt text: a synthetic cookie-banner line is prepended to
+    EVERY document (must be deleted everywhere — above the 20% doc-
+    frequency threshold) and a rare footer is appended to ~1% of
+    documents (must survive — below it); the original lines keep their
+    order. The oracle replays the trimmed-line doc-frequency, the
+    exclusive threshold (strictly more than max(min_docs, frac×N)), the
+    anti-join, and the index-ordered rejoin.
+
+    Scale: O(total lines) narrow explode, one partial-agg shuffle for
+    line doc-frequency, broadcast-able boilerplate set, one groupBy(doc)
+    with in-aggregate sorted rebuild (`corpus.remove_boilerplate_lines`
+    docstring)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("COOKIE BANNER - ACCEPT ALL\n"),
+            F.col("text"),
+            F.when(F.col("doc_id") % 97 == 0, F.lit("\nrare footer line"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return corpus.remove_boilerplate_lines(
+        docs, max_doc_frac=0.2, min_docs=2
+    ).select("doc_id", "text")
+
+
+# the repetition fixture needs repetition: a duplicated line pair appended
+# to every 5th doc; gram repeats occur naturally in the synthetic text.
+_REP_DOC = (
+    "SELECT doc_id, text || CASE WHEN doc_id % 5 = 0 THEN "
+    "chr(10) || 'repeated boiler line' || chr(10) || 'repeated boiler line' "
+    "ELSE '' END AS text FROM documents"
+)
+
+
+def _rep_oracle() -> str:
+    toks = _SQL_TOKENS.format(c="text")
+    lines = (
+        "list_filter(list_transform(string_split(text, chr(10)), "
+        "x -> trim(x)), x -> x <> '')"
+    )
+    chars = "COALESCE(list_aggregate(list_transform({l}, x -> length(x)), 'sum'), 0)"
+
+    def gram_frac(n: int) -> str:
+        g = (
+            f"list_transform(generate_series(0, GREATEST(len(toks) - {n}, 0)), "
+            f"i -> array_to_string(list_slice(toks, i + 1, i + {n}), ' '))"
+        )
+        return (
+            f"ROUND(CASE WHEN len(toks) >= {n} THEN "
+            f"(len({g}) - len(list_distinct({g}))) * 1.0 / GREATEST(len({g}), 1) "
+            f"ELSE 0.0 END, 4) AS dup_{n}gram_frac"
+        )
+
+    return f"""
+    WITH src AS ({_REP_DOC}),
+    t AS (SELECT doc_id, {toks} AS toks, {lines} AS l FROM src)
+    SELECT doc_id,
+           ROUND((len(l) - len(list_distinct(l))) * 1.0
+                 / GREATEST(len(l), 1), 4) AS dup_line_frac,
+           ROUND(({chars.format(l='l')} - {chars.format(l='list_distinct(l)')}) * 1.0
+                 / GREATEST({chars.format(l='l')}, 1), 4) AS dup_line_char_frac,
+           {gram_frac(2)},
+           {gram_frac(3)}
+    FROM t
+    """
+
+
+@query("q_repetition_stats", _rep_oracle())
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition metrics (duplicate-line
+    fraction by count and by characters, duplicate word 2-/3-gram
+    fractions), with a duplicated line pair injected into every 5th
+    document so both branches of each ratio are exercised. Every ratio
+    is value-checked per row against the SQL replay of the same
+    split/trim/distinct/length-sum pipeline.
+
+    Scale: narrow per-row array math in codegen — no shuffle, no
+    explode, no Python (`corpus.repetition_stats`)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit("\nrepeated boiler line\nrepeated boiler line"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return corpus.repetition_stats(docs).select(
+        "doc_id", "dup_line_frac", "dup_line_char_frac",
+        "dup_2gram_frac", "dup_3gram_frac",
+    )
+
+
+@query(
+    "q_semantic_dupes",
+    """
+    WITH RECURSIVE ex AS (
+      SELECT vec_id, UNNEST(embedding)::DOUBLE AS x,
+             generate_subscripts(embedding, 1) AS i FROM embeddings),
+    d AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 SUM(a.x * b.x) AS dp,
+                 SQRT(SUM(a.x * a.x)) AS na, SQRT(SUM(b.x * b.x)) AS nb
+          FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+          GROUP BY a.vec_id, b.vec_id),
+    pairs AS (SELECT id_a, id_b FROM d WHERE ROUND(dp / (na * nb), 4) >= 0.45),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    cc AS (
+      SELECT DISTINCT src AS node, src AS label FROM edges
+      UNION
+      SELECT e.src AS node, cc.label FROM edges e JOIN cc ON cc.node = e.dst)
+    SELECT node AS vec_id
+    FROM (SELECT node, MIN(label) AS cid FROM cc GROUP BY node)
+    WHERE node <> cid
+    """,
+)
+def q_semantic_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style embedding near-duplicate drop list at cosine 0.45
+    (the q_cosine_near_pairs threshold): exact all-pairs → connected
+    components → every non-minimum member listed for removal. The oracle
+    replays the brute-force cosine join and the component formation as a
+    recursive CTE, so the DROP SET is value-checked exactly.
+
+    Scale: the registered form uses the exact baseline for oracle
+    parity; `dedup.semantic_dupes` defaults to the LSH-bucketed pair
+    path (one Arrow signature pass + equi-join + skew cap) with the same
+    output contract — the production route at corpus scale."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return dedup.semantic_dupes(emb, 0.45, exact=True)

@@ -11,8 +11,55 @@ metadata-bound.
 
 from __future__ import annotations
 
+import urllib.parse
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# Spark writes a null partition value as this literal directory segment
+# (Hive convention, ExternalCatalogUtils.DEFAULT_PARTITION_NAME).
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _parse_partition_dirs(
+    path: str, partition_cols: list[str]
+) -> dict[tuple, Path]:
+    """Map each on-disk partition's VALUE tuple → its directory.
+
+    Spark Hive-escapes special characters in partition directory names
+    (':' → '%3A' in timestamps, '/', '#', '%', control chars …) and
+    writes nulls as ``__HIVE_DEFAULT_PARTITION__`` — so a directory name
+    can NOT be reconstructed as a raw ``f"{col}={value}"`` string. This
+    walks the real tree instead and percent-decodes each segment
+    (Hive's escaping is %XX, so unquote inverts it exactly); a null
+    value parses to ``None``. Local-FS only, like the swap paths below.
+    """
+    out: dict[tuple, Path] = {}
+
+    def walk(d: Path, depth: int, vals: tuple) -> None:
+        if depth == len(partition_cols):
+            out[vals] = d
+            return
+        prefix = f"{partition_cols[depth]}="
+        for child in d.iterdir():
+            if not (child.is_dir() and child.name.startswith(prefix)):
+                continue
+            raw = child.name[len(prefix):]
+            val = None if raw == _HIVE_NULL else urllib.parse.unquote(raw)
+            walk(child, depth + 1, (*vals, val))
+
+    root = Path(path)
+    if root.exists():
+        walk(root, 0, ())
+    return out
+
+
+def _partition_value_str(v) -> str | None:
+    """A collected partition value, rendered the way Spark renders it in
+    a directory name (pre-escaping): str() matches for the string / int /
+    date / common-timestamp types partition columns are made of."""
+    return None if v is None else str(v)
 
 
 def overwrite_partitions(
@@ -134,21 +181,41 @@ def merge_upsert(
         if emptied:
             import shutil  # noqa: PLC0415
 
+            # Resolve each emptied partition against the REAL on-disk
+            # directory names (Hive-escaped; nulls as
+            # __HIVE_DEFAULT_PARTITION__) — a raw f"{col}={value}" path
+            # silently misses any value Spark escapes, and the stale
+            # row this branch exists to drop would survive. A partition
+            # we computed as emptied but cannot find on disk is a
+            # correctness failure, not a skip.
+            on_disk = _parse_partition_dirs(path, partition_cols)
             for row in emptied:
-                part_dir = _P(path).joinpath(
-                    *[f"{c}={row[c]}" for c in partition_cols]
-                )
-                if part_dir.exists():
-                    shutil.rmtree(part_dir)
+                key = tuple(_partition_value_str(row[c]) for c in partition_cols)
+                part_dir = on_disk.get(key)
+                if part_dir is None:
+                    raise RuntimeError(
+                        f"merge_upsert: emptied partition {dict(zip(partition_cols, key))} "
+                        f"not found on disk under {path}; refusing to leave "
+                        "a possibly-stale partition behind "
+                        f"(on-disk partitions: {sorted(on_disk)})"
+                    )
+                shutil.rmtree(part_dir)
     else:
         # full rewrite via a staging swap (overwrite would truncate the
-        # input of its own scan mid-plan)
+        # input of its own scan mid-plan). Same never-absent sequence as
+        # compact(): old aside → tmp into place → drop old — a crash
+        # between steps leaves the store readable at `path` or intact
+        # at `path__old`, never missing entirely.
         import shutil  # noqa: PLC0415
 
         tmp = f"{path}__merging"
+        old = f"{path}__old"
         merged.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(path)
+        if _P(old).exists():
+            shutil.rmtree(old)
+        shutil.move(path, old)
         shutil.move(tmp, path)
+        shutil.rmtree(old)
 
 
 def compact(

@@ -581,3 +581,75 @@ def audit_leftovers(input_dir: str, pattern: str = "*") -> list[str]:
     return sorted(
         p for p in glob.glob(os.path.join(input_dir, pattern)) if os.path.isfile(p)
     )
+
+
+# --- streaming decontamination (the corpus tier's streaming form) ------------
+
+def streaming_decontaminate(
+    stream: DataFrame,
+    eval_grams: DataFrame,
+    output_dir: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_shared: int = 1,
+    dropped_dir: str | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming train-side decontamination: documents arrive as a file
+    stream, and every micro-batch drops the ones sharing at least
+    ``min_shared`` distinct word ``n``-grams with SOME document of a
+    static held-out set — the continuous-ingest form of
+    ``corpus.contaminated_ids(side="train")``, for pipelines that
+    decontaminate while crawling rather than in a terminal batch pass.
+
+    ``eval_grams`` is the PRECOMPUTED eval-side n-gram store —
+    ``corpus.ngram_hashes(eval_df, n=n)``, persisted once (columns:
+    eval id + ``__g``); ``n`` here must match the store's. Per batch the
+    incoming docs shingle narrowly, equi-join the store on the gram
+    hash, and pairwise-count shared grams (identical semantics to the
+    batch operator, oracle-checked there); clean rows land in
+    ``output_dir`` through the epoch-keyed idempotent write (replays
+    rewrite, never duplicate — ST6), contaminated ids optionally land in
+    ``dropped_dir`` with the matched eval id and count for audit.
+
+    Scale: the store is eval-sized (thousands of docs), so the per-batch
+    join broadcasts under AQE; the stream side is one narrow
+    shingle+explode, one partial-agg shuffle per batch on the pair key.
+    State lives in the checkpoint only — no grams accumulate across
+    batches (the eval set is static; a growing eval set means rebuilding
+    a store that costs seconds).
+    """
+    from datapipelineetl_spark.operators import corpus as _corpus  # noqa: PLC0415
+    from datapipelineetl_spark.sinks import maintenance  # noqa: PLC0415
+
+    eval_id = [c for c in eval_grams.columns if c != "__g"][0]
+    store = eval_grams.select(F.col(eval_id).alias("__eval_id"), "__g")
+
+    def handle(df: DataFrame, epoch_id: int) -> None:
+        grams = _corpus.ngram_hashes(df, id_col=id_col, text_col=text_col, n=n)
+        pairs = (
+            grams.join(store, "__g")
+            .groupBy(id_col, "__eval_id")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared)
+        )
+        bad = pairs.select(id_col).distinct()
+        clean = df.join(bad, id_col, "anti")
+        maintenance.overwrite_partitions(
+            clean.withColumn("__batch_id", F.lit(epoch_id)),
+            output_dir,
+            ["__batch_id"],
+        )
+        if dropped_dir is not None:
+            maintenance.overwrite_partitions(
+                pairs.withColumnRenamed("__eval_id", "eval_id")
+                .withColumn("__batch_id", F.lit(epoch_id)),
+                dropped_dir,
+                ["__batch_id"],
+            )
+
+    return run_foreach_batch(
+        stream, handle, checkpoint, available_now=available_now, skip_empty=True
+    )

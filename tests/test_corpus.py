@@ -131,6 +131,30 @@ def test_redact_pii_patterns_and_idempotence(spark):
     assert twice == out
 
 
+def test_redact_pii_card_digit_run_boundaries(spark):
+    """ADVICE r5: pin the documented \\b caveats of the RE2-portable CARD
+    pattern — separator-terminated card numbers now redact (the old
+    trailing [ -]? stranded the final \\b), while 17+-digit runs and
+    cards embedded in longer runs are deliberately left alone."""
+    df = spark.createDataFrame(
+        [
+            (1, "card 4111-1111-1111-1111-extra"),   # dash right after card
+            (2, "run 12345678901234567 long"),        # 17 digits: not a card
+            (3, "id 000004111111111111110000 here"),  # embedded in 24-digit run
+            (4, "pan 4111111111111111 end"),          # bare 16-digit card
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.text for r in corpus.redact_pii(df).collect()}
+    assert "<CARD>" in out[1] and "4111" not in out[1]
+    # long runs never match CARD (they may still partially match the
+    # unanchored PHONE pattern later in the chain — a digit run that
+    # long is not a card, which is what this pins)
+    assert "<CARD>" not in out[2]
+    assert "<CARD>" not in out[3]
+    assert out[4] == "pan <CARD> end"
+
+
 def test_redact_pii_plan_is_narrow(spark):
     df = spark.createDataFrame([(1, "a@b.co")], ["doc_id", "text"])
     plan = corpus.redact_pii(df)._jdf.queryExecution().executedPlan().toString()
@@ -176,6 +200,21 @@ def test_split_documents_windows_and_overlap(spark):
     assert out[(1, 0)].split()[-2:] == out[(1, 1)].split()[:2]
     with pytest.raises(ValueError, match="overlap"):
         corpus.split_documents(df, max_tokens=4, overlap=4)
+
+
+def test_split_documents_null_text_yields_one_empty_chunk(spark):
+    """ADVICE r5: NULL text must not silently drop the row (family-wide
+    no-silent-drop rule) — it coalesces to '' and yields one empty chunk."""
+    df = spark.createDataFrame(
+        [(1, None), (2, "a b c")],
+        "doc_id int, text string",
+    )
+    out = {
+        (r.doc_id, r.chunk_idx): r.chunk_text
+        for r in corpus.split_documents(df, max_tokens=4, overlap=2).collect()
+    }
+    assert out[(1, 0)] == "" and (1, 1) not in out
+    assert out[(2, 0)] == "a b c"
 
 
 def test_split_documents_plan_is_narrow(spark):
@@ -332,3 +371,49 @@ def test_normalize_url_ports_are_scheme_specific(spark):
     assert got[2] != got[3]  # https:80 stays distinct
     assert got[0] == "http://example.com:443/a"
     assert got[2] == "https://example.com:80/a"
+
+
+def test_repetition_stats_gopher_rules(spark):
+    """Gopher-style intra-doc repetition: line and n-gram duplicate
+    fractions, by count and by characters; NULL/empty text → all zeros,
+    never null; the plan stays narrow (pure array math)."""
+    df = spark.createDataFrame(
+        [(1, "a b\na b\nc d"),   # 1 of 3 lines repeated; 1 of 5 bigrams
+         (2, "x y z w v u"),
+         (3, None),
+         (4, "t t t t t")],      # degenerate repetition
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in corpus.repetition_stats(df).collect()}
+    assert out[1].dup_line_frac == 0.3333
+    assert out[1].dup_line_char_frac == 0.3333  # 3 of 9 chars
+    assert out[1].dup_2gram_frac == 0.2
+    assert out[1].dup_3gram_frac == 0.0
+    assert out[2].dup_line_frac == 0.0 and out[2].dup_2gram_frac == 0.0
+    assert out[3].dup_line_frac == 0.0 and out[3].dup_3gram_frac == 0.0
+    assert out[4].dup_2gram_frac == 0.75 and out[4].dup_3gram_frac == 0.6667
+    plan = corpus.repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_semantic_dupes_drop_list_exact_and_lsh(spark):
+    """SemDeDup-style drop list: near-identical embeddings cluster and
+    every non-minimum member is dropped; the LSH path returns a SUBSET
+    of the exact drop set (candidate-pruned, never false positives)."""
+    from datapipelineetl_spark.operators import dedup
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.999, 0.01, 0.0]),
+         (3, [0.0, 1.0, 0.0]), (4, [1.0, 0.002, 0.0]),
+         (5, [0.0, 0.0, 1.0])],
+        "vec_id int, embedding array<float>",
+    )
+    exact = {r.vec_id for r in dedup.semantic_dupes(emb, 0.95, exact=True).collect()}
+    assert exact == {2, 4}  # 1-2-4 cluster keeps min id 1
+    lsh = {
+        r.vec_id
+        for r in dedup.semantic_dupes(
+            emb, 0.95, num_planes=4, num_tables=4
+        ).collect()
+    }
+    assert lsh <= exact

@@ -14,6 +14,12 @@ import pytest
 
 from datapipelineetl_spark import catalog
 from datapipelineetl_spark import queries_batch11 as b11
+from datapipelineetl_spark import queries_batch12 as b12
+
+# batch11 was promoted round 6; batch12 is the live staged set awaiting
+# r7 window slots — both run the driver-style compare here
+_STAGED_QUERIES = {**b11.STAGED_QUERIES, **b12.STAGED_QUERIES}
+_STAGED_ORACLES = {**b11.STAGED_ORACLES, **b12.STAGED_ORACLES}
 
 
 @pytest.fixture(scope="module")
@@ -35,11 +41,11 @@ def _canon(rows, colnames):
     return sorted(tuple(cell(r[i]) for i in order) for r in rows)
 
 
-@pytest.mark.parametrize("name", sorted(b11.STAGED_QUERIES))
+@pytest.mark.parametrize("name", sorted(_STAGED_QUERIES))
 def test_staged_query_matches_oracle(spark, sf_dir, duck, name):
-    sdf = b11.STAGED_QUERIES[name](spark, sf_dir)
+    sdf = _STAGED_QUERIES[name](spark, sf_dir)
     srows, scols = sdf.collect(), sdf.columns
-    res = duck.execute(b11.STAGED_ORACLES[name])
+    res = duck.execute(_STAGED_ORACLES[name])
     orows = res.fetchall()
     ocols = [d[0] for d in res.description]
     assert len(srows) == len(orows), f"{name}: rowcount {len(srows)} != {len(orows)}"
@@ -53,12 +59,24 @@ def test_staged_query_matches_oracle(spark, sf_dir, duck, name):
     assert len(srows) > 0, f"{name}: degenerate empty result"
 
 
-def test_staged_registry_is_isolated():
-    """Importing batch11 must NOT grow the live queries() surface (the
-    driver verifies the first 50 entries; staged queries wait for their
-    round-6 window slots)."""
+def test_staged_registry_promoted_round6():
+    """Round 6 promoted the staged batch: __spark_entry__ calls
+    b11.register(), so the live registry must contain every staged query
+    with its oracle, and register() must be idempotent (the driver and
+    the tests may both import the entry module)."""
+    import __spark_entry__ as entrymod
+
     from datapipelineetl_spark import queries as q
 
-    assert not (set(b11.STAGED_QUERIES) & set(q.QUERIES))
-    assert set(b11.STAGED_ORACLES) <= set(b11.STAGED_QUERIES)
+    assert set(b11.STAGED_ORACLES) == set(b11.STAGED_QUERIES)
     assert len(b11.STAGED_QUERIES) == 10
+    live = entrymod.queries()
+    n = len(live)
+    assert set(b11.STAGED_QUERIES) <= set(live)
+    assert set(b11.STAGED_ORACLES) <= set(q.ORACLES)
+    b11.register()
+    assert len(entrymod.queries()) == n
+    # batch12 stays staged (r7 backlog): importing it must NOT have
+    # grown the live surface
+    assert set(b12.STAGED_ORACLES) == set(b12.STAGED_QUERIES)
+    assert not (set(b12.STAGED_QUERIES) & set(live))

@@ -140,3 +140,48 @@ def test_merge_upsert_partition_moving_key(spark, tmp_path):
     got = {(r.day, r.k): r.v for r in spark.read.parquet(store).collect()}
     assert got == {("d2", 1): 99, ("d1", 2): 20, ("d2", 3): 33}
     assert not (Path(store) / "day=d3").exists()  # emptied partition gone
+
+
+def test_merge_upsert_moving_key_with_hive_escaped_partition_values(spark, tmp_path):
+    """ADVICE r5 medium: partition values Spark Hive-escapes in directory
+    names (':' → %3A; null → __HIVE_DEFAULT_PARTITION__) must still have
+    their emptied partitions deleted — the raw f"{col}={value}" path
+    never matched such directories and silently left the stale files."""
+    import datetime
+
+    store = str(tmp_path / "escaped")
+    t1 = datetime.datetime(2024, 1, 1, 12, 30, 0)
+    t2 = datetime.datetime(2024, 1, 2, 7, 45, 0)
+    base = spark.createDataFrame(
+        [(t1, 1, 10), (t2, 2, 20), (None, 3, 30)], ["stamp", "k", "v"]
+    )
+    maintenance.merge_upsert(spark, store, base, ["k"], partition_cols=["stamp"])
+    # the ':'-bearing timestamp dir really is escaped on disk
+    assert any("%3A" in p.name for p in Path(store).iterdir() if p.is_dir())
+    # k=1 moves t1 -> t2 (emptying t1); k=3 moves null -> t2 (emptying the
+    # __HIVE_DEFAULT_PARTITION__ dir)
+    upd = spark.createDataFrame([(t2, 1, 99), (t2, 3, 33)], ["stamp", "k", "v"])
+    maintenance.merge_upsert(
+        spark, store, upd, ["k"], partition_cols=["stamp"],
+        keys_partition_stable=False,
+    )
+    got = {(r.stamp, r.k): r.v for r in spark.read.parquet(store).collect()}
+    assert got == {(t2, 1): 99, (t2, 2): 20, (t2, 3): 33}
+    dirs = {p.name for p in Path(store).iterdir() if p.is_dir()}
+    assert not any("__HIVE_DEFAULT_PARTITION__" in d for d in dirs)
+    assert len([d for d in dirs if d.startswith("stamp=")]) == 1  # only t2 left
+
+
+def test_merge_upsert_unpartitioned_swap_never_leaves_store_absent(spark, tmp_path):
+    """ADVICE r5 low: the unpartitioned full-rewrite must use compact()'s
+    rename-aside swap so a crash window never has the store missing; after
+    a successful merge no __merging/__old residue remains."""
+    store = str(tmp_path / "flat")
+    base = spark.createDataFrame([(1, 10), (2, 20)], ["k", "v"])
+    maintenance.merge_upsert(spark, store, base, ["k"])
+    upd = spark.createDataFrame([(2, 99), (3, 30)], ["k", "v"])
+    maintenance.merge_upsert(spark, store, upd, ["k"])
+    got = {r.k: r.v for r in spark.read.parquet(store).collect()}
+    assert got == {1: 10, 2: 99, 3: 30}
+    siblings = {p.name for p in (tmp_path).iterdir()}
+    assert siblings == {"flat"}  # no __merging / __old left behind

@@ -677,3 +677,57 @@ def test_stateful_running_totals_string_key(spark, tmp_path):
     got = {r.user: (r.n_events, r.total_value)
            for r in spark.sql("SELECT * FROM totals_str").collect()}
     assert got == {"alice": (1, 2.0), "bob": (1, 5.0)}
+
+
+def test_streaming_decontaminate_matches_batch_operator(spark, tmp_path):
+    """Streaming decontamination (foreachBatch vs a static eval-side
+    n-gram store) must drop exactly the docs the BATCH operator
+    (corpus.contaminated_ids, oracle-checked) drops, write clean rows
+    exactly-once, and audit the dropped pairs."""
+    import shutil
+
+    from datapipelineetl_spark.operators import corpus
+
+    leak = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    eval_df = spark.createDataFrame(
+        [(900, leak + " held out tail"),
+         (901, "totally different evaluation prompt nothing shared here at all")],
+        ["doc_id", "text"],
+    )
+    train_rows = [
+        (1, leak + " crawled page one"),            # contaminated
+        (2, "clean document about something else entirely unrelated words"),
+        (3, "another clean page with its own vocabulary and phrasing style"),
+        (4, leak + " scraped elsewhere too"),        # contaminated
+    ]
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "clean")
+    dropped = str(tmp_path / "dropped")
+    ck = str(tmp_path / "ckpt")
+    spark.createDataFrame(train_rows, ["doc_id", "text"]).coalesce(2).write.parquet(src)
+
+    eval_grams = corpus.ngram_hashes(eval_df, n=8)
+
+    def drain():
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        runner.streaming_decontaminate(
+            stream, eval_grams, out, ck, n=8, dropped_dir=dropped
+        )
+
+    drain()
+    clean_ids = {r.doc_id for r in spark.read.parquet(out).collect()}
+    batch_bad = {
+        r.doc_id
+        for r in corpus.contaminated_ids(
+            spark.createDataFrame(train_rows, ["doc_id", "text"]),
+            eval_df, n=8, side="train",
+        ).collect()
+    }
+    assert batch_bad == {1, 4}
+    assert clean_ids == {2, 3}  # streaming drops exactly the batch set
+    audit = {(r.doc_id, r.eval_id) for r in spark.read.parquet(dropped).collect()}
+    assert audit == {(1, 900), (4, 900)}
+    # exactly-once: checkpoint loss → replay rewrites, never duplicates
+    shutil.rmtree(ck)
+    drain()
+    assert spark.read.parquet(out).count() == 2

@@ -1,11 +1,12 @@
 """Compute the next round's PRIORITY window (the perennial round-start
 task — VERDICT item 1 in rounds 4 and 5).
 
-Reads the NEWEST CORRECTNESS_r*.json, derives which registered queries'
-freshest green row is about to age past 2 rounds (i.e. not green in that
-file), folds in any staged batch-11 promotions, and prints a suggested
-50-slot window plus the arithmetic. Purely advisory — paste the result
-into ``__spark_entry__.PRIORITY`` and let
+Reads the TWO newest CORRECTNESS_r*.json records, derives which
+registered queries' freshest green row is about to age past 2 records
+(i.e. green in neither file — the round-6 contract arithmetic:
+3-round rotation for 109 queries over a 50-slot window), folds in any
+staged promotions, and prints a suggested 50-slot window. Purely
+advisory — paste the result into ``__spark_entry__.PRIORITY`` and let
 ``tests/test_schemas.py::test_driver_check_window_contract`` be the
 gate of record.
 
@@ -23,6 +24,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import __spark_entry__ as entrymod
 from datapipelineetl_spark import queries_batch11 as b11
+from datapipelineetl_spark import queries_batch12 as b12
 
 WINDOW = 50
 
@@ -30,21 +32,36 @@ WINDOW = 50
 def main() -> int:
     n_promote = int(sys.argv[1]) if len(sys.argv) > 1 else None
     repo = Path(entrymod.__file__).resolve().parent
-    latest = max(
+    recent = sorted(
         repo.glob("CORRECTNESS_r*.json"),
         key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)),
-    )
-    rec = json.loads(latest.read_text())
-    green = {
-        n
-        for n, row in rec.items()
-        if row.get("hash_match") or (row.get("rows_match") and "hash_match" not in row)
-    }
+    )[-2:]
+
+    def greens(path):
+        rec = json.loads(path.read_text())
+        return rec, {
+            n
+            for n, row in rec.items()
+            if row.get("hash_match")
+            or (row.get("rows_match") and "hash_match" not in row)
+        }
+
+    rec, latest_green = greens(recent[-1])
+    green = set(latest_green)
+    for p in recent[:-1]:
+        green |= greens(p)[1]
     registered = list(entrymod.queries())
     aged = [q for q in registered if q not in green]
-    red = [q for q in rec if q in registered and q not in green]
-    staged = [q for q in b11.STAGED_QUERIES if q not in registered]
-    print(f"latest record : {latest.name} ({len(green)} green)")
+    red = [q for q in rec if q in registered and q not in latest_green]
+    staged = [
+        q
+        for q in {**b11.STAGED_QUERIES, **b12.STAGED_QUERIES}
+        if q not in registered
+    ]
+    print(
+        f"latest records: {[p.name for p in recent]} "
+        f"({len(green)} green across both)"
+    )
     print(f"registered    : {len(registered)}")
     print(f"aging out     : {len(aged)} (must re-verify this round)")
     if red:
@@ -60,7 +77,8 @@ def main() -> int:
             "(see NOTES.md round-6 checklist)"
         )
         take = max(0, WINDOW - len(aged))
-    window = staged[:take] + aged
+    forced_red = [q for q in red if q not in aged]
+    window = forced_red + staged[:take] + aged
     window = window[:WINDOW]
     pad = [q for q in registered if q not in window]
     while len(window) < WINDOW:
