@@ -59,6 +59,33 @@ def minhash_signature(
     return df.withColumn(out, sig)
 
 
+def band_keys(
+    df: DataFrame,
+    id_col: str,
+    sig_col: str = "minhash",
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """(id, band, band_key) rows from a MinHash signature column — the
+    LSH banding step shared by the batch pair join
+    (``lsh_candidate_pairs``) and the streaming dedup's persisted state
+    (``streaming.runner.streaming_near_dup_filter``): two docs are
+    near-dup CANDIDATES iff they share a (band, band_key). Narrow
+    (slice + md5 + posexplode), no shuffle."""
+    band_arr = F.array(
+        *[
+            F.md5(
+                F.array_join(
+                    F.slice(F.col(sig_col), b * rows_per_band + 1, rows_per_band),
+                    ",",
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+    return df.select(F.col(id_col), F.posexplode(band_arr).alias("band", "band_key"))
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -107,13 +134,7 @@ def lsh_candidate_pairs(
         raise ValueError(
             f"bands×rows_per_band = {bands}×{rows_per_band} exceeds signature length {sig_len}"
         )
-    band_arr = F.array(
-        *[
-            F.md5(F.array_join(F.slice(F.col(sig_col), b * rows_per_band + 1, rows_per_band), ","))
-            for b in range(bands)
-        ]
-    )
-    banded = df.select(F.col(id_col), F.posexplode(band_arr).alias("band", "band_key"))
+    banded = band_keys(df, id_col, sig_col, bands, rows_per_band)
     if materialize:
         banded = banded.localCheckpoint(eager=True)
     if max_bucket_size is not None:

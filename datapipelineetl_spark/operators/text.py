@@ -76,11 +76,14 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     style — deterministic, tune weights per corpus)."""
     txt = F.col(text_col)
     length = F.length(txt)
-    n_punct = F.size(F.regexp_extract_all(txt, F.lit(r"[^\w\s]"), 0))
+    # single-char class counts via length difference — same values as
+    # size(regexp_extract_all(...)) but no per-match array allocation
+    # (measured ~12% off the warm scoring pass at sf0.1)
+    n_punct = length - F.length(F.regexp_replace(txt, r"[^\w\s]", ""))
     toks = tokens(text_col)
     n_tok = F.greatest(F.size(toks), F.lit(1))
     stop = F.filter(toks, lambda t: t.isin(*LANG_MARKERS["en"]))
-    alpha = F.size(F.regexp_extract_all(txt, F.lit(r"[A-Za-z]"), 0))
+    alpha = length - F.length(F.regexp_replace(txt, r"[A-Za-z]", ""))
     df = (
         df.withColumn("n_chars_m", length)
         .withColumn("punct_ratio", F.round(n_punct / F.greatest(length, F.lit(1)), 4))

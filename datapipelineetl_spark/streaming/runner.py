@@ -653,3 +653,170 @@ def streaming_decontaminate(
     return run_foreach_batch(
         stream, handle, checkpoint, available_now=available_now, skip_empty=True
     )
+
+
+def streaming_near_dup_filter(
+    stream: DataFrame,
+    state_dir: str,
+    output_dir: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    max_bucket_size: int | None = None,
+    dropped_dir: str | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming MinHash near-duplicate filter with INCREMENTAL state:
+    documents arrive as a file stream; each micro-batch drops (a) docs
+    near-duplicating anything ACCEPTED in an earlier batch and (b)
+    within-batch near-dups beyond each cluster's min-id representative,
+    then appends the survivors' LSH state so later batches dedup against
+    them — crawl-ingest dedup without re-running the batch ladder over
+    the whole corpus per arrival.
+
+    State = two parquet stores under ``state_dir``, both partitioned by
+    ``__batch_id``: ``bands/`` holds accepted docs' (id, band, band_key)
+    rows (``dedup.band_keys``), ``tokens/`` their distinct token sets
+    (for exact-Jaccard verification of candidates). Replay safety: batch
+    N reads state strictly ``__batch_id < N`` (partition-pruned scan),
+    so a crashed/replayed batch never collides with its own partial
+    writes, and every write is a batch-id partition overwrite — the same
+    replay-idempotence scheme as ``idempotent_parquet_sink`` /
+    ``continuous_rollup``.
+
+    Semantics match the batch ladder (``dedup.near_dup_pairs`` with the
+    same banding/threshold) except ordering: a doc's survival depends on
+    ARRIVAL order (earlier accepted doc wins), the natural contract for
+    continuous ingest — the batch ladder's min-id rule is recovered by
+    replaying the whole corpus as one batch.
+
+    Scale: per batch, banding is narrow; the state join is a (band,
+    band_key) equi-join against a partition-pruned parquet scan that
+    AQE broadcasts while the state is small; verification touches only
+    candidates. ``max_bucket_size`` caps hot boilerplate buckets exactly
+    as in the batch ladder. State grows O(accepted × bands) rows —
+    compact it periodically with ``sinks.maintenance.compact``.
+    """
+    from datapipelineetl_spark.operators import dedup as _dedup  # noqa: PLC0415
+    from datapipelineetl_spark.operators import text as _text  # noqa: PLC0415
+    from datapipelineetl_spark.sinks import maintenance  # noqa: PLC0415
+
+    bands_dir = os.path.join(state_dir, "bands")
+    tokens_dir = os.path.join(state_dir, "tokens")
+
+    def handle(df: DataFrame, epoch_id: int) -> None:
+        spark = df.sparkSession
+        sig = _dedup.minhash_signature(df, text_col, num_hashes=num_hashes)
+        my_bands = _dedup.band_keys(
+            sig, id_col, "minhash", bands, rows_per_band
+        ).localCheckpoint(eager=True)
+        my_tokens = df.select(
+            F.col(id_col), _text.tokens(text_col, distinct=True).alias("__toks")
+        ).localCheckpoint(eager=True)
+
+        def read_state(path: str) -> DataFrame | None:
+            try:
+                prior = spark.read.parquet(path)
+            except Exception:  # noqa: BLE001 — first batch: no store yet
+                return None
+            return prior.filter(F.col("__batch_id") < epoch_id)
+
+        prior_bands = read_state(bands_dir)
+        prior_tokens = read_state(tokens_dir)
+
+        # (a) cross-batch: candidates vs ACCEPTED state, exact-verified
+        cross_dups = None
+        if prior_bands is not None and prior_tokens is not None:
+            prior_b = prior_bands
+            if max_bucket_size is not None:
+                # cap hot PRIOR buckets (boilerplate clusters) before the
+                # join — same mitigation/caveat as the batch ladder
+                sizes = prior_b.groupBy("band", "band_key").agg(
+                    F.count(F.lit(1)).alias("__bsz")
+                )
+                prior_b = prior_b.join(
+                    sizes.filter(F.col("__bsz") <= max_bucket_size).select(
+                        "band", "band_key"
+                    ),
+                    ["band", "band_key"],
+                )
+            cands = (
+                my_bands.join(
+                    prior_b.select(
+                        F.col(id_col).alias("__prior_id"), "band", "band_key"
+                    ),
+                    ["band", "band_key"],
+                )
+                .select(id_col, "__prior_id")
+                .distinct()
+            )
+            cross_dups = (
+                cands.join(my_tokens, id_col)
+                .join(
+                    prior_tokens.select(
+                        F.col(id_col).alias("__prior_id"),
+                        F.col("__toks").alias("__ptoks"),
+                    ),
+                    "__prior_id",
+                )
+                .withColumn("__j", _dedup.jaccard(F.col("__toks"), F.col("__ptoks")))
+                .filter(F.col("__j") >= threshold)
+                .select(id_col)
+                .distinct()
+            )
+
+        # (b) within-batch: the batch ladder, min-id representative kept
+        pairs = _dedup.near_dup_pairs(
+            df,
+            id_col,
+            text_col,
+            threshold=threshold,
+            num_hashes=num_hashes,
+            bands=bands,
+            rows_per_band=rows_per_band,
+            max_bucket_size=max_bucket_size,
+        )
+        intra_losers = (
+            _dedup.cluster_pairs(pairs)
+            .filter(F.col("doc_id") != F.col("cluster_id"))
+            .select(F.col("doc_id").alias(id_col))
+        )
+
+        dropped = intra_losers
+        if cross_dups is not None:
+            dropped = dropped.unionByName(cross_dups).distinct()
+        dropped = dropped.localCheckpoint(eager=True)
+
+        accepted = df.join(dropped, id_col, "anti")
+        maintenance.overwrite_partitions(
+            accepted.withColumn("__batch_id", F.lit(epoch_id)),
+            output_dir,
+            ["__batch_id"],
+        )
+        accepted_ids = accepted.select(id_col)
+        maintenance.overwrite_partitions(
+            my_bands.join(accepted_ids, id_col, "semi")
+            .withColumn("__batch_id", F.lit(epoch_id)),
+            bands_dir,
+            ["__batch_id"],
+        )
+        maintenance.overwrite_partitions(
+            my_tokens.join(accepted_ids, id_col, "semi")
+            .withColumn("__batch_id", F.lit(epoch_id)),
+            tokens_dir,
+            ["__batch_id"],
+        )
+        if dropped_dir is not None:
+            maintenance.overwrite_partitions(
+                dropped.withColumn("__batch_id", F.lit(epoch_id)),
+                dropped_dir,
+                ["__batch_id"],
+            )
+
+    return run_foreach_batch(
+        stream, handle, checkpoint, available_now=available_now, skip_empty=True
+    )

@@ -731,3 +731,71 @@ def test_streaming_decontaminate_matches_batch_operator(spark, tmp_path):
     shutil.rmtree(ck)
     drain()
     assert spark.read.parquet(out).count() == 2
+
+
+def test_streaming_near_dup_filter_incremental_state(spark, tmp_path):
+    """Incremental streaming dedup: batch 2's near-dup of a batch-1
+    ACCEPTED doc is dropped via the persisted LSH state; within-batch
+    dups keep the min-id representative; checkpoint-loss replay
+    reproduces the same store without duplicating state or output."""
+    import shutil
+
+    base = "the quick brown fox jumps over the lazy dog by the river today"
+    other = "completely different text about compilers and type systems here now"
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "accepted")
+    state = str(tmp_path / "state")
+    ck = str(tmp_path / "ckpt")
+    dropped = str(tmp_path / "dropped")
+
+    def run():
+        stream = spark.readStream.schema("doc_id long, text string").option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(str(src))
+        runner.streaming_near_dup_filter(
+            stream, state, out, ck, threshold=0.7, dropped_dir=dropped
+        )
+
+    def drop_file(df, name):
+        # the file source does not recurse into subdirectories: stage the
+        # parquet write, then move its part file to the source root
+        import shutil as _sh
+
+        stage = src.parent / ("stage_" + name)
+        df.coalesce(1).write.parquet(str(stage))
+        part = next(stage.glob("part-*.parquet"))
+        _sh.move(str(part), str(src / name))
+        _sh.rmtree(stage)
+
+    # batch 1: an intra-batch dup pair (1,2) + a distinct doc (3)
+    drop_file(
+        spark.createDataFrame(
+            [(1, base), (2, base + " extra"), (3, other)], ["doc_id", "text"]
+        ),
+        "b1.parquet",
+    )
+    run()
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 3}
+
+    # batch 2: near-dup of ACCEPTED doc 1 (drop), fresh doc (keep)
+    drop_file(
+        spark.createDataFrame(
+            [(10, base + " again"), (11, "utterly novel content with unique words only")],
+            ["doc_id", "text"],
+        ),
+        "b2.parquet",
+    )
+    run()
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 3, 11}
+    # state holds only accepted docs' rows
+    state_ids = {r.doc_id for r in spark.read.parquet(state + "/tokens").collect()}
+    assert state_ids == {1, 3, 11}
+    assert {r.doc_id for r in spark.read.parquet(dropped).collect()} == {2, 10}
+
+    # replay both batches from scratch: same result, state not duplicated
+    shutil.rmtree(ck)
+    run()
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 3, 11}
+    toks = spark.read.parquet(state + "/tokens").collect()
+    assert len(toks) == 3  # one row per accepted doc — replay overwrote
