@@ -302,6 +302,7 @@ def prepare_corpus(
     near_dup_threshold: float | None = 0.7,
     max_bucket_size: int | None = 50,
     redact: bool = True,
+    representative: str = "min_id",
 ) -> DataFrame:
     """One-call training-corpus preparation — the §2.11 ladder composed
     in its production order:
@@ -311,16 +312,28 @@ def prepare_corpus(
     2. EXACT dedup first (token-set fingerprint groupBy — O(n), removes
        identical copies before any pairwise machinery sees them),
     3. near-dup removal: capped MinHash-LSH pairs → connected components
-       → keep each cluster's min-id representative (anti-join the rest),
+       → keep ONE representative per cluster (anti-join the rest),
     4. PII redaction (narrow).
+
+    ``representative`` picks which cluster member survives stage 3:
+    ``"min_id"`` (default — deterministic, oracle-checked by
+    ``q_prepare_corpus``) or ``"quality"`` (the member with the highest
+    ``quality_score``, ties broken by min id — keeps the best-written
+    copy of a near-dup group, the usual production preference).
 
     Returns the surviving rows of ``df`` (annotation columns included)
     — every stage is the already-oracle-checked operator, composed.
 
     Scale: the expensive stage (3) is the capped ladder whose 100 TB
     design is argued/measured in dedup.py + SCALING.md; stages 1/2/4 are
-    one narrow pass + one partial-agg shuffle.
+    one narrow pass + one partial-agg shuffle. The quality-ranked
+    selection adds one window over the cluster METADATA frame
+    ((id, cluster, score) — never the document bodies).
     """
+    if representative not in ("min_id", "quality"):
+        raise ValueError(
+            f"representative must be 'min_id' or 'quality', got {representative!r}"
+        )
     out = text.with_lang_id(text.with_quality_score(df, text_col), text_col)
     if min_quality is not None:
         out = out.filter(F.col("quality_score") >= min_quality)
@@ -350,9 +363,27 @@ def prepare_corpus(
             materialize=True,
         )
         clusters = dedup.cluster_pairs(pairs)
-        losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
-            F.col("doc_id").alias("__loser")
-        )
+        if representative == "quality":
+            # highest-quality member survives (min id on ties): window
+            # over the (id, cluster, score) metadata frame only
+            scored = clusters.join(
+                out.select(
+                    F.col(id_col).alias("doc_id"), "quality_score"
+                ),
+                "doc_id",
+            )
+            wq = Window.partitionBy("cluster_id").orderBy(
+                F.col("quality_score").desc(), F.col("doc_id")
+            )
+            losers = (
+                scored.withColumn("__rk", F.row_number().over(wq))
+                .filter(F.col("__rk") > 1)
+                .select(F.col("doc_id").alias("__loser"))
+            )
+        else:
+            losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+                F.col("doc_id").alias("__loser")
+            )
         # no broadcast hint: the loser set scales with the corpus's
         # duplication rate (can be most of a crawl) — AQE broadcasts it
         # only when it actually fits

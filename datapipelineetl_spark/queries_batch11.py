@@ -215,7 +215,7 @@ def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.redact_pii(docs, "text", out="redacted").select("doc_id", "redacted")
 
 
-def _prepare_corpus_oracle() -> str:
+def _prepare_corpus_oracle(representative: str = "min_id") -> str:
     """The WHOLE prepare_corpus pipeline replayed in one SQL statement:
     quality scoring (q_text_quality's exact formula) → exact dedup
     (min-id per sorted-token-set md5) → the capped MinHash ladder
@@ -224,7 +224,10 @@ def _prepare_corpus_oracle() -> str:
     the PII regexp chain. Every stage reuses the SQL fragment already
     proven equal to its operator by that operator's own oracle query —
     this one checks the COMPOSITION (stage order and the survivor set
-    each stage hands the next)."""
+    each stage hands the next). ``representative`` selects the survivor
+    rule replayed in the losers CTE (min_id | quality — mirroring
+    ``corpus.prepare_corpus``; the quality variant is registered from
+    queries_batch12)."""
     toks = _SQL_TOKENS.format(c="text")
     redact = "text"
     for pat, token in corpus.PII_PATTERNS:
@@ -232,6 +235,17 @@ def _prepare_corpus_oracle() -> str:
     ladder = _minhash_capped_pairs_cte(
         _MH_THRESHOLD, _MH_BANDS, _MH_ROWS, _MH_CAP
     ).replace("FROM documents)", "FROM base)")
+    losers = (
+        "SELECT node FROM comp WHERE node <> cid"
+        if representative == "min_id"
+        else """
+      SELECT node FROM (
+        SELECT comp.node,
+               ROW_NUMBER() OVER (PARTITION BY comp.cid
+                 ORDER BY s.quality_score DESC, comp.node) AS rk
+        FROM comp JOIN scored s ON s.doc_id = comp.node)
+      WHERE rk > 1"""
+    )
     return rf"""
     WITH RECURSIVE q0 AS (
       SELECT doc_id, text,
@@ -269,9 +283,8 @@ def _prepare_corpus_oracle() -> str:
       SELECT DISTINCT src AS node, src AS label FROM edges
       UNION
       SELECT e.src AS node, cc.label FROM edges e JOIN cc ON cc.node = e.dst),
-    losers AS (
-      SELECT node FROM (SELECT node, MIN(label) AS cid FROM cc GROUP BY node)
-      WHERE node <> cid)
+    comp AS (SELECT node, MIN(label) AS cid FROM cc GROUP BY node),
+    losers AS ({losers})
     SELECT doc_id, {redact} AS text
     FROM base WHERE doc_id NOT IN (SELECT node FROM losers)
     """

@@ -25,6 +25,7 @@ from datapipelineetl_spark.queries import _t
 from datapipelineetl_spark.queries import QUERIES as _GLOBAL_QUERIES
 from datapipelineetl_spark.queries import ORACLES as _GLOBAL_ORACLES
 from datapipelineetl_spark.queries_ext import _SQL_TOKENS
+from datapipelineetl_spark import queries_batch11 as _b11
 
 STAGED_QUERIES: dict = {}
 STAGED_ORACLES: dict[str, str] = {}
@@ -265,3 +266,29 @@ def q_semantic_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     output contract — the production route at corpus scale."""
     emb = _t(spark, sf_dir, "embeddings")
     return dedup.semantic_dupes(emb, 0.45, exact=True)
+
+
+@query("q_prepare_corpus_quality", _b11._prepare_corpus_oracle("quality"))
+def q_prepare_corpus_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """prepare_corpus with the QUALITY-ranked representative rule: each
+    near-dup cluster keeps its highest-quality member (ties → min id)
+    instead of the min id — the production preference (keep the best-
+    written copy). The oracle is the same one-statement pipeline replay
+    as q_prepare_corpus with only the losers CTE swapped to a
+    per-component quality rank, so the two registered variants pin that
+    the representative rule — and nothing else — differs.
+
+    Scale: identical to q_prepare_corpus plus one window over the
+    (id, cluster, score) metadata frame (corpus.prepare_corpus
+    docstring)."""
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    out = corpus.prepare_corpus(
+        docs,
+        min_quality=0.5,
+        near_dup_threshold=_b11._MH_THRESHOLD,
+        max_bucket_size=_b11._MH_CAP,
+        representative="quality",
+    )
+    return out.select("doc_id", "text")

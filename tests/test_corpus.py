@@ -417,3 +417,32 @@ def test_semantic_dupes_drop_list_exact_and_lsh(spark):
         ).collect()
     }
     assert lsh <= exact
+
+
+def test_prepare_corpus_quality_ranked_representative(spark):
+    """representative='quality': a near-dup cluster keeps its
+    highest-quality member instead of the min id (ties → min id)."""
+    base = " ".join(f"word{i}" for i in range(20)) + " the of"
+    # near-dup (NOT exact: two extra unique tokens keep the token-set
+    # fingerprints distinct, Jaccard 22/24 ≈ 0.92) with stopword ratio
+    # pushed past 0.6 → quality 0.75 vs the clean copy's 1.0
+    spam = base + " zzzq zzzr" + (" the" * 40)
+    df = spark.createDataFrame(
+        [(1, spam), (2, base), (3, "another unrelated document entirely " * 3)],
+        ["doc_id", "text"],
+    )
+    # min_quality=0.5 keeps both cluster members (spam scores 0.75)
+    min_id = {
+        r.doc_id
+        for r in corpus.prepare_corpus(df, min_quality=0.5, redact=False).collect()
+    }
+    assert min_id == {1, 3}  # default rule: min id 1 survives
+    by_quality = {
+        r.doc_id
+        for r in corpus.prepare_corpus(
+            df, min_quality=0.5, redact=False, representative="quality"
+        ).collect()
+    }
+    assert by_quality == {2, 3}  # doc 2 outscores its near-dup doc 1
+    with pytest.raises(ValueError, match="representative"):
+        corpus.prepare_corpus(df, representative="best")
