@@ -649,41 +649,48 @@ def repetition_stats(
     """
     txt = F.coalesce(F.col(text_col), F.lit(""))
     raw_lines = F.split(txt, "\n")
-    lines = F.filter(F.transform(raw_lines, F.trim), lambda l: l != "")
+    lines_expr = F.filter(F.transform(raw_lines, F.trim), lambda l: l != "")
+    # multi-referenced expensive expressions route through columns
+    # (expression trees are TREES — inlining lines/distinct-lines would
+    # re-evaluate the split+trim+filter per metric)
+    out = df.withColumn("__lines", lines_expr).withColumn(
+        "__dlines", F.array_distinct(F.col("__lines"))
+    )
+    lines, dlines = F.col("__lines"), F.col("__dlines")
     n_lines = F.size(lines)
-    n_distinct = F.size(F.array_distinct(lines))
     chars = lambda arr: F.aggregate(  # noqa: E731
         arr, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
     )
     line_chars = chars(lines)
-    distinct_chars = chars(F.array_distinct(lines))
-    out = df.withColumn("__lines", lines).withColumn(
+    out = out.withColumn(
         "dup_line_frac",
         F.round(
-            (n_lines - n_distinct) / F.greatest(n_lines, F.lit(1)), 4
+            (n_lines - F.size(dlines)) / F.greatest(n_lines, F.lit(1)), 4
         ).cast("double"),
     )
     out = out.withColumn(
         "dup_line_char_frac",
         F.round(
-            (line_chars - distinct_chars)
+            (line_chars - chars(dlines))
             / F.greatest(line_chars, F.lit(1)).cast("double"),
             4,
         ),
     )
     for n in gram_ns:
-        grams = text.shingles(text_col, n)
         # shingles() pads short docs to one window; an n-token-or-shorter
         # doc has no real n-gram repeats, so clamp via the token count
-        toks = text.tokens(txt)
-        n_grams = F.when(F.size(toks) >= n, F.size(grams)).otherwise(F.lit(0))
-        n_dist = F.when(
-            F.size(toks) >= n, F.size(F.array_distinct(grams))
-        ).otherwise(F.lit(0))
+        out = out.withColumn("__grams", text.shingles(text_col, n)).withColumn(
+            "__ntok", F.size(text.tokens(txt))
+        )
+        grams, ntok = F.col("__grams"), F.col("__ntok")
+        n_grams = F.when(ntok >= n, F.size(grams)).otherwise(F.lit(0))
+        n_dist = F.when(ntok >= n, F.size(F.array_distinct(grams))).otherwise(
+            F.lit(0)
+        )
         out = out.withColumn(
             f"dup_{n}gram_frac",
             F.round(
                 (n_grams - n_dist) / F.greatest(n_grams, F.lit(1)), 4
             ).cast("double"),
-        )
-    return out.drop("__lines")
+        ).drop("__grams", "__ntok")
+    return out.drop("__lines", "__dlines")

@@ -57,9 +57,20 @@ def _parse_partition_dirs(
 
 def _partition_value_str(v) -> str | None:
     """A collected partition value, rendered the way Spark renders it in
-    a directory name (pre-escaping): str() matches for the string / int /
-    date / common-timestamp types partition columns are made of."""
-    return None if v is None else str(v)
+    a directory name (pre-escaping). str() matches for the string / int /
+    date types partition columns are usually made of; booleans and
+    fractional-second timestamps need normalizing (Spark writes
+    'true'/'false' and trims trailing fractional zeros, Python renders
+    'True' and pads to 6 digits)."""
+    import datetime as _dt
+
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return str(v).lower()
+    if isinstance(v, _dt.datetime) and v.microsecond:
+        return str(v).rstrip("0").rstrip(".")
+    return str(v)
 
 
 def overwrite_partitions(
@@ -197,7 +208,7 @@ def merge_upsert(
                         f"merge_upsert: emptied partition {dict(zip(partition_cols, key))} "
                         f"not found on disk under {path}; refusing to leave "
                         "a possibly-stale partition behind "
-                        f"(on-disk partitions: {sorted(on_disk)})"
+                        f"(on-disk partitions: {sorted(on_disk, key=repr)})"
                     )
                 shutil.rmtree(part_dir)
     else:

@@ -635,6 +635,12 @@ def streaming_decontaminate(
             .agg(F.count(F.lit(1)).alias("n_shared"))
             .filter(F.col("n_shared") >= min_shared)
         )
+        if dropped_dir is not None:
+            # two consumers (clean anti-join + audit write): materialize
+            # once or the shingle+join+agg pipeline executes twice per
+            # batch (same rationale as streaming_near_dup_filter's
+            # checkpointed drop set)
+            pairs = pairs.localCheckpoint(eager=True)
         bad = pairs.select(id_col).distinct()
         clean = df.join(bad, id_col, "anti")
         maintenance.overwrite_partitions(
@@ -719,11 +725,15 @@ def streaming_near_dup_filter(
         ).localCheckpoint(eager=True)
 
         def read_state(path: str) -> DataFrame | None:
-            try:
-                prior = spark.read.parquet(path)
-            except Exception:  # noqa: BLE001 — first batch: no store yet
+            # existence check, not a bare except: a REAL read error
+            # (corrupt footer, transient FS failure) must fail the batch
+            # — treating it as "first batch, no store yet" would silently
+            # skip cross-batch dedup and corrupt output + state. Local-FS
+            # check like the rest of this module's swap logic; on object
+            # stores gate on the store's listing instead.
+            if not os.path.isdir(path):
                 return None
-            return prior.filter(F.col("__batch_id") < epoch_id)
+            return spark.read.parquet(path).filter(F.col("__batch_id") < epoch_id)
 
         prior_bands = read_state(bands_dir)
         prior_tokens = read_state(tokens_dir)

@@ -28,13 +28,21 @@ NESTED_LOOP_ALLOWED = {
     "q_ngram_jaccard_pairs": "declared exact O(n²) baseline; scale path = capped MinHash",
     "q_cosine_near_pairs": "declared exact O(n²) baseline; scale path = q_lsh_cosine_near_pairs",
     "q_fuzzy_name_pairs": "dimension-side pairwise edit distance (supplier×supplier)",
+    # q_semantic_dupes' exact O(n²) pair baseline needs no entry: its BNLJ
+    # sits inside cluster_pairs' materialized rounds, below the tail plan
+    # the lint reads (same visibility property as q_dedup_clusters_lsh)
 }
 
 
 @pytest.fixture(scope="module")
 def plans(spark, sf_dir):
+    # live registry + the STAGED batteries: a staged query gets linted
+    # BEFORE promotion, not discovered dirty when it enters the window
+    from datapipelineetl_spark import queries_batch12 as b12
+
+    queries = {**entrymod.queries(), **b12.STAGED_QUERIES}
     out = {}
-    for name, fn in entrymod.queries().items():
+    for name, fn in queries.items():
         out[name] = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     return out
 

@@ -45,12 +45,17 @@ def test_cell_metrics_full_schema_round_trip(spark, tmp_path):
     from pyspark.sql import functions as F
 
     assert len(CELL_METRICS_FULL_SCHEMA) == 67
-    # the fixture subset is a strict subset, same declared types
+    # the fixture subset is a strict subset with the same declared types
+    # (FT_UL.Interference excepted: the subset keeps the pre-rename
+    # dotted STRING form that exercises the C7 cast rule)
     full = {f.name: f.dataType for f in CELL_METRICS_FULL_SCHEMA.fields}
     for f in CELL_METRICS_SCHEMA.fields:
-        if f.name == "FT_UL.Interference":  # pre-rename form in the subset
+        if f.name == "FT_UL.Interference":
             continue
-        assert full[f.name] == f.dataType or f.name in full
+        assert f.name in full, f"subset field {f.name!r} missing from full schema"
+        assert full[f.name] == f.dataType, (
+            f"type drift for {f.name!r}: subset {f.dataType} vs full {full[f.name]}"
+        )
     df = spark.createDataFrame([], CELL_METRICS_FULL_SCHEMA)
     out, mapping = sanitize_columns(df)
     assert len(mapping) == 67

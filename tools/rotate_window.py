@@ -69,15 +69,16 @@ def main() -> int:
     print(f"staged backlog: {len(staged)} ({', '.join(staged)})")
     free = WINDOW - len(aged)
     print(f"free slots    : {free} of {WINDOW}")
-    take = min(len(staged), max(free, 0)) if n_promote is None else n_promote
-    if len(aged) + take > WINDOW:
-        print(
-            f"WARNING: {len(aged)} aged + {take} promotions > {WINDOW} — "
-            "stagger promotions or accept rows at exactly 2-rounds-old "
-            "(see NOTES.md round-6 checklist)"
-        )
-        take = max(0, WINDOW - len(aged))
     forced_red = [q for q in red if q not in aged]
+    forced = len(aged) + len(forced_red)
+    take = min(len(staged), max(WINDOW - forced, 0)) if n_promote is None else n_promote
+    if forced + take > WINDOW:
+        print(
+            f"WARNING: {len(aged)} aged + {len(forced_red)} red + {take} "
+            f"promotions > {WINDOW} — stagger promotions or relax the "
+            "contract (see NOTES.md rotation checklist)"
+        )
+        take = max(0, WINDOW - forced)
     window = forced_red + staged[:take] + aged
     window = window[:WINDOW]
     pad = [q for q in registered if q not in window]
