@@ -1,0 +1,109 @@
+"""End-to-end demo: CONTINUOUS corpus ingest — documents arrive as a
+file stream and leave as a deduplicated, decontaminated, PII-scrubbed
+store, with all dedup/decontamination state replay-safe on disk.
+
+    python examples/streaming_corpus_ingest.py [sf_dir] [work_dir]
+
+The streaming twin of examples/prepare_training_corpus.py: the batch
+script is the terminal form (run once over a finished crawl); this one
+is the crawl-while-ingesting form. Stages per micro-batch:
+
+  1. streaming_near_dup_filter   drop docs near-duplicating anything
+                                 accepted earlier (persisted MinHash
+                                 band + token-set state, batch-id
+                                 partitioned → replays rewrite) and
+                                 within-batch dups beyond the min-id
+                                 representative
+  2. streaming_decontaminate     drop docs sharing 8-grams with the
+                                 held-out eval set (static precomputed
+                                 n-gram store)
+  3. redact_pii                  inside the decontamination batch fn,
+                                 narrow regexp chain
+
+Two chained availableNow drains (stage 1's accepted store feeds stage
+2's stream) keep each operator's checkpoint/state independent — the
+same topology as chaining two jobs off a message bus, without needing
+one.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from datapipelineetl_spark import catalog
+from datapipelineetl_spark.operators import corpus
+from datapipelineetl_spark.session import get_session
+from datapipelineetl_spark.streaming import runner
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    work = Path(sys.argv[2] if len(sys.argv) > 2 else ".scratch/stream_ingest")
+    spark = get_session("streaming-corpus-ingest")
+    docs = catalog.load(spark, sf_dir, "documents")
+    n0 = docs.count()
+
+    # --- simulate a crawler: land the fixture docs as parquet arrivals
+    src = work / "arrivals"
+    docs.select("doc_id", "text").coalesce(2).write.mode("overwrite").parquet(
+        str(src)
+    )
+
+    # held-out eval set = last 10% of doc ids; its n-gram store is
+    # precomputed ONCE (corpus.ngram_hashes) — the static side of the
+    # decontamination join
+    cut = docs.agg(F.expr("percentile(doc_id, 0.9)")).first()[0]
+    eval_df = docs.filter(F.col("doc_id") > cut).select("doc_id", "text")
+    eval_grams = corpus.ngram_hashes(eval_df, n=8)
+
+    # --- stage 1: streaming near-dup filter (incremental LSH state)
+    deduped_dir = str(work / "deduped")
+    stream1 = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    runner.streaming_near_dup_filter(
+        stream1,
+        state_dir=str(work / "dedup_state"),
+        output_dir=deduped_dir,
+        checkpoint=str(work / "ck1"),
+        threshold=0.7,
+        max_bucket_size=50,
+        dropped_dir=str(work / "dup_audit"),
+    )
+    n1 = spark.read.parquet(deduped_dir).count()
+
+    # --- stage 2: streaming decontamination + redaction of the survivors
+    clean_dir = str(work / "clean")
+    stream2 = (
+        spark.readStream.schema("doc_id long, text string, __batch_id int")
+        .parquet(deduped_dir)
+        .drop("__batch_id")
+    )
+    runner.streaming_decontaminate(
+        stream2,
+        eval_grams,
+        output_dir=clean_dir,
+        checkpoint=str(work / "ck2"),
+        n=8,
+        dropped_dir=str(work / "contam_audit"),
+    )
+    clean = corpus.redact_pii(
+        spark.read.parquet(clean_dir).drop("__batch_id"), "text"
+    )
+    n2 = clean.count()
+    clean.write.mode("overwrite").parquet(str(work / "final"))
+
+    dups = spark.read.parquet(str(work / "dup_audit")).count()
+    contam = spark.read.parquet(str(work / "contam_audit")).count()
+    print(
+        f"arrived={n0} accepted_after_dedup={n1} clean={n2} "
+        f"dup_pairs_audited={dups} contamination_pairs_audited={contam}"
+    )
+    return 0 if n2 > 0 and n2 <= n1 <= n0 else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -124,3 +124,21 @@ def test_training_corpus_example_runs_end_to_end(spark, tmp_path, capsys):
     packed = spark.read.parquet(out)
     assert packed.count() > 0
     assert {"pack_id", "doc_id", "chunk_idx", "text", "n_tokens"} <= set(packed.columns)
+
+
+def test_streaming_corpus_ingest_example_runs_end_to_end(spark, tmp_path):
+    """The streaming ingest demo must stay runnable: arrivals → incremental
+    near-dup filter → decontamination → redacted final store at sf0.001."""
+    import examples.streaming_corpus_ingest as demo
+
+    work = str(tmp_path / "stream_demo")
+    import sys as _sys
+
+    argv, _sys.argv = _sys.argv, ["demo", "/root/testdata/sf0.001", work]
+    try:
+        assert demo.main() == 0
+    finally:
+        _sys.argv = argv
+    final = spark.read.parquet(work + "/final")
+    assert 0 < final.count() <= 500
+    assert {"doc_id", "text"} <= set(final.columns)

@@ -34,13 +34,19 @@ PICK = {
     "q11_important_parts": "Q11 decorrelation: nation's supplier keys broadcast-semi onto lineitem, ONE partkey aggregate, grand-total threshold as a 1-row broadcast over the SAME aggregate (exchange reuse, no second scan).",
     "q16_supplier_part_counts": "Q16: part attribute filters broadcast; blacklist as broadcast ANTI join; COUNT(DISTINCT) two-phase expand+aggregate shuffling only (brand,size,suppkey) triples.",
     "q20_top_part_shippers": "Q20: filtered part broadcast prunes before the suppkey aggregate; scalar AVG threshold as 1-row broadcast; qualifying suppliers broadcast into the final dim join.",
+    "q_pack_chunks": "Sequence packing (contiguous): ONE Exchange on the hash shard, per-shard window sort, pack-id arithmetic in codegen — parallelism = n_shards, never a global sort.",
+    "q_contamination_pairs": "Train/test contamination: both sides shingle narrowly (explode_outer per the computed-array rule), equi-join on the 60-bit gram hash, partial+final count on the pair key — O(corpus × grams/doc) shuffle, never |train|×|test|.",
+    "q_split_documents": "Document chunking: pure narrow array math (sequence + posexplode_outer + slice/join) — zero Exchange, zero Python; 1 row → ceil(n/step) rows inside WholeStageCodegen.",
+    "q_repetition_stats": "Gopher repetition metrics (staged): split/trim/distinct/aggregate higher-order functions, shared subtrees routed through columns — zero Exchange, zero Generate, zero Python.",
 }
 
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_session("plans")
-    qs = entrymod.queries()
+    from datapipelineetl_spark import queries_batch12 as b12
+
+    qs = {**entrymod.queries(), **b12.STAGED_QUERIES}
     lines = [
         "# PLANS — physical plans of representative queries (sf0.1, AQE on)",
         "",
