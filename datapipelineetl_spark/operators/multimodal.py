@@ -204,6 +204,45 @@ def _parse_media_header(b: bytes | None) -> dict:
                 detected_format="pgm" if b[:2] == b"P5" else "ppm",
                 width=w, height=h, valid=True,
             )
+        elif b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 29:
+            # PNG: IHDR must be the first chunk — 4-byte length, type,
+            # then big-endian width/height and the bit-depth byte
+            (clen,) = struct.unpack_from(">I", b, 8)
+            if b[12:16] == b"IHDR" and clen >= 13:
+                w, h = struct.unpack_from(">II", b, 16)
+                out.update(
+                    detected_format="png", width=w, height=h,
+                    bit_depth=b[24], valid=True,
+                )
+        elif b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+            # GIF logical screen descriptor: little-endian uint16 dims
+            w, h = struct.unpack_from("<HH", b, 6)
+            out.update(detected_format="gif", width=w, height=h, valid=True)
+        elif b[:2] == b"\xff\xd8":
+            # JPEG: walk the marker stream to the first SOF frame header
+            # (C0–CF except the C4/C8/CC non-frame markers) — big-endian
+            # precision byte then height/width
+            pos = 2
+            while pos + 4 <= len(b):
+                if b[pos] != 0xFF:
+                    break
+                marker = b[pos + 1]
+                if marker == 0xFF:  # fill byte
+                    pos += 1
+                    continue
+                if 0xD0 <= marker <= 0xD9 or marker == 0x01:
+                    pos += 2  # standalone marker, no length field
+                    continue
+                (seglen,) = struct.unpack_from(">H", b, pos + 2)
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    if pos + 9 <= len(b):
+                        h, w = struct.unpack_from(">HH", b, pos + 5)
+                        out.update(
+                            detected_format="jpeg", width=w, height=h,
+                            bit_depth=b[pos + 4], valid=True,
+                        )
+                    break
+                pos += 2 + seglen
         elif b[:2] == b"BM" and len(b) >= 26:
             # dimension offsets depend on the DIB header variant: the
             # size field at 14 disambiguates BITMAPINFOHEADER-and-later

@@ -485,3 +485,47 @@ def test_decode_headers_edge_variants(spark):
     assert got["a"]["detected_format"] == "bmp"
     assert (got["a"]["width"], got["a"]["height"]) == (100, 50)
     assert not got["b"]["valid"]  # truncated fmt chunk is corrupt, not data
+
+
+def test_decode_headers_png_gif_jpeg(spark):
+    """The codec-container slice widened round 6: a REAL zlib-built PNG
+    (correct CRCs), a GIF89a screen descriptor, and a JPEG marker walk
+    that must skip APP0/DQT segments to find SOF0 — all stdlib bytes,
+    all executed; a JPEG with no SOF frame stays valid=False."""
+    import struct
+    import zlib
+
+    from datapipelineetl_spark.operators import multimodal
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 17, 11, 8, 0, 0, 0, 0)  # 17x11 gray 8-bit
+    raw = zlib.compress(b"".join(b"\x00" + b"\x7f" * 17 for _ in range(11)))
+    png = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", raw) + chunk(b"IEND", b"")
+    )
+    gif = b"GIF89a" + struct.pack("<HH", 33, 21) + b"\x00\x00\x00;"
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00" + b"\x00" * 6
+        + b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + b"\x10" * 64
+        + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 99, 77)
+        + b"\x01\x01\x11\x00"
+        + b"\xff\xd9"
+    )
+    sofless = b"\xff\xd8" + b"\xff\xe0" + struct.pack(">H", 4) + b"\x00\x00" + b"\xff\xd9"
+    rows = [(1, png), (2, gif), (3, jpeg), (4, sofless)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: r.asDict() for r in multimodal.decode_headers(df).collect()}
+    assert got[1]["detected_format"] == "png" and got[1]["valid"]
+    assert (got[1]["width"], got[1]["height"], got[1]["bit_depth"]) == (17, 11, 8)
+    assert got[2]["detected_format"] == "gif"
+    assert (got[2]["width"], got[2]["height"]) == (33, 21)
+    assert got[3]["detected_format"] == "jpeg" and got[3]["valid"]
+    assert (got[3]["width"], got[3]["height"], got[3]["bit_depth"]) == (77, 99, 8)
+    assert not got[4]["valid"]  # marker walk found no frame header
