@@ -799,3 +799,35 @@ def test_streaming_near_dup_filter_incremental_state(spark, tmp_path):
     assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 3, 11}
     toks = spark.read.parquet(state + "/tokens").collect()
     assert len(toks) == 3  # one row per accepted doc — replay overwrote
+
+
+def test_streaming_near_dup_single_batch_matches_batch_ladder(spark, tmp_path):
+    """The documented recovery contract: replaying the whole corpus as
+    ONE batch reproduces the batch ladder's min-id-representative
+    survivor set exactly (fixture documents, production cap config)."""
+    from datapipelineetl_spark import catalog
+    from datapipelineetl_spark.operators import dedup
+
+    docs = catalog.load(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "src")
+    docs.coalesce(1).write.parquet(src)
+    out = str(tmp_path / "out")
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    runner.streaming_near_dup_filter(
+        stream, str(tmp_path / "state"), out, str(tmp_path / "ck"),
+        threshold=0.7, max_bucket_size=50,
+    )
+    streamed = {r.doc_id for r in spark.read.parquet(out).collect()}
+    pairs = dedup.near_dup_pairs(
+        docs, "doc_id", "text", threshold=0.7, max_bucket_size=50
+    )
+    losers = {
+        r.doc_id
+        for r in dedup.cluster_pairs(pairs)
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .collect()
+    }
+    expected = {r.doc_id for r in docs.collect()} - losers
+    assert streamed == expected
