@@ -363,3 +363,34 @@ def reduce_or(conds: list[Column]) -> Column:
     for c in conds[1:]:
         out = out | c
     return out
+
+
+def extract_keywords(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_df: int = 1,
+) -> DataFrame:
+    """Per-document top-``k`` TF-IDF keywords — the document-tagging /
+    index-term step over ``tf_idf``. Deterministic ordering: the score
+    is rounded to 6 places BEFORE ranking (cross-engine ``ln`` can
+    differ in the last ulp; ranking on the rounded value keeps the
+    ordering — and the oracle replay — engine-independent), ties break
+    on the token itself.
+
+    Scale: tf_idf's two shrinking shuffles plus ONE window shuffle on
+    the document key (term rows, not documents); rank ≤ k prunes to
+    k rows per doc immediately.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    scored = tf_idf(df, id_col, text_col, min_df).withColumn(
+        "tf_idf_r", F.round("tf_idf", 6)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tf_idf_r").desc(), F.col("token"))
+    return (
+        scored.withColumn("keyword_rank", F.row_number().over(w))
+        .filter(F.col("keyword_rank") <= k)
+        .select(id_col, "keyword_rank", F.col("token").alias("keyword"), "tf_idf_r")
+    )

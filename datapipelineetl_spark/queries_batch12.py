@@ -292,3 +292,38 @@ def q_prepare_corpus_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         representative="quality",
     )
     return out.select("doc_id", "text")
+
+
+@query(
+    "q_extract_keywords",
+    f"""
+    WITH terms AS (
+      SELECT doc_id, UNNEST({_SQL_TOKENS.format(c='text')}) AS token FROM documents),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM terms WHERE token <> '' GROUP BY 1, 2),
+    dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, token, ROUND(tf * ln(n_docs * 1.0 / df), 6) AS tf_idf_r
+      FROM tf JOIN dfreq USING (token), n),
+    ranked AS (
+      SELECT doc_id, token, tf_idf_r,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+               ORDER BY tf_idf_r DESC, token) AS keyword_rank
+      FROM scored)
+    SELECT doc_id, CAST(keyword_rank AS INT) AS keyword_rank,
+           token AS keyword, tf_idf_r
+    FROM ranked WHERE keyword_rank <= 5
+    """,
+)
+def q_extract_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 TF-IDF keywords: q_tf_idf's scoring replay plus
+    a per-doc rank window — every (doc, rank, keyword, score) tuple
+    value-checked. Score rounds to 6 places BEFORE ranking so the order
+    is identical across engines (ln ulp differences).
+
+    Scale: tf_idf's shrinking shuffles + one window shuffle on the doc
+    key (text.extract_keywords docstring)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = text.extract_keywords(docs, k=5)
+    return out.withColumn("keyword_rank", F.col("keyword_rank").cast("int"))

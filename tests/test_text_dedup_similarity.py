@@ -529,3 +529,27 @@ def test_decode_headers_png_gif_jpeg(spark):
     assert got[3]["detected_format"] == "jpeg" and got[3]["valid"]
     assert (got[3]["width"], got[3]["height"], got[3]["bit_depth"]) == (77, 99, 8)
     assert not got[4]["valid"]  # marker walk found no frame header
+
+
+def test_extract_keywords_top_k_deterministic(spark):
+    """Per-doc top-k TF-IDF keywords: corpus-common terms rank below
+    doc-distinctive ones; rank ordering is deterministic (rounded score
+    desc, then token)."""
+    from datapipelineetl_spark.operators import text as t
+
+    df = spark.createDataFrame(
+        [(1, "common common zebra zebra zebra"),
+         (2, "common common yak yak"),
+         (3, "common xylophone")],
+        ["doc_id", "text"],
+    )
+    out = t.extract_keywords(df, k=2)
+    rows = {(r.doc_id, r.keyword_rank): r.keyword for r in out.collect()}
+    # 'common' appears in every doc → idf = ln(1) = 0 → never beats a
+    # distinctive term
+    assert rows[(1, 1)] == "zebra"
+    assert rows[(2, 1)] == "yak"
+    assert rows[(3, 1)] == "xylophone"
+    # df=3 term scores 0 but still ranks (k=2 with only 2 terms per doc)
+    assert rows[(1, 2)] == "common"
+    assert out.filter(F.col("keyword_rank") > 2).count() == 0
