@@ -303,10 +303,20 @@ def prepare_corpus(
     max_bucket_size: int | None = 50,
     redact: bool = True,
     representative: str = "min_id",
+    remove_boilerplate: bool = False,
+    max_dup_line_frac: float | None = None,
 ) -> DataFrame:
     """One-call training-corpus preparation — the §2.11 ladder composed
     in its production order:
 
+    0. OPTIONAL pre-passes, the C4/Gopher order (both off by default to
+       keep the oracle-checked default composition stable):
+       ``remove_boilerplate=True`` strips corpus-frequent lines
+       (``remove_boilerplate_lines``) BEFORE scoring — boilerplate
+       otherwise inflates quality and welds near-dup buckets;
+       ``max_dup_line_frac`` drops documents whose duplicate-line
+       fraction exceeds it (``repetition_stats`` — intra-doc repetition
+       is low quality regardless of corpus-wide uniqueness),
     1. quality + language annotation (narrow; ``text.with_quality_score``,
        ``with_lang_id``) and filtering,
     2. EXACT dedup first (token-set fingerprint groupBy — O(n), removes
@@ -333,6 +343,17 @@ def prepare_corpus(
     if representative not in ("min_id", "quality"):
         raise ValueError(
             f"representative must be 'min_id' or 'quality', got {representative!r}"
+        )
+    if remove_boilerplate:
+        df = df.drop(text_col).join(
+            remove_boilerplate_lines(df, id_col=id_col, text_col=text_col),
+            id_col,
+        )
+    if max_dup_line_frac is not None:
+        df = (
+            repetition_stats(df, id_col=id_col, text_col=text_col, gram_ns=())
+            .filter(F.col("dup_line_frac") <= max_dup_line_frac)
+            .drop("dup_line_frac", "dup_line_char_frac")
         )
     out = text.with_lang_id(text.with_quality_score(df, text_col), text_col)
     if min_quality is not None:

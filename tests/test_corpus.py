@@ -446,3 +446,33 @@ def test_prepare_corpus_quality_ranked_representative(spark):
     assert by_quality == {2, 3}  # doc 2 outscores its near-dup doc 1
     with pytest.raises(ValueError, match="representative"):
         corpus.prepare_corpus(df, representative="best")
+
+
+def test_prepare_corpus_optional_pre_passes(spark):
+    """Optional stage-0 gates (off by default): remove_boilerplate strips
+    a corpus-wide banner before scoring; max_dup_line_frac drops docs
+    that are mostly one repeated line."""
+    good = "a perfectly reasonable document with the usual amount of words"
+    rows = (
+        [(i, f"SHARED BANNER\n{good} variant {i}") for i in range(10)]
+        + [(99, "SHARED BANNER\nspam line\nspam line\nspam line\nspam line")]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = corpus.prepare_corpus(
+        df,
+        min_quality=None,
+        near_dup_threshold=None,
+        redact=False,
+        remove_boilerplate=True,
+        max_dup_line_frac=0.5,
+    )
+    got = {r.doc_id: r.text for r in out.select("doc_id", "text").collect()}
+    # the banner is gone from every survivor
+    assert all("SHARED BANNER" not in t for t in got.values())
+    # the 80%-one-line doc is dropped (post-banner dup_line_frac 0.75)
+    assert 99 not in got and len(got) == 10
+    # defaults leave the input path untouched
+    base = corpus.prepare_corpus(
+        df, min_quality=None, near_dup_threshold=None, redact=False
+    )
+    assert base.count() == 11
