@@ -24,6 +24,7 @@ NESTED_LOOP_ALLOWED = {
     "q_orders_above_avg": "1-row scalar AVG crossJoin (Q-above-avg shape)",
     "q22_idle_rich_customers": "1-row scalar AVG crossJoin (TPC-H Q22 shape)",
     "q_tf_idf": "1-row doc-count crossJoin for the idf denominator",
+    "q_extract_keywords": "same 1-row idf-denominator crossJoin (built on tf_idf)",
     "q_cross_join_matrix": "cross join IS the semantics (5×5 dims)",
     "q_ngram_jaccard_pairs": "declared exact O(n²) baseline; scale path = capped MinHash",
     "q_cosine_near_pairs": "declared exact O(n²) baseline; scale path = q_lsh_cosine_near_pairs",
