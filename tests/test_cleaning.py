@@ -183,3 +183,39 @@ def test_strip_file_uri_prefix(spark):
     df = spark.createDataFrame([("file:///a/b.xml",), ("file:/a/b.xml",), ("/a/b.xml",)], ["p"])
     out = [r.p for r in cleaning.strip_file_uri_prefix(df, "p").collect()]
     assert out == ["/a/b.xml"] * 3
+
+
+def test_read_with_quarantine_splits_malformed_rows(spark, tmp_path):
+    """§2.1 malformed-row quarantine: PERMISSIVE parse + split — good
+    rows typed, bad raw lines preserved verbatim for audit; JSON parse
+    errors quarantine the same way; neither path drops rows silently."""
+    from pyspark.sql import types as T
+
+    from datapipelineetl_spark.sources import tabular
+
+    csv_dir = tmp_path / "csv"
+    csv_dir.mkdir()
+    (csv_dir / "feed.csv").write_text("a,b\n1,x\nnot_an_int,y\n3,z\n")
+    schema = T.StructType(
+        [T.StructField("a", T.IntegerType()), T.StructField("b", T.StringType())]
+    )
+    good, bad = tabular.split_quarantine(
+        tabular.read_with_quarantine(spark, str(csv_dir), "csv", schema, header="true")
+    )
+    assert sorted((r.a, r.b) for r in good.collect()) == [(1, "x"), (3, "z")]
+    assert [r["_corrupt_record"] for r in bad.collect()] == ["not_an_int,y"]
+
+    json_dir = tmp_path / "json"
+    json_dir.mkdir()
+    (json_dir / "feed.json").write_text(
+        '{"a": 1, "b": "x"}\n{"a": oops not json\n{"a": 3, "b": "z"}\n'
+    )
+    goodj, badj = tabular.split_quarantine(
+        tabular.read_with_quarantine(spark, str(json_dir), "json", schema)
+    )
+    assert sorted((r.a, r.b) for r in goodj.collect()) == [(1, "x"), (3, "z")]
+    assert badj.count() == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="fmt"):
+        tabular.read_with_quarantine(spark, str(csv_dir), "orc", schema)
