@@ -327,3 +327,43 @@ def q_extract_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     out = text.extract_keywords(docs, k=5)
     return out.withColumn("keyword_rank", F.col("keyword_rank").cast("int"))
+
+
+@query(
+    "q_user_hour_anomalies",
+    """
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2),
+    stats AS (
+      SELECT user_id, AVG(n_events) AS user_mean FROM hourly GROUP BY 1)
+    SELECT h.user_id, h.hour, h.n_events, ROUND(s.user_mean, 4) AS user_mean
+    FROM hourly h JOIN stats s ON h.user_id = s.user_id
+    WHERE h.n_events > 1.5 * s.user_mean
+    """,
+)
+def q_user_hour_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity-spike detection: hours where a user's event
+    count exceeds 1.5× their own hourly mean — the self-baselined anomaly
+    shape of product/abuse analytics. The threshold is exact IEEE
+    arithmetic on both engines (integer sums, one division, one
+    exact 1.5× product), so the FLAGGED SET is deterministic cross-engine — no
+    stddev accumulation-order hazard.
+
+    Scale: one partial-agg shuffle to (user, hour), one to (user), and
+    a join back on user_id that AQE broadcasts when the per-user frame
+    fits; all frames shrink monotonically."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    stats = hourly.groupBy("user_id").agg(F.avg("n_events").alias("user_mean"))
+    return (
+        hourly.join(stats, "user_id")
+        .filter(F.col("n_events") > 1.5 * F.col("user_mean"))
+        .select(
+            "user_id", "hour", "n_events", F.round("user_mean", 4).alias("user_mean")
+        )
+    )
