@@ -160,3 +160,45 @@ def write_es_bulk(
         .write.mode(mode)
         .text(path)
     )
+
+
+def streaming_es_bulk_sink(
+    stream: DataFrame,
+    path: str,
+    index: str,
+    checkpoint: str,
+    id_col: str | None = None,
+    available_now: bool = True,
+):
+    """Streaming form of :func:`write_es_bulk`: each micro-batch lands
+    as Bulk-API files under ``path/batch_id=N/`` — the engine-native
+    replacement for the reference's always-on Kafka→Logstash→ES leg
+    (logstash.conf:1-46), with BOTH replay defenses stacked: the
+    batch-id directory is overwritten on replay (file-level
+    exactly-once, same scheme as ``idempotent_parquet_sink``) and, with
+    ``id_col``, the bulk actions carry ``_id`` so even a double-POST to
+    ES upserts instead of duplicating.
+
+    Ship with any file forwarder (the operational shape the reference's
+    Logstash pipeline occupies); each ``batch_id=N`` directory is one
+    atomic replayable unit.
+
+    Scale: per batch, write_es_bulk's two narrow ``to_json``
+    projections — no driver involvement, no Python.
+    """
+    import os as _os  # noqa: PLC0415
+
+    from datapipelineetl_spark.streaming import runner as _runner  # noqa: PLC0415
+
+    def write(df: DataFrame, epoch_id: int) -> None:
+        write_es_bulk(
+            df,
+            _os.path.join(path, f"batch_id={epoch_id}"),
+            index=index,
+            id_col=id_col,
+            mode="overwrite",
+        )
+
+    return _runner.run_foreach_batch(
+        stream, write, checkpoint, available_now=available_now, skip_empty=True
+    )

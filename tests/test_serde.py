@@ -130,3 +130,39 @@ def test_write_es_bulk_escapes_and_null_ids(spark, tmp_path):
     by_name = {s["name"]: a["index"] for a, s in zip(actions, sources)}
     assert by_name["alpha"]["_id"] == 'doc"1'
     assert "_id" not in by_name["beta"]  # null id → ES-assigned id
+
+
+def test_streaming_es_bulk_sink_replay_idempotent(spark, tmp_path):
+    """Streaming ES Bulk sink: each micro-batch lands as a batch_id=N
+    bulk-file directory; checkpoint-loss replay overwrites instead of
+    duplicating, and actions keep their _id idempotency handles."""
+    import json
+    import shutil
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "bulk")
+    ck = str(tmp_path / "ck")
+    spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]).coalesce(1).write.parquet(src)
+
+    def drain():
+        stream = spark.readStream.schema("k long, v string").parquet(src)
+        serde.streaming_es_bulk_sink(stream, out, index="metrics", checkpoint=ck, id_col="k")
+
+    drain()
+    files = sorted(Path(out).glob("batch_id=*/part-*.txt"))
+    assert files and all("batch_id=0" in str(f) for f in files)
+    lines = [l for f in files for l in f.read_text().splitlines() if l]
+    assert len(lines) == 4  # 2 rows × (action + source)
+    actions = [json.loads(l) for l in lines[0::2]]
+    assert {a["index"]["_id"] for a in actions} == {"1", "2"}
+    assert all(a["index"]["_index"] == "metrics" for a in actions)
+    # replay: wipe checkpoint, drain again — rewritten, not duplicated
+    shutil.rmtree(ck)
+    drain()
+    lines2 = [
+        l
+        for f in sorted(Path(out).glob("batch_id=*/part-*.txt"))
+        for l in f.read_text().splitlines()
+        if l
+    ]
+    assert len(lines2) == 4
