@@ -692,7 +692,14 @@ def streaming_near_dup_filter(
     so a crashed/replayed batch never collides with its own partial
     writes, and every write is a batch-id partition overwrite — the same
     replay-idempotence scheme as ``idempotent_parquet_sink`` /
-    ``continuous_rollup``.
+    ``continuous_rollup``. CAVEAT: the checkpoint and ``state_dir``
+    share fate — deleting the checkpoint resets the epoch counter to 0
+    while the state keeps its old batch ids, so a full-history replay
+    that re-batches the source differently would leave orphaned
+    higher-id partitions as stale state. Lose them TOGETHER (wipe
+    state_dir with the checkpoint), exactly as you would a stateful
+    query's state store. One partition accrues per batch; fold old ones
+    with :func:`compact_state` on schedule.
 
     Semantics match the batch ladder (``dedup.near_dup_pairs`` with the
     same banding/threshold) except ordering: a doc's survival depends on
@@ -830,3 +837,55 @@ def streaming_near_dup_filter(
     return run_foreach_batch(
         stream, handle, checkpoint, available_now=available_now, skip_empty=True
     )
+
+
+def compact_state(spark: SparkSession, state_dir: str, keep_last: int = 1) -> int:
+    """Fold a ``streaming_near_dup_filter`` state store's old batch
+    partitions into one. Every sub-store (``bands/``, ``tokens/``)
+    accrues a ``__batch_id=N`` partition per micro-batch; long-running
+    ingest ends up metadata-bound scanning thousands of small
+    partitions. This merges all partitions except the newest
+    ``keep_last`` into a single partition keyed by the HIGHEST merged
+    batch id — which preserves the read contract exactly: merged rows
+    keep a ``__batch_id`` strictly below any future epoch, and epochs
+    at or below the merge point are already committed (they can only
+    re-run after a checkpoint wipe, which resets the state too — see
+    the fate-sharing caveat on ``streaming_near_dup_filter``).
+
+    Run it BETWEEN drains, never while a query is writing the store.
+    Returns the number of partitions folded away.
+
+    Scale: one column-pruned read + one partition rewrite per
+    sub-store; the swap reuses ``maintenance.compact``'s never-absent
+    rename sequence via a fresh directory + rename.
+    """
+    import re as _re
+    import shutil  # noqa: PLC0415
+    from pathlib import Path as _Path
+
+    folded = 0
+    for sub in sorted(p for p in _Path(state_dir).iterdir() if p.is_dir()):
+        parts = sorted(
+            (
+                int(m.group(1))
+                for p in sub.iterdir()
+                if (m := _re.fullmatch(r"__batch_id=(\d+)", p.name))
+            )
+        )
+        merge = parts[: max(len(parts) - keep_last, 0)]
+        if len(merge) < 2:
+            continue
+        target = merge[-1]
+        old = spark.read.parquet(str(sub)).filter(
+            F.col("__batch_id") <= target
+        ).drop("__batch_id")
+        tmp = str(sub) + "__compacting"
+        old.withColumn("__batch_id", F.lit(target)).write.mode(
+            "overwrite"
+        ).partitionBy("__batch_id").parquet(tmp)
+        for b in merge:
+            shutil.rmtree(sub / f"__batch_id={b}")
+        shutil.move(str(_Path(tmp) / f"__batch_id={target}"), str(sub / f"__batch_id={target}"))
+        shutil.rmtree(tmp)
+        folded += len(merge) - 1
+    return folded

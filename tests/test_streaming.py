@@ -831,3 +831,51 @@ def test_streaming_near_dup_single_batch_matches_batch_ladder(spark, tmp_path):
     }
     expected = {r.doc_id for r in docs.collect()} - losers
     assert streamed == expected
+
+
+def test_compact_state_folds_partitions_and_preserves_dedup(spark, tmp_path):
+    """State compaction: old batch partitions fold into one keyed by the
+    highest merged id; subsequent batches still dedup against ALL
+    previously accepted docs."""
+    base = "the quick brown fox jumps over the lazy dog by the river today"
+    src = tmp_path / "src"
+    src.mkdir()
+    out, state, ck = (str(tmp_path / n) for n in ("out", "state", "ck"))
+
+    def drop_file(df, name):
+        import shutil as _sh
+
+        stage = tmp_path / ("stage_" + name)
+        df.coalesce(1).write.parquet(str(stage))
+        _sh.move(str(next(stage.glob("part-*.parquet"))), str(src / name))
+        _sh.rmtree(stage)
+
+    def run():
+        stream = spark.readStream.schema("doc_id long, text string").option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(str(src))
+        runner.streaming_near_dup_filter(stream, state, out, ck, threshold=0.7)
+
+    drop_file(spark.createDataFrame([(1, base)], ["doc_id", "text"]), "b1.parquet")
+    run()
+    drop_file(
+        spark.createDataFrame(
+            [(2, "entirely different text about compilers and type systems here")],
+            ["doc_id", "text"],
+        ),
+        "b2.parquet",
+    )
+    run()
+    from pathlib import Path as _P
+
+    assert len(list((_P(state) / "tokens").glob("__batch_id=*"))) == 2
+    folded = runner.compact_state(spark, state, keep_last=0)
+    assert folded >= 1
+    assert len(list((_P(state) / "tokens").glob("__batch_id=*"))) == 1
+    # a later near-dup of doc 1 must STILL be caught by the folded state
+    drop_file(
+        spark.createDataFrame([(3, base + " again")], ["doc_id", "text"]),
+        "b3.parquet",
+    )
+    run()
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 2}
