@@ -155,3 +155,41 @@ def test_merge_upsert_matches_dict_model(spark, tmp_path_factory, batches):
         r.k: (r.part, r.v) for r in spark.read.parquet(store).collect()
     }
     assert got == model
+
+
+_doc_text = st.text(
+    alphabet=st.sampled_from(list("ab c\nd.!")), min_size=0, max_size=60
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(_doc_text, min_size=1, max_size=8))
+def test_repetition_stats_matches_python_reference(spark, texts):
+    """repetition_stats' four ratios equal a direct Python computation of
+    the same definitions on arbitrary text (whitespace runs, empty lines,
+    punctuation, NULL-free by construction here — the NULL case is pinned
+    separately)."""
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r.doc_id: (r.dup_line_frac, r.dup_line_char_frac, r.dup_2gram_frac)
+        for r in corpus.repetition_stats(df, gram_ns=(2,)).collect()
+    }
+
+    import re
+
+    for i, t in rows:
+        lines = [l.strip() for l in t.split("\n")]
+        lines = [l for l in lines if l != ""]
+        dl = len(lines) - len(set(lines))
+        dl_frac = round(dl / max(len(lines), 1), 4)
+        chars = sum(len(l) for l in lines)
+        dchars = chars - sum(len(l) for l in dict.fromkeys(lines))
+        dchar_frac = round(dchars / max(chars, 1), 4)
+        toks = re.split(r"\s+", t.strip().lower())
+        if len(toks) >= 2:
+            grams = [" ".join(toks[j : j + 2]) for j in range(len(toks) - 1)]
+            dg = round((len(grams) - len(set(grams))) / max(len(grams), 1), 4)
+        else:
+            dg = 0.0
+        assert got[i] == (dl_frac, dchar_frac, dg), (i, t, got[i])
