@@ -388,8 +388,8 @@ def semantic_dupes(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exact: bool = False,
-    num_planes: int = 8,
-    num_tables: int = 2,
+    num_planes: int = 6,
+    num_tables: int = 8,
     max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-space near-duplicate DROP LIST (the SemDeDup-style
@@ -405,6 +405,16 @@ def semantic_dupes(
     scale / oracle parity); the default routes through the LSH-bucketed
     ``lsh_cosine_near_pairs`` — same output contract, candidate-pruned,
     with the usual ``max_bucket_size`` skew cap.
+
+    Tune (planes, tables) to the THRESHOLD via the S-curve
+    recall = 1 − (1 − p^planes)^tables with p = 1 − arccos(θ)/π.
+    The (6, 8) default gives ≥0.99 pair recall in the θ ≥ 0.9 regime
+    semantic dedup actually targets (p ≈ 0.9), degrading to ~0.5 at a
+    brutal θ = 0.45 on near-uniform vectors — the measured table
+    (SCALING.md round 6: 8/2 → 0.04, 8/4 → 0.13, 6/8 → 0.52,
+    4/8 → 0.83 recall at θ=0.45, zero false drops in every config) is
+    the honest fixture-side picture; fewer planes / more tables buys
+    recall with more candidate pairs.
 
     Returns one column ``id_col`` (distinct ids to drop); anti-join it
     against the corpus.
