@@ -230,7 +230,9 @@ def _parse_media_header(b: bytes | None) -> dict:
                 if marker == 0xFF:  # fill byte
                     pos += 1
                     continue
-                if 0xD0 <= marker <= 0xD9 or marker == 0x01:
+                if marker == 0xD9:
+                    break  # EOI: anything after end-of-image is not a frame
+                if 0xD0 <= marker <= 0xD8 or marker == 0x01:
                     pos += 2  # standalone marker, no length field
                     continue
                 (seglen,) = struct.unpack_from(">H", b, pos + 2)

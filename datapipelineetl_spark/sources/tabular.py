@@ -68,6 +68,10 @@ def split_quarantine(
     — required correctness, not just economy: Spark refuses a plan that
     selects only the corrupt column from the raw scan, and without the
     materialization the two filters would each re-parse the input.
+    The cache pins the parsed frame in executor storage: the CALLER
+    owns the input df, so call ``df.unpersist()`` once both outputs are
+    materialized (or written) — a long-lived session re-reading large
+    feeds without unpersisting accumulates cache pressure.
     """
     df = df.cache()
     good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)

@@ -855,9 +855,17 @@ def compact_state(spark: SparkSession, state_dir: str, keep_last: int = 1) -> in
     Run it BETWEEN drains, never while a query is writing the store.
     Returns the number of partitions folded away.
 
-    Scale: one column-pruned read + one partition rewrite per
-    sub-store; the swap reuses ``maintenance.compact``'s never-absent
-    rename sequence via a fresh directory + rename.
+    Crash safety rests on an invariant of the state CONSUMERS: every
+    read path ends in ``.distinct()`` on ids (candidate pairs, drop
+    sets), so DUPLICATE state rows are semantically harmless — which
+    lets the fold run as copy-then-delete with no window where rows are
+    missing: (1) the pre-target partitions' rows are APPENDED into the
+    target partition (Spark's commit makes them visible atomically;
+    until then the originals serve reads), then (2) the now-redundant
+    source partitions are deleted — a crash at any point leaves extra
+    copies, never absent state.
+
+    Scale: one column-pruned read + one append per sub-store.
     """
     import re as _re
     import shutil  # noqa: PLC0415
@@ -876,16 +884,14 @@ def compact_state(spark: SparkSession, state_dir: str, keep_last: int = 1) -> in
         if len(merge) < 2:
             continue
         target = merge[-1]
-        old = spark.read.parquet(str(sub)).filter(
-            F.col("__batch_id") <= target
+        moving = spark.read.parquet(str(sub)).filter(
+            F.col("__batch_id") < target
         ).drop("__batch_id")
-        tmp = str(sub) + "__compacting"
-        old.withColumn("__batch_id", F.lit(target)).write.mode(
-            "overwrite"
-        ).partitionBy("__batch_id").parquet(tmp)
-        for b in merge:
+        # step 1: copy rows into the surviving partition (atomic at the
+        # write commit; duplicates are fine per the invariant above)
+        moving.write.mode("append").parquet(str(sub / f"__batch_id={target}"))
+        # step 2: drop the now-redundant source partitions
+        for b in merge[:-1]:
             shutil.rmtree(sub / f"__batch_id={b}")
-        shutil.move(str(_Path(tmp) / f"__batch_id={target}"), str(sub / f"__batch_id={target}"))
-        shutil.rmtree(tmp)
         folded += len(merge) - 1
     return folded

@@ -96,8 +96,15 @@ def main() -> int:
     n2 = clean.count()
     clean.write.mode("overwrite").parquet(str(work / "final"))
 
-    dups = spark.read.parquet(str(work / "dup_audit")).count()
-    contam = spark.read.parquet(str(work / "contam_audit")).count()
+    def audit_count(path: Path) -> int:
+        # an audit store may not exist (no drops, or every batch's
+        # dropped frame empty) — absence means zero, not a crash
+        if not path.is_dir() or not any(path.rglob("*.parquet")):
+            return 0
+        return spark.read.parquet(str(path)).count()
+
+    dups = audit_count(work / "dup_audit")
+    contam = audit_count(work / "contam_audit")
     print(
         f"arrived={n0} accepted_after_dedup={n1} clean={n2} "
         f"dup_pairs_audited={dups} contamination_pairs_audited={contam}"

@@ -553,3 +553,23 @@ def test_extract_keywords_top_k_deterministic(spark):
     # df=3 term scores 0 but still ranks (k=2 with only 2 terms per doc)
     assert rows[(1, 2)] == "common"
     assert out.filter(F.col("keyword_rank") > 2).count() == 0
+
+
+def test_decode_headers_jpeg_stops_at_eoi(spark):
+    """Review fix: bytes after a JPEG EOI marker must not be parsed as a
+    frame header — a truncated SOI+EOI followed by SOF-shaped garbage is
+    corrupt, not a valid image."""
+    import struct
+
+    from datapipelineetl_spark.operators import multimodal
+
+    garbage_after_eoi = (
+        b"\xff\xd8\xff\xd9"
+        + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+        + struct.pack(">HH", 123, 45) + b"\x01\x01\x11\x00"
+    )
+    df = spark.createDataFrame(
+        [(1, garbage_after_eoi)], "media_id long, payload binary"
+    )
+    got = multimodal.decode_headers(df).collect()[0]
+    assert not got.valid and got.detected_format is None

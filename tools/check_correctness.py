@@ -10,8 +10,9 @@ gate of record.
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
        python tools/check_correctness.py --staged [sf_dir] [query ...]
 
-``--staged`` ALSO checks the queries_batch11 STAGED set (not yet in the
-driver window — see its module docstring) with the same comparison.
+``--staged`` ALSO checks the STAGED sets (queries_batch11 — promoted
+round 6 — and queries_batch12, awaiting r7 window slots) with the same
+comparison.
 """
 
 from __future__ import annotations
