@@ -394,3 +394,101 @@ def extract_keywords(
         .filter(F.col("keyword_rank") <= k)
         .select(id_col, "keyword_rank", F.col("token").alias("keyword"), "tf_idf_r")
     )
+
+
+def build_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+    max_size: int | None = None,
+    specials: tuple[str, ...] = ("<pad>", "<unk>"),
+) -> DataFrame:
+    """Corpus vocabulary: (token, token_id, count), ids dense from 0 —
+    specials first (in declaration order), then tokens by count
+    descending with the token itself as the deterministic tiebreak; the
+    tokenizer-artifact build step of a training pipeline. ``min_count``
+    prunes the long tail; ``max_size`` caps the vocabulary INCLUDING
+    the specials.
+
+    Scale: one partial-agg shuffle on the token, then ONE global-order
+    window to assign dense ranks — the window input is the vocabulary
+    (token cardinality), not the corpus, so a single-partition sort of
+    it is fine at any corpus size (a 10M-row vocab sorts in seconds;
+    if yours is larger, shard by count band first).
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    counts = (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .filter(F.col("count") >= min_count)
+        .filter(~F.col("token").isin(*specials))
+    )
+    w = Window.orderBy(F.col("count").desc(), F.col("token"))
+    ranked = counts.withColumn(
+        "token_id", (F.row_number().over(w) + len(specials) - 1).cast("long")
+    )
+    if max_size is not None:
+        ranked = ranked.filter(F.col("token_id") < max_size)
+    spark = df.sparkSession
+    spec = spark.createDataFrame(
+        [(t, i, 0) for i, t in enumerate(specials)],
+        "token string, token_id long, count long",
+    )
+    if max_size is not None:
+        spec = spec.filter(F.col("token_id") < max_size)
+    return spec.unionByName(ranked.select("token", "token_id", "count"))
+
+
+def encode_tokens(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    unk: str = "<unk>",
+    out: str = "input_ids",
+) -> DataFrame:
+    """Encode each document's token stream to vocabulary ids
+    (``array<long>``, original order, out-of-vocabulary tokens → the
+    ``unk`` id) — the text→tensor boundary of a training pipeline.
+
+    Scale: explode to (doc, pos, token) — O(corpus tokens), narrow —
+    then ONE equi-join against the vocabulary (vocab is dimension-sized:
+    AQE broadcasts it) and one groupBy(doc) with an in-aggregate sorted
+    rebuild (array_sort over (pos, id) structs — the same
+    no-second-shuffle reassembly as ``remove_boilerplate_lines``).
+    Documents with no tokens yield an empty array, never a dropped row.
+    """
+    unk_row = vocab.filter(F.col("token") == unk).select("token_id").first()
+    if unk_row is None:
+        raise ValueError(f"vocab has no {unk!r} entry")
+    unk_id = unk_row[0]
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode_outer(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias(
+            "__pos", "token"
+        ),
+    )
+    joined = toks.join(vocab.select("token", "token_id"), "token", "left")
+    # empty-string tokens (empty/NULL docs tokenize to [""]) are kept
+    # through the aggregate and filtered INSIDE it, so such docs come
+    # back with an empty id array instead of vanishing at the groupBy
+    return joined.groupBy(id_col).agg(
+        F.transform(
+            F.filter(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("__pos"),
+                            F.col("token"),
+                            F.coalesce(F.col("token_id"), F.lit(unk_id)).alias("tid"),
+                        )
+                    )
+                ),
+                lambda s: s["token"] != "",
+            ),
+            lambda s: s["tid"],
+        ).alias(out)
+    )

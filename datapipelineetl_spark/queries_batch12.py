@@ -367,3 +367,67 @@ def q_user_hour_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", "hour", "n_events", F.round("user_mean", 4).alias("user_mean")
         )
     )
+
+
+_SQL_VOCAB = f"""
+    terms AS (
+      SELECT UNNEST({_SQL_TOKENS.format(c='text')}) AS token FROM documents),
+    counts AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS count FROM terms
+      WHERE token <> '' AND token NOT IN ('<pad>', '<unk>')
+      GROUP BY token),
+    vocab AS (
+      SELECT '<pad>' AS token, CAST(0 AS BIGINT) AS token_id, CAST(0 AS BIGINT) AS count
+      UNION ALL
+      SELECT '<unk>', 1, 0
+      UNION ALL
+      SELECT token,
+             CAST(ROW_NUMBER() OVER (ORDER BY count DESC, token) + 1 AS BIGINT),
+             count
+      FROM counts)
+"""
+
+
+@query("q_build_vocab", f"WITH {_SQL_VOCAB} SELECT token, token_id, count FROM vocab")
+def q_build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary build: dense ids, specials first, then count
+    descending with the token as tiebreak — every (token, id, count)
+    triple value-checked, so the ID ASSIGNMENT itself (what the encoder
+    depends on) is pinned cross-engine.
+
+    Scale: one token-count shuffle + one vocabulary-sized rank window
+    (text.build_vocab docstring)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.build_vocab(docs)
+
+
+@query(
+    "q_encode_tokens",
+    f"""
+    WITH {_SQL_VOCAB},
+    toks AS (
+      SELECT doc_id, UNNEST(arr) AS token, generate_subscripts(arr, 1) AS pos
+      FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS arr
+            FROM documents)),
+    enc AS (
+      SELECT doc_id,
+             list(COALESCE(v.token_id, 1) ORDER BY t.pos) AS input_ids
+      FROM toks t LEFT JOIN vocab v USING (token)
+      WHERE t.token <> ''
+      GROUP BY doc_id)
+    SELECT d.doc_id, COALESCE(e.input_ids, []) AS input_ids
+    FROM documents d LEFT JOIN enc e ON d.doc_id = e.doc_id
+    """,
+)
+def q_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-id encoding of every document against the corpus-built
+    vocabulary (the text→tensor boundary): per-doc id sequences in
+    original token order, OOV → <unk>. The oracle replays the vocabulary
+    AND the ordered encoding, so every position of every sequence is
+    value-checked.
+
+    Scale: explode + one broadcastable vocab join + in-aggregate sorted
+    rebuild — no per-doc window (text.encode_tokens docstring)."""
+    docs = _t(spark, sf_dir, "documents")
+    vocab = text.build_vocab(docs)
+    return text.encode_tokens(docs, vocab)

@@ -573,3 +573,37 @@ def test_decode_headers_jpeg_stops_at_eoi(spark):
     )
     got = multimodal.decode_headers(df).collect()[0]
     assert not got.valid and got.detected_format is None
+
+
+def test_build_vocab_and_encode_tokens_round_trip(spark):
+    """Vocabulary build + token-id encoding: dense deterministic ids
+    (specials first, count desc, token tiebreak), order-preserving
+    encoding with OOV→<unk>, empty/NULL docs → empty arrays, min_count
+    and max_size pruning."""
+    from datapipelineetl_spark.operators import text as t
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the dog ran"), (3, ""), (4, None)],
+        "doc_id int, text string",
+    )
+    v = t.build_vocab(df)
+    by_id = {r.token_id: (r.token, r["count"]) for r in v.collect()}
+    assert by_id[0] == ("<pad>", 0) and by_id[1] == ("<unk>", 0)
+    assert by_id[2] == ("the", 3)          # most frequent real token
+    assert by_id[3][0] == "cat"            # count-1 tie → alphabetical
+    enc = {r.doc_id: r.input_ids for r in t.encode_tokens(df, v).collect()}
+    assert enc[1][0] == 2 and enc[1][4] == 2  # both 'the' positions
+    assert len(enc[1]) == 6 and len(enc[2]) == 3
+    assert enc[3] == [] and enc[4] == []    # no silent drops
+    # OOV → <unk>
+    oov = spark.createDataFrame([(9, "the wombat")], "doc_id int, text string")
+    assert t.encode_tokens(oov, v).collect()[0].input_ids == [2, 1]
+    # pruning: min_count drops hapax; max_size caps including specials
+    small = t.build_vocab(df, min_count=2)
+    assert {r.token for r in small.collect()} == {"<pad>", "<unk>", "the"}
+    capped = t.build_vocab(df, max_size=3)
+    assert {r.token_id for r in capped.collect()} == {0, 1, 2}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unk"):
+        t.encode_tokens(df, v.filter(v.token != "<unk>"))
