@@ -715,3 +715,46 @@ def repetition_stats(
             ).cast("double"),
         ).drop("__grams", "__ntok")
     return out.drop("__lines", "__dlines")
+
+
+def pack_sequences(
+    encoded: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    ids_col: str = "input_ids",
+    n_shards: int = 256,
+    pack_col: str = "pack_id",
+    out: str = "token_ids",
+) -> DataFrame:
+    """The final training artifact: documents already encoded to id
+    sequences (``text.encode_tokens``) are packed (contiguous-chunk
+    assignment, ``pack_chunks`` on the ACTUAL sequence lengths) and each
+    pack's sequences CONCATENATED in document order into one
+    ``array<long>`` row — what a data loader memory-maps. Returns
+    (pack_col, out, n_docs, n_tokens).
+
+    Scale: one narrow length column, pack_chunks' single shard shuffle,
+    then ONE groupBy(pack) with an in-aggregate ordered flatten
+    (array_sort over (order, ids) structs → flatten) — sequences never
+    pass through Python and no per-pack window runs.
+    """
+    with_len = encoded.withColumn("__len", F.size(F.col(ids_col)))
+    packed = pack_chunks(
+        with_len, "__len", budget=budget, order_col=id_col,
+        n_shards=n_shards, pack_col=pack_col,
+    )
+    return (
+        packed.groupBy(pack_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col(id_col), F.col(ids_col)))
+                    ),
+                    lambda s: s[ids_col],
+                )
+            ).alias(out),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__len").cast("long").alias("n_tokens"),
+        )
+    )

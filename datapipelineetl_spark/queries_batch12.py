@@ -431,3 +431,50 @@ def q_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     vocab = text.build_vocab(docs)
     return text.encode_tokens(docs, vocab)
+
+
+@query(
+    "q_pack_sequences",
+    f"""
+    WITH {_SQL_VOCAB},
+    toks AS (
+      SELECT doc_id, UNNEST(arr) AS token, generate_subscripts(arr, 1) AS pos
+      FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS arr
+            FROM documents)),
+    enc AS (
+      SELECT doc_id, list(COALESCE(v.token_id, 1) ORDER BY t.pos) AS input_ids
+      FROM toks t LEFT JOIN vocab v USING (token)
+      WHERE t.token <> ''
+      GROUP BY doc_id),
+    lens AS (
+      SELECT doc_id, input_ids, len(input_ids) AS nt,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 8 AS shard
+      FROM enc),
+    assigned AS (
+      SELECT doc_id, input_ids, nt,
+             CAST(shard * 4294967296 + FLOOR(
+               COALESCE(SUM(nt) OVER (PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512
+             ) AS BIGINT) AS pack_id
+      FROM lens)
+    SELECT pack_id,
+           flatten(list(input_ids ORDER BY doc_id)) AS token_ids,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS n_tokens
+    FROM assigned GROUP BY pack_id
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete text→tensor pipeline in one query: corpus vocabulary
+    → per-doc id encoding → contiguous packing on REAL sequence lengths
+    → per-pack concatenated id arrays. The oracle replays everything
+    down to the exact token-id at every position of every pack — if any
+    stage (vocab ranks, encoding order, shard hash, cumulative-sum pack
+    assignment, flatten order) drifted, the value hash breaks.
+
+    Scale: see corpus.pack_sequences — one shard shuffle + one pack
+    groupBy with in-aggregate ordered flatten."""
+    docs = _t(spark, sf_dir, "documents")
+    vocab = text.build_vocab(docs)
+    enc = text.encode_tokens(docs, vocab)
+    return corpus.pack_sequences(enc, budget=512, n_shards=8)

@@ -476,3 +476,26 @@ def test_prepare_corpus_optional_pre_passes(spark):
         df, min_quality=None, near_dup_threshold=None, redact=False
     )
     assert base.count() == 11
+
+
+def test_pack_sequences_concatenates_in_doc_order(spark):
+    """pack_sequences: per-pack concatenated id arrays preserve document
+    order, token totals equal the sum of member lengths, empty-sequence
+    docs still pack (as zero-length members)."""
+    from datapipelineetl_spark.operators import text as t
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a"), (3, ""), (4, "b c")],
+        "doc_id int, text string",
+    )
+    vocab = t.build_vocab(df)
+    enc = t.encode_tokens(df, vocab)
+    out = corpus.pack_sequences(enc, budget=100, n_shards=1)
+    rows = out.collect()
+    assert sum(r.n_docs for r in rows) == 4
+    assert sum(r.n_tokens for r in rows) == 6
+    all_ids = [i for r in sorted(rows, key=lambda r: r.pack_id) for i in r.token_ids]
+    # single shard, budget 100 → one pack, doc order 1,2,3,4
+    ids = {r.token: r.token_id for r in vocab.collect()}
+    expected = [ids["a"], ids["b"], ids["c"], ids["a"], ids["b"], ids["c"]]
+    assert all_ids == expected
