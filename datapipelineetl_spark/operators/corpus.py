@@ -305,6 +305,10 @@ def prepare_corpus(
     representative: str = "min_id",
     remove_boilerplate: bool = False,
     max_dup_line_frac: float | None = None,
+    embeddings: DataFrame | None = None,
+    semantic_threshold: float = 0.9,
+    semantic_id_col: str = "vec_id",
+    semantic_vec_col: str = "embedding",
 ) -> DataFrame:
     """One-call training-corpus preparation — the §2.11 ladder composed
     in its production order:
@@ -323,7 +327,12 @@ def prepare_corpus(
        identical copies before any pairwise machinery sees them),
     3. near-dup removal: capped MinHash-LSH pairs → connected components
        → keep ONE representative per cluster (anti-join the rest),
-    4. PII redaction (narrow).
+    4. OPTIONAL semantic dedup (pass ``embeddings``): the SemDeDup stage
+       over embedding space (``dedup.semantic_dupes``) catches
+       near-duplicates that share no surface n-grams — run after the
+       surface ladder so its pair graph only sees surface-unique
+       survivors,
+    5. PII redaction (narrow).
 
     ``representative`` picks which cluster member survives stage 3:
     ``"min_id"`` (default — deterministic, oracle-checked by
@@ -409,6 +418,24 @@ def prepare_corpus(
         # duplication rate (can be most of a crawl) — AQE broadcasts it
         # only when it actually fits
         out = out.join(losers, out[id_col] == F.col("__loser"), "left_anti")
+    if embeddings is not None:
+        # SemDeDup stage: embedding-space near-dups that share no surface
+        # n-grams (translations, paraphrases) — runs AFTER the surface
+        # ladder so its pair graph only sees surface-unique survivors.
+        # The drop list keys on the embedding table's id, joined to the
+        # corpus id (the fixture tables share an id space; map upstream
+        # when yours differ).
+        sem = dedup.semantic_dupes(
+            embeddings.join(
+                out.select(F.col(id_col).alias(semantic_id_col)),
+                semantic_id_col,
+                "semi",
+            ),
+            semantic_threshold,
+            id_col=semantic_id_col,
+            vec_col=semantic_vec_col,
+        ).select(F.col(semantic_id_col).alias("__sem_loser"))
+        out = out.join(sem, out[id_col] == F.col("__sem_loser"), "left_anti")
     if redact:
         out = redact_pii(out, text_col)
     return out

@@ -499,3 +499,26 @@ def test_pack_sequences_concatenates_in_doc_order(spark):
     ids = {r.token: r.token_id for r in vocab.collect()}
     expected = [ids["a"], ids["b"], ids["c"], ids["a"], ids["b"], ids["c"]]
     assert all_ids == expected
+
+
+def test_prepare_corpus_semantic_stage(spark):
+    """Optional SemDeDup stage: passing an embeddings frame drops docs
+    whose embeddings near-duplicate a surviving lower-id doc even when
+    their TEXT shares nothing; absent embeddings, behavior is unchanged."""
+    rows = [
+        (1, "a document about economic policy in plain prose words here"),
+        (2, "ein dokument ueber wirtschaftspolitik in einfachen worten hier"),
+        (3, "completely unrelated text on marine biology and tide pools"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.999, 0.01, 0.0]), (3, [0.0, 1.0, 0.0])],
+        "vec_id int, embedding array<float>",
+    )
+    base = corpus.prepare_corpus(df, min_quality=None, redact=False)
+    assert {r.doc_id for r in base.collect()} == {1, 2, 3}  # no text overlap
+    sem = corpus.prepare_corpus(
+        df, min_quality=None, redact=False,
+        embeddings=emb, semantic_threshold=0.95,
+    )
+    assert {r.doc_id for r in sem.collect()} == {1, 3}  # 2 ≈ 1 in embedding space
