@@ -66,8 +66,10 @@ def sample_fraction(
 ) -> DataFrame:
     """Deterministic Bernoulli-style sample: keeps a row iff
     ``hash(key, salt) mod 1e6 < fraction × 1e6``. Same key + salt →
-    same decision everywhere, forever; disjoint salts → independent
-    samples (split a corpus into train/val with two calls).
+    same decision everywhere, forever; different salts → independent
+    samples. NOTE: independent ≠ disjoint — two sample calls can
+    overlap; a train/val/test HOLDOUT needs the band-partitioned
+    ``split_corpus`` below.
 
     Scale: a narrow filter — no shuffle, no RNG state, pushes down to
     the scan when ``key_col`` is a stored column.
@@ -785,3 +787,45 @@ def pack_sequences(
             F.sum("__len").cast("long").alias("n_tokens"),
         )
     )
+
+
+def split_corpus(
+    df: DataFrame,
+    fractions: Mapping[str, float],
+    key_col: str,
+    salt: str = "",
+    out: str = "split",
+) -> DataFrame:
+    """Deterministic DISJOINT-EXHAUSTIVE corpus split (train/val/test):
+    each row lands in exactly one named split, chosen by which
+    cumulative-fraction band its hash gate falls in. The partition
+    counterpart of ``sample_fraction`` — same-salt samples are NESTED
+    (a 1% sample is inside the 99%), so two sample calls can never
+    produce the disjoint split a holdout needs; this one band-partitions
+    a single coin instead. Fractions must sum to 1 (±1e-9); band order
+    follows the mapping's iteration order, so the same dict yields the
+    same split forever — and the split survives adding future rows
+    (each row's band depends only on its own key).
+
+    Scale: one narrow CASE over the hash gate — no shuffle, no join;
+    replay in SQL with the documented gate + cumulative thresholds.
+    """
+    if not fractions:
+        raise ValueError("need at least one split")
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    for name, f in fractions.items():
+        if f < 0:
+            raise ValueError(f"fraction for {name!r} must be >= 0, got {f}")
+    gate = _hash_gate(F.col(key_col), salt)
+    expr = None
+    cum = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        cum += fractions[name]
+        cond = gate < _gate_threshold(cum)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out, expr)

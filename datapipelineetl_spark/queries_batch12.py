@@ -27,6 +27,12 @@ from datapipelineetl_spark.queries import ORACLES as _GLOBAL_ORACLES
 from datapipelineetl_spark.queries_ext import _SQL_TOKENS
 from datapipelineetl_spark import queries_batch11 as _b11
 
+# the sampling gate replay shared with queries_batch11 (corpus._hash_gate)
+_SQL_GATE12 = (
+    "(('0x' || substr(md5(COALESCE({k}, '__null__') || '{s}'), 1, 15))::BIGINT"
+    " % 1000000)"
+)
+
 STAGED_QUERIES: dict = {}
 STAGED_ORACLES: dict[str, str] = {}
 
@@ -478,3 +484,30 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = text.build_vocab(docs)
     enc = text.encode_tokens(docs, vocab)
     return corpus.pack_sequences(enc, budget=512, n_shards=8)
+
+
+@query(
+    "q_split_corpus",
+    f"""
+    SELECT doc_id,
+           CASE
+             WHEN {_SQL_GATE12.format(k='doc_id::VARCHAR', s='v1')} < 980000 THEN 'train'
+             WHEN {_SQL_GATE12.format(k='doc_id::VARCHAR', s='v1')} < 990000 THEN 'val'
+             ELSE 'test'
+           END AS split
+    FROM documents
+    """,
+)
+def q_split_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjoint-exhaustive train/val/test split (98/1/1, salt 'v1'):
+    every row's BAND ASSIGNMENT is value-checked — the oracle replays
+    the hash gate and the cumulative thresholds, so the exact membership
+    of each split (what reproducibility means here) is pinned
+    cross-engine.
+
+    Scale: narrow CASE over the hash gate — no shuffle
+    (corpus.split_corpus)."""
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.split_corpus(
+        docs, {"train": 0.98, "val": 0.01, "test": 0.01}, key_col="doc_id", salt="v1"
+    ).select("doc_id", "split")

@@ -522,3 +522,32 @@ def test_prepare_corpus_semantic_stage(spark):
         embeddings=emb, semantic_threshold=0.95,
     )
     assert {r.doc_id for r in sem.collect()} == {1, 3}  # 2 ≈ 1 in embedding space
+
+
+def test_split_corpus_disjoint_exhaustive_deterministic(spark, docs):
+    """split_corpus: every row lands in exactly one band; same dict +
+    salt reproduces the split; fractions must sum to 1."""
+    out = corpus.split_corpus(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}, key_col="doc_id"
+    )
+    got = {r.doc_id: r.split for r in out.collect()}
+    assert len(got) == 200  # exhaustive, no drops
+    by = {}
+    for s in got.values():
+        by[s] = by.get(s, 0) + 1
+    assert set(by) <= {"train", "val", "test"}
+    assert by["train"] > by.get("val", 0) and by["train"] > by.get("test", 0)
+    again = {r.doc_id: r.split for r in corpus.split_corpus(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}, key_col="doc_id"
+    ).collect()}
+    assert got == again
+    # a sampled subset's members keep their band (split is per-key)
+    sub = corpus.split_corpus(
+        corpus.sample_fraction(docs, 0.5, "doc_id"),
+        {"train": 0.8, "val": 0.1, "test": 0.1}, key_col="doc_id",
+    )
+    assert all(got[r.doc_id] == r.split for r in sub.collect())
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="sum to 1"):
+        corpus.split_corpus(docs, {"a": 0.5, "b": 0.4}, key_col="doc_id")
