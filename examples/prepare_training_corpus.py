@@ -55,8 +55,13 @@ def main() -> int:
     decon = clean.join(drop, "doc_id", "anti")
     n2 = decon.count()
 
-    # 3. deterministic 95/5 train/val split (reproducible forever)
-    train = corpus.sample_fraction(decon, 0.95, "doc_id", salt="train")
+    # 3. deterministic 95/5 train/val HOLDOUT (disjoint-exhaustive
+    #    band split — reproducible forever; val is a true holdout, not
+    #    an independent sample that could overlap train)
+    split = corpus.split_corpus(
+        decon, {"train": 0.95, "val": 0.05}, key_col="doc_id"
+    )
+    train = split.filter(F.col("split") == "train").drop("split")
     n3 = train.count()
 
     # 4. chunk to context windows, 5. pack to training sequences
