@@ -42,7 +42,8 @@ _NULL_KEY = "__null__"
 def _hash_gate(key: Column, salt: str) -> Column:
     """Uniform [0, 1e6) bucket from a row key + salt — the reproducible
     coin every sampler here flips. Changing ``salt`` draws an independent
-    sample (e.g. train/validation splits from the same corpus). NULL keys
+    sample (independent ≠ disjoint — holdout splits use the
+    band-partitioned ``split_corpus``, not two salted samples). NULL keys
     coalesce to a sentinel so they get a deterministic coin like any
     other value (a null gate would null the filter predicate and SILENTLY
     drop those rows even at fraction 1.0); replay in SQL as
@@ -329,11 +330,12 @@ def prepare_corpus(
        identical copies before any pairwise machinery sees them),
     3. near-dup removal: capped MinHash-LSH pairs → connected components
        → keep ONE representative per cluster (anti-join the rest),
-    4. OPTIONAL semantic dedup (pass ``embeddings``): the SemDeDup stage
-       over embedding space (``dedup.semantic_dupes``) catches
+    4. OPTIONAL semantic dedup (pass ``embeddings``): the SemDeDup pass
+       over embedding space (LSH cosine pairs → components) catches
        near-duplicates that share no surface n-grams — run after the
        surface ladder so its pair graph only sees surface-unique
-       survivors,
+       survivors; the ``representative`` rule (min-id or quality)
+       applies to semantic clusters exactly as to surface ones,
     5. PII redaction (narrow).
 
     ``representative`` picks which cluster member survives stage 3:
@@ -427,16 +429,37 @@ def prepare_corpus(
         # The drop list keys on the embedding table's id, joined to the
         # corpus id (the fixture tables share an id space; map upstream
         # when yours differ).
-        sem = dedup.semantic_dupes(
-            embeddings.join(
-                out.select(F.col(id_col).alias(semantic_id_col)),
-                semantic_id_col,
-                "semi",
-            ),
-            semantic_threshold,
-            id_col=semantic_id_col,
-            vec_col=semantic_vec_col,
-        ).select(F.col(semantic_id_col).alias("__sem_loser"))
+        surviving = embeddings.join(
+            out.select(F.col(id_col).alias(semantic_id_col)),
+            semantic_id_col,
+            "semi",
+        )
+        from datapipelineetl_spark.operators import similarity  # noqa: PLC0415
+
+        sem_pairs = similarity.lsh_cosine_near_pairs(
+            surviving, semantic_threshold,
+            num_planes=6, num_tables=8,
+            id_col=semantic_id_col, vec_col=semantic_vec_col,
+        )
+        sem_clusters = dedup.cluster_pairs(sem_pairs)
+        if representative == "quality":
+            # same quality-ranked survivor rule as the surface stage
+            sem_scored = sem_clusters.join(
+                out.select(F.col(id_col).alias("doc_id"), "quality_score"),
+                "doc_id",
+            )
+            wsq = Window.partitionBy("cluster_id").orderBy(
+                F.col("quality_score").desc(), F.col("doc_id")
+            )
+            sem = (
+                sem_scored.withColumn("__rk", F.row_number().over(wsq))
+                .filter(F.col("__rk") > 1)
+                .select(F.col("doc_id").alias("__sem_loser"))
+            )
+        else:
+            sem = sem_clusters.filter(
+                F.col("doc_id") != F.col("cluster_id")
+            ).select(F.col("doc_id").alias("__sem_loser"))
         out = out.join(sem, out[id_col] == F.col("__sem_loser"), "left_anti")
     if redact:
         out = redact_pii(out, text_col)
@@ -767,7 +790,12 @@ def pack_sequences(
     (array_sort over (order, ids) structs → flatten) — sequences never
     pass through Python and no per-pack window runs.
     """
-    with_len = encoded.withColumn("__len", F.size(F.col(ids_col)))
+    # NULL id arrays (a malformed upstream encode) must not poison the
+    # pack: size(NULL) nulls the length and flatten over a list with a
+    # NULL element nulls the WHOLE pack's tensor — coalesce to empty
+    with_len = encoded.withColumn(
+        ids_col, F.coalesce(F.col(ids_col), F.array().cast("array<long>"))
+    ).withColumn("__len", F.size(F.col(ids_col)))
     packed = pack_chunks(
         with_len, "__len", budget=budget, order_col=id_col,
         n_shards=n_shards, pack_col=pack_col,

@@ -461,6 +461,11 @@ def encode_tokens(
     no-second-shuffle reassembly as ``remove_boilerplate_lines``).
     Documents with no tokens yield an empty array, never a dropped row.
     """
+    # the unk lookup is an ACTION: with an unmaterialized vocab plan it
+    # would execute the whole corpus-wide count + rank window once here
+    # and AGAIN at the join below — materialize the (dimension-sized)
+    # vocab once so both consumers read the same computed table
+    vocab = vocab.localCheckpoint(eager=True)
     unk_row = vocab.filter(F.col("token") == unk).select("token_id").first()
     if unk_row is None:
         raise ValueError(f"vocab has no {unk!r} entry")

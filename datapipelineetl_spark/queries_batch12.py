@@ -27,11 +27,9 @@ from datapipelineetl_spark.queries import ORACLES as _GLOBAL_ORACLES
 from datapipelineetl_spark.queries_ext import _SQL_TOKENS
 from datapipelineetl_spark import queries_batch11 as _b11
 
-# the sampling gate replay shared with queries_batch11 (corpus._hash_gate)
-_SQL_GATE12 = (
-    "(('0x' || substr(md5(COALESCE({k}, '__null__') || '{s}'), 1, 15))::BIGINT"
-    " % 1000000)"
-)
+# the sampling gate replay (corpus._hash_gate) — ONE definition, shared
+# with queries_batch11 so a gate change can never update only one copy
+_SQL_GATE12 = _b11._SQL_GATE
 
 STAGED_QUERIES: dict = {}
 STAGED_ORACLES: dict[str, str] = {}
@@ -394,6 +392,28 @@ _SQL_VOCAB = f"""
 """
 
 
+# per-doc id-encoding replay shared by q_encode_tokens / q_pack_sequences:
+# tokenize via the ONE _SQL_TOKENS fragment, LEFT-join the vocab, list in
+# token order, and restore empty/whitespace/NULL-text docs as EMPTY
+# sequences — matching text.encode_tokens' no-silent-drop contract (a
+# WHERE-filtered doc would otherwise vanish from enc and, downstream,
+# from q_pack_sequences' packs and n_docs)
+_SQL_ENC = f"""
+    toks AS (
+      SELECT doc_id, UNNEST(arr) AS token, generate_subscripts(arr, 1) AS pos
+      FROM (SELECT doc_id, {_SQL_TOKENS.format(c='text')} AS arr
+            FROM documents)),
+    enc0 AS (
+      SELECT doc_id, list(COALESCE(v.token_id, 1) ORDER BY t.pos) AS input_ids
+      FROM toks t LEFT JOIN vocab v USING (token)
+      WHERE t.token <> ''
+      GROUP BY doc_id),
+    enc AS (
+      SELECT d.doc_id, COALESCE(e.input_ids, []) AS input_ids
+      FROM documents d LEFT JOIN enc0 e ON d.doc_id = e.doc_id)
+"""
+
+
 @query("q_build_vocab", f"WITH {_SQL_VOCAB} SELECT token, token_id, count FROM vocab")
 def q_build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary build: dense ids, specials first, then count
@@ -411,18 +431,8 @@ def q_build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_encode_tokens",
     f"""
     WITH {_SQL_VOCAB},
-    toks AS (
-      SELECT doc_id, UNNEST(arr) AS token, generate_subscripts(arr, 1) AS pos
-      FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS arr
-            FROM documents)),
-    enc AS (
-      SELECT doc_id,
-             list(COALESCE(v.token_id, 1) ORDER BY t.pos) AS input_ids
-      FROM toks t LEFT JOIN vocab v USING (token)
-      WHERE t.token <> ''
-      GROUP BY doc_id)
-    SELECT d.doc_id, COALESCE(e.input_ids, []) AS input_ids
-    FROM documents d LEFT JOIN enc e ON d.doc_id = e.doc_id
+    {_SQL_ENC}
+    SELECT doc_id, input_ids FROM enc
     """,
 )
 def q_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -443,15 +453,7 @@ def q_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_pack_sequences",
     f"""
     WITH {_SQL_VOCAB},
-    toks AS (
-      SELECT doc_id, UNNEST(arr) AS token, generate_subscripts(arr, 1) AS pos
-      FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS arr
-            FROM documents)),
-    enc AS (
-      SELECT doc_id, list(COALESCE(v.token_id, 1) ORDER BY t.pos) AS input_ids
-      FROM toks t LEFT JOIN vocab v USING (token)
-      WHERE t.token <> ''
-      GROUP BY doc_id),
+    {_SQL_ENC},
     lens AS (
       SELECT doc_id, input_ids, len(input_ids) AS nt,
              ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 8 AS shard

@@ -9,7 +9,7 @@ Stages (each one an oracle-checked operator; see COVERAGE.md):
                         near-dup clustering → representative keep →
                         PII redaction
   2. contaminated_ids   drop docs sharing 8-grams with the held-out set
-  3. train/val split    deterministic hash-gated sampling (salted)
+  3. train/val split    disjoint-exhaustive holdout bands (split_corpus)
   4. split_documents    64-token windows, 16-token overlap
   5. pack_greedy        1024-token training packs (budget-bounded)
   6. zorder_write       pack store laid out for (pack, doc) skipping

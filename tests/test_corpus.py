@@ -551,3 +551,16 @@ def test_split_corpus_disjoint_exhaustive_deterministic(spark, docs):
 
     with _pytest.raises(ValueError, match="sum to 1"):
         corpus.split_corpus(docs, {"a": 0.5, "b": 0.4}, key_col="doc_id")
+
+
+def test_pack_sequences_null_id_array_does_not_poison_pack(spark):
+    """Review fix: a NULL id array (malformed upstream encode) coalesces
+    to empty instead of nulling the whole pack's tensor via flatten."""
+    enc = spark.createDataFrame(
+        [(1, [1, 2]), (2, None), (3, [3])],
+        "doc_id int, input_ids array<long>",
+    )
+    rows = corpus.pack_sequences(enc, budget=100, n_shards=1).collect()
+    assert len(rows) == 1
+    assert rows[0].token_ids == [1, 2, 3]
+    assert rows[0].n_docs == 3 and rows[0].n_tokens == 3
