@@ -76,22 +76,57 @@ def run_csv_feed(
     checkpoint: str | None = None,
     sink: str = "parquet",
     bootstrap: str | None = None,
+    quarantine_dir: str | None = None,
 ) -> FeedResult:
     """The flagship CSV pipeline: streaming scan (S1) → cleaning chain
     C1–C6 + P1/P3 → envelope/route (K1/K2), drain-mode with source
-    archival (ST3/ST6) and completeness audit (ST7)."""
+    archival (ST3/ST6) and completeness audit (ST7).
+
+    ``quarantine_dir`` adds the malformed-row split (S7+): rows the
+    declared schema cannot parse land there as raw lines (batch-id
+    partition overwrite — replay-idempotent) instead of flowing on as
+    all-null records; the cleaning chain sees only parseable rows. The
+    reference's sentinel cleaning handles dirty VALUES — this handles
+    dirty LINES."""
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    from datapipelineetl_spark.sinks import maintenance  # noqa: PLC0415
+    from datapipelineetl_spark.sources import tabular  # noqa: PLC0415
+
     checkpoint = checkpoint or f"{in_dir.rstrip('/')}__ckpt"
+    schema = CELL_METRICS_SCHEMA
+    extra = {}
+    if quarantine_dir:
+        schema = T.StructType(
+            list(CELL_METRICS_SCHEMA.fields)
+            + [T.StructField(tabular.CORRUPT_COL, T.StringType(), True)]
+        )
+        extra = {
+            "mode": "PERMISSIVE",
+            "columnNameOfCorruptRecord": tabular.CORRUPT_COL,
+        }
     stream = runner.read_file_stream(
-        spark, in_dir, "csv", CELL_METRICS_SCHEMA,
-        archive_dir=archive_dir, header="true",
+        spark, in_dir, "csv", schema,
+        archive_dir=archive_dir, header="true", **extra,
     )
 
     rows = 0
 
-    def batch(df: DataFrame, _epoch: int) -> None:
+    def batch(df: DataFrame, epoch: int) -> None:
         nonlocal rows
-        cleaned = cleaning.clean_cell_metrics(df.drop("input_file"))
+        if quarantine_dir:
+            good, bad = tabular.split_quarantine(df)
+            maintenance.overwrite_partitions(
+                bad.withColumn("__batch_id", F.lit(epoch)),
+                quarantine_dir,
+                ["__batch_id"],
+            )
+        else:
+            good = df
+        cleaned = cleaning.clean_cell_metrics(good.drop("input_file"))
         rows = max(rows, _sink(cleaned, "csv", sink, out_dir, bootstrap))
+        if quarantine_dir:
+            df.unpersist()
 
     runner.run_foreach_batch(stream, batch, checkpoint)
     if archive_dir:

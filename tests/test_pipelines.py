@@ -142,3 +142,26 @@ def test_streaming_corpus_ingest_example_runs_end_to_end(spark, tmp_path):
     final = spark.read.parquet(work + "/final")
     assert 0 < final.count() <= 500
     assert {"doc_id", "text"} <= set(final.columns)
+
+
+def test_run_csv_feed_with_quarantine(spark, tmp_path):
+    """quarantine_dir: unparseable lines land as raw text in the
+    quarantine store (replay-idempotent batch partitions); parseable
+    rows flow through the cleaning chain untouched."""
+    src = tmp_path / "qin"
+    src.mkdir()
+    good_line = '07-04-2025 13:45,,CellX,B3,,20,11,,,OK," NIL ",,55.5,,0.99\n'
+    bad_line = "not a date,,CellY,B3,,NOT_AN_INT,11,,,OK,x,,55.5,,0.99\n"
+    (src / "r.csv").write_text(CSV_HEADER + "\n" + good_line + bad_line)
+    res = pipelines.run_csv_feed(
+        spark,
+        str(src),
+        out_dir=str(tmp_path / "qout"),
+        checkpoint=str(tmp_path / "qck"),
+        quarantine_dir=str(tmp_path / "quarantine"),
+    )
+    assert res.rows == 1  # only the parseable row reaches the sink
+    cleaned = spark.read.parquet(str(tmp_path / "qout")).collect()
+    assert len(cleaned) == 1 and cleaned[0]["Cell Name"] == "CellX"
+    q = spark.read.parquet(str(tmp_path / "quarantine")).collect()
+    assert len(q) == 1 and "NOT_AN_INT" in q[0]._corrupt_record
