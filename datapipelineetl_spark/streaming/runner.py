@@ -895,3 +895,164 @@ def compact_state(spark: SparkSession, state_dir: str, keep_last: int = 1) -> in
             shutil.rmtree(sub / f"__batch_id={b}")
         folded += len(merge) - 1
     return folded
+
+
+def streaming_corpus_filter(
+    stream: DataFrame,
+    eval_grams: DataFrame,
+    state_dir: str,
+    output_dir: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    n: int = 8,
+    min_shared: int = 1,
+    max_bucket_size: int | None = None,
+    redact: bool = True,
+    dropped_dir: str | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Single-pass continuous corpus ingest: each micro-batch runs the
+    WHOLE acceptance ladder — near-dup filtering against the persisted
+    LSH state (cross-batch + within-batch, exactly
+    ``streaming_near_dup_filter``'s semantics), then decontamination
+    against the static eval n-gram store
+    (``streaming_decontaminate``'s), then optional PII redaction — with
+    ONE source read, one checkpoint, and one output store, instead of
+    chaining two drains through an intermediate store (the demo's
+    two-stage topology). Dropped rows land in ``dropped_dir`` tagged
+    with the stage that rejected them (``near_dup`` / ``contaminated``).
+
+    State semantics: only docs that pass BOTH filters enter the dedup
+    state — a future near-dup of a contaminated (hence absent) doc is
+    judged on its own grams, which is the correct contract: its
+    contaminated span either survives into its own text (the
+    decontamination stage catches it) or does not (nothing to drop it
+    for). Same batch-id-partitioned replay safety and checkpoint/state
+    fate-sharing as ``streaming_near_dup_filter``; fold state with
+    ``compact_state``.
+
+    Scale: the union of the two operators' per-batch costs — narrow
+    signature/shingle math, one partition-pruned state join, one
+    eval-sized broadcast join — minus a full intermediate-store
+    write+read per document.
+    """
+    from datapipelineetl_spark.operators import corpus as _corpus  # noqa: PLC0415
+    from datapipelineetl_spark.operators import dedup as _dedup  # noqa: PLC0415
+    from datapipelineetl_spark.operators import text as _text  # noqa: PLC0415
+    from datapipelineetl_spark.sinks import maintenance  # noqa: PLC0415
+
+    bands_dir = os.path.join(state_dir, "bands")
+    tokens_dir = os.path.join(state_dir, "tokens")
+    eval_id = [c for c in eval_grams.columns if c != "__g"][0]
+    store = eval_grams.select(F.col(eval_id).alias("__eval_id"), "__g")
+
+    def handle(df: DataFrame, epoch_id: int) -> None:
+        spark = df.sparkSession
+        sig = _dedup.minhash_signature(df, text_col)
+        my_bands = _dedup.band_keys(sig, id_col, "minhash").localCheckpoint(
+            eager=True
+        )
+        my_tokens = df.select(
+            F.col(id_col), _text.tokens(text_col, distinct=True).alias("__toks")
+        ).localCheckpoint(eager=True)
+
+        def read_state(path: str) -> DataFrame | None:
+            if not os.path.isdir(path):
+                return None
+            return spark.read.parquet(path).filter(F.col("__batch_id") < epoch_id)
+
+        prior_bands = read_state(bands_dir)
+        prior_tokens = read_state(tokens_dir)
+        dup_ids = None
+        if prior_bands is not None and prior_tokens is not None:
+            prior_b = prior_bands
+            if max_bucket_size is not None:
+                sizes = prior_b.groupBy("band", "band_key").agg(
+                    F.count(F.lit(1)).alias("__bsz")
+                )
+                prior_b = prior_b.join(
+                    sizes.filter(F.col("__bsz") <= max_bucket_size).select(
+                        "band", "band_key"
+                    ),
+                    ["band", "band_key"],
+                )
+            cands = (
+                my_bands.join(
+                    prior_b.select(F.col(id_col).alias("__pid"), "band", "band_key"),
+                    ["band", "band_key"],
+                )
+                .select(id_col, "__pid")
+                .distinct()
+            )
+            dup_ids = (
+                cands.join(my_tokens, id_col)
+                .join(
+                    prior_tokens.select(
+                        F.col(id_col).alias("__pid"),
+                        F.col("__toks").alias("__ptoks"),
+                    ),
+                    "__pid",
+                )
+                .filter(_dedup.jaccard(F.col("__toks"), F.col("__ptoks")) >= threshold)
+                .select(id_col)
+                .distinct()
+            )
+        pairs = _dedup.near_dup_pairs(
+            df, id_col, text_col, threshold=threshold,
+            max_bucket_size=max_bucket_size,
+        )
+        intra = (
+            _dedup.cluster_pairs(pairs)
+            .filter(F.col("doc_id") != F.col("cluster_id"))
+            .select(F.col("doc_id").alias(id_col))
+        )
+        dup_all = intra if dup_ids is None else intra.unionByName(dup_ids)
+        dup_all = dup_all.distinct().localCheckpoint(eager=True)
+        survivors = df.join(dup_all, id_col, "anti")
+
+        grams = _corpus.ngram_hashes(survivors, id_col=id_col, text_col=text_col, n=n)
+        contaminated = (
+            grams.join(store, "__g")
+            .groupBy(id_col, "__eval_id")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared)
+            .select(id_col)
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        accepted = survivors.join(contaminated, id_col, "anti")
+        if redact:
+            accepted = _corpus.redact_pii(accepted, text_col)
+        maintenance.overwrite_partitions(
+            accepted.withColumn("__batch_id", F.lit(epoch_id)),
+            output_dir,
+            ["__batch_id"],
+        )
+        accepted_ids = accepted.select(id_col)
+        maintenance.overwrite_partitions(
+            my_bands.join(accepted_ids, id_col, "semi")
+            .withColumn("__batch_id", F.lit(epoch_id)),
+            bands_dir,
+            ["__batch_id"],
+        )
+        maintenance.overwrite_partitions(
+            my_tokens.join(accepted_ids, id_col, "semi")
+            .withColumn("__batch_id", F.lit(epoch_id)),
+            tokens_dir,
+            ["__batch_id"],
+        )
+        if dropped_dir is not None:
+            audit = dup_all.withColumn("reason", F.lit("near_dup")).unionByName(
+                contaminated.withColumn("reason", F.lit("contaminated"))
+            )
+            maintenance.overwrite_partitions(
+                audit.withColumn("__batch_id", F.lit(epoch_id)),
+                dropped_dir,
+                ["__batch_id"],
+            )
+
+    return run_foreach_batch(
+        stream, handle, checkpoint, available_now=available_now, skip_empty=True
+    )

@@ -879,3 +879,70 @@ def test_compact_state_folds_partitions_and_preserves_dedup(spark, tmp_path):
     )
     run()
     assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 2}
+
+
+def test_streaming_corpus_filter_single_pass(spark, tmp_path):
+    """Combined ingest filter: one drain applies near-dup (cross-batch +
+    within-batch) AND decontamination AND redaction; dropped rows carry
+    their rejecting stage; state holds only docs that passed BOTH."""
+    from datapipelineetl_spark.operators import corpus
+
+    base = "the quick brown fox jumps over the lazy dog by the river today"
+    leak = "alpha beta gamma delta epsilon zeta eta theta iota kappa leaked"
+    eval_grams = corpus.ngram_hashes(
+        spark.createDataFrame([(900, leak + " held out")], ["doc_id", "text"]), n=8
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    out, state, ck = (str(tmp_path / n) for n in ("out", "state", "ck"))
+    dropped = str(tmp_path / "dropped")
+
+    def drop_file(df, name):
+        import shutil as _sh
+
+        stage = tmp_path / ("stage_" + name)
+        df.coalesce(1).write.parquet(str(stage))
+        _sh.move(str(next(stage.glob("part-*.parquet"))), str(src / name))
+        _sh.rmtree(stage)
+
+    def run():
+        stream = spark.readStream.schema("doc_id long, text string").option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(str(src))
+        runner.streaming_corpus_filter(
+            stream, eval_grams, state, out, ck, threshold=0.7, n=8,
+            dropped_dir=dropped,
+        )
+
+    # batch 1: keeper(1), its near-dup(2), contaminated(3 — email inside
+    # to also check redaction happens only to accepted docs)
+    drop_file(
+        spark.createDataFrame(
+            [(1, base), (2, base + " extra"),
+             (3, leak + " crawled tail mail me a@b.co")],
+            ["doc_id", "text"],
+        ),
+        "b1.parquet",
+    )
+    run()
+    got = {r.doc_id: r.text for r in spark.read.parquet(out).collect()}
+    assert set(got) == {1}
+    # batch 2: near-dup of ACCEPTED 1 (drop), fresh clean doc with PII
+    drop_file(
+        spark.createDataFrame(
+            [(10, base + " again"),
+             (11, "fresh novel content mail x@y.io and nothing shared")],
+            ["doc_id", "text"],
+        ),
+        "b2.parquet",
+    )
+    run()
+    got = {r.doc_id: r.text for r in spark.read.parquet(out).collect()}
+    assert set(got) == {1, 11}
+    assert "<EMAIL>" in got[11] and "@" not in got[11]  # redacted on accept
+    reasons = {
+        (r.doc_id, r.reason) for r in spark.read.parquet(dropped).collect()
+    }
+    assert reasons == {(2, "near_dup"), (3, "contaminated"), (10, "near_dup")}
+    state_ids = {r.doc_id for r in spark.read.parquet(state + "/tokens").collect()}
+    assert state_ids == {1, 11}  # contaminated doc 3 never entered state
