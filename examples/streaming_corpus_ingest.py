@@ -23,7 +23,9 @@ is the crawl-while-ingesting form. Stages per micro-batch:
 Two chained availableNow drains (stage 1's accepted store feeds stage
 2's stream) keep each operator's checkpoint/state independent — the
 same topology as chaining two jobs off a message bus, without needing
-one.
+one. (`runner.streaming_corpus_filter` is the fused single-drain form
+of the same ladder: one source read, one checkpoint, one output; this
+demo keeps the two-stage topology to show the stores compose.)
 """
 
 from __future__ import annotations

@@ -193,3 +193,32 @@ def test_repetition_stats_matches_python_reference(spark, texts):
         else:
             dg = 0.0
         assert got[i] == (dl_frac, dchar_frac, dg), (i, t, got[i])
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=0.05, max_value=1.0, allow_nan=False),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_split_corpus_partitions_for_any_fractions(spark, weights):
+    """split_corpus is a PARTITION for arbitrary normalized fractions:
+    exhaustive (every key assigned), disjoint by construction (one
+    column), deterministic, and each band's rate tracks its fraction."""
+    total = sum(weights)
+    fracs = {f"s{i}": w / total for i, w in enumerate(weights)}
+    # normalize rounding drift into the last band
+    drift = 1.0 - sum(fracs.values())
+    fracs[f"s{len(weights) - 1}"] += drift
+    df = spark.range(300).withColumnRenamed("id", "k")
+    out = corpus.split_corpus(df, fracs, key_col="k")
+    got = {r.k: r.split for r in out.collect()}
+    assert len(got) == 300
+    assert set(got.values()) <= set(fracs)
+    by = {}
+    for s_ in got.values():
+        by[s_] = by.get(s_, 0) + 1
+    for name, f in fracs.items():
+        assert by.get(name, 0) <= 300 * f + 3 * (300 * f * (1 - f)) ** 0.5 + 3
