@@ -857,3 +857,66 @@ def split_corpus(
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(last)
     return df.withColumn(out, expr)
+
+
+def attrition_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float | None = 0.5,
+    langs: tuple[str, ...] | None = None,
+    near_dup_threshold: float | None = 0.7,
+    max_bucket_size: int | None = 50,
+) -> DataFrame:
+    """Stage-by-stage attrition accounting for the ``prepare_corpus``
+    ladder: one row per stage with the surviving count and the drop at
+    that stage — the first diagnostic a corpus engineer asks for
+    ("where did my documents go?"). Stages mirror ``prepare_corpus``'s
+    default composition exactly (quality/lang filter → exact dedup →
+    near-dup clustering) with the same parameters; redaction never
+    drops rows so it has no stage here.
+
+    Returns (stage, n_rows, n_dropped) with stage order preserved by an
+    ordinal prefix.
+
+    Scale: each count is a metadata aggregate over the same
+    checkpointed lineage prepare_corpus builds — counting costs one
+    extra job per stage, nothing is collected but the scalars. Run it
+    on a sample when the full corpus makes even counts expensive.
+    """
+    stages: list[tuple[str, int]] = [("0_input", df.count())]
+    out = text.with_lang_id(text.with_quality_score(df, text_col), text_col)
+    if min_quality is not None:
+        out = out.filter(F.col("quality_score") >= min_quality)
+    if langs:
+        out = out.filter(F.col("lang_pred").isin(*langs))
+    stages.append(("1_quality_lang", out.count()))
+    out = text.with_token_set_fingerprint(out, text_col, out="__fp")
+    w = Window.partitionBy("__fp").orderBy(id_col)
+    out = (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__fp")
+    )
+    stages.append(("2_exact_dedup", out.count()))
+    if near_dup_threshold is not None:
+        out = out.localCheckpoint(eager=True)
+        pairs = dedup.near_dup_pairs(
+            out, id_col, text_col,
+            threshold=near_dup_threshold,
+            max_bucket_size=max_bucket_size,
+            materialize=True,
+        )
+        losers = (
+            dedup.cluster_pairs(pairs)
+            .filter(F.col("doc_id") != F.col("cluster_id"))
+            .select(F.col("doc_id").alias("__loser"))
+        )
+        out = out.join(losers, out[id_col] == F.col("__loser"), "left_anti")
+        stages.append(("3_near_dedup", out.count()))
+    spark = df.sparkSession
+    rows = [
+        (name, n, (stages[i - 1][1] - n) if i else 0)
+        for i, (name, n) in enumerate(stages)
+    ]
+    return spark.createDataFrame(rows, "stage string, n_rows long, n_dropped long")

@@ -564,3 +564,22 @@ def test_pack_sequences_null_id_array_does_not_poison_pack(spark):
     assert len(rows) == 1
     assert rows[0].token_ids == [1, 2, 3]
     assert rows[0].n_docs == 3 and rows[0].n_tokens == 3
+
+
+def test_attrition_report_accounts_for_every_stage(spark):
+    base = "the quick brown fox jumps over the lazy dog near the riverbank today"
+    rows = [
+        (1, base), (2, base),             # exact dup → stage-2 drop
+        (3, base + " extra"),             # near dup → stage-3 drop
+        (4, "!!! ??? !!!"),               # low quality (all punct) → stage-1 drop
+        (5, "an entirely different well formed document with the usual words"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    rep = {r.stage: (r.n_rows, r.n_dropped) for r in corpus.attrition_report(df).collect()}
+    assert rep["0_input"] == (5, 0)
+    assert rep["1_quality_lang"] == (4, 1)
+    assert rep["2_exact_dedup"] == (3, 1)
+    assert rep["3_near_dedup"] == (2, 1)
+    # the survivors the report implies == prepare_corpus's actual output
+    surv = corpus.prepare_corpus(df, redact=False).count()
+    assert surv == rep["3_near_dedup"][0]
