@@ -296,6 +296,75 @@ def redact_pii(
     return df.withColumn(out or text_col, col)
 
 
+def _quality_lang_stage(
+    df: DataFrame,
+    text_col: str,
+    min_quality: float | None,
+    langs: tuple[str, ...] | None,
+) -> DataFrame:
+    """Stage 1 of the prepare ladder (shared with ``attrition_report`` —
+    ONE implementation, so the report counts the real pipeline by
+    construction): quality + language annotation and filtering."""
+    out = text.with_lang_id(text.with_quality_score(df, text_col), text_col)
+    if min_quality is not None:
+        out = out.filter(F.col("quality_score") >= min_quality)
+    if langs:
+        out = out.filter(F.col("lang_pred").isin(*langs))
+    return out
+
+
+def _exact_dedup_stage(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stage 2 (shared): keep the min-id row per token-set fingerprint."""
+    out = text.with_token_set_fingerprint(df, text_col, out="__fp")
+    w = Window.partitionBy("__fp").orderBy(id_col)
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__fp")
+    )
+
+
+def _surface_losers(
+    out: DataFrame,
+    id_col: str,
+    text_col: str,
+    near_dup_threshold: float,
+    max_bucket_size: int | None,
+    representative: str,
+) -> DataFrame:
+    """Stage 3 (shared): the capped MinHash ladder → clusters → the
+    non-representative members, as a one-column ``__loser`` frame.
+    ``out`` must already be materialized (the ladder references it
+    several times)."""
+    pairs = dedup.near_dup_pairs(
+        out,
+        id_col,
+        text_col,
+        threshold=near_dup_threshold,
+        max_bucket_size=max_bucket_size,
+        materialize=True,
+    )
+    clusters = dedup.cluster_pairs(pairs)
+    if representative == "quality":
+        # highest-quality member survives (min id on ties): window over
+        # the (id, cluster, score) metadata frame only
+        scored = clusters.join(
+            out.select(F.col(id_col).alias("doc_id"), "quality_score"),
+            "doc_id",
+        )
+        wq = Window.partitionBy("cluster_id").orderBy(
+            F.col("quality_score").desc(), F.col("doc_id")
+        )
+        return (
+            scored.withColumn("__rk", F.row_number().over(wq))
+            .filter(F.col("__rk") > 1)
+            .select(F.col("doc_id").alias("__loser"))
+        )
+    return clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias("__loser")
+    )
+
+
 def prepare_corpus(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -368,17 +437,8 @@ def prepare_corpus(
             .filter(F.col("dup_line_frac") <= max_dup_line_frac)
             .drop("dup_line_frac", "dup_line_char_frac")
         )
-    out = text.with_lang_id(text.with_quality_score(df, text_col), text_col)
-    if min_quality is not None:
-        out = out.filter(F.col("quality_score") >= min_quality)
-    if langs:
-        out = out.filter(F.col("lang_pred").isin(*langs))
-    # exact dedup: keep min-id row per token-set fingerprint
-    out = text.with_token_set_fingerprint(out, text_col, out="__fp")
-    w = Window.partitionBy("__fp").orderBy(id_col)
-    out = out.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop(
-        "__rn", "__fp"
-    )
+    out = _quality_lang_stage(df, text_col, min_quality, langs)
+    out = _exact_dedup_stage(out, id_col, text_col)
     if near_dup_threshold is not None:
         # pipeline-level materialization: the filtered+deduped base is
         # referenced by the pair ladder (several times internally) AND
@@ -388,36 +448,10 @@ def prepare_corpus(
         # eager job is the expected contract here (the primitive
         # operators stay lazy by default per the r4 ADVICE discipline).
         out = out.localCheckpoint(eager=True)
-        pairs = dedup.near_dup_pairs(
-            out,
-            id_col,
-            text_col,
-            threshold=near_dup_threshold,
-            max_bucket_size=max_bucket_size,
-            materialize=True,
+        losers = _surface_losers(
+            out, id_col, text_col, near_dup_threshold,
+            max_bucket_size, representative,
         )
-        clusters = dedup.cluster_pairs(pairs)
-        if representative == "quality":
-            # highest-quality member survives (min id on ties): window
-            # over the (id, cluster, score) metadata frame only
-            scored = clusters.join(
-                out.select(
-                    F.col(id_col).alias("doc_id"), "quality_score"
-                ),
-                "doc_id",
-            )
-            wq = Window.partitionBy("cluster_id").orderBy(
-                F.col("quality_score").desc(), F.col("doc_id")
-            )
-            losers = (
-                scored.withColumn("__rk", F.row_number().over(wq))
-                .filter(F.col("__rk") > 1)
-                .select(F.col("doc_id").alias("__loser"))
-            )
-        else:
-            losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
-                F.col("doc_id").alias("__loser")
-            )
         # no broadcast hint: the loser set scales with the corpus's
         # duplication rate (can be most of a crawl) — AQE broadcasts it
         # only when it actually fits
@@ -885,32 +919,14 @@ def attrition_report(
     on a sample when the full corpus makes even counts expensive.
     """
     stages: list[tuple[str, int]] = [("0_input", df.count())]
-    out = text.with_lang_id(text.with_quality_score(df, text_col), text_col)
-    if min_quality is not None:
-        out = out.filter(F.col("quality_score") >= min_quality)
-    if langs:
-        out = out.filter(F.col("lang_pred").isin(*langs))
+    out = _quality_lang_stage(df, text_col, min_quality, langs)
     stages.append(("1_quality_lang", out.count()))
-    out = text.with_token_set_fingerprint(out, text_col, out="__fp")
-    w = Window.partitionBy("__fp").orderBy(id_col)
-    out = (
-        out.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "__fp")
-    )
+    out = _exact_dedup_stage(out, id_col, text_col)
     stages.append(("2_exact_dedup", out.count()))
     if near_dup_threshold is not None:
         out = out.localCheckpoint(eager=True)
-        pairs = dedup.near_dup_pairs(
-            out, id_col, text_col,
-            threshold=near_dup_threshold,
-            max_bucket_size=max_bucket_size,
-            materialize=True,
-        )
-        losers = (
-            dedup.cluster_pairs(pairs)
-            .filter(F.col("doc_id") != F.col("cluster_id"))
-            .select(F.col("doc_id").alias("__loser"))
+        losers = _surface_losers(
+            out, id_col, text_col, near_dup_threshold, max_bucket_size, "min_id"
         )
         out = out.join(losers, out[id_col] == F.col("__loser"), "left_anti")
         stages.append(("3_near_dedup", out.count()))

@@ -115,12 +115,15 @@ def run_csv_feed(
     def batch(df: DataFrame, epoch: int) -> None:
         nonlocal rows
         if quarantine_dir:
-            good, bad = tabular.split_quarantine(df)
-            maintenance.overwrite_partitions(
-                bad.withColumn("__batch_id", F.lit(epoch)),
-                quarantine_dir,
-                ["__batch_id"],
-            )
+            good, bad = tabular.split_quarantine(df, keep_cols=("input_file",))
+            # skip the write job entirely on clean batches (the common
+            # case — df is cached by the split, so the probe is cheap)
+            if not bad.isEmpty():
+                maintenance.overwrite_partitions(
+                    bad.withColumn("__batch_id", F.lit(epoch)),
+                    quarantine_dir,
+                    ["__batch_id"],
+                )
         else:
             good = df
         cleaned = cleaning.clean_cell_metrics(good.drop("input_file"))

@@ -215,7 +215,18 @@ def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.redact_pii(docs, "text", out="redacted").select("doc_id", "redacted")
 
 
-def _prepare_corpus_oracle(representative: str = "min_id") -> str:
+def _prepare_pipeline_cte(representative: str = "min_id") -> str:
+    """The prepare_corpus pipeline's WITH-prefix (quality scoring →
+    exact dedup → capped ladder → components → losers) — ONE SQL
+    replica, shared by q_prepare_corpus / q_prepare_corpus_quality here
+    and q_attrition_report in queries_batch12 (a formula change edited
+    in one oracle but not the other would silently split them)."""
+    return _prepare_corpus_oracle(representative, _prefix_only=True)
+
+
+def _prepare_corpus_oracle(
+    representative: str = "min_id", _prefix_only: bool = False
+) -> str:
     """The WHOLE prepare_corpus pipeline replayed in one SQL statement:
     quality scoring (q_text_quality's exact formula) → exact dedup
     (min-id per sorted-token-set md5) → the capped MinHash ladder
@@ -284,10 +295,14 @@ def _prepare_corpus_oracle(representative: str = "min_id") -> str:
       UNION
       SELECT e.src AS node, cc.label FROM edges e JOIN cc ON cc.node = e.dst),
     comp AS (SELECT node, MIN(label) AS cid FROM cc GROUP BY node),
-    losers AS ({losers})
+    losers AS ({losers})""" + (
+        ""
+        if _prefix_only
+        else rf"""
     SELECT doc_id, {redact} AS text
     FROM base WHERE doc_id NOT IN (SELECT node FROM losers)
     """
+    )
 
 
 @query("q_prepare_corpus", _prepare_corpus_oracle())

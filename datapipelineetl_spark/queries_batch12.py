@@ -518,45 +518,7 @@ def q_split_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_attrition_report",
     f"""
-    WITH RECURSIVE q0 AS (
-      SELECT doc_id, text,
-             CAST(length(text) AS INT) AS n_chars_m,
-             ROUND(len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0
-                   / GREATEST(length(text), 1), 4) AS punct_ratio,
-             ROUND(len(list_filter({_SQL_TOKENS.format(c='text')}, x -> x IN ('the','and','of','to','is'))) * 1.0
-                   / GREATEST(len({_SQL_TOKENS.format(c='text')}), 1), 4) AS stopword_ratio,
-             ROUND(len(regexp_extract_all(text, '[A-Za-z]')) * 1.0
-                   / GREATEST(length(text), 1), 4) AS alpha_ratio
-      FROM documents),
-    scored AS (
-      SELECT doc_id, text,
-             ROUND(CAST(
-               (CASE WHEN n_chars_m < 20 THEN 0.0 ELSE 1.0 END) * 0.25
-               + (CASE WHEN stopword_ratio >= 0.01 AND stopword_ratio <= 0.6 THEN 1.0 ELSE 0.0 END) * 0.25
-               + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END) * 0.25
-               + (CASE WHEN alpha_ratio >= 0.5 THEN 1.0 ELSE 0.0 END) * 0.25
-               AS DOUBLE), 4) AS quality_score
-      FROM q0),
-    kept AS (SELECT doc_id, text FROM scored WHERE quality_score >= 0.5),
-    fp AS (
-      SELECT doc_id, text,
-             md5(array_to_string(list_sort(list_distinct({_SQL_TOKENS.format(c='text')})), ' ')) AS f
-      FROM kept),
-    base AS (
-      SELECT doc_id, text FROM (
-        SELECT doc_id, text, ROW_NUMBER() OVER (PARTITION BY f ORDER BY doc_id) AS rn
-        FROM fp)
-      WHERE rn = 1),
-    {_b11._minhash_capped_pairs_cte(_b11._MH_THRESHOLD, _b11._MH_BANDS, _b11._MH_ROWS, _b11._MH_CAP).replace("FROM documents)", "FROM base)")},
-    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-              UNION SELECT id_b, id_a FROM pairs),
-    cc AS (
-      SELECT DISTINCT src AS node, src AS label FROM edges
-      UNION
-      SELECT e.src AS node, cc.label FROM edges e JOIN cc ON cc.node = e.dst),
-    losers AS (
-      SELECT node FROM (SELECT node, MIN(label) AS cid FROM cc GROUP BY node)
-      WHERE node <> cid),
+    {_b11._prepare_pipeline_cte("min_id")},
     n AS (
       SELECT (SELECT COUNT(*) FROM documents) AS n0,
              (SELECT COUNT(*) FROM kept) AS n1,

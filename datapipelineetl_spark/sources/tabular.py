@@ -59,12 +59,14 @@ def read_with_quarantine(
 
 
 def split_quarantine(
-    df: DataFrame, corrupt_col: str = CORRUPT_COL
+    df: DataFrame, corrupt_col: str = CORRUPT_COL, keep_cols: tuple = ()
 ) -> tuple[DataFrame, DataFrame]:
     """(good, quarantine) split of a :func:`read_with_quarantine` frame.
 
-    ``good`` drops the corrupt column; ``quarantine`` is (corrupt_col)
-    raw lines for audit/replay. The input is cached for the two filters
+    ``good`` drops the corrupt column; ``quarantine`` is the raw
+    malformed lines plus any ``keep_cols`` present on the frame (pass
+    ``("input_file",)`` to preserve source-file lineage, without which
+    a bad line cannot be traced back to the feed file that shipped it). The input is cached for the two filters
     — required correctness, not just economy: Spark refuses a plan that
     selects only the corrupt column from the raw scan, and without the
     materialization the two filters would each re-parse the input.
@@ -75,5 +77,6 @@ def split_quarantine(
     """
     df = df.cache()
     good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
-    bad = df.filter(F.col(corrupt_col).isNotNull()).select(corrupt_col)
+    extras = [c for c in keep_cols if c in df.columns]
+    bad = df.filter(F.col(corrupt_col).isNotNull()).select(corrupt_col, *extras)
     return good, bad

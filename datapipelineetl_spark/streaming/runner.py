@@ -661,6 +661,145 @@ def streaming_decontaminate(
     )
 
 
+def _near_dup_batch_state(
+    df: DataFrame,
+    epoch_id: int,
+    state_dir: str,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    num_hashes: int,
+    bands: int,
+    rows_per_band: int,
+    max_bucket_size: int | None,
+):
+    """Per-micro-batch near-dup core shared by
+    ``streaming_near_dup_filter`` and ``streaming_corpus_filter`` (ONE
+    implementation — a state-semantics fix here fixes both): computes
+    the batch's band keys and token sets (checkpointed — several
+    consumers), joins candidates against the persisted prior state
+    (partition-pruned ``__batch_id < epoch``, hot prior buckets capped),
+    exact-Jaccard-verifies them, and forms within-batch cluster losers.
+    Returns ``(dropped_ids, my_bands, my_tokens)`` with ``dropped_ids``
+    checkpointed.
+    """
+    from datapipelineetl_spark.operators import dedup as _dedup  # noqa: PLC0415
+    from datapipelineetl_spark.operators import text as _text  # noqa: PLC0415
+
+    spark = df.sparkSession
+    bands_dir = os.path.join(state_dir, "bands")
+    tokens_dir = os.path.join(state_dir, "tokens")
+    sig = _dedup.minhash_signature(df, text_col, num_hashes=num_hashes)
+    my_bands = _dedup.band_keys(
+        sig, id_col, "minhash", bands, rows_per_band
+    ).localCheckpoint(eager=True)
+    my_tokens = df.select(
+        F.col(id_col), _text.tokens(text_col, distinct=True).alias("__toks")
+    ).localCheckpoint(eager=True)
+
+    def read_state(path: str) -> DataFrame | None:
+        # existence check, not a bare except: a REAL read error (corrupt
+        # footer, transient FS failure) must fail the batch — treating
+        # it as "first batch, no store yet" would silently skip
+        # cross-batch dedup and corrupt output + state. Local-FS check
+        # like the rest of this module's swap logic; on object stores
+        # gate on the store's listing instead.
+        if not os.path.isdir(path):
+            return None
+        return spark.read.parquet(path).filter(F.col("__batch_id") < epoch_id)
+
+    prior_bands = read_state(bands_dir)
+    prior_tokens = read_state(tokens_dir)
+
+    # (a) cross-batch: candidates vs ACCEPTED state, exact-verified
+    cross_dups = None
+    if prior_bands is not None and prior_tokens is not None:
+        prior_b = prior_bands
+        if max_bucket_size is not None:
+            # cap hot PRIOR buckets (boilerplate clusters) before the
+            # join — same mitigation/caveat as the batch ladder
+            sizes = prior_b.groupBy("band", "band_key").agg(
+                F.count(F.lit(1)).alias("__bsz")
+            )
+            prior_b = prior_b.join(
+                sizes.filter(F.col("__bsz") <= max_bucket_size).select(
+                    "band", "band_key"
+                ),
+                ["band", "band_key"],
+            )
+        cands = (
+            my_bands.join(
+                prior_b.select(
+                    F.col(id_col).alias("__prior_id"), "band", "band_key"
+                ),
+                ["band", "band_key"],
+            )
+            .select(id_col, "__prior_id")
+            .distinct()
+        )
+        cross_dups = (
+            cands.join(my_tokens, id_col)
+            .join(
+                prior_tokens.select(
+                    F.col(id_col).alias("__prior_id"),
+                    F.col("__toks").alias("__ptoks"),
+                ),
+                "__prior_id",
+            )
+            .withColumn("__j", _dedup.jaccard(F.col("__toks"), F.col("__ptoks")))
+            .filter(F.col("__j") >= threshold)
+            .select(id_col)
+            .distinct()
+        )
+
+    # (b) within-batch: the batch ladder, min-id representative kept
+    pairs = _dedup.near_dup_pairs(
+        df,
+        id_col,
+        text_col,
+        threshold=threshold,
+        num_hashes=num_hashes,
+        bands=bands,
+        rows_per_band=rows_per_band,
+        max_bucket_size=max_bucket_size,
+    )
+    intra_losers = (
+        _dedup.cluster_pairs(pairs)
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select(F.col("doc_id").alias(id_col))
+    )
+    dropped = intra_losers
+    if cross_dups is not None:
+        dropped = dropped.unionByName(cross_dups).distinct()
+    return dropped.localCheckpoint(eager=True), my_bands, my_tokens
+
+
+def _write_near_dup_state(
+    my_bands: DataFrame,
+    my_tokens: DataFrame,
+    accepted_ids: DataFrame,
+    state_dir: str,
+    epoch_id: int,
+    id_col: str,
+) -> None:
+    """Append the accepted docs' band/token rows as the batch's state
+    partitions (replay = overwrite). Shared by both streaming filters."""
+    from datapipelineetl_spark.sinks import maintenance  # noqa: PLC0415
+
+    maintenance.overwrite_partitions(
+        my_bands.join(accepted_ids, id_col, "semi")
+        .withColumn("__batch_id", F.lit(epoch_id)),
+        os.path.join(state_dir, "bands"),
+        ["__batch_id"],
+    )
+    maintenance.overwrite_partitions(
+        my_tokens.join(accepted_ids, id_col, "semi")
+        .withColumn("__batch_id", F.lit(epoch_id)),
+        os.path.join(state_dir, "tokens"),
+        ["__batch_id"],
+    )
+
+
 def streaming_near_dup_filter(
     stream: DataFrame,
     state_dir: str,
@@ -714,118 +853,22 @@ def streaming_near_dup_filter(
     as in the batch ladder. State grows O(accepted × bands) rows —
     compact it periodically with ``sinks.maintenance.compact``.
     """
-    from datapipelineetl_spark.operators import dedup as _dedup  # noqa: PLC0415
-    from datapipelineetl_spark.operators import text as _text  # noqa: PLC0415
     from datapipelineetl_spark.sinks import maintenance  # noqa: PLC0415
 
-    bands_dir = os.path.join(state_dir, "bands")
-    tokens_dir = os.path.join(state_dir, "tokens")
-
     def handle(df: DataFrame, epoch_id: int) -> None:
-        spark = df.sparkSession
-        sig = _dedup.minhash_signature(df, text_col, num_hashes=num_hashes)
-        my_bands = _dedup.band_keys(
-            sig, id_col, "minhash", bands, rows_per_band
-        ).localCheckpoint(eager=True)
-        my_tokens = df.select(
-            F.col(id_col), _text.tokens(text_col, distinct=True).alias("__toks")
-        ).localCheckpoint(eager=True)
-
-        def read_state(path: str) -> DataFrame | None:
-            # existence check, not a bare except: a REAL read error
-            # (corrupt footer, transient FS failure) must fail the batch
-            # — treating it as "first batch, no store yet" would silently
-            # skip cross-batch dedup and corrupt output + state. Local-FS
-            # check like the rest of this module's swap logic; on object
-            # stores gate on the store's listing instead.
-            if not os.path.isdir(path):
-                return None
-            return spark.read.parquet(path).filter(F.col("__batch_id") < epoch_id)
-
-        prior_bands = read_state(bands_dir)
-        prior_tokens = read_state(tokens_dir)
-
-        # (a) cross-batch: candidates vs ACCEPTED state, exact-verified
-        cross_dups = None
-        if prior_bands is not None and prior_tokens is not None:
-            prior_b = prior_bands
-            if max_bucket_size is not None:
-                # cap hot PRIOR buckets (boilerplate clusters) before the
-                # join — same mitigation/caveat as the batch ladder
-                sizes = prior_b.groupBy("band", "band_key").agg(
-                    F.count(F.lit(1)).alias("__bsz")
-                )
-                prior_b = prior_b.join(
-                    sizes.filter(F.col("__bsz") <= max_bucket_size).select(
-                        "band", "band_key"
-                    ),
-                    ["band", "band_key"],
-                )
-            cands = (
-                my_bands.join(
-                    prior_b.select(
-                        F.col(id_col).alias("__prior_id"), "band", "band_key"
-                    ),
-                    ["band", "band_key"],
-                )
-                .select(id_col, "__prior_id")
-                .distinct()
-            )
-            cross_dups = (
-                cands.join(my_tokens, id_col)
-                .join(
-                    prior_tokens.select(
-                        F.col(id_col).alias("__prior_id"),
-                        F.col("__toks").alias("__ptoks"),
-                    ),
-                    "__prior_id",
-                )
-                .withColumn("__j", _dedup.jaccard(F.col("__toks"), F.col("__ptoks")))
-                .filter(F.col("__j") >= threshold)
-                .select(id_col)
-                .distinct()
-            )
-
-        # (b) within-batch: the batch ladder, min-id representative kept
-        pairs = _dedup.near_dup_pairs(
-            df,
-            id_col,
-            text_col,
-            threshold=threshold,
-            num_hashes=num_hashes,
-            bands=bands,
-            rows_per_band=rows_per_band,
-            max_bucket_size=max_bucket_size,
+        dropped, my_bands, my_tokens = _near_dup_batch_state(
+            df, epoch_id, state_dir, id_col, text_col, threshold,
+            num_hashes, bands, rows_per_band, max_bucket_size,
         )
-        intra_losers = (
-            _dedup.cluster_pairs(pairs)
-            .filter(F.col("doc_id") != F.col("cluster_id"))
-            .select(F.col("doc_id").alias(id_col))
-        )
-
-        dropped = intra_losers
-        if cross_dups is not None:
-            dropped = dropped.unionByName(cross_dups).distinct()
-        dropped = dropped.localCheckpoint(eager=True)
-
         accepted = df.join(dropped, id_col, "anti")
         maintenance.overwrite_partitions(
             accepted.withColumn("__batch_id", F.lit(epoch_id)),
             output_dir,
             ["__batch_id"],
         )
-        accepted_ids = accepted.select(id_col)
-        maintenance.overwrite_partitions(
-            my_bands.join(accepted_ids, id_col, "semi")
-            .withColumn("__batch_id", F.lit(epoch_id)),
-            bands_dir,
-            ["__batch_id"],
-        )
-        maintenance.overwrite_partitions(
-            my_tokens.join(accepted_ids, id_col, "semi")
-            .withColumn("__batch_id", F.lit(epoch_id)),
-            tokens_dir,
-            ["__batch_id"],
+        _write_near_dup_state(
+            my_bands, my_tokens, accepted.select(id_col),
+            state_dir, epoch_id, id_col,
         )
         if dropped_dir is not None:
             maintenance.overwrite_partitions(
@@ -908,6 +951,9 @@ def streaming_corpus_filter(
     threshold: float = 0.7,
     n: int = 8,
     min_shared: int = 1,
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
     max_bucket_size: int | None = None,
     redact: bool = True,
     dropped_dir: str | None = None,
@@ -931,7 +977,11 @@ def streaming_corpus_filter(
     decontamination stage catches it) or does not (nothing to drop it
     for). Same batch-id-partitioned replay safety and checkpoint/state
     fate-sharing as ``streaming_near_dup_filter``; fold state with
-    ``compact_state``.
+    ``compact_state``. NOTE: the ``tokens/`` state store keeps accepted
+    docs' RAW token sets (pre-redaction — dedup must compare original
+    text); under a PII-retention policy, treat ``state_dir`` as
+    sensitive storage alongside the source feed, not as redacted
+    output.
 
     Scale: the union of the two operators' per-batch costs — narrow
     signature/shingle math, one partition-pruned state join, one
@@ -939,77 +989,16 @@ def streaming_corpus_filter(
     write+read per document.
     """
     from datapipelineetl_spark.operators import corpus as _corpus  # noqa: PLC0415
-    from datapipelineetl_spark.operators import dedup as _dedup  # noqa: PLC0415
-    from datapipelineetl_spark.operators import text as _text  # noqa: PLC0415
     from datapipelineetl_spark.sinks import maintenance  # noqa: PLC0415
 
-    bands_dir = os.path.join(state_dir, "bands")
-    tokens_dir = os.path.join(state_dir, "tokens")
     eval_id = [c for c in eval_grams.columns if c != "__g"][0]
     store = eval_grams.select(F.col(eval_id).alias("__eval_id"), "__g")
 
     def handle(df: DataFrame, epoch_id: int) -> None:
-        spark = df.sparkSession
-        sig = _dedup.minhash_signature(df, text_col)
-        my_bands = _dedup.band_keys(sig, id_col, "minhash").localCheckpoint(
-            eager=True
+        dup_all, my_bands, my_tokens = _near_dup_batch_state(
+            df, epoch_id, state_dir, id_col, text_col, threshold,
+            num_hashes, bands, rows_per_band, max_bucket_size,
         )
-        my_tokens = df.select(
-            F.col(id_col), _text.tokens(text_col, distinct=True).alias("__toks")
-        ).localCheckpoint(eager=True)
-
-        def read_state(path: str) -> DataFrame | None:
-            if not os.path.isdir(path):
-                return None
-            return spark.read.parquet(path).filter(F.col("__batch_id") < epoch_id)
-
-        prior_bands = read_state(bands_dir)
-        prior_tokens = read_state(tokens_dir)
-        dup_ids = None
-        if prior_bands is not None and prior_tokens is not None:
-            prior_b = prior_bands
-            if max_bucket_size is not None:
-                sizes = prior_b.groupBy("band", "band_key").agg(
-                    F.count(F.lit(1)).alias("__bsz")
-                )
-                prior_b = prior_b.join(
-                    sizes.filter(F.col("__bsz") <= max_bucket_size).select(
-                        "band", "band_key"
-                    ),
-                    ["band", "band_key"],
-                )
-            cands = (
-                my_bands.join(
-                    prior_b.select(F.col(id_col).alias("__pid"), "band", "band_key"),
-                    ["band", "band_key"],
-                )
-                .select(id_col, "__pid")
-                .distinct()
-            )
-            dup_ids = (
-                cands.join(my_tokens, id_col)
-                .join(
-                    prior_tokens.select(
-                        F.col(id_col).alias("__pid"),
-                        F.col("__toks").alias("__ptoks"),
-                    ),
-                    "__pid",
-                )
-                .filter(_dedup.jaccard(F.col("__toks"), F.col("__ptoks")) >= threshold)
-                .select(id_col)
-                .distinct()
-            )
-        pairs = _dedup.near_dup_pairs(
-            df, id_col, text_col, threshold=threshold,
-            max_bucket_size=max_bucket_size,
-        )
-        intra = (
-            _dedup.cluster_pairs(pairs)
-            .filter(F.col("doc_id") != F.col("cluster_id"))
-            .select(F.col("doc_id").alias(id_col))
-        )
-        dup_all = intra if dup_ids is None else intra.unionByName(dup_ids)
-        dup_all = dup_all.distinct().localCheckpoint(eager=True)
         survivors = df.join(dup_all, id_col, "anti")
 
         grams = _corpus.ngram_hashes(survivors, id_col=id_col, text_col=text_col, n=n)
@@ -1030,18 +1019,9 @@ def streaming_corpus_filter(
             output_dir,
             ["__batch_id"],
         )
-        accepted_ids = accepted.select(id_col)
-        maintenance.overwrite_partitions(
-            my_bands.join(accepted_ids, id_col, "semi")
-            .withColumn("__batch_id", F.lit(epoch_id)),
-            bands_dir,
-            ["__batch_id"],
-        )
-        maintenance.overwrite_partitions(
-            my_tokens.join(accepted_ids, id_col, "semi")
-            .withColumn("__batch_id", F.lit(epoch_id)),
-            tokens_dir,
-            ["__batch_id"],
+        _write_near_dup_state(
+            my_bands, my_tokens, accepted.select(id_col),
+            state_dir, epoch_id, id_col,
         )
         if dropped_dir is not None:
             audit = dup_all.withColumn("reason", F.lit("near_dup")).unionByName(

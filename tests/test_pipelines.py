@@ -165,3 +165,4 @@ def test_run_csv_feed_with_quarantine(spark, tmp_path):
     assert len(cleaned) == 1 and cleaned[0]["Cell Name"] == "CellX"
     q = spark.read.parquet(str(tmp_path / "quarantine")).collect()
     assert len(q) == 1 and "NOT_AN_INT" in q[0]._corrupt_record
+    assert q[0].input_file.endswith("r.csv")  # source-file lineage kept
