@@ -115,7 +115,7 @@ EXPECTED_SEC = {
     "q_hypertable_rollup": 0.27,
     "q_meascollec_flatten": 0.17,
     "q_dedup_token_set": 0.44,
-    "q_simhash": 1.0,  # repartition fix (round 6): 1.15 -> 0.84 warm
+    "q_simhash": 0.84,  # _t_spread fix (round 6): 1.15 -> 0.84 warm
     "q_winnowing_fingerprints": 0.81,
     "q_winnow_collisions": 1.64,
     "q_minhash_capped_near_dups": 1.72,

@@ -50,6 +50,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return catalog.load(spark, sf_dir, name)
 
 
+def _t_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``_t`` + repartition to the session's core count: CPU-heavy
+    narrow queries otherwise serialize through the fixture's SINGLE
+    parquet split (a real corpus arrives in many splits — the
+    repartition models production input layout, it is not engine
+    tuning). Use for per-row-expensive plans (hashing, regex chains,
+    the prepare ladder); plain ``_t`` elsewhere — the extra Exchange
+    is pure cost for scan-light queries."""
+    return catalog.load(spark, sf_dir, name).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 # =============================================================================
 # Relational core (SURVEY.md §2.5–2.7 — the general query surface)
 # =============================================================================

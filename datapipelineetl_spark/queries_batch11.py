@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datapipelineetl_spark.operators import corpus, text
-from datapipelineetl_spark.queries import _t
+from datapipelineetl_spark.queries import _t, _t_spread
 from datapipelineetl_spark.queries import QUERIES as _GLOBAL_QUERIES
 from datapipelineetl_spark.queries import ORACLES as _GLOBAL_ORACLES
 from datapipelineetl_spark.queries_batch9 import (
@@ -319,9 +319,7 @@ def q_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: see corpus.prepare_corpus — one narrow pass + one partial-agg
     shuffle around the capped ladder, whose 100 TB design is the
     measured one (SCALING.md)."""
-    docs = _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _t_spread(spark, sf_dir, "documents")
     out = corpus.prepare_corpus(
         docs,
         min_quality=0.5,

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datapipelineetl_spark.operators import corpus, dedup, text
-from datapipelineetl_spark.queries import _t
+from datapipelineetl_spark.queries import _t, _t_spread
 from datapipelineetl_spark.queries import QUERIES as _GLOBAL_QUERIES
 from datapipelineetl_spark.queries import ORACLES as _GLOBAL_ORACLES
 from datapipelineetl_spark.queries_ext import _SQL_TOKENS
@@ -216,14 +216,12 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     is value-checked per row against the SQL replay of the same
     split/trim/distinct/length-sum pipeline.
 
-    Scale: narrow per-row array math in codegen — no shuffle, no
-    explode, no Python (`corpus.repetition_stats`). The explicit
-    repartition spreads the single-file fixture across cores (same
-    rationale as q_prepare_corpus — a real corpus arrives in many
-    splits; measured 6.1 s → 0.6 s at sf0.1)."""
-    docs = _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    ).select(
+    Scale: the OPERATOR is narrow per-row array math in codegen (no
+    explode, no Python); the query's only Exchange is the `_t_spread`
+    round-robin that spreads the single-file fixture across cores —
+    measured 6.1 → 1.1 s warm at sf0.1 (the SCALING.md r7-EXPECTED
+    number)."""
+    docs = _t_spread(spark, sf_dir, "documents").select(
         "doc_id",
         F.concat(
             F.col("text"),
@@ -290,9 +288,7 @@ def q_prepare_corpus_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: identical to q_prepare_corpus plus one window over the
     (id, cluster, score) metadata frame (corpus.prepare_corpus
     docstring)."""
-    docs = _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _t_spread(spark, sf_dir, "documents")
     out = corpus.prepare_corpus(
         docs,
         min_quality=0.5,
@@ -543,9 +539,7 @@ def q_attrition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: metadata counts over prepare_corpus's own checkpointed
     lineage (corpus.attrition_report docstring)."""
-    docs = _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _t_spread(spark, sf_dir, "documents")
     return corpus.attrition_report(
         docs, min_quality=0.5,
         near_dup_threshold=_b11._MH_THRESHOLD,

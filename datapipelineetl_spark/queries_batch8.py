@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datapipelineetl_spark.operators import text
-from datapipelineetl_spark.queries import _t, query
+from datapipelineetl_spark.queries import _t, _t_spread, query
 
 # =============================================================================
 # TPC-H Q12 shape — priority classification over a fact-fact join
@@ -127,9 +127,7 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, text) projection costs far less than the md5 work it
     parallelizes. At 100 TB the scan itself yields thousands of splits
     and the same repartition is a cheap rebalance (or drop it)."""
-    docs = _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _t_spread(spark, sf_dir, "documents")
     fps = text.with_winnowing_fingerprints(docs, k=_WINNOW_K, window=_WINNOW_W)
     return fps.select(
         "doc_id",

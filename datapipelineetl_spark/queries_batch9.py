@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from datapipelineetl_spark.operators import dedup, relational, similarity, text
 from datapipelineetl_spark.operators.dedup import MINHASH_P
-from datapipelineetl_spark.queries import _t, query
+from datapipelineetl_spark.queries import _t, _t_spread, query
 from datapipelineetl_spark.queries_batch8 import _WINNOW_K, _WINNOW_W, _winnow_cte
 from datapipelineetl_spark.queries_ext import _minhash_sig_sql, _SQL_HASH60, _SQL_TOKSET
 
@@ -69,9 +69,7 @@ def q_winnow_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bucket cap (see dedup.fingerprint_collision_pairs for the cap
     rationale and the explode_outer plan subtlety).
     """
-    docs = _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _t_spread(spark, sf_dir, "documents")
     fps = text.with_winnowing_fingerprints(docs, k=_WINNOW_K, window=_WINNOW_W)
     return dedup.fingerprint_collision_pairs(
         fps, "doc_id", "winnow_fps", max_bucket_size=_WINNOW_CAP, materialize=True
@@ -338,9 +336,7 @@ def q_minhash_capped_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: O(n × bands) banding shuffle; the cap bounds any bucket's pair
     emission at cap², making worst-case work linear in n for fixed cap."""
-    docs = _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _t_spread(spark, sf_dir, "documents")
     return dedup.near_dup_pairs(
         docs, "doc_id", "text",
         threshold=_MH_THRESHOLD, num_hashes=16,

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from datapipelineetl_spark.operators import dedup, similarity, text
 from datapipelineetl_spark.operators.dedup import MINHASH_COEFFS, MINHASH_P
-from datapipelineetl_spark.queries import _t, query
+from datapipelineetl_spark.queries import _t, _t_spread, query
 
 # DuckDB fragments mirroring text.py's primitives exactly.
 _SQL_TOKENS = r"string_split_regex(trim(lower({c})), '\s+')"
@@ -207,12 +207,10 @@ def _simhash_sql(bits: int = 32) -> str:
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document (integer-exact across engines).
 
-    Repartitioned: the md5-per-token CPU work otherwise serializes
-    through the fixture's single parquet split (measured 1.15 → 0.29 s
-    warm at sf0.1 — a real corpus arrives in many splits)."""
-    docs = _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    Spread across cores (``_t_spread``): the md5-per-token CPU work
+    otherwise serializes through the fixture's single parquet split —
+    measured 1.15 → 0.84 s warm at sf0.1."""
+    docs = _t_spread(spark, sf_dir, "documents")
     return text.with_simhash(docs).select("doc_id", "simhash")
 
 
