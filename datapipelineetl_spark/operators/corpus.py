@@ -756,7 +756,14 @@ def repetition_stats(
     """
     txt = F.coalesce(F.col(text_col), F.lit(""))
     raw_lines = F.split(txt, "\n")
-    lines_expr = F.filter(F.transform(raw_lines, F.trim), lambda l: l != "")
+    # lambda, NOT a bare F.trim reference: higher-order transform calls a
+    # two-parameter function as f(element, index), and F.trim's second
+    # parameter is the TRIM-CHARACTER SET — the index silently becomes
+    # the characters to strip and nothing is trimmed (caught by the
+    # hypothesis reference-parity test)
+    lines_expr = F.filter(
+        F.transform(raw_lines, lambda l: F.trim(l)), lambda l: l != ""
+    )
     # multi-referenced expensive expressions route through columns
     # (expression trees are TREES — inlining lines/distinct-lines would
     # re-evaluate the split+trim+filter per metric)
