@@ -691,7 +691,9 @@ def remove_boilerplate_lines(
         F.col(id_col),
         F.posexplode_outer(F.split(F.col(text_col), "\n")).alias("__idx", "__line"),
     ).filter(F.col("__line").isNotNull())
-    norm = F.trim(F.col("__line"))
+    # full whitespace strip for the match key (not F.trim — spaces only);
+    # a banner line indented with a tab must still match the banner key
+    norm = F.regexp_replace(F.col("__line"), r"^\s+|\s+$", "")
     boiler = (
         lines.filter(norm != "")
         .select(F.col(id_col), norm.alias("__key"))
@@ -756,13 +758,17 @@ def repetition_stats(
     """
     txt = F.coalesce(F.col(text_col), F.lit(""))
     raw_lines = F.split(txt, "\n")
-    # lambda, NOT a bare F.trim reference: higher-order transform calls a
-    # two-parameter function as f(element, index), and F.trim's second
-    # parameter is the TRIM-CHARACTER SET — the index silently becomes
-    # the characters to strip and nothing is trimmed (caught by the
-    # hypothesis reference-parity test)
+    # full whitespace strip, NOT F.trim: trim strips only ASCII spaces,
+    # so a line ending in \t or \r would keep its phantom edge (the
+    # reference semantics are Python's l.strip()); also a lambda, not a
+    # bare function reference — transform calls f(element, index) and
+    # trim-family second params are TRIM-CHARACTER SETS (both caught by
+    # the hypothesis reference-parity test)
     lines_expr = F.filter(
-        F.transform(raw_lines, lambda l: F.trim(l)), lambda l: l != ""
+        F.transform(
+            raw_lines, lambda l: F.regexp_replace(l, r"^\s+|\s+$", "")
+        ),
+        lambda l: l != "",
     )
     # multi-referenced expensive expressions route through columns
     # (expression trees are TREES — inlining lines/distinct-lines would

@@ -32,9 +32,17 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 
 def tokens(col: str | Column, distinct: bool = False) -> Column:
-    """Whitespace tokenization (lowered). ``distinct`` → token set."""
+    """Whitespace tokenization (lowered). ``distinct`` → token set.
+
+    Empty tokens are filtered AFTER the split rather than trimming
+    before it: Spark's ``trim`` strips only ASCII spaces, so text edged
+    with ``\\n``/``\\t`` would otherwise grow a phantom empty edge token
+    (caught by the repetition-stats hypothesis test on ``'\\na a a'``).
+    The DuckDB oracle fragment (queries_ext._SQL_TOKENS) replays the
+    same list_filter — keep both sides in lockstep.
+    """
     c = col if isinstance(col, Column) else F.col(col)
-    t = F.split(F.trim(F.lower(c)), TOKEN_SPLIT_RE)
+    t = F.filter(F.split(F.lower(c), TOKEN_SPLIT_RE), lambda x: x != "")
     return F.array_distinct(t) if distinct else t
 
 

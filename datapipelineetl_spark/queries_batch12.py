@@ -125,11 +125,14 @@ _BOILER_DOC = (
            LATERAL UNNEST(generate_series(0, len(parts) - 1)) AS u(i)),
     boiler AS (
       SELECT key FROM (
-        SELECT DISTINCT doc_id, trim(line) AS key FROM lines
-        WHERE trim(line) <> '')
+        SELECT DISTINCT doc_id,
+               regexp_replace(line, '^\\s+|\\s+$', '', 'g') AS key FROM lines
+        WHERE regexp_replace(line, '^\\s+|\\s+$', '', 'g') <> '')
       GROUP BY key HAVING COUNT(*) >= (SELECT thr FROM params)),
     kept AS (
-      SELECT * FROM lines WHERE trim(line) NOT IN (SELECT key FROM boiler)),
+      SELECT * FROM lines
+      WHERE regexp_replace(line, '^\\s+|\\s+$', '', 'g')
+            NOT IN (SELECT key FROM boiler)),
     rebuilt AS (
       SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text
       FROM kept GROUP BY doc_id)
@@ -176,9 +179,11 @@ _REP_DOC = (
 
 def _rep_oracle() -> str:
     toks = _SQL_TOKENS.format(c="text")
+    # full whitespace strip per line (regexp, not trim: spaces-only) —
+    # lockstep with corpus.repetition_stats' engine-side regexp_replace
     lines = (
         "list_filter(list_transform(string_split(text, chr(10)), "
-        "x -> trim(x)), x -> x <> '')"
+        r"x -> regexp_replace(x, '^\s+|\s+$', '', 'g')), x -> x <> '')"
     )
     chars = "COALESCE(list_aggregate(list_transform({l}, x -> length(x)), 'sum'), 0)"
 

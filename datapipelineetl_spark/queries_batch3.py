@@ -438,7 +438,8 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 # n-gram Jaccard near-dup (SURVEY.md §2.11 dedup ladder, exact baseline)
 # =============================================================================
 
-_SQL_TOKS = r"string_split_regex(trim(lower(text)), '\s+')"
+# lockstep with text.tokens(): post-split empty filter, not trim-then-split
+_SQL_TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
 
 @query(
     "q_ngram_jaccard_pairs",

@@ -18,7 +18,10 @@ from datapipelineetl_spark.operators.dedup import MINHASH_COEFFS, MINHASH_P
 from datapipelineetl_spark.queries import _t, _t_spread, query
 
 # DuckDB fragments mirroring text.py's primitives exactly.
-_SQL_TOKENS = r"string_split_regex(trim(lower({c})), '\s+')"
+# list_filter drops the phantom empty edge token on \n/\t-edged text —
+# in lockstep with text.tokens()'s post-split filter (NOT trim-then-split,
+# which is space-only on both engines).
+_SQL_TOKENS = r"list_filter(string_split_regex(lower({c}), '\s+'), x -> x <> '')"
 _SQL_TOKSET = f"list_distinct({_SQL_TOKENS})"
 _SQL_HASH60 = "('0x' || substr(md5({t}), 1, 15))::BIGINT"
 
@@ -57,9 +60,9 @@ def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(length(text) AS INT) AS n_chars_m,
              ROUND(len(regexp_extract_all(text, '[^\w\s]')) * 1.0
                    / GREATEST(length(text), 1), 4) AS punct_ratio,
-             ROUND(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             ROUND(len(list_filter(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
                                    x -> x IN ('the','and','of','to','is'))) * 1.0
-                   / GREATEST(len(string_split_regex(trim(lower(text)), '\s+')), 1), 4)
+                   / GREATEST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')), 1), 4)
                AS stopword_ratio,
              ROUND(len(regexp_extract_all(text, '[A-Za-z]')) * 1.0
                    / GREATEST(length(text), 1), 4) AS alpha_ratio

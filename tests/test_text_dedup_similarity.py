@@ -28,6 +28,30 @@ def test_token_stats(spark, docs_df):
     assert r[5].n_tokens == 6
 
 
+def test_tokens_no_phantom_empty_on_edge_whitespace(spark):
+    """Pinned regression (VERDICT r6 item 1, falsifying example '\\na a a'):
+    F.trim strips only ASCII spaces, so trim-then-split grew a phantom
+    leading empty token on \\n/\\t-edged text. tokens() now filters empties
+    post-split; '\\na a a' must be exactly 3 tokens (and its 2-gram dup
+    fraction 0.5, not 0.3333)."""
+    from datapipelineetl_spark.operators import corpus
+
+    df = spark.createDataFrame(
+        [(1, "\na a a"), (2, "\ta b\t"), (3, "  x  "), (4, ""), (5, None)],
+        "doc_id int, text string",
+    )
+    toks = {r.doc_id: r.t for r in df.select(
+        "doc_id", text.tokens("text").alias("t")).collect()}
+    assert toks[1] == ["a", "a", "a"]
+    assert toks[2] == ["a", "b"]
+    assert toks[3] == ["x"]
+    assert toks[4] == []
+    assert toks[5] is None
+    rep = {r.doc_id: r.dup_2gram_frac
+           for r in corpus.repetition_stats(df, gram_ns=(2,)).collect()}
+    assert rep[1] == 0.5
+
+
 def test_lang_id(spark, docs_df):
     r = {x.doc_id: x.lang_pred for x in text.with_lang_id(docs_df).collect()}
     assert r[1] == "en" and r[4] == "es"
