@@ -32,7 +32,11 @@ from datapipelineetl_spark import queries_batch10  # noqa: E402, F401 — regist
 from datapipelineetl_spark import queries_batch11  # noqa: E402
 from datapipelineetl_spark import queries_ext  # noqa: E402, F401 — registers extension queries
 
-queries_batch11.register()  # promote the 10 staged corpus queries (round 6)
+queries_batch11.register()  # promoted the 10 staged corpus queries (round 6)
+
+from datapipelineetl_spark import queries_batch12  # noqa: E402
+
+queries_batch12.register()  # promote the 12 staged batch-12 queries (round 7)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -41,73 +45,71 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver verifies the FIRST 50 entries of queries() in dict order.
-# Round-6 rotation (VERDICT r5 items 1–2): slots 0–9 = the ten staged
-# corpus-preparation queries promoted from queries_batch11 (their first
-# driver rows — q_prepare_corpus and q_contamination_pairs lead per the
-# judge's ordering); slots 10–49 = 40 of the 49 queries whose newest
-# green row is CORRECTNESS_r04. With 109 registered queries and a
-# 50-slot window the sustainable rotation is 3 rounds, so the contract
-# (tests/test_schemas.py) now allows a query to be green in EITHER of
-# the two newest CORRECTNESS records; the 9 deferred queries (the
-# expensive similarity/dedup tail: q12_line_priority_split,
-# q_winnow_collisions, q_range_join_ship_windows,
-# q_asof_join_next_purchase, q_salted_join_volume, q_hypertable_rollup,
-# q_minhash_capped_near_dups, q_ivf_recall, q_lsh_cosine_near_pairs)
-# are exactly-2-records-old after r6 lands and are FORCED into the r7
-# window by the contract.
+# Round-7 rotation (VERDICT r6 item 2): slots 0–11 = the twelve staged
+# batch-12 queries promoted this round (their first driver rows);
+# slots 12–20 = the 9 r4-green queries the 3-round contract forces in
+# (green in neither of the two newest records after r6 landed);
+# slots 21–49 = 29 queries whose newest green row is CORRECTNESS_r05 —
+# the 24 oldest in registration order plus the 5 token-family queries
+# (minhash/simhash/winnowing/dedup-cluster) whose tokenization changed
+# this round (phantom-empty-token fix, engine+oracle in lockstep), so
+# they earn fresh driver rows under the new semantics. The remaining
+# 21 r5-green queries age out next round and are forced into r8.
 PRIORITY: list[str] = [
-    # -- staged corpus family (first driver rows; VERDICT r5 item 1) --
-    "q_prepare_corpus",
-    "q_contamination_pairs",
-    "q_sample_stratified",
-    "q_corpus_mix",
-    "q_pack_chunks",
-    "q_redact_pii",
-    "q_split_documents",
-    "q_ngram_counts",
-    "q_funnel_stages",
-    "q_retention_cohorts",
-    # -- r4-green; rotated back in before aging past 2 records --
-    "q1_pricing_summary",
-    "q5_local_supplier_volume",
-    "q_events_pivot",
-    "q_envelope_roundtrip",
-    "q_meascollec_flatten",
-    "q_clean_cell_metrics",
-    "q_clean_kpi_int",
-    "q_cube_lineitem",
-    "q_window_trailing_revenue",
-    "q_percentiles_by_priority",
-    "q_ngram_jaccard_pairs",
-    "q_frame_sample_plan",
-    "q_multimodal_meta",
-    "q_conditional_counts",
-    "q_weekly_order_volume",
-    "q_sql_regional_revenue",
-    "q_nation_lookup",
-    "q_text_token_stats",
-    "q_text_quality",
-    "q_lang_id",
-    "q_dedup_token_set",
-    "q_cosine_topk",
-    "q_cosine_near_pairs",
-    "q_tf_idf",
-    "q7_volume_shipping",
-    "q13_order_count_distribution",
-    "q17_small_quantity_revenue",
-    "q_profile_orders",
-    "q_kpi_pivot",
-    "q_session_window_events",
-    "q_grouping_sets",
-    "q_posexplode_embedding",
-    "q_array_lambda_battery",
-    "q_null_semantics",
-    "q_nullsafe_join",
-    "q8_market_share",
-    "q_fuzzy_name_pairs",
-    "q21_blamable_suppliers",
-    "q_price_histogram",
-    "q_regex_extract_ldn",
+    # -- staged batch-12 corpus/tensor family (first driver rows) --
+    "q_pack_greedy",
+    "q_boilerplate_removal",
+    "q_repetition_stats",
+    "q_semantic_dupes",
+    "q_prepare_corpus_quality",
+    "q_extract_keywords",
+    "q_user_hour_anomalies",
+    "q_build_vocab",
+    "q_encode_tokens",
+    "q_pack_sequences",
+    "q_split_corpus",
+    "q_attrition_report",
+    # -- r4-green, contract-forced (3-round rotation limit) --
+    "q12_line_priority_split",
+    "q_winnow_collisions",
+    "q_range_join_ship_windows",
+    "q_asof_join_next_purchase",
+    "q_salted_join_volume",
+    "q_hypertable_rollup",
+    "q_minhash_capped_near_dups",
+    "q_ivf_recall",
+    "q_lsh_cosine_near_pairs",
+    # -- r5-green refresh: oldest first --
+    "q3_shipping_priority",
+    "q_top3_orders_per_customer",
+    "q_agg_stats",
+    "q_customers_without_orders",
+    "q_active_supplier_keys",
+    "q_priciest_lineitems",
+    "q_rollup_order_volume",
+    "q_clean_chain_events",
+    "q_sessionize",
+    "q_tumbling_window_events",
+    "q_unpivot_lineitem",
+    "q_asof_join_purchase",
+    "q_customers_with_orders_semi",
+    "q_full_outer_nation_activity",
+    "q_cross_join_matrix",
+    "q_orders_above_avg",
+    "q_string_funcs",
+    "q_date_funcs",
+    "q_having_filter",
+    "q6_revenue_delta",
+    "q4_priority_late_ship",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    # -- r5-green token-family (tokenization semantics changed r7) --
+    "q_minhash_near_dups",
+    "q_simhash",
+    "q_dedup_clusters",
+    "q_winnowing_fingerprints",
+    "q_dedup_clusters_lsh",
 ]
 
 

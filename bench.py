@@ -44,6 +44,10 @@ from datapipelineetl_spark.session import get_session
 
 queries_batch11.register()  # corpus family promoted round 6
 
+from datapipelineetl_spark import queries_batch12  # noqa: E402
+
+queries_batch12.register()  # tensor/corpus family promoted round 7
+
 HEADLINE = [
     # scan + agg
     "q1_pricing_summary",
@@ -87,6 +91,14 @@ HEADLINE = [
     "q_pack_chunks",
     "q_contamination_pairs",
     "q_prepare_corpus",
+    # batch-12 promotions (round 7). q_semantic_dupes stays OUT: its
+    # oracle-parity baseline is the declared exact O(n²) comparison
+    # (55.7 s at sf0.1) — gate-only, timing it would measure the
+    # deliberately-naive baseline, not the LSH scale path.
+    "q_repetition_stats",
+    "q_split_corpus",
+    "q_pack_sequences",
+    "q_attrition_report",
 ]
 
 # Reference warm best-of-N seconds at sf0.1 / local[32], refreshed
@@ -125,6 +137,11 @@ EXPECTED_SEC = {
     "q_pack_chunks": 0.34,
     "q_contamination_pairs": 3.52,
     "q_prepare_corpus": 8.53,
+    # batch-12 rows: SCALING.md pre-measurements (round 6, same machine)
+    "q_repetition_stats": 1.10,
+    "q_split_corpus": 0.11,
+    "q_pack_sequences": 1.25,
+    "q_attrition_report": 8.54,
 }
 
 

@@ -59,24 +59,26 @@ def test_staged_query_matches_oracle(spark, sf_dir, duck, name):
     assert len(srows) > 0, f"{name}: degenerate empty result"
 
 
-def test_staged_registry_promoted_round6():
-    """Round 6 promoted the staged batch: __spark_entry__ calls
-    b11.register(), so the live registry must contain every staged query
-    with its oracle, and register() must be idempotent (the driver and
-    the tests may both import the entry module)."""
+def test_staged_registry_promoted():
+    """Rounds 6/7 promoted the staged batches: __spark_entry__ calls
+    b11.register() and b12.register(), so the live registry must contain
+    every staged query with its oracle, and register() must be
+    idempotent (the driver and the tests may both import the entry
+    module)."""
     import __spark_entry__ as entrymod
 
     from datapipelineetl_spark import queries as q
 
     assert set(b11.STAGED_ORACLES) == set(b11.STAGED_QUERIES)
     assert len(b11.STAGED_QUERIES) == 10
+    assert set(b12.STAGED_ORACLES) == set(b12.STAGED_QUERIES)
+    assert len(b12.STAGED_QUERIES) == 12
     live = entrymod.queries()
     n = len(live)
     assert set(b11.STAGED_QUERIES) <= set(live)
     assert set(b11.STAGED_ORACLES) <= set(q.ORACLES)
+    assert set(b12.STAGED_QUERIES) <= set(live)
+    assert set(b12.STAGED_ORACLES) <= set(q.ORACLES)
     b11.register()
+    b12.register()
     assert len(entrymod.queries()) == n
-    # batch12 stays staged (r7 backlog): importing it must NOT have
-    # grown the live surface
-    assert set(b12.STAGED_ORACLES) == set(b12.STAGED_QUERIES)
-    assert not (set(b12.STAGED_QUERIES) & set(live))

@@ -31,6 +31,7 @@ COMPAT = {
     "BOOLEAN": {"boolean"},
     "HUGEINT": {"bigint"},
     "INTEGER[]": {"array<int>"},
+    "BIGINT[]": {"array<bigint>"},
     "DOUBLE[]": {"array<double>"},
     "VARCHAR[]": {"array<string>"},
 }
