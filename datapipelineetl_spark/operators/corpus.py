@@ -439,7 +439,7 @@ def prepare_corpus(
         )
     out = _quality_lang_stage(df, text_col, min_quality, langs)
     out = _exact_dedup_stage(out, id_col, text_col)
-    if near_dup_threshold is not None:
+    if near_dup_threshold is not None or embeddings is not None:
         # pipeline-level materialization: the filtered+deduped base is
         # referenced by the pair ladder (several times internally) AND
         # the final anti-join — without the barrier the quality/dedup
@@ -447,7 +447,11 @@ def prepare_corpus(
         # warm at sf0.1). prepare_corpus is the one-call API, so the
         # eager job is the expected contract here (the primitive
         # operators stay lazy by default per the r4 ADVICE discipline).
+        # The SemDeDup stage references `out` three times too (semi-join
+        # build, quality join, final anti-join), so the barrier applies
+        # whenever EITHER near-dup stage runs (ADVICE r6).
         out = out.localCheckpoint(eager=True)
+    if near_dup_threshold is not None:
         losers = _surface_losers(
             out, id_col, text_col, near_dup_threshold,
             max_bucket_size, representative,

@@ -61,7 +61,10 @@ def _partition_value_str(v) -> str | None:
     date types partition columns are usually made of; booleans and
     fractional-second timestamps need normalizing (Spark writes
     'true'/'false' and trims trailing fractional zeros, Python renders
-    'True' and pads to 6 digits)."""
+    'True' and pads to 6 digits). Floats are NOT handled here — Java's
+    Double.toString diverges from Python's repr (e.g. '1.0E-7' vs
+    '1e-07'), so float partition values match by parsed VALUE instead
+    (``_partition_value_matches``, ADVICE r6)."""
     import datetime as _dt
 
     if v is None:
@@ -71,6 +74,24 @@ def _partition_value_str(v) -> str | None:
     if isinstance(v, _dt.datetime) and v.microsecond:
         return str(v).rstrip("0").rstrip(".")
     return str(v)
+
+
+def _partition_value_matches(raw: str | None, v) -> bool:
+    """Does an on-disk (percent-decoded) partition directory value match
+    a collected row value? String rendering for most types; floats
+    compare by parsed value because Spark renders them Java-style
+    ('1.0E-7', '0.1') which Python's str() does not reproduce."""
+    if raw is None or v is None:
+        return raw is None and v is None
+    if isinstance(v, float) and not isinstance(v, bool):
+        import math  # noqa: PLC0415
+
+        try:
+            parsed = float(raw)
+        except ValueError:
+            return False
+        return parsed == v or (math.isnan(parsed) and math.isnan(v))
+    return raw == _partition_value_str(v)
 
 
 def overwrite_partitions(
@@ -201,11 +222,24 @@ def merge_upsert(
             # correctness failure, not a skip.
             on_disk = _parse_partition_dirs(path, partition_cols)
             for row in emptied:
-                key = tuple(_partition_value_str(row[c]) for c in partition_cols)
-                part_dir = on_disk.get(key)
+                # value-wise match, not string-key lookup: float columns
+                # render Java-style on disk ('1.0E-7') and Python-style
+                # from collect ('1e-07') — see _partition_value_matches
+                part_dir = next(
+                    (
+                        d
+                        for key, d in on_disk.items()
+                        if all(
+                            _partition_value_matches(k, row[c])
+                            for k, c in zip(key, partition_cols)
+                        )
+                    ),
+                    None,
+                )
                 if part_dir is None:
+                    vals = {c: row[c] for c in partition_cols}
                     raise RuntimeError(
-                        f"merge_upsert: emptied partition {dict(zip(partition_cols, key))} "
+                        f"merge_upsert: emptied partition {vals} "
                         f"not found on disk under {path}; refusing to leave "
                         "a possibly-stale partition behind "
                         f"(on-disk partitions: {sorted(on_disk, key=repr)})"

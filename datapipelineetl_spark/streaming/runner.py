@@ -585,6 +585,40 @@ def audit_leftovers(input_dir: str, pattern: str = "*") -> list[str]:
 
 # --- streaming decontamination (the corpus tier's streaming form) ------------
 
+def _eval_gram_store(
+    eval_grams: DataFrame, eval_id_col: str | None, gram_col: str
+) -> DataFrame:
+    """Normalize an eval-side n-gram store to ``(__eval_id, __g)``.
+
+    The id column is inferred ONLY when the store has exactly two
+    columns (ADVICE r6: a store built with a custom ``gram_col`` or
+    carrying extra columns used to silently bind the wrong column as
+    the eval id, corrupting the join key and the dropped-pairs audit) —
+    otherwise callers must name it via ``eval_id_col``.
+    """
+    if gram_col not in eval_grams.columns:
+        raise ValueError(
+            f"gram column {gram_col!r} not in eval_grams columns "
+            f"{eval_grams.columns} — pass gram_col matching the store's"
+        )
+    if eval_id_col is None:
+        others = [c for c in eval_grams.columns if c != gram_col]
+        if len(others) != 1:
+            raise ValueError(
+                f"cannot infer the eval-id column among {others} — pass "
+                "eval_id_col explicitly for stores with extra columns"
+            )
+        eval_id_col = others[0]
+    elif eval_id_col not in eval_grams.columns:
+        raise ValueError(
+            f"eval_id_col {eval_id_col!r} not in eval_grams columns "
+            f"{eval_grams.columns}"
+        )
+    return eval_grams.select(
+        F.col(eval_id_col).alias("__eval_id"), F.col(gram_col).alias("__g")
+    )
+
+
 def streaming_decontaminate(
     stream: DataFrame,
     eval_grams: DataFrame,
@@ -596,6 +630,8 @@ def streaming_decontaminate(
     min_shared: int = 1,
     dropped_dir: str | None = None,
     available_now: bool = True,
+    eval_id_col: str | None = None,
+    gram_col: str = "__g",
 ) -> StreamingQuery:
     """Streaming train-side decontamination: documents arrive as a file
     stream, and every micro-batch drops the ones sharing at least
@@ -606,7 +642,10 @@ def streaming_decontaminate(
 
     ``eval_grams`` is the PRECOMPUTED eval-side n-gram store —
     ``corpus.ngram_hashes(eval_df, n=n)``, persisted once (columns:
-    eval id + ``__g``); ``n`` here must match the store's. Per batch the
+    eval id + ``__g``; a store built with a custom ``gram_col`` or
+    carrying extra columns must name its columns via the
+    ``eval_id_col``/``gram_col`` parameters — inference requires
+    exactly two columns); ``n`` here must match the store's. Per batch the
     incoming docs shingle narrowly, equi-join the store on the gram
     hash, and pairwise-count shared grams (identical semantics to the
     batch operator, oracle-checked there); clean rows land in
@@ -624,8 +663,7 @@ def streaming_decontaminate(
     from datapipelineetl_spark.operators import corpus as _corpus  # noqa: PLC0415
     from datapipelineetl_spark.sinks import maintenance  # noqa: PLC0415
 
-    eval_id = [c for c in eval_grams.columns if c != "__g"][0]
-    store = eval_grams.select(F.col(eval_id).alias("__eval_id"), "__g")
+    store = _eval_gram_store(eval_grams, eval_id_col, gram_col)
 
     def handle(df: DataFrame, epoch_id: int) -> None:
         grams = _corpus.ngram_hashes(df, id_col=id_col, text_col=text_col, n=n)
@@ -898,6 +936,16 @@ def compact_state(spark: SparkSession, state_dir: str, keep_last: int = 1) -> in
     Run it BETWEEN drains, never while a query is writing the store.
     Returns the number of partitions folded away.
 
+    ``keep_last`` must be >= 1: the newest partition can belong to an
+    epoch whose checkpoint commit never landed (drain crashed between
+    the state write and the commit). That epoch REPLAYS on restart —
+    its state read filters ``__batch_id < N`` (a fold into N would be
+    invisible, silently skipping cross-batch dedup) and its dynamic
+    partition overwrite of ``__batch_id=N`` would then destroy the
+    folded history. Only batch ids strictly below the newest on-disk
+    partition are guaranteed committed, so the fold may never target
+    the newest partition.
+
     Crash safety rests on an invariant of the state CONSUMERS: every
     read path ends in ``.distinct()`` on ids (candidate pairs, drop
     sets), so DUPLICATE state rows are semantically harmless — which
@@ -914,6 +962,12 @@ def compact_state(spark: SparkSession, state_dir: str, keep_last: int = 1) -> in
     import shutil  # noqa: PLC0415
     from pathlib import Path as _Path
 
+    if keep_last < 1:
+        raise ValueError(
+            f"keep_last must be >= 1 (got {keep_last}): folding into the "
+            "newest partition is destroyed if its epoch replays after a "
+            "crash between the state write and the checkpoint commit"
+        )
     folded = 0
     for sub in sorted(p for p in _Path(state_dir).iterdir() if p.is_dir()):
         parts = sorted(
@@ -958,6 +1012,8 @@ def streaming_corpus_filter(
     redact: bool = True,
     dropped_dir: str | None = None,
     available_now: bool = True,
+    eval_id_col: str | None = None,
+    gram_col: str = "__g",
 ) -> StreamingQuery:
     """Single-pass continuous corpus ingest: each micro-batch runs the
     WHOLE acceptance ladder — near-dup filtering against the persisted
@@ -991,8 +1047,7 @@ def streaming_corpus_filter(
     from datapipelineetl_spark.operators import corpus as _corpus  # noqa: PLC0415
     from datapipelineetl_spark.sinks import maintenance  # noqa: PLC0415
 
-    eval_id = [c for c in eval_grams.columns if c != "__g"][0]
-    store = eval_grams.select(F.col(eval_id).alias("__eval_id"), "__g")
+    store = _eval_gram_store(eval_grams, eval_id_col, gram_col)
 
     def handle(df: DataFrame, epoch_id: int) -> None:
         dup_all, my_bands, my_tokens = _near_dup_batch_state(

@@ -172,6 +172,28 @@ def test_merge_upsert_moving_key_with_hive_escaped_partition_values(spark, tmp_p
     assert len([d for d in dirs if d.startswith("stamp=")]) == 1  # only t2 left
 
 
+def test_merge_upsert_moving_key_with_float_partition_values(spark, tmp_path):
+    """ADVICE r6 low: double partition values render Java-style on disk
+    ('1.0E-7') but Python-style from collect ('1e-07'), so the emptied-
+    partition deletion used to raise 'not found on disk' spuriously.
+    Floats now match by parsed value."""
+    store = str(tmp_path / "floats")
+    base = spark.createDataFrame(
+        [(1e-07, 1, 10), (0.5, 2, 20)], "thr double, k int, v int"
+    )
+    maintenance.merge_upsert(spark, store, base, ["k"], partition_cols=["thr"])
+    # k=1 moves 1e-07 -> 0.5, emptying the 1e-07 partition entirely
+    upd = spark.createDataFrame([(0.5, 1, 99)], "thr double, k int, v int")
+    maintenance.merge_upsert(
+        spark, store, upd, ["k"], partition_cols=["thr"],
+        keys_partition_stable=False,
+    )
+    got = {(r.thr, r.k): r.v for r in spark.read.parquet(store).collect()}
+    assert got == {(0.5, 1): 99, (0.5, 2): 20}
+    dirs = {p.name for p in Path(store).iterdir() if p.name.startswith("thr=")}
+    assert len(dirs) == 1  # the emptied 1.0E-7 partition is gone
+
+
 def test_merge_upsert_unpartitioned_swap_never_leaves_store_absent(spark, tmp_path):
     """ADVICE r5 low: the unpartitioned full-rewrite must use compact()'s
     rename-aside swap so a crash window never has the store missing; after

@@ -679,6 +679,33 @@ def test_stateful_running_totals_string_key(spark, tmp_path):
     assert got == {"alice": (1, 2.0), "bob": (1, 5.0)}
 
 
+def test_eval_gram_store_column_binding(spark):
+    """ADVICE r6 low: the eval-gram store's id column is inferred only
+    for an unambiguous two-column store; custom gram_col and extra
+    columns must be named explicitly instead of silently binding the
+    wrong column as the eval id."""
+    import pytest as _pytest
+
+    two = spark.createDataFrame([(1, 42)], ["eval_doc", "__g"])
+    assert runner._eval_gram_store(two, None, "__g").columns == [
+        "__eval_id", "__g"
+    ]
+    custom = spark.createDataFrame([(1, 42)], ["eval_doc", "gram"])
+    # default gram_col no longer silently binds 'gram' as the eval id
+    with _pytest.raises(ValueError, match="gram column"):
+        runner._eval_gram_store(custom, None, "__g")
+    assert runner._eval_gram_store(custom, None, "gram").columns == [
+        "__eval_id", "__g"
+    ]
+    extra = spark.createDataFrame([(1, 42, "x")], ["eval_doc", "__g", "note"])
+    with _pytest.raises(ValueError, match="eval-id"):
+        runner._eval_gram_store(extra, None, "__g")
+    out = runner._eval_gram_store(extra, "eval_doc", "__g")
+    assert out.columns == ["__eval_id", "__g"]
+    with _pytest.raises(ValueError, match="eval_id_col"):
+        runner._eval_gram_store(extra, "nope", "__g")
+
+
 def test_streaming_decontaminate_matches_batch_operator(spark, tmp_path):
     """Streaming decontamination (foreachBatch vs a static eval-side
     n-gram store) must drop exactly the docs the BATCH operator
@@ -866,19 +893,34 @@ def test_compact_state_folds_partitions_and_preserves_dedup(spark, tmp_path):
         "b2.parquet",
     )
     run()
-    from pathlib import Path as _P
-
-    assert len(list((_P(state) / "tokens").glob("__batch_id=*"))) == 2
-    folded = runner.compact_state(spark, state, keep_last=0)
-    assert folded >= 1
-    assert len(list((_P(state) / "tokens").glob("__batch_id=*"))) == 1
-    # a later near-dup of doc 1 must STILL be caught by the folded state
     drop_file(
-        spark.createDataFrame([(3, base + " again")], ["doc_id", "text"]),
+        spark.createDataFrame(
+            [(3, "a third unrelated document mentioning streams state and parquet")],
+            ["doc_id", "text"],
+        ),
         "b3.parquet",
     )
     run()
-    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 2}
+    from pathlib import Path as _P
+
+    import pytest as _pytest
+
+    assert len(list((_P(state) / "tokens").glob("__batch_id=*"))) == 3
+    # the newest partition may belong to an uncommitted epoch — folding
+    # into it is forbidden (ADVICE r6: a replay would first ignore, then
+    # overwrite, the folded history)
+    with _pytest.raises(ValueError, match="keep_last"):
+        runner.compact_state(spark, state, keep_last=0)
+    folded = runner.compact_state(spark, state, keep_last=1)
+    assert folded == 2  # one partition folded away per sub-store (bands, tokens)
+    assert len(list((_P(state) / "tokens").glob("__batch_id=*"))) == 2
+    # a later near-dup of doc 1 (folded partition) must STILL be caught
+    drop_file(
+        spark.createDataFrame([(4, base + " again")], ["doc_id", "text"]),
+        "b4.parquet",
+    )
+    run()
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 2, 3}
 
 
 def test_streaming_corpus_filter_single_pass(spark, tmp_path):
