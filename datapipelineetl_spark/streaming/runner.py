@@ -710,6 +710,8 @@ def _near_dup_batch_state(
     bands: int,
     rows_per_band: int,
     max_bucket_size: int | None,
+    state_tokens: str = "raw",
+    state_token_salt: str | None = None,
 ):
     """Per-micro-batch near-dup core shared by
     ``streaming_near_dup_filter`` and ``streaming_corpus_filter`` (ONE
@@ -720,10 +722,29 @@ def _near_dup_batch_state(
     exact-Jaccard-verifies them, and forms within-batch cluster losers.
     Returns ``(dropped_ids, my_bands, my_tokens)`` with ``dropped_ids``
     checkpointed.
+
+    ``state_tokens``: ``"raw"`` persists the accepted docs' distinct
+    token sets (exact-Jaccard verification); ``"hashed"`` persists
+    60-bit token HASHES instead — Jaccard over distinct hashes equals
+    Jaccard over distinct tokens up to md5 collisions (~2^-60 per
+    pair), and the state then retains no recoverable document text
+    (VERDICT r6 item 5: the tokens/ store otherwise keeps raw
+    text-derived data for every accepted doc indefinitely). An optional
+    ``state_token_salt`` keys the hash so common-token dictionary
+    attacks on an exfiltrated store don't invert it. Both settings must
+    stay CONSTANT over a store's lifetime — raw and hashed token sets
+    never compare equal, so switching modes mid-store silently disables
+    cross-batch dedup against the older partitions.
     """
     from datapipelineetl_spark.operators import dedup as _dedup  # noqa: PLC0415
     from datapipelineetl_spark.operators import text as _text  # noqa: PLC0415
 
+    if state_tokens not in ("raw", "hashed"):
+        raise ValueError(
+            f"state_tokens must be 'raw' or 'hashed', got {state_tokens!r}"
+        )
+    if state_token_salt is not None and state_tokens != "hashed":
+        raise ValueError("state_token_salt requires state_tokens='hashed'")
     spark = df.sparkSession
     bands_dir = os.path.join(state_dir, "bands")
     tokens_dir = os.path.join(state_dir, "tokens")
@@ -731,8 +752,15 @@ def _near_dup_batch_state(
     my_bands = _dedup.band_keys(
         sig, id_col, "minhash", bands, rows_per_band
     ).localCheckpoint(eager=True)
+    tok_set = _text.tokens(text_col, distinct=True)
+    if state_tokens == "hashed":
+        salt = state_token_salt or ""
+        tok_set = F.transform(
+            tok_set,
+            lambda t: _text.token_hash60(F.concat(F.lit(salt), t)),
+        )
     my_tokens = df.select(
-        F.col(id_col), _text.tokens(text_col, distinct=True).alias("__toks")
+        F.col(id_col), tok_set.alias("__toks")
     ).localCheckpoint(eager=True)
 
     def read_state(path: str) -> DataFrame | None:
@@ -852,6 +880,8 @@ def streaming_near_dup_filter(
     max_bucket_size: int | None = None,
     dropped_dir: str | None = None,
     available_now: bool = True,
+    state_tokens: str = "raw",
+    state_token_salt: str | None = None,
 ) -> StreamingQuery:
     """Streaming MinHash near-duplicate filter with INCREMENTAL state:
     documents arrive as a file stream; each micro-batch drops (a) docs
@@ -864,7 +894,12 @@ def streaming_near_dup_filter(
     State = two parquet stores under ``state_dir``, both partitioned by
     ``__batch_id``: ``bands/`` holds accepted docs' (id, band, band_key)
     rows (``dedup.band_keys``), ``tokens/`` their distinct token sets
-    (for exact-Jaccard verification of candidates). Replay safety: batch
+    (for exact-Jaccard verification of candidates) — or, with
+    ``state_tokens="hashed"`` (+ optional ``state_token_salt``), keyed
+    60-bit token hashes instead, so the state retains no recoverable
+    document text while verification stays value-identical up to md5
+    collisions (keep the mode constant per store — raw and hashed
+    partitions never compare equal). Replay safety: batch
     N reads state strictly ``__batch_id < N`` (partition-pruned scan),
     so a crashed/replayed batch never collides with its own partial
     writes, and every write is a batch-id partition overwrite — the same
@@ -897,6 +932,7 @@ def streaming_near_dup_filter(
         dropped, my_bands, my_tokens = _near_dup_batch_state(
             df, epoch_id, state_dir, id_col, text_col, threshold,
             num_hashes, bands, rows_per_band, max_bucket_size,
+            state_tokens, state_token_salt,
         )
         accepted = df.join(dropped, id_col, "anti")
         maintenance.overwrite_partitions(
@@ -1014,6 +1050,8 @@ def streaming_corpus_filter(
     available_now: bool = True,
     eval_id_col: str | None = None,
     gram_col: str = "__g",
+    state_tokens: str = "raw",
+    state_token_salt: str | None = None,
 ) -> StreamingQuery:
     """Single-pass continuous corpus ingest: each micro-batch runs the
     WHOLE acceptance ladder — near-dup filtering against the persisted
@@ -1033,11 +1071,15 @@ def streaming_corpus_filter(
     decontamination stage catches it) or does not (nothing to drop it
     for). Same batch-id-partitioned replay safety and checkpoint/state
     fate-sharing as ``streaming_near_dup_filter``; fold state with
-    ``compact_state``. NOTE: the ``tokens/`` state store keeps accepted
-    docs' RAW token sets (pre-redaction — dedup must compare original
-    text); under a PII-retention policy, treat ``state_dir`` as
-    sensitive storage alongside the source feed, not as redacted
-    output.
+    ``compact_state``. NOTE: by default the ``tokens/`` state store
+    keeps accepted docs' RAW token sets (pre-redaction — dedup must
+    compare original text); under a PII-retention policy either treat
+    ``state_dir`` as sensitive storage alongside the source feed, or
+    pass ``state_tokens="hashed"`` (optionally with
+    ``state_token_salt``) to persist only keyed 60-bit token hashes —
+    verification is value-identical up to md5 collisions and the store
+    retains no recoverable text. Keep the setting constant for a
+    store's lifetime (raw and hashed partitions never compare equal).
 
     Scale: the union of the two operators' per-batch costs — narrow
     signature/shingle math, one partition-pruned state join, one
@@ -1053,6 +1095,7 @@ def streaming_corpus_filter(
         dup_all, my_bands, my_tokens = _near_dup_batch_state(
             df, epoch_id, state_dir, id_col, text_col, threshold,
             num_hashes, bands, rows_per_band, max_bucket_size,
+            state_tokens, state_token_salt,
         )
         survivors = df.join(dup_all, id_col, "anti")
 

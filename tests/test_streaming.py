@@ -828,6 +828,71 @@ def test_streaming_near_dup_filter_incremental_state(spark, tmp_path):
     assert len(toks) == 3  # one row per accepted doc — replay overwrote
 
 
+def test_streaming_near_dup_hashed_state_tokens(spark, tmp_path):
+    """VERDICT r6 item 5: state_tokens='hashed' (+salt) keeps the same
+    accept/drop decisions — Jaccard over keyed 60-bit token hashes
+    equals Jaccard over tokens up to md5 collisions — while the tokens/
+    store holds array<bigint>, no recoverable text."""
+    base = "the quick brown fox jumps over the lazy dog by the river today"
+    other = "completely different text about compilers and type systems here now"
+    src = tmp_path / "src"
+    src.mkdir()
+    out, state, ck = (str(tmp_path / n) for n in ("out", "state", "ck"))
+
+    def run():
+        stream = spark.readStream.schema("doc_id long, text string").option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(str(src))
+        runner.streaming_near_dup_filter(
+            stream, state, out, ck, threshold=0.7,
+            state_tokens="hashed", state_token_salt="pepper",
+        )
+
+    def drop_file(df, name):
+        import shutil as _sh
+
+        stage = tmp_path / ("stage_" + name)
+        df.coalesce(1).write.parquet(str(stage))
+        _sh.move(str(next(stage.glob("part-*.parquet"))), str(src / name))
+        _sh.rmtree(stage)
+
+    drop_file(
+        spark.createDataFrame(
+            [(1, base), (2, base + " extra"), (3, other)], ["doc_id", "text"]
+        ),
+        "b1.parquet",
+    )
+    run()
+    # cross-batch near-dup of accepted doc 1 must still be dropped
+    drop_file(
+        spark.createDataFrame(
+            [(10, base + " again"), (11, "utterly novel content with unique words only")],
+            ["doc_id", "text"],
+        ),
+        "b2.parquet",
+    )
+    run()
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 3, 11}
+    toks = spark.read.parquet(state + "/tokens")
+    assert dict(toks.dtypes)["__toks"] == "array<bigint>"  # no raw text
+
+    # misconfiguration guards
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="state_tokens"):
+        runner._near_dup_batch_state(
+            spark.createDataFrame([(1, base)], ["doc_id", "text"]),
+            0, state, "doc_id", "text", 0.7, 16, 4, 4, None,
+            state_tokens="nope",
+        )
+    with _pytest.raises(ValueError, match="salt"):
+        runner._near_dup_batch_state(
+            spark.createDataFrame([(1, base)], ["doc_id", "text"]),
+            0, state, "doc_id", "text", 0.7, 16, 4, 4, None,
+            state_tokens="raw", state_token_salt="pepper",
+        )
+
+
 def test_streaming_near_dup_single_batch_matches_batch_ladder(spark, tmp_path):
     """The documented recovery contract: replaying the whole corpus as
     ONE batch reproduces the batch ladder's min-id-representative
