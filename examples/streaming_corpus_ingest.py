@@ -50,9 +50,21 @@ def main() -> int:
     docs = catalog.load(spark, sf_dir, "documents")
     n0 = docs.count()
 
+    # fresh run every time: checkpoints/state from a previous invocation
+    # would otherwise make the drains no-ops (state and checkpoint share
+    # fate — see streaming_near_dup_filter's caveat)
+    import shutil
+
+    if work.exists():
+        shutil.rmtree(work)
+
     # --- simulate a crawler: land the fixture docs as parquet arrivals
+    # (three files × 1-file triggers = three micro-batches, so the state
+    # store accrues enough partitions to demonstrate compaction below;
+    # repartition, not coalesce — the tiny fixture arrives as ONE split
+    # and coalesce can never raise the count)
     src = work / "arrivals"
-    docs.select("doc_id", "text").coalesce(2).write.mode("overwrite").parquet(
+    docs.select("doc_id", "text").repartition(3).write.mode("overwrite").parquet(
         str(src)
     )
 
@@ -65,7 +77,11 @@ def main() -> int:
 
     # --- stage 1: streaming near-dup filter (incremental LSH state)
     deduped_dir = str(work / "deduped")
-    stream1 = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    stream1 = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
     runner.streaming_near_dup_filter(
         stream1,
         state_dir=str(work / "dedup_state"),
@@ -76,6 +92,23 @@ def main() -> int:
         dropped_dir=str(work / "dup_audit"),
     )
     n1 = spark.read.parquet(deduped_dir).count()
+
+    # --- state-compaction scheduling: fold old __batch_id partitions
+    # BETWEEN drains (never while a query writes the store). In
+    # production hang this off whatever runs between ingest windows —
+    # a cron slot, the orchestrator's post-drain hook — keyed on the
+    # partition count, e.g. fold once a sub-store exceeds ~100
+    # partitions. keep_last >= 1 is mandatory: the newest partition may
+    # belong to an epoch whose checkpoint commit never landed, and a
+    # replay of that epoch must still see (and then overwrite) it.
+    parts_before = len(
+        list((work / "dedup_state" / "tokens").glob("__batch_id=*"))
+    )
+    folded = 0
+    if parts_before > 2:
+        folded = runner.compact_state(
+            spark, str(work / "dedup_state"), keep_last=1
+        )
 
     # --- stage 2: streaming decontamination + redaction of the survivors
     clean_dir = str(work / "clean")
@@ -107,9 +140,23 @@ def main() -> int:
 
     dups = audit_count(work / "dup_audit")
     contam = audit_count(work / "contam_audit")
+
+    # --- per-stage attrition accounting, same (stage, n_rows,
+    # n_dropped) shape as corpus.attrition_report gives the batch
+    # ladder — "where did my documents go?" for the streaming form
+    attrition = spark.createDataFrame(
+        [
+            ("0_arrived", n0, 0),
+            ("1_near_dedup", n1, n0 - n1),
+            ("2_decontaminated", n2, n1 - n2),
+        ],
+        "stage string, n_rows long, n_dropped long",
+    )
+    attrition.show(truncate=False)
     print(
         f"arrived={n0} accepted_after_dedup={n1} clean={n2} "
-        f"dup_pairs_audited={dups} contamination_pairs_audited={contam}"
+        f"dup_pairs_audited={dups} contamination_pairs_audited={contam} "
+        f"state_partitions_folded={folded} (of {parts_before})"
     )
     return 0 if n2 > 0 and n2 <= n1 <= n0 else 1
 
