@@ -953,3 +953,81 @@ def attrition_report(
         for i, (name, n) in enumerate(stages)
     ]
     return spark.createDataFrame(rows, "stage string, n_rows long, n_dropped long")
+
+
+def shuffle_corpus(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    n_shards: int = 1024,
+    salt: str = "",
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic global shuffle for training-data loaders: every row
+    gets a ``(shard, pos)`` address — which output shard it belongs to
+    and its position within that shard — drawn from a keyed hash, so the
+    SAME corpus + salt always yields the SAME ordering (resumable data
+    loading, reproducible training runs), while the order is
+    pseudo-random with respect to any source/crawl ordering. Changing
+    ``salt`` draws an independent permutation (epoch reshuffles).
+
+    RNG-free by the same rule as the samplers here: ``df.sample``-style
+    per-partition seeding depends on the physical split layout and is
+    neither reproducible nor oracle-able (NOTES.md); the md5-derived
+    hash depends only on the row's own key. NULL keys coalesce to the
+    usual sentinel first.
+
+    Scale: ONE shuffle (hash partition on the shard id), then a per-
+    shard sort for the position numbers — each shard is sorted by a
+    single task, which is exactly the layout a loader wants anyway:
+    pick ``n_shards`` so a shard is file-sized (e.g. 100 TB / 256 MB
+    ≈ 400k shards); the positions then come from a per-task sort of a
+    few hundred MB, no global ordering ever materializes.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    k = F.coalesce(F.col(key_col).cast("string"), F.lit(_NULL_KEY))
+    h = text.token_hash60(F.concat(k, F.lit(salt)))
+    out = df.withColumn("__shuffle_key", h).withColumn(
+        shard_col, F.pmod(F.col("__shuffle_key"), F.lit(n_shards)).cast("int")
+    )
+    w = Window.partitionBy(shard_col).orderBy(
+        F.col("__shuffle_key"), F.col(key_col)
+    )
+    return (
+        out.withColumn(pos_col, F.row_number().over(w).cast("long"))
+        .drop("__shuffle_key")
+    )
+
+
+def sample_k_per_stratum(
+    df: DataFrame,
+    k: int,
+    strata_col: str,
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Exactly-``k`` deterministic sample per stratum (min(k, stratum
+    size) rows) — balanced eval/debug sets ("200 docs per language"),
+    where the fraction-based ``sample_stratified`` can't hit exact
+    counts. Selection is by keyed-hash order, so it is reproducible,
+    independent of input ordering, and a larger ``k`` EXTENDS the
+    smaller sample (the first k rows per stratum never change —
+    nested subsamples for scaling-law runs).
+
+    Scale: one shuffle on the stratum key + a per-stratum window sort.
+    A pathologically hot stratum serializes into one task's sort —
+    at that point pre-filter with ``sample_fraction`` to a few×k first
+    (hash-gated, so the k-sample drawn from the gated subset is still
+    deterministic), or bound strata upstream.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    key = F.coalesce(F.col(key_col).cast("string"), F.lit(_NULL_KEY))
+    h = text.token_hash60(F.concat(key, F.lit(salt)))
+    w = Window.partitionBy(strata_col).orderBy(h, F.col(key_col))
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )

@@ -485,8 +485,9 @@ def encode_tokens(
         ),
     )
     joined = toks.join(vocab.select("token", "token_id"), "token", "left")
-    # empty-string tokens (empty/NULL docs tokenize to [""]) are kept
-    # through the aggregate and filtered INSIDE it, so such docs come
+    # empty/NULL docs tokenize to an empty array, which posexplode_outer
+    # keeps as one NULL-token row; it survives to the aggregate and is
+    # filtered INSIDE it (NULL != '' is not true), so such docs come
     # back with an empty id array instead of vanishing at the groupBy
     return joined.groupBy(id_col).agg(
         F.transform(
@@ -505,3 +506,92 @@ def encode_tokens(
             lambda s: s["tid"],
         ).alias(out)
     )
+
+
+# Common UTF-8-read-as-cp1252 mojibake digraphs → the character the
+# original bytes encoded. Curated to sequences that are unambiguous
+# mojibake (they essentially never occur as intended text); the DuckDB
+# oracle replays the SAME table (queries_batch13 builds its SQL from
+# this dict), so the repair is value-checked cross-engine. Full
+# confidence-scored repair (ftfy-style re-decode loops) is a deployment
+# swap — this is the deterministic, plan-friendly core.
+MOJIBAKE_MAP: dict[str, str] = {
+    "â€™": "’",  # a-circumflex euro tm -> right single quote
+    "â€˜": "‘",  # -> left single quote
+    "â€œ": "“",  # -> left double quote
+    "â€\u009d": "”",  # -> right double quote (0x9d is a C1 control)
+    "â€“": "–",  # -> en dash
+    "â€”": "—",  # -> em dash
+    "â€¦": "…",  # -> ellipsis
+    "Ã©": "é",  # -> e acute
+    "Ã¨": "è",  # -> e grave
+    "Ãª": "ê",  # -> e circumflex
+    "Ã¡": "á",  # -> a acute
+    "Ã­": "í",  # -> i acute
+    "Ã³": "ó",  # -> o acute
+    "Ãº": "ú",  # -> u acute
+    "Ã±": "ñ",  # -> n tilde
+    "Ã¼": "ü",  # -> u umlaut
+    "Ã¤": "ä",  # -> a umlaut
+    "Ã¶": "ö",  # -> o umlaut
+    "ÃŸ": "ß",  # -> sharp s
+    "Ã§": "ç",  # -> c cedilla
+}
+
+# zero-width chars + BOM that survive scraping; NBSP handled separately
+# (it maps to a SPACE, not to deletion)
+_ZERO_WIDTH_RE = "[\u200b\u200c\u200d\ufeff]"
+# C0 controls except \t and \n (CRLF/CR already folded to \n), DEL, and
+# the C1 block (never legitimate in text; also catches the U+009D a
+# partially-unrepaired cp1252 round-trip leaves behind)
+_CONTROL_RE = "[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]"
+
+
+def normalize_text(
+    df: DataFrame, text_col: str = "text", nfc: bool = True
+) -> DataFrame:
+    """Unicode cleanup — the pass every crawled corpus gets before any
+    tokenization or hashing (C4/CCNet-style), IN PLACE on ``text_col``:
+
+    1. mojibake digraph repair (``MOJIBAKE_MAP``, literal replaces,
+       longest key first so no repair consumes another's prefix);
+    2. NFC normalization (``nfc=True``; e + combining acute becomes the
+       precomposed form, so hashing/dedup see ONE spelling);
+    3. line-ending canonicalization (CRLF and lone CR -> LF);
+    4. zero-width chars + BOM removed;
+    5. remaining C0 control chars (except tab/newline) + DEL removed;
+    6. NBSP -> regular space.
+
+    NULL stays NULL (every step is null-propagating).
+
+    Scale: steps 1 and 3-6 are literal/regexp ``replace`` chains —
+    whole-stage codegen, zero shuffle. NFC has no Spark built-in, so
+    step 2 is the one Arrow-batched Pandas UDF (vectorized
+    ``unicodedata.normalize``; Unicode's normalization-stability policy
+    guarantees the result matches any other conformant implementation —
+    the DuckDB oracle's ``nfc_normalize`` — for assigned codepoints).
+    Pass ``nfc=False`` on known-NFC corpora to stay fully JVM-side.
+    """
+    c: Column = F.col(text_col)
+    for bad in sorted(MOJIBAKE_MAP, key=len, reverse=True):
+        c = F.replace(c, F.lit(bad), F.lit(MOJIBAKE_MAP[bad]))
+    if nfc:
+        from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+        # NO annotations on the fn, and the type as a string argument:
+        # under `from __future__ import annotations` pandas_udf sees
+        # stringified hints and rejects the signature (NOTES.md)
+        def _nfc(s):
+            import unicodedata  # noqa: PLC0415
+
+            return s.map(
+                lambda v: v if v is None else unicodedata.normalize("NFC", v)
+            )
+
+        c = pandas_udf(_nfc, "string")(c)
+    c = F.replace(c, F.lit("\r\n"), F.lit("\n"))
+    c = F.replace(c, F.lit("\r"), F.lit("\n"))
+    c = F.regexp_replace(c, _ZERO_WIDTH_RE, "")
+    c = F.regexp_replace(c, _CONTROL_RE, "")
+    c = F.replace(c, F.lit("\u00a0"), F.lit(" "))
+    return df.withColumn(text_col, c)

@@ -1,0 +1,195 @@
+"""Thirteenth query battery — STAGED for the round-8 verify window.
+
+Oracle-paired queries for the three corpus operators added round 7:
+``corpus.shuffle_corpus`` (deterministic global shuffle → (shard, pos)
+addresses for training data loaders), ``corpus.sample_k_per_stratum``
+(exactly-k balanced sampling per stratum), and ``text.normalize_text``
+(mojibake repair + NFC + control/zero-width/NBSP cleanup — the Unicode
+pass upstream of every tokenization/hashing operator).
+
+Same staging contract as batches 11/12: separate dicts so importing
+this module cannot grow the live ``queries()`` surface mid-round;
+``tests/test_corpus_oracles.py`` runs the driver-style comparison
+locally; ``register()`` promotes them when the r8 window has slots.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datapipelineetl_spark.operators import corpus, text
+from datapipelineetl_spark.queries import _t, _t_spread
+from datapipelineetl_spark.queries import QUERIES as _GLOBAL_QUERIES
+from datapipelineetl_spark.queries import ORACLES as _GLOBAL_ORACLES
+
+STAGED_QUERIES: dict = {}
+STAGED_ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        STAGED_QUERIES[name] = fn
+        if oracle is not None:
+            STAGED_ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def register() -> None:
+    """Round-8 wiring: promote the staged queries into the live registry
+    (call from __spark_entry__ next to the batch-12 register, then give
+    them window slots)."""
+    _GLOBAL_QUERIES.update(STAGED_QUERIES)
+    _GLOBAL_ORACLES.update(STAGED_ORACLES)
+
+
+# the 60-bit keyed hash both engines share (text.token_hash60 on
+# COALESCE(key, '__null__') || salt — corpus samplers' convention)
+def _sql_key_hash(key: str, salt: str) -> str:
+    return (
+        f"('0x' || substr(md5(COALESCE(CAST({key} AS VARCHAR), '__null__') "
+        f"|| '{salt}'), 1, 15))::BIGINT"
+    )
+
+
+# =============================================================================
+# Deterministic global shuffle
+# =============================================================================
+
+_SHUFFLE_SHARDS = 16
+_SHUFFLE_SALT = "epoch0"
+
+
+@query(
+    "q_shuffle_corpus",
+    f"""
+    WITH h AS (
+      SELECT doc_id, {_sql_key_hash('doc_id', _SHUFFLE_SALT)} AS hk
+      FROM documents)
+    SELECT doc_id,
+           CAST(hk % {_SHUFFLE_SHARDS} AS INT) AS shard,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY hk % {_SHUFFLE_SHARDS} ORDER BY hk, doc_id
+           ) AS BIGINT) AS pos
+    FROM h
+    """,
+)
+def q_shuffle_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle: every document gets a (shard, pos)
+    address from a keyed 60-bit hash — the reproducible permutation a
+    training data loader consumes (same corpus + salt = same order;
+    new salt = independent epoch reshuffle). The oracle replays the
+    hash, the shard modulus, and the within-shard rank exactly, so
+    every position is value-checked.
+
+    Scale: ONE shuffle on the shard id + an independent per-shard sort
+    (`corpus.shuffle_corpus` docstring: pick n_shards so a shard is
+    file-sized; no global ordering ever materializes)."""
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.shuffle_corpus(
+        docs, key_col="doc_id", n_shards=_SHUFFLE_SHARDS, salt=_SHUFFLE_SALT
+    ).select("doc_id", "shard", "pos")
+
+
+# =============================================================================
+# Exactly-k per-stratum sampling
+# =============================================================================
+
+_KPS_K = 30
+_KPS_SALT = "balance"
+
+
+@query(
+    "q_sample_k_per_stratum",
+    f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY {_sql_key_hash('doc_id', _KPS_SALT)}, doc_id
+             ) AS rk
+      FROM documents)
+    WHERE rk <= {_KPS_K}
+    """,
+)
+def q_sample_k_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k balanced sample (k={_KPS_K} docs per language):
+    hash-ordered row_number per stratum, so the selection is
+    reproducible, order-independent, and nested (a larger k extends the
+    smaller sample). Fraction-based sample_stratified cannot hit exact
+    counts; this is the eval-set builder.
+
+    Scale: one shuffle on the stratum + per-stratum window sort; hot
+    strata pre-gate with sample_fraction (operator docstring)."""
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.sample_k_per_stratum(
+        docs, _KPS_K, "lang", key_col="doc_id", salt=_KPS_SALT
+    ).select("doc_id", "lang")
+
+
+# =============================================================================
+# Unicode normalization
+# =============================================================================
+
+def _norm_oracle() -> str:
+    # the injected dirt: mojibake digraphs, CRLF, a zero-width space, a
+    # BEL control, a combining-acute e (NFC-composes to é), an NBSP —
+    # replayed identically on both sides so every repair branch executes
+    # against real rows
+    inject = (
+        "'CafÃ©â€™ ' || text || chr(13) || chr(10) || 'tailâ€œq' || "
+        "chr(8203) || chr(7) || 'e' || chr(769) || chr(160) || 'end'"
+    )
+    # chained literal replaces, longest key first — the SAME order the
+    # engine applies (text.normalize_text sorts MOJIBAKE_MAP by length)
+    expr = "t"
+    for bad in sorted(text.MOJIBAKE_MAP, key=len, reverse=True):
+        good = text.MOJIBAKE_MAP[bad].replace("'", "''")
+        expr = f"replace({expr}, '{bad}'," + f" '{good}')"
+    expr = f"nfc_normalize({expr})"
+    expr = f"replace({expr}, chr(13) || chr(10), chr(10))"
+    expr = f"replace({expr}, chr(13), chr(10))"
+    # RE2 takes \\x{{hhhh}} (not \\uhhhh) for codepoint escapes
+    expr = (
+        f"regexp_replace({expr}, "
+        "'[\\x{200b}\\x{200c}\\x{200d}\\x{feff}]', '', 'g')"
+    )
+    expr = (
+        f"regexp_replace({expr}, "
+        "'[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f-\\x9f]', '', 'g')"
+    )
+    expr = f"replace({expr}, chr(160), ' ')"
+    return f"""
+    WITH src AS (SELECT doc_id, {inject} AS t FROM documents)
+    SELECT doc_id, {expr} AS text FROM src
+    """
+
+
+@query("q_normalize_text", _norm_oracle())
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode cleanup, value-checked byte-for-byte on the normalized
+    text: every document is dirtied with mojibake digraphs (Ã© / â€™ /
+    â€œ), a CRLF, a zero-width space, a BEL control, a combining-acute
+    sequence, and an NBSP; `text.normalize_text` must repair the
+    mojibake, NFC-compose the combining pair, fold the line ending, and
+    strip/replace the rest. The oracle replays the SAME mojibake table
+    (generated from text.MOJIBAKE_MAP, longest-first) and DuckDB's
+    nfc_normalize — Unicode's normalization-stability policy makes the
+    two NFC implementations agree on assigned codepoints.
+
+    Scale: literal/regexp replace chains in codegen plus ONE
+    Arrow-batched pandas UDF for NFC (no Spark built-in exists); zero
+    shuffle — the plan lint's no-BatchEvalPython rule still holds."""
+    docs = _t_spread(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("CafÃ©â€™ "),
+            F.col("text"),
+            # zero-width space U+200B, BEL, e + combining acute U+0301
+            # (the NFC target), NBSP U+00A0 - the chr() twins of the oracle's injection
+            F.lit("\r\ntailâ€œq\u200b\x07e\u0301\u00a0end"),
+        ).alias("text"),
+    )
+    return text.normalize_text(docs).select("doc_id", "text")

@@ -583,3 +583,60 @@ def test_attrition_report_accounts_for_every_stage(spark):
     # the survivors the report implies == prepare_corpus's actual output
     surv = corpus.prepare_corpus(df, redact=False).count()
     assert surv == rep["3_near_dedup"][0]
+
+
+def test_shuffle_corpus_is_deterministic_partition(spark):
+    """shuffle_corpus: (shard, pos) is a deterministic permutation —
+    every row addressed exactly once per shard, positions dense from 1,
+    same output on re-run, different salt reorders."""
+    df = spark.range(200).withColumnRenamed("id", "doc_id")
+    out = corpus.shuffle_corpus(df, key_col="doc_id", n_shards=8, salt="a")
+    rows = {(r.shard, r.pos): r.doc_id for r in out.collect()}
+    assert len(rows) == 200  # one address per row
+    by_shard: dict[int, list[int]] = {}
+    for (s, p), _ in rows.items():
+        by_shard.setdefault(s, []).append(p)
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), s  # dense
+    again = {
+        (r.shard, r.pos): r.doc_id
+        for r in corpus.shuffle_corpus(
+            df, key_col="doc_id", n_shards=8, salt="a"
+        ).collect()
+    }
+    assert again == rows  # reproducible
+    other = {
+        (r.shard, r.pos): r.doc_id
+        for r in corpus.shuffle_corpus(
+            df, key_col="doc_id", n_shards=8, salt="b"
+        ).collect()
+    }
+    assert other != rows  # new salt = new permutation
+    # n_shards=1 = one global permutation
+    one = corpus.shuffle_corpus(df, key_col="doc_id", n_shards=1).collect()
+    assert sorted(r.pos for r in one) == list(range(1, 201))
+    with pytest.raises(ValueError, match="n_shards"):
+        corpus.shuffle_corpus(df, key_col="doc_id", n_shards=0)
+
+
+def test_sample_k_per_stratum_exact_and_nested(spark):
+    """Exactly min(k, stratum size) rows per stratum; smaller k is a
+    PREFIX of larger k (nested subsamples); deterministic."""
+    rows = [(i, "big" if i < 90 else "small") for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "s"])
+    k4 = corpus.sample_k_per_stratum(df, 4, "s", key_col="doc_id")
+    got4 = {r.s: set() for r in k4.collect()}
+    for r in k4.collect():
+        got4[r.s].add(r.doc_id)
+    assert len(got4["big"]) == 4
+    assert len(got4["small"]) == 4
+    k40 = corpus.sample_k_per_stratum(df, 40, "s", key_col="doc_id")
+    got40: dict[str, set] = {}
+    for r in k40.collect():
+        got40.setdefault(r.s, set()).add(r.doc_id)
+    assert len(got40["big"]) == 40
+    assert len(got40["small"]) == 10  # min(k, stratum size)
+    assert got4["big"] <= got40["big"]  # nested
+    assert got4["small"] <= got40["small"]
+    with pytest.raises(ValueError, match="k must"):
+        corpus.sample_k_per_stratum(df, 0, "s", key_col="doc_id")

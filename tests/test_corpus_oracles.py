@@ -15,11 +15,14 @@ import pytest
 from datapipelineetl_spark import catalog
 from datapipelineetl_spark import queries_batch11 as b11
 from datapipelineetl_spark import queries_batch12 as b12
+from datapipelineetl_spark import queries_batch13 as b13
 
-# batch11 was promoted round 6; batch12 is the live staged set awaiting
-# r7 window slots — both run the driver-style compare here
-_STAGED_QUERIES = {**b11.STAGED_QUERIES, **b12.STAGED_QUERIES}
-_STAGED_ORACLES = {**b11.STAGED_ORACLES, **b12.STAGED_ORACLES}
+# batches 11/12 were promoted (rounds 6/7); batch13 is the live staged
+# set awaiting r8 window slots — all run the driver-style compare here
+_STAGED_QUERIES = {**b11.STAGED_QUERIES, **b12.STAGED_QUERIES,
+                   **b13.STAGED_QUERIES}
+_STAGED_ORACLES = {**b11.STAGED_ORACLES, **b12.STAGED_ORACLES,
+                   **b13.STAGED_ORACLES}
 
 
 @pytest.fixture(scope="module")
@@ -82,3 +85,7 @@ def test_staged_registry_promoted():
     b11.register()
     b12.register()
     assert len(entrymod.queries()) == n
+    # batch13 stays staged (r8 backlog): importing it must NOT have
+    # grown the live surface
+    assert set(b13.STAGED_ORACLES) == set(b13.STAGED_QUERIES)
+    assert not (set(b13.STAGED_QUERIES) & set(live))

@@ -40,8 +40,10 @@ def plans(spark, sf_dir):
     # live registry + the STAGED batteries: a staged query gets linted
     # BEFORE promotion, not discovered dirty when it enters the window
     from datapipelineetl_spark import queries_batch12 as b12
+    from datapipelineetl_spark import queries_batch13 as b13
 
-    queries = {**entrymod.queries(), **b12.STAGED_QUERIES}
+    queries = {**entrymod.queries(), **b12.STAGED_QUERIES,
+               **b13.STAGED_QUERIES}
     out = {}
     for name, fn in queries.items():
         out[name] = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()

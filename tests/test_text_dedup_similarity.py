@@ -631,3 +631,33 @@ def test_build_vocab_and_encode_tokens_round_trip(spark):
 
     with _pytest.raises(ValueError, match="unk"):
         t.encode_tokens(df, v.filter(v.token != "<unk>"))
+
+
+def test_normalize_text_pinned_examples(spark):
+    """normalize_text: mojibake repair, NFC composition, CRLF fold,
+    zero-width/control strip, NBSP -> space; NULL stays NULL; unlisted
+    mojibake sequences pass through UNREPAIRED (no bare-prefix replace
+    corrupting them)."""
+    rows = [
+        (1, "CafÃ© â€œquotedâ€\u009d â€” done"),
+        (2, "a\r\nb\rc"),
+        (3, "x\u200by\ufeffz\x07w"),       # zero-width / BOM / BEL
+        (4, "e\u0301clair"),                # combining acute -> precomposed
+        (5, "a\u00a0b"),                    # NBSP -> space
+        (6, None),
+        (7, "â€ž low quote stays â€¢"),  # NOT in the map: untouched
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.doc_id: r.text for r in text.normalize_text(df).collect()}
+    assert got[1] == "Caf\u00e9 \u201cquoted\u201d \u2014 done"
+    assert got[2] == "a\nb\nc"
+    assert got[3] == "xyzw"
+    assert got[4] == "\u00e9clair"
+    assert got[5] == "a b"
+    assert got[6] is None
+    assert got[7] == "â€ž low quote stays â€¢"
+    # nfc=False skips the UDF: combining pair survives, rest still runs
+    raw = {r.doc_id: r.text
+           for r in text.normalize_text(df, nfc=False).collect()}
+    assert raw[4] == "e\u0301clair"
+    assert raw[2] == "a\nb\nc"
