@@ -381,12 +381,18 @@ def prepare_corpus(
     semantic_threshold: float = 0.9,
     semantic_id_col: str = "vec_id",
     semantic_vec_col: str = "embedding",
+    normalize: bool = False,
 ) -> DataFrame:
     """One-call training-corpus preparation — the §2.11 ladder composed
     in its production order:
 
-    0. OPTIONAL pre-passes, the C4/Gopher order (both off by default to
+    0. OPTIONAL pre-passes, the C4/Gopher order (all off by default to
        keep the oracle-checked default composition stable):
+       ``normalize=True`` runs ``text.normalize_text`` FIRST (mojibake
+       repair + NFC + control/zero-width/NBSP cleanup) so every later
+       hash/fingerprint sees one spelling per content — two docs
+       differing only in composed-vs-combining accents or CRLF become
+       exact dups instead of sneaking past the fingerprint;
        ``remove_boilerplate=True`` strips corpus-frequent lines
        (``remove_boilerplate_lines``) BEFORE scoring — boilerplate
        otherwise inflates quality and welds near-dup buckets;
@@ -426,6 +432,8 @@ def prepare_corpus(
         raise ValueError(
             f"representative must be 'min_id' or 'quality', got {representative!r}"
         )
+    if normalize:
+        df = text.normalize_text(df, text_col)
     if remove_boilerplate:
         df = df.drop(text_col).join(
             remove_boilerplate_lines(df, id_col=id_col, text_col=text_col),

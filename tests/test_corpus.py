@@ -640,3 +640,22 @@ def test_sample_k_per_stratum_exact_and_nested(spark):
     assert got4["small"] <= got40["small"]
     with pytest.raises(ValueError, match="k must"):
         corpus.sample_k_per_stratum(df, 0, "s", key_col="doc_id")
+
+
+def test_prepare_corpus_normalize_stage_unifies_spellings(spark):
+    """normalize=True: two documents differing only in combining-vs-
+    precomposed accents and CRLF become EXACT duplicates and collapse in
+    the fingerprint stage; with the stage off they both survive."""
+    a = "a well formed document about the cafe culture of lisbon today ok"
+    rows = [
+        (1, a.replace("cafe", "café") + "\nend"),       # precomposed, LF
+        (2, a.replace("cafe", "café") + "\r\nend"),    # combining, CRLF
+        (3, "an entirely different well formed document with the usual words"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    plain = corpus.prepare_corpus(df, near_dup_threshold=None, redact=False)
+    assert {r.doc_id for r in plain.collect()} == {1, 2, 3}
+    norm = corpus.prepare_corpus(
+        df, near_dup_threshold=None, redact=False, normalize=True
+    )
+    assert {r.doc_id for r in norm.collect()} == {1, 3}
