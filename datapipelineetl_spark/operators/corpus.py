@@ -944,12 +944,18 @@ def attrition_report(
     on a sample when the full corpus makes even counts expensive.
     """
     stages: list[tuple[str, int]] = [("0_input", df.count())]
-    out = _quality_lang_stage(df, text_col, min_quality, langs)
+    # checkpoint after each counted stage: every stage is read ≥2 times
+    # (its own count + as the next stage's base, and the quality frame
+    # 4× through the near-dup branch) — without the barriers the
+    # quality/fingerprint lineage re-executes per consumer (measured
+    # 9.5 → 8.3 s warm at sf0.1, same-session A/B)
+    out = _quality_lang_stage(df, text_col, min_quality, langs).localCheckpoint(
+        eager=True
+    )
     stages.append(("1_quality_lang", out.count()))
-    out = _exact_dedup_stage(out, id_col, text_col)
+    out = _exact_dedup_stage(out, id_col, text_col).localCheckpoint(eager=True)
     stages.append(("2_exact_dedup", out.count()))
     if near_dup_threshold is not None:
-        out = out.localCheckpoint(eager=True)
         losers = _surface_losers(
             out, id_col, text_col, near_dup_threshold, max_bucket_size, "min_id"
         )
