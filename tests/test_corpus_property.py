@@ -227,3 +227,77 @@ def test_split_corpus_partitions_for_any_fractions(spark, weights):
         # meaningful (a swapped band or off-by-10x fraction still fails)
         # without statistical flakes
         assert by.get(name, 0) <= 300 * f + 5 * (300 * f * (1 - f)) ** 0.5 + 8
+
+
+_norm_fragments = st.sampled_from(
+    [
+        "a", "b", " ", ".", "\n",
+        "\r\n", "\r",                      # line endings
+        "Ã©", "â€™", "â€œ", "â€”",          # mojibake digraphs
+        "Ã", "â€", "â",                     # bare prefixes (must pass through)
+        "e\u0301", "o\u0308",               # combining pairs (NFC targets)
+        "\u200b", "\ufeff",                 # zero-width / BOM
+        "\x07", "\x1f", "\x9d",            # C0 / C1 controls
+        "\u00a0",                           # NBSP
+    ]
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.lists(_norm_fragments, max_size=25).map("".join),
+                min_size=1, max_size=6))
+def test_normalize_text_matches_python_reference(spark, texts):
+    """normalize_text equals a direct Python replay of the same pipeline
+    (mojibake table longest-first, unicodedata NFC, CRLF fold,
+    zero-width/control strip, NBSP->space) on arbitrary fragment soup —
+    including bare mojibake PREFIXES, which must pass through unless a
+    full mapped digraph forms."""
+    import re
+    import unicodedata
+
+    from datapipelineetl_spark.operators import text as text_ops
+
+    def ref(t):
+        for bad in sorted(text_ops.MOJIBAKE_MAP, key=len, reverse=True):
+            t = t.replace(bad, text_ops.MOJIBAKE_MAP[bad])
+        t = unicodedata.normalize("NFC", t)
+        t = t.replace("\r\n", "\n").replace("\r", "\n")
+        t = re.sub("[\u200b\u200c\u200d\ufeff]", "", t)
+        t = re.sub("[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]", "", t)
+        return t.replace("\u00a0", " ")
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.doc_id: r.text
+           for r in text_ops.normalize_text(df).collect()}
+    for i, t in rows:
+        assert got[i] == ref(t), (i, ascii(t), ascii(got[i]), ascii(ref(t)))
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.sets(st.integers(min_value=0, max_value=10**6),
+               min_size=1, max_size=60),
+       st.integers(min_value=1, max_value=7))
+def test_shuffle_corpus_matches_python_reference(spark, keys, n_shards):
+    """shuffle_corpus (shard, pos) equals the md5-hash reference
+    permutation computed in pure Python for arbitrary key sets and
+    shard counts."""
+    import hashlib
+
+    df = spark.createDataFrame([(k,) for k in keys], ["doc_id"])
+    out = corpus.shuffle_corpus(
+        df, key_col="doc_id", n_shards=n_shards, salt="s"
+    )
+    got = {r.doc_id: (r.shard, r.pos) for r in out.collect()}
+
+    def h(k):
+        return int(hashlib.md5(f"{k}s".encode()).hexdigest()[:15], 16)
+
+    expect = {}
+    by_shard = {}
+    for k in keys:
+        by_shard.setdefault(h(k) % n_shards, []).append(k)
+    for s, ks in by_shard.items():
+        for pos, k in enumerate(sorted(ks, key=lambda k: (h(k), k)), 1):
+            expect[k] = (s, pos)
+    assert got == expect
