@@ -1052,10 +1052,16 @@ def streaming_corpus_filter(
     gram_col: str = "__g",
     state_tokens: str = "raw",
     state_token_salt: str | None = None,
+    normalize: bool = False,
 ) -> StreamingQuery:
     """Single-pass continuous corpus ingest: each micro-batch runs the
-    WHOLE acceptance ladder — near-dup filtering against the persisted
-    LSH state (cross-batch + within-batch, exactly
+    WHOLE acceptance ladder — optional Unicode normalization
+    (``normalize=True`` maps each batch through ``text.normalize_text``
+    FIRST, so the dedup state and every hash see one spelling per
+    content; like ``state_tokens``, keep it constant for a store's
+    lifetime or pre-normalization state rows won't match their
+    normalized near-dups) — then near-dup filtering against the
+    persisted LSH state (cross-batch + within-batch, exactly
     ``streaming_near_dup_filter``'s semantics), then decontamination
     against the static eval n-gram store
     (``streaming_decontaminate``'s), then optional PII redaction — with
@@ -1092,6 +1098,10 @@ def streaming_corpus_filter(
     store = _eval_gram_store(eval_grams, eval_id_col, gram_col)
 
     def handle(df: DataFrame, epoch_id: int) -> None:
+        if normalize:
+            from datapipelineetl_spark.operators import text as _text  # noqa: PLC0415
+
+            df = _text.normalize_text(df, text_col)
         dup_all, my_bands, my_tokens = _near_dup_batch_state(
             df, epoch_id, state_dir, id_col, text_col, threshold,
             num_hashes, bands, rows_per_band, max_bucket_size,

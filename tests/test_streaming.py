@@ -1053,3 +1053,53 @@ def test_streaming_corpus_filter_single_pass(spark, tmp_path):
     assert reasons == {(2, "near_dup"), (3, "contaminated"), (10, "near_dup")}
     state_ids = {r.doc_id for r in spark.read.parquet(state + "/tokens").collect()}
     assert state_ids == {1, 11}  # contaminated doc 3 never entered state
+
+
+def test_streaming_corpus_filter_normalize_stage(spark, tmp_path):
+    """normalize=True: a later arrival differing from an accepted doc
+    only by mojibake/CRLF spelling normalizes to the same token set and
+    is dropped as a near-dup; without the stage it slips through."""
+    from datapipelineetl_spark.operators import corpus
+
+    base = "the quick brown fox cafÃ© jumps over the lazy dog by the river"
+    variant = base.replace("cafÃ©", "café").replace(" ", "  ") \
+        .replace("river", "river\r\n")
+    eval_grams = corpus.ngram_hashes(
+        spark.createDataFrame(
+            [(900, "totally unrelated holdout content for the gram store")],
+            ["doc_id", "text"],
+        ),
+        n=8,
+    )
+    for norm, expect in ((True, {1}), (False, {1, 2})):
+        src = tmp_path / f"src_{norm}"
+        src.mkdir()
+        out, state, ck = (
+            str(tmp_path / f"{n}_{norm}") for n in ("out", "state", "ck")
+        )
+
+        def drop_file(df, name, src=src):
+            import shutil as _sh
+
+            stage = tmp_path / f"stage_{norm}_{name}"
+            df.coalesce(1).write.parquet(str(stage))
+            _sh.move(str(next(stage.glob("part-*.parquet"))), str(src / name))
+            _sh.rmtree(stage)
+
+        def run(src=src, out=out, state=state, ck=ck, norm=norm):
+            stream = spark.readStream.schema(
+                "doc_id long, text string"
+            ).option("maxFilesPerTrigger", "1").parquet(str(src))
+            runner.streaming_corpus_filter(
+                stream, eval_grams, state, out, ck,
+                threshold=0.9, redact=False, normalize=norm,
+            )
+
+        drop_file(spark.createDataFrame([(1, base)], ["doc_id", "text"]),
+                  "b1.parquet")
+        run()
+        drop_file(spark.createDataFrame([(2, variant)], ["doc_id", "text"]),
+                  "b2.parquet")
+        run()
+        got = {r.doc_id for r in spark.read.parquet(out).collect()}
+        assert got == expect, (norm, got)
