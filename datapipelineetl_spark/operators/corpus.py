@@ -1045,3 +1045,71 @@ def sample_k_per_stratum(
         .filter(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def select_until_token_budget(
+    df: DataFrame,
+    budget: int,
+    token_col: str,
+    order_col: str,
+    id_col: str = "doc_id",
+    descending: bool = True,
+) -> DataFrame:
+    """Budget-capped corpus selection: take documents in ``order_col``
+    order (best-first by default) until their cumulative token count
+    reaches ``budget`` — "give me the best 50 B tokens" — keeping any
+    document whose EXCLUSIVE running total still sits under the budget
+    (the boundary doc straddles; the training loader truncates or
+    spills its tail — the same convention as ``pack_chunks``).
+
+    The global running total is computed WITHOUT a global sort: a
+    single ``ORDER BY`` window would serialize the whole corpus through
+    one task. Instead (the classic two-phase cumsum):
+
+    1. per-order-key token totals (one partial-agg shuffle — the key
+       set is the DISTINCT ``order_col`` values, e.g. a few thousand
+       quantized quality scores),
+    2. exclusive key offsets via a window over that AGGREGATED frame —
+       a one-task sort of key-count rows, metadata-sized,
+    3. offsets broadcast-join back; the within-key exclusive cumsum
+       runs partitioned BY key (ordered by ``id_col`` — the global
+       order's tiebreak), so row-level work stays distributed.
+
+    Caveats: ``order_col`` should be low-cardinality relative to the
+    corpus (scores, buckets — quantize a continuous score first); one
+    pathologically hot key value serializes that key's cumsum into one
+    task (pre-bucket further if a single score level exceeds task
+    scale). Rows with NULL ``order_col`` or NULL/negative tokens are
+    excluded up front — a NULL would silently sort into the boundary.
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    base = df.filter(
+        F.col(order_col).isNotNull() & (F.coalesce(F.col(token_col), F.lit(-1)) >= 0)
+    )
+    key_order = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    key_totals = base.groupBy(order_col).agg(
+        F.sum(token_col).cast("long").alias("__key_tokens")
+    )
+    w_keys = (
+        Window.orderBy(key_order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = key_totals.withColumn(
+        "__key_offset", F.coalesce(F.sum("__key_tokens").over(w_keys), F.lit(0))
+    ).drop("__key_tokens")
+    w_in = (
+        Window.partitionBy(order_col)
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        base.join(F.broadcast(offsets), order_col)
+        .withColumn(
+            "__running",
+            F.col("__key_offset")
+            + F.coalesce(F.sum(token_col).over(w_in), F.lit(0)),
+        )
+        .filter(F.col("__running") < budget)
+        .drop("__key_offset", "__running")
+    )

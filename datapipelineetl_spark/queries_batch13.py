@@ -22,6 +22,7 @@ from datapipelineetl_spark.operators import corpus, text
 from datapipelineetl_spark.queries import _t, _t_spread
 from datapipelineetl_spark.queries import QUERIES as _GLOBAL_QUERIES
 from datapipelineetl_spark.queries import ORACLES as _GLOBAL_ORACLES
+from datapipelineetl_spark.queries_ext import _SQL_TOKENS
 
 STAGED_QUERIES: dict = {}
 STAGED_ORACLES: dict[str, str] = {}
@@ -193,3 +194,68 @@ def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return text.normalize_text(docs).select("doc_id", "text")
+
+
+# =============================================================================
+# Budget-capped best-first selection
+# =============================================================================
+
+_BUDGET = 20_000
+
+
+def _budget_oracle() -> str:
+    toks = _SQL_TOKENS.format(c="text")
+    return rf"""
+    WITH q0 AS (
+      SELECT doc_id, text,
+             CAST(length(text) AS INT) AS n_chars_m,
+             ROUND(len(regexp_extract_all(text, '[^\w\s]')) * 1.0
+                   / GREATEST(length(text), 1), 4) AS punct_ratio,
+             ROUND(len(list_filter({toks}, x -> x IN ('the','and','of','to','is'))) * 1.0
+                   / GREATEST(len({toks}), 1), 4) AS stopword_ratio,
+             ROUND(len(regexp_extract_all(text, '[A-Za-z]')) * 1.0
+                   / GREATEST(length(text), 1), 4) AS alpha_ratio
+      FROM documents),
+    scored AS (
+      SELECT doc_id,
+             ROUND(CAST(
+               (CASE WHEN n_chars_m < 20 THEN 0.0 ELSE 1.0 END) * 0.25
+               + (CASE WHEN stopword_ratio >= 0.01 AND stopword_ratio <= 0.6 THEN 1.0 ELSE 0.0 END) * 0.25
+               + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END) * 0.25
+               + (CASE WHEN alpha_ratio >= 0.5 THEN 1.0 ELSE 0.0 END) * 0.25
+               AS DOUBLE), 4) AS quality_score,
+             CAST(len({toks}) AS INT) AS n_tokens
+      FROM q0),
+    r AS (
+      SELECT doc_id, quality_score, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               ORDER BY quality_score DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS off
+      FROM scored)
+    SELECT doc_id, quality_score, n_tokens
+    FROM r WHERE off < {_BUDGET}
+    """
+
+
+@query("q_select_budget", _budget_oracle())
+def q_select_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-capped best-first selection ("the best 20k tokens"):
+    documents in (quality desc, id) order are kept while the EXCLUSIVE
+    running token total sits under the budget. The oracle computes the
+    same global running sum with one ORDER BY window; the engine
+    refuses the global sort and uses the two-phase cumsum (per-score
+    totals -> key offsets over the metadata-sized aggregate -> within-
+    key distributed cumsum) — `corpus.select_until_token_budget`. Every
+    selected id is value-checked, which pins the two computations
+    equivalent including the quality-tie id ordering.
+
+    Scale: one partial-agg shuffle on the score, a one-task window over
+    ~score-cardinality rows, one broadcast join, per-score windows —
+    no global sort anywhere (plan: zero global-ORDER Exchange)."""
+    docs = text.with_token_stats(
+        text.with_quality_score(_t_spread(spark, sf_dir, "documents"))
+    )
+    return corpus.select_until_token_budget(
+        docs, _BUDGET, "n_tokens", "quality_score"
+    ).select("doc_id", "quality_score", "n_tokens")

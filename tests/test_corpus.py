@@ -659,3 +659,42 @@ def test_prepare_corpus_normalize_stage_unifies_spellings(spark):
         df, near_dup_threshold=None, redact=False, normalize=True
     )
     assert {r.doc_id for r in norm.collect()} == {1, 3}
+
+
+def test_select_until_token_budget_semantics(spark):
+    """Budget selection: best-first exclusive-prefix semantics — the
+    boundary doc straddles; ties break on id; NULL order/token rows are
+    excluded; and the plan's only single-partition exchange is over the
+    metadata-sized key aggregate, never the row-level frame."""
+    rows = [
+        # (id, score, tokens) — score 0.9: ids 1,2; 0.5: id 3; 0.1: id 4
+        (1, 0.9, 40), (2, 0.9, 40), (3, 0.5, 40), (4, 0.1, 40),
+        (5, None, 40), (6, 0.9, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, q double, nt int")
+    pick = lambda b: {  # noqa: E731
+        r.doc_id
+        for r in corpus.select_until_token_budget(
+            df, b, "nt", "q", id_col="doc_id"
+        ).collect()
+    }
+    assert pick(1) == {1}            # boundary doc straddles (offset 0 < 1)
+    assert pick(40) == {1}           # id 2 starts AT 40 — excluded
+    assert pick(41) == {1, 2}
+    assert pick(81) == {1, 2, 3}     # order: score desc, id asc
+    assert pick(1000) == {1, 2, 3, 4}  # nulls never selected
+    with pytest.raises(ValueError, match="budget"):
+        corpus.select_until_token_budget(df, 0, "nt", "q")
+    # ascending order flips the priority
+    asc = {
+        r.doc_id
+        for r in corpus.select_until_token_budget(
+            df, 41, "nt", "q", descending=False
+        ).collect()
+    }
+    assert asc == {4, 3}
+    plan = (
+        corpus.select_until_token_budget(df, 100, "nt", "q")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange SinglePartition") == 1
