@@ -5,14 +5,18 @@ runnable script.
     python examples/prepare_training_corpus.py [sf_dir]
 
 Stages (each one an oracle-checked operator; see COVERAGE.md):
-  1. prepare_corpus     quality/lang filter → exact dedup → capped
-                        near-dup clustering → representative keep →
-                        PII redaction
+  1. prepare_corpus     Unicode normalize → quality/lang filter → exact
+                        dedup → capped near-dup clustering →
+                        representative keep → PII redaction
   2. contaminated_ids   drop docs sharing 8-grams with the held-out set
+  2b. token budget      best-first selection until the token budget
+                        (select_until_token_budget, two-phase cumsum)
   3. train/val split    disjoint-exhaustive holdout bands (split_corpus)
   4. split_documents    64-token windows, 16-token overlap
   5. pack_greedy        1024-token training packs (budget-bounded)
-  6. zorder_write       pack store laid out for (pack, doc) skipping
+  6. zorder_write       pack store laid out for (pack, doc) skipping,
+                        plus deterministic (shard, pos) loader
+                        addresses per pack (shuffle_corpus)
 """
 
 from __future__ import annotations
@@ -37,10 +41,13 @@ def main() -> int:
     docs = catalog.load(spark, sf_dir, "documents")
     n0 = docs.count()
 
-    # 1. clean + dedup + redact (each stage oracle-checked individually;
-    #    the composition by the staged q_prepare_corpus oracle)
+    # 1. normalize + clean + dedup + redact (each stage oracle-checked
+    #    individually; the composition by the q_prepare_corpus oracle;
+    #    normalize=True makes spelling variants exact dups before any
+    #    hash sees them)
     clean = corpus.prepare_corpus(
-        docs, min_quality=0.5, near_dup_threshold=0.7, max_bucket_size=50
+        docs, min_quality=0.5, near_dup_threshold=0.7, max_bucket_size=50,
+        normalize=True,
     ).select("doc_id", "text")
     n1 = clean.count()
 
@@ -54,6 +61,15 @@ def main() -> int:
     )
     decon = clean.join(drop, "doc_id", "anti")
     n2 = decon.count()
+
+    # 2b. cap the corpus at a token budget, best quality first — the
+    #     "train on the best N tokens" selection (two-phase cumsum, no
+    #     global sort; oracle-checked as q_select_budget)
+    scored = text.with_token_stats(text.with_quality_score(decon))
+    decon = corpus.select_until_token_budget(
+        scored, 5_000, "n_tokens", "quality_score"
+    ).select("doc_id", "text")
+    n2b = decon.count()
 
     # 3. deterministic 95/5 train/val HOLDOUT (disjoint-exhaustive
     #    band split — reproducible forever; val is a true holdout, not
@@ -76,12 +92,22 @@ def main() -> int:
     n4 = packed.count()
 
     # 6. write z-ordered on (pack_id, doc_id): a loader reading one pack
-    #    OR one document's chunks skips most files
-    layout.zorder_write(packed, out_dir, ["pack_id", "doc_id"], n_files=8)
+    #    OR one document's chunks skips most files. Each pack also gets
+    #    a deterministic (shard, pos) loader address — the reproducible
+    #    epoch order (new salt = new epoch permutation)
+    addressed = packed.join(
+        corpus.shuffle_corpus(
+            packed.select("pack_id").distinct(),
+            key_col="pack_id", n_shards=4, salt="epoch0",
+        ),
+        "pack_id",
+    )
+    layout.zorder_write(addressed, out_dir, ["pack_id", "doc_id"], n_files=8)
     packs = spark.read.parquet(out_dir).select("pack_id").distinct().count()
     print(
         f"documents {n0} -> cleaned {n1} -> decontaminated {n2} -> "
-        f"train {n3} -> chunks {n4} -> packs {packs} (store: {out_dir})"
+        f"budgeted {n2b} -> train {n3} -> chunks {n4} -> packs {packs} "
+        f"(store: {out_dir})"
     )
     return 0
 
