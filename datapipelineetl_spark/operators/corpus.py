@@ -1113,3 +1113,35 @@ def select_until_token_budget(
         .filter(F.col("__running") < budget)
         .drop("__key_offset", "__running")
     )
+
+
+def corpus_report(
+    df: DataFrame,
+    group_cols: tuple[str, ...] = ("source", "lang"),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group corpus profile — the dashboard a corpus engineer
+    watches per crawl/source/language: document count, total tokens and
+    characters, mean quality score, and exact interpolated p50/p90
+    document lengths. One row per ``group_cols`` combination.
+
+    Scale: the annotations (quality score, token count) are narrow
+    column math; the report is ONE partial-aggregated groupBy. Exact
+    percentiles gather each group's lengths on one partition — right
+    for low-cardinality (source, lang) groups; switch to
+    approx_percentile (mergeable t-digest) if grouping by something
+    high-cardinality. Output is group-count-sized: driver-safe to
+    collect, tiny to store per crawl for drift tracking.
+    """
+    ann = text.with_quality_score(df, text_col).withColumn(
+        "__nt", F.size(text.tokens(text_col))
+    )
+    return ann.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__nt").cast("long").alias("total_tokens"),
+        F.sum(F.length(F.col(text_col))).cast("long").alias("total_chars"),
+        F.round(F.avg("quality_score"), 4).alias("mean_quality"),
+        F.round(F.expr("percentile(__nt, 0.5)"), 1).alias("p50_tokens"),
+        F.round(F.expr("percentile(__nt, 0.9)"), 1).alias("p90_tokens"),
+    )

@@ -1,11 +1,14 @@
 """Thirteenth query battery — STAGED for the round-8 verify window.
 
-Oracle-paired queries for the three corpus operators added round 7:
+Oracle-paired queries for the five corpus operators added round 7:
 ``corpus.shuffle_corpus`` (deterministic global shuffle → (shard, pos)
 addresses for training data loaders), ``corpus.sample_k_per_stratum``
-(exactly-k balanced sampling per stratum), and ``text.normalize_text``
+(exactly-k balanced sampling per stratum), ``text.normalize_text``
 (mojibake repair + NFC + control/zero-width/NBSP cleanup — the Unicode
-pass upstream of every tokenization/hashing operator).
+pass upstream of every tokenization/hashing operator),
+``corpus.select_until_token_budget`` (best-first selection to a token
+budget via the two-phase global cumsum), and ``corpus.corpus_report``
+(the per-(source, lang) profile dashboard).
 
 Same staging contract as batches 11/12: separate dicts so importing
 this module cannot grow the live ``queries()`` surface mid-round;
@@ -259,3 +262,60 @@ def q_select_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.select_until_token_budget(
         docs, _BUDGET, "n_tokens", "quality_score"
     ).select("doc_id", "quality_score", "n_tokens")
+
+
+# =============================================================================
+# Per-group corpus profile report
+# =============================================================================
+
+def _report_oracle() -> str:
+    toks = _SQL_TOKENS.format(c="text")
+    return rf"""
+    WITH q0 AS (
+      SELECT source, lang, text,
+             CAST(length(text) AS INT) AS n_chars_m,
+             ROUND(len(regexp_extract_all(text, '[^\w\s]')) * 1.0
+                   / GREATEST(length(text), 1), 4) AS punct_ratio,
+             ROUND(len(list_filter({toks}, x -> x IN ('the','and','of','to','is'))) * 1.0
+                   / GREATEST(len({toks}), 1), 4) AS stopword_ratio,
+             ROUND(len(regexp_extract_all(text, '[A-Za-z]')) * 1.0
+                   / GREATEST(length(text), 1), 4) AS alpha_ratio,
+             CAST(len({toks}) AS INT) AS nt
+      FROM documents),
+    scored AS (
+      SELECT source, lang, nt, CAST(length(text) AS BIGINT) AS nc,
+             ROUND(CAST(
+               (CASE WHEN n_chars_m < 20 THEN 0.0 ELSE 1.0 END) * 0.25
+               + (CASE WHEN stopword_ratio >= 0.01 AND stopword_ratio <= 0.6 THEN 1.0 ELSE 0.0 END) * 0.25
+               + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END) * 0.25
+               + (CASE WHEN alpha_ratio >= 0.5 THEN 1.0 ELSE 0.0 END) * 0.25
+               AS DOUBLE), 4) AS quality_score
+      FROM q0)
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS total_tokens,
+           CAST(SUM(nc) AS BIGINT) AS total_chars,
+           ROUND(AVG(quality_score), 4) AS mean_quality,
+           ROUND(quantile_cont(nt, 0.5), 1) AS p50_tokens,
+           ROUND(quantile_cont(nt, 0.9), 1) AS p90_tokens
+    FROM scored GROUP BY source, lang
+    """
+
+
+@query("q_corpus_report", _report_oracle())
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) corpus profile: doc counts, token/char
+    volumes, mean quality, exact p50/p90 document lengths — the
+    per-crawl drift dashboard, every cell value-checked (the oracle
+    replays the quality-score SQL and quantile_cont matches Spark's
+    interpolated percentile, the q_percentiles_by_priority-proven
+    mapping).
+
+    Scale: narrow annotations + ONE partial-agg groupBy; exact
+    percentiles are safe at (source, lang) cardinality
+    (`corpus.corpus_report` docstring)."""
+    docs = _t_spread(spark, sf_dir, "documents")
+    return corpus.corpus_report(docs).select(
+        "source", "lang", "n_docs", "total_tokens", "total_chars",
+        "mean_quality", "p50_tokens", "p90_tokens",
+    )

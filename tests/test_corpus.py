@@ -698,3 +698,22 @@ def test_select_until_token_budget_semantics(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange SinglePartition") == 1
+
+
+def test_corpus_report_shapes_and_totals(spark):
+    """corpus_report: one row per group; totals and percentiles match a
+    hand computation."""
+    rows = [
+        (1, "web", "en", "the cat and the dog sat"),          # 6 tokens
+        (2, "web", "en", "of mice and men"),                  # 4 tokens
+        (3, "web", "de", "der hund"),                         # 2 tokens
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "lang", "text"])
+    got = {(r.source, r.lang): r for r in corpus.corpus_report(df).collect()}
+    assert set(got) == {("web", "en"), ("web", "de")}
+    en = got[("web", "en")]
+    assert en.n_docs == 2 and en.total_tokens == 10
+    assert en.total_chars == len(rows[0][3]) + len(rows[1][3])
+    assert en.p50_tokens == 5.0 and en.p90_tokens == pytest.approx(5.8)
+    de = got[("web", "de")]
+    assert de.n_docs == 1 and de.total_tokens == 2 and de.p50_tokens == 2.0
