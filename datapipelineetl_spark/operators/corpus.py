@@ -989,7 +989,9 @@ def shuffle_corpus(
     per-partition seeding depends on the physical split layout and is
     neither reproducible nor oracle-able (NOTES.md); the md5-derived
     hash depends only on the row's own key. NULL keys coalesce to the
-    usual sentinel first.
+    usual sentinel first. ``key_col`` must be UNIQUE per row — rows
+    sharing a key (including several NULLs) tie in the position sort
+    and their relative order is then arbitrary per run.
 
     Scale: ONE shuffle (hash partition on the shard id), then a per-
     shard sort for the position numbers — each shard is sorted by a
@@ -1027,7 +1029,9 @@ def sample_k_per_stratum(
     counts. Selection is by keyed-hash order, so it is reproducible,
     independent of input ordering, and a larger ``k`` EXTENDS the
     smaller sample (the first k rows per stratum never change —
-    nested subsamples for scaling-law runs).
+    nested subsamples for scaling-law runs). ``key_col`` must be
+    unique per row (duplicate keys tie in the hash order and select
+    arbitrarily among themselves).
 
     Scale: one shuffle on the stratum key + a per-stratum window sort.
     A pathologically hot stratum serializes into one task's sort —
@@ -1081,6 +1085,9 @@ def select_until_token_budget(
     task (pre-bucket further if a single score level exceeds task
     scale). Rows with NULL ``order_col`` or NULL/negative tokens are
     excluded up front — a NULL would silently sort into the boundary.
+    ``id_col`` must be unique per row (it is the global order's
+    tiebreak; duplicates make the budget boundary arbitrary among
+    themselves).
     """
     if budget < 1:
         raise ValueError(f"budget must be >= 1, got {budget}")
