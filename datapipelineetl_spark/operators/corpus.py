@@ -674,6 +674,7 @@ def remove_boilerplate_lines(
     text_col: str = "text",
     max_doc_frac: float = 0.2,
     min_docs: int = 2,
+    separator: str = "\n",
 ) -> DataFrame:
     """Boilerplate line removal (the C4-style cleanup pass): lines whose
     trimmed form appears in more than ``max(min_docs, max_doc_frac ×
@@ -683,6 +684,13 @@ def remove_boilerplate_lines(
     every line was boilerplate come back empty (drop them with the
     quality filter, which is the pipeline order ``prepare_corpus``
     implies).
+
+    ``separator`` sets the removal granularity: the default ``"\\n"``
+    is line-level; ``"\\n\\n"`` removes whole repeated PARAGRAPHS
+    (RefinedWeb-style — a multi-line license block or signature repeats
+    as a unit even when no single line clears the threshold). The
+    separator is matched literally (regex-quoted) and rejoins the kept
+    units byte-identically.
 
     Scale: explode to (doc, line-index, line) — O(total lines), narrow;
     line doc-frequency is one partial-agg shuffle on the trimmed line;
@@ -699,9 +707,15 @@ def remove_boilerplate_lines(
     # strictly MORE than max(min_docs, frac×corpus) — the +1 makes the
     # >= filter an exclusive bound on BOTH branches of the max
     threshold = max(min_docs, int(max_doc_frac * total_docs)) + 1
+    # \Q..\E regex-quotes the separator so multi-char separators (e.g.
+    # "\n\n" for PARAGRAPH-granular removal — RefinedWeb-style) split
+    # literally; a run of 3 newlines then leaves a stray "\n" on the
+    # next unit, which the whitespace-strip match key absorbs
     lines = df.select(
         F.col(id_col),
-        F.posexplode_outer(F.split(F.col(text_col), "\n")).alias("__idx", "__line"),
+        F.posexplode_outer(
+            F.split(F.col(text_col), "\\Q" + separator + "\\E")
+        ).alias("__idx", "__line"),
     ).filter(F.col("__line").isNotNull())
     # full whitespace strip for the match key (not F.trim — spaces only);
     # a banner line indented with a tab must still match the banner key
@@ -726,7 +740,7 @@ def remove_boilerplate_lines(
                     ),
                     lambda s: s["__line"],
                 ),
-                "\n",
+                separator,
             ).alias(text_col)
         )
     )

@@ -717,3 +717,29 @@ def test_corpus_report_shapes_and_totals(spark):
     assert en.p50_tokens == 5.0 and en.p90_tokens == pytest.approx(5.8)
     de = got[("web", "de")]
     assert de.n_docs == 1 and de.total_tokens == 2 and de.p50_tokens == 2.0
+
+
+def test_remove_boilerplate_paragraph_granularity(spark):
+    """separator='\\n\\n': a two-line paragraph repeated across the
+    corpus is removed as a UNIT, while the same lines at line
+    granularity each clear the threshold individually — and a unique
+    paragraph sharing one line with the boilerplate block survives."""
+    sig = "sent from my phone\nplease consider the environment"
+    rows = [
+        (1, f"real content one\n\n{sig}"),
+        (2, f"other real text\n\n{sig}"),
+        (3, f"third document body\n\n{sig}"),
+        (4, "unique paragraph\nsent from my phone but as prose"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: r.text
+        for r in corpus.remove_boilerplate_lines(
+            df, max_doc_frac=0.5, min_docs=2, separator="\n\n"
+        ).collect()
+    }
+    assert out[1] == "real content one"
+    assert out[2] == "other real text"
+    assert out[3] == "third document body"
+    # doc 4's paragraph differs from the signature block → untouched
+    assert out[4] == rows[3][1]
