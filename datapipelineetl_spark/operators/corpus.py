@@ -1166,3 +1166,60 @@ def corpus_report(
         F.round(F.expr("percentile(__nt, 0.5)"), 1).alias("p50_tokens"),
         F.round(F.expr("percentile(__nt, 0.9)"), 1).alias("p90_tokens"),
     )
+
+
+def corpus_drift(
+    before: DataFrame,
+    after: DataFrame,
+    group_cols: tuple[str, ...] = ("source", "lang"),
+) -> DataFrame:
+    """Diff two ``corpus_report`` outputs — the between-crawls drift
+    check ("which source/language shifted, appeared, or vanished?"):
+    per group, before/after doc counts, token/quality deltas, and a
+    status (``appeared`` / ``vanished`` / ``changed`` / ``stable``).
+    Run it on the stored profile of the previous crawl vs the fresh
+    one; a collapsed language or a quality cliff shows up as one row.
+
+    Scale: both inputs are group-count-sized report frames (metadata,
+    not corpus rows) — the full-outer join and deltas cost nothing;
+    keep historical reports as tiny parquet snapshots per crawl.
+    """
+    keys = list(group_cols)
+    metrics = ("n_docs", "total_tokens", "mean_quality")
+
+    def tagged(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            *keys, *[F.col(m).alias(f"{m}_{tag}") for m in metrics]
+        )
+
+    j = tagged(before, "before").join(tagged(after, "after"), keys, "full")
+    docs_b, docs_a = F.col("n_docs_before"), F.col("n_docs_after")
+    status = (
+        F.when(docs_b.isNull(), F.lit("appeared"))
+        .when(docs_a.isNull(), F.lit("vanished"))
+        .when(
+            (docs_a != docs_b)
+            | (F.col("total_tokens_after") != F.col("total_tokens_before"))
+            | (F.col("mean_quality_after") != F.col("mean_quality_before")),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("stable"))
+    )
+    return j.select(
+        *keys,
+        F.coalesce(docs_b, F.lit(0)).alias("n_docs_before"),
+        F.coalesce(docs_a, F.lit(0)).alias("n_docs_after"),
+        (F.coalesce(docs_a, F.lit(0)) - F.coalesce(docs_b, F.lit(0))).alias(
+            "doc_delta"
+        ),
+        (
+            F.coalesce(F.col("total_tokens_after"), F.lit(0))
+            - F.coalesce(F.col("total_tokens_before"), F.lit(0))
+        ).alias("token_delta"),
+        F.round(
+            F.coalesce(F.col("mean_quality_after"), F.lit(0.0))
+            - F.coalesce(F.col("mean_quality_before"), F.lit(0.0)),
+            4,
+        ).alias("quality_delta"),
+        status.alias("status"),
+    )

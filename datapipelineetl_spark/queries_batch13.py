@@ -1,14 +1,15 @@
 """Thirteenth query battery — STAGED for the round-8 verify window.
 
-Oracle-paired queries for the five corpus operators added round 7:
+Oracle-paired queries for the six corpus operators added round 7:
 ``corpus.shuffle_corpus`` (deterministic global shuffle → (shard, pos)
 addresses for training data loaders), ``corpus.sample_k_per_stratum``
 (exactly-k balanced sampling per stratum), ``text.normalize_text``
 (mojibake repair + NFC + control/zero-width/NBSP cleanup — the Unicode
 pass upstream of every tokenization/hashing operator),
 ``corpus.select_until_token_budget`` (best-first selection to a token
-budget via the two-phase global cumsum), and ``corpus.corpus_report``
-(the per-(source, lang) profile dashboard).
+budget via the two-phase global cumsum), ``corpus.corpus_report``
+(the per-(source, lang) profile dashboard), and ``corpus.corpus_drift``
+(the between-crawls report diff).
 
 Same staging contract as batches 11/12: separate dicts so importing
 this module cannot grow the live ``queries()`` surface mid-round;
@@ -268,6 +269,41 @@ def q_select_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Per-group corpus profile report
 # =============================================================================
 
+def _report_ctes(prefix: str, where: str = "TRUE") -> str:
+    """The corpus-report aggregation as named CTE fragments over a
+    filtered slice of ``documents`` — shared between the report and
+    drift oracles (ONE definition of the scoring/aggregation SQL)."""
+    toks = _SQL_TOKENS.format(c="text")
+    return rf"""
+    {prefix}q0 AS (
+      SELECT source, lang, text,
+             CAST(length(text) AS INT) AS n_chars_m,
+             ROUND(len(regexp_extract_all(text, '[^\w\s]')) * 1.0
+                   / GREATEST(length(text), 1), 4) AS punct_ratio,
+             ROUND(len(list_filter({toks}, x -> x IN ('the','and','of','to','is'))) * 1.0
+                   / GREATEST(len({toks}), 1), 4) AS stopword_ratio,
+             ROUND(len(regexp_extract_all(text, '[A-Za-z]')) * 1.0
+                   / GREATEST(length(text), 1), 4) AS alpha_ratio,
+             CAST(len({toks}) AS INT) AS nt
+      FROM documents WHERE {where}),
+    {prefix}scored AS (
+      SELECT source, lang, nt,
+             ROUND(CAST(
+               (CASE WHEN n_chars_m < 20 THEN 0.0 ELSE 1.0 END) * 0.25
+               + (CASE WHEN stopword_ratio >= 0.01 AND stopword_ratio <= 0.6 THEN 1.0 ELSE 0.0 END) * 0.25
+               + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END) * 0.25
+               + (CASE WHEN alpha_ratio >= 0.5 THEN 1.0 ELSE 0.0 END) * 0.25
+               AS DOUBLE), 4) AS quality_score
+      FROM {prefix}q0),
+    {prefix}rep AS (
+      SELECT source, lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(nt) AS BIGINT) AS total_tokens,
+             ROUND(AVG(quality_score), 4) AS mean_quality
+      FROM {prefix}scored GROUP BY source, lang)
+    """.strip()
+
+
 def _report_oracle() -> str:
     toks = _SQL_TOKENS.format(c="text")
     return rf"""
@@ -318,4 +354,55 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.corpus_report(docs).select(
         "source", "lang", "n_docs", "total_tokens", "total_chars",
         "mean_quality", "p50_tokens", "p90_tokens",
+    )
+
+
+# =============================================================================
+# Between-crawls drift diff
+# =============================================================================
+
+# crawl A = the docs whose id is not divisible by 3 (a "previous crawl"
+# missing a third of the corpus); crawl B = everything. Replayed
+# identically on both sides so appeared/changed branches all execute.
+_DRIFT_A = "doc_id % 3 <> 0"
+
+
+@query(
+    "q_corpus_drift",
+    f"""
+    WITH {_report_ctes('a_', _DRIFT_A)},
+    {_report_ctes('b_')}
+    SELECT COALESCE(a.source, b.source) AS source,
+           COALESCE(a.lang, b.lang) AS lang,
+           COALESCE(a.n_docs, 0) AS n_docs_before,
+           COALESCE(b.n_docs, 0) AS n_docs_after,
+           COALESCE(b.n_docs, 0) - COALESCE(a.n_docs, 0) AS doc_delta,
+           COALESCE(b.total_tokens, 0) - COALESCE(a.total_tokens, 0) AS token_delta,
+           ROUND(COALESCE(b.mean_quality, 0) - COALESCE(a.mean_quality, 0), 4)
+             AS quality_delta,
+           CASE WHEN a.n_docs IS NULL THEN 'appeared'
+                WHEN b.n_docs IS NULL THEN 'vanished'
+                WHEN a.n_docs <> b.n_docs
+                     OR a.total_tokens <> b.total_tokens
+                     OR a.mean_quality <> b.mean_quality THEN 'changed'
+                ELSE 'stable' END AS status
+    FROM a_rep a FULL JOIN b_rep b
+      ON a.source = b.source AND a.lang = b.lang
+    """,
+)
+def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Between-crawls drift: corpus_report over a simulated previous
+    crawl (two-thirds of the documents) diffed against the full corpus
+    — per-(source, lang) doc/token/quality deltas and a status tag,
+    every cell value-checked (the oracle builds BOTH report CTEs from
+    the same `_report_ctes` fragment the report oracle uses).
+
+    Scale: both inputs are group-count-sized report frames; the drift
+    join is metadata-on-metadata (`corpus.corpus_drift` docstring)."""
+    docs = _t_spread(spark, sf_dir, "documents")
+    before = corpus.corpus_report(docs.filter(F.col("doc_id") % 3 != 0))
+    after = corpus.corpus_report(docs)
+    return corpus.corpus_drift(before, after).select(
+        "source", "lang", "n_docs_before", "n_docs_after",
+        "doc_delta", "token_delta", "quality_delta", "status",
     )

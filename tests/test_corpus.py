@@ -743,3 +743,31 @@ def test_remove_boilerplate_paragraph_granularity(spark):
     assert out[3] == "third document body"
     # doc 4's paragraph differs from the signature block → untouched
     assert out[4] == rows[3][1]
+
+
+def test_corpus_drift_statuses(spark):
+    """corpus_drift: appeared/vanished/changed/stable all classified,
+    deltas signed correctly; inputs are report-shaped frames."""
+    cols = ["source", "lang", "n_docs", "total_tokens", "mean_quality"]
+    before = spark.createDataFrame(
+        [("web", "en", 10, 1000, 0.8), ("web", "de", 5, 400, 0.7),
+         ("code", "en", 3, 900, 0.9)],
+        cols,
+    )
+    after = spark.createDataFrame(
+        [("web", "en", 12, 1100, 0.75), ("web", "de", 5, 400, 0.7),
+         ("wiki", "en", 4, 300, 0.95)],
+        cols,
+    )
+    got = {(r.source, r.lang): r
+           for r in corpus.corpus_drift(before, after).collect()}
+    assert got[("web", "en")].status == "changed"
+    assert got[("web", "en")].doc_delta == 2
+    assert got[("web", "en")].token_delta == 100
+    assert got[("web", "en")].quality_delta == pytest.approx(-0.05)
+    assert got[("web", "de")].status == "stable"
+    assert got[("code", "en")].status == "vanished"
+    assert got[("code", "en")].n_docs_after == 0
+    assert got[("code", "en")].doc_delta == -3
+    assert got[("wiki", "en")].status == "appeared"
+    assert got[("wiki", "en")].n_docs_before == 0
