@@ -25,6 +25,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import __spark_entry__ as entrymod
 from datapipelineetl_spark import queries_batch11 as b11
 from datapipelineetl_spark import queries_batch12 as b12
+from datapipelineetl_spark import queries_batch13 as b13
 
 WINDOW = 50
 
@@ -55,7 +56,8 @@ def main() -> int:
     red = [q for q in rec if q in registered and q not in latest_green]
     staged = [
         q
-        for q in {**b11.STAGED_QUERIES, **b12.STAGED_QUERIES}
+        for q in {**b11.STAGED_QUERIES, **b12.STAGED_QUERIES,
+                  **b13.STAGED_QUERIES}
         if q not in registered
     ]
     print(
@@ -81,8 +83,23 @@ def main() -> int:
         take = max(0, WINDOW - forced)
     window = forced_red + staged[:take] + aged
     window = window[:WINDOW]
-    pad = [q for q in registered if q not in window]
-    while len(window) < WINDOW:
+    # fill the free slots oldest-newest-green-record first (VERDICT r6
+    # item 2's policy): a query whose freshest green row is about to age
+    # out beats one re-verified last round — refreshing it now avoids
+    # its forced slot next round. Tie-break by registration order.
+    all_records = sorted(
+        repo.glob("CORRECTNESS_r*.json"),
+        key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)),
+    )
+    newest_green: dict[str, int] = {}
+    for i, p in enumerate(all_records):
+        for q in greens(p)[1]:
+            newest_green[q] = i
+    pad = sorted(
+        (q for q in registered if q not in window),
+        key=lambda q: (newest_green.get(q, -1), registered.index(q)),
+    )
+    while len(window) < WINDOW and pad:
         window.append(pad.pop(0))
     print(f"\nsuggested PRIORITY ({len(window)} slots; promotions first):")
     for q in window:
