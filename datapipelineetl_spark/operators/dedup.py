@@ -444,3 +444,125 @@ def semantic_dupes(
         .select(F.col("doc_id").alias(id_col))
         .distinct()
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Cross-document EXACT duplicated-span detection (the
+    substring-level dedup of "Deduplicating Training Data Makes
+    Language Models Better", Lee et al. 2021 — applied at token-window
+    granularity): every ``n``-token window whose token content also
+    occurs EARLIER in the global ``(id, start)`` order is flagged.
+    Returns ``(id, start)`` rows — ``start`` is the 0-based token
+    offset of a duplicated window; each distinct window content keeps
+    exactly one unflagged first occurrence corpus-wide (repeats inside
+    a single document flag too).
+
+    Use the annotations to audit boilerplate-ish spans, or feed
+    ``remove_duplicate_spans`` to cut them from the token stream.
+
+    Scale: O(total windows) rows through two shuffles — one partial-agg
+    groupBy on the 60-bit window hash for the first-occurrence argmin,
+    one hash-join of occurrences back to their gram's argmin. No
+    pairwise blowup: a window repeated a million times costs a million
+    JOIN rows, never a million² (contrast candidate-pair LSH). The
+    windows explode is ``posexplode_outer`` per the
+    InferFiltersFromGenerate rule (NOTES.md) — the window array is
+    computed, and a non-outer Generate would re-inline it below the
+    inferred size() filter.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    toks = tokens(text_col)
+    base = df.select(F.col(id_col), toks.alias("__toks")).filter(
+        F.size("__toks") >= n
+    )
+    win_hashes = F.transform(
+        F.sequence(F.lit(0), F.size("__toks") - n),
+        lambda i: token_hash60(
+            F.array_join(F.slice(F.col("__toks"), i + 1, n), " ")
+        ),
+    )
+    wins = (
+        base.select(F.col(id_col), F.posexplode_outer(win_hashes).alias("start", "__gh"))
+        .filter(F.col("__gh").isNotNull())
+    )
+    first = wins.groupBy("__gh").agg(
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("start").alias("s"))).alias(
+            "__first"
+        )
+    )
+    return (
+        wins.join(first, "__gh")
+        .filter(
+            (F.col(id_col) != F.col("__first.i"))
+            | (F.col("start") != F.col("__first.s"))
+        )
+        .select(id_col, "start")
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Rewrite each document's TOKEN stream with every token covered by
+    any duplicated ``n``-token window (``duplicate_spans``) removed —
+    overlapping flagged windows merge into one cut, and each repeated
+    span survives only at its corpus-wide first occurrence.
+
+    The rewrite is TOKEN-LEVEL: output text is the kept tokens joined
+    with single spaces in original order, which is lowered and
+    whitespace-normalized like every ``tokens()`` consumer (the
+    standard token-stream form of this pass). When byte fidelity
+    matters, use ``duplicate_spans``' annotations and cut upstream.
+    Every input row returns (never silently dropped): fully-duplicated
+    docs come back empty, sub-``n``-token and NULL docs come back as
+    their normalized token stream.
+
+    Scale: the detection cost (above) + one positions explode and one
+    groupBy(doc) in-aggregate ordered rebuild — the
+    remove_boilerplate_lines rebuild shape, at token granularity.
+    """
+    spans = duplicate_spans(df, id_col, text_col, n)
+    masked = (
+        spans.select(
+            F.col(id_col),
+            F.explode_outer(
+                F.sequence(F.col("start"), F.col("start") + (n - 1))
+            ).alias("__pos"),
+        )
+        .distinct()
+    )
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.posexplode_outer(
+                F.coalesce(tokens(text_col), F.array())
+            ).alias("__pos", "__tok"),
+        )
+        .filter(F.col("__tok").isNotNull())
+    )
+    kept = toks.join(masked, [id_col, "__pos"], "anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__pos"), F.col("__tok")))
+                ),
+                lambda s: s["__tok"],
+            ),
+            " ",
+        ).alias(text_col)
+    )
+    return (
+        df.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .fillna({text_col: ""})
+    )

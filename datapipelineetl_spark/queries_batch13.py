@@ -1,6 +1,6 @@
 """Thirteenth query battery — STAGED for the round-8 verify window.
 
-Oracle-paired queries for the six corpus operators added round 7:
+Oracle-paired queries for the corpus operators added round 7:
 ``corpus.shuffle_corpus`` (deterministic global shuffle → (shard, pos)
 addresses for training data loaders), ``corpus.sample_k_per_stratum``
 (exactly-k balanced sampling per stratum), ``text.normalize_text``
@@ -8,8 +8,10 @@ addresses for training data loaders), ``corpus.sample_k_per_stratum``
 pass upstream of every tokenization/hashing operator),
 ``corpus.select_until_token_budget`` (best-first selection to a token
 budget via the two-phase global cumsum), ``corpus.corpus_report``
-(the per-(source, lang) profile dashboard), and ``corpus.corpus_drift``
-(the between-crawls report diff).
+(the per-(source, lang) profile dashboard), ``corpus.corpus_drift``
+(the between-crawls report diff), and
+``dedup.remove_duplicate_spans`` (Lee-et-al.-style exact duplicated
+token-span removal).
 
 Same staging contract as batches 11/12: separate dicts so importing
 this module cannot grow the live ``queries()`` surface mid-round;
@@ -406,3 +408,81 @@ def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "lang", "n_docs_before", "n_docs_after",
         "doc_delta", "token_delta", "quality_delta", "status",
     )
+
+
+# =============================================================================
+# Exact duplicated-span removal
+# =============================================================================
+
+# a fixed 8-token span appended to every 7th doc: its first occurrence
+# must survive, every other injected copy must be cut — both branches of
+# the operator execute regardless of the fixture's natural repeats
+_SPAN_DOC = (
+    "SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || "
+    "' the shared eight token span sentence repeats here' "
+    "ELSE text END AS text FROM documents"
+)
+
+
+def _span_oracle() -> str:
+    toks = _SQL_TOKENS.format(c="text")
+    return f"""
+    WITH src AS ({_SPAN_DOC}),
+    t AS (SELECT doc_id, {toks} AS ts FROM src),
+    wins AS (
+      SELECT doc_id, i - 1 AS wstart,
+             ('0x' || substr(md5(array_to_string(
+                list_slice(ts, i, i + 7), ' ')), 1, 15))::BIGINT AS gh
+      FROM t, LATERAL UNNEST(generate_series(1, len(ts) - 7)) AS u(i)
+      WHERE ts IS NOT NULL AND len(ts) >= 8),
+    ranked AS (
+      SELECT doc_id, wstart,
+             ROW_NUMBER() OVER (PARTITION BY gh ORDER BY doc_id, wstart) AS rn
+      FROM wins),
+    masked AS (
+      SELECT DISTINCT doc_id, wstart + o AS pos
+      FROM ranked, LATERAL UNNEST(generate_series(0, 7)) AS v(o)
+      WHERE rn > 1),
+    toki AS (
+      SELECT doc_id, i - 1 AS pos, ts[i] AS tok
+      FROM t, LATERAL UNNEST(generate_series(1, len(ts))) AS w(i)
+      WHERE ts IS NOT NULL),
+    kept AS (
+      SELECT k.doc_id, k.pos, k.tok FROM toki k
+      WHERE NOT EXISTS (
+        SELECT 1 FROM masked m
+        WHERE m.doc_id = k.doc_id AND m.pos = k.pos)),
+    rebuilt AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text
+      FROM kept GROUP BY doc_id)
+    SELECT s.doc_id, COALESCE(r.text, '') AS text
+    FROM src s LEFT JOIN rebuilt r ON s.doc_id = r.doc_id
+    """
+
+
+@query("q_dedup_spans", _span_oracle())
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span removal (Lee et al. 2021 substring dedup at
+    8-token-window granularity), value-checked byte-for-byte on the
+    rebuilt token stream: a fixed 8-token span injected on every 7th
+    document must survive ONLY at its corpus-wide first (doc_id, start)
+    occurrence; the fixture's natural 8-gram repeats cut too, and both
+    engines replay the same window hash, first-occurrence rank, mask
+    union, and ordered rebuild.
+
+    Scale: O(total windows) through two shuffles (window-hash argmin +
+    occurrence join) — no pairwise blowup (`dedup.duplicate_spans`);
+    rebuild is the in-aggregate ordered reassembly shape."""
+    docs = _t_spread(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" the shared eight token span sentence repeats here"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    from datapipelineetl_spark.operators import dedup as _dedup
+
+    return _dedup.remove_duplicate_spans(docs, n=8).select("doc_id", "text")

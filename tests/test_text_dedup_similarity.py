@@ -710,3 +710,35 @@ def test_read_media_dir_binary_file_source(spark, tmp_path):
     assert got["clip.wav"].duration_ms == 500
     assert (got["img.ppm"].width, got["img.ppm"].height) == (32, 16)
     assert not got["notes.txt"].valid
+
+
+def test_duplicate_spans_and_removal(spark):
+    """Exact substring dedup (Lee et al. 2021 shape): an 8-token window
+    repeated across (or within) documents is flagged everywhere except
+    its corpus-wide first occurrence; removal cuts the union of flagged
+    windows from the token stream, keeping everything else in order."""
+    span = "a b c d e f g h"
+    rows = [
+        (1, span + " i j"),          # first occurrence of the span
+        (2, "z y " + span),          # cross-doc repeat at offset 2
+        (3, "p q r"),                # shorter than n: untouched
+        (4, "m n o p q r s t m n o p q r s t"),  # within-doc repeat
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    spans = {(r.doc_id, r.start)
+             for r in dedup.duplicate_spans(df, n=8).collect()}
+    assert (2, 2) in spans
+    assert (4, 8) in spans
+    assert not any(d == 1 for d, _ in spans)  # first occurrence unflagged
+    assert not any(d == 3 for d, _ in spans)
+
+    out = {r.doc_id: r.text
+           for r in dedup.remove_duplicate_spans(df, n=8).collect()}
+    assert out[1] == span + " i j"
+    assert out[2] == "z y"
+    assert out[3] == "p q r"
+    assert out[4] == "m n o p q r s t"
+    assert out[5] == ""  # NULL text normalizes to empty, never dropped
+    with pytest.raises(ValueError, match="n must"):
+        dedup.duplicate_spans(df, n=0)
