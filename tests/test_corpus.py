@@ -771,3 +771,52 @@ def test_corpus_drift_statuses(spark):
     assert got[("code", "en")].doc_delta == -3
     assert got[("wiki", "en")].status == "appeared"
     assert got[("wiki", "en")].n_docs_before == 0
+
+
+def test_write_token_shards_binary_round_trip(spark, tmp_path):
+    """tensor.write_token_shards: each shard lands as little-endian
+    binary + JSON index; bytes round-trip through numpy exactly in pos
+    order; a re-run (replay) overwrites to identical bytes; out-of-range
+    ids fail loudly instead of silently wrapping."""
+    import json
+    import struct
+
+    from datapipelineetl_spark.sinks import tensor
+
+    rows = [
+        (0, 1, [1, 2, 3]),
+        (0, 2, [4, 5]),
+        (1, 1, [9]),
+        (1, 2, []),
+    ]
+    df = spark.createDataFrame(rows, "shard int, pos long, token_ids array<long>")
+    out = str(tmp_path / "shards")
+    manifest = {r.shard: r for r in
+                tensor.write_token_shards(df, out).collect()}
+    assert manifest[0].n_sequences == 2 and manifest[0].n_tokens == 5
+    assert manifest[1].n_sequences == 2 and manifest[1].n_tokens == 1
+
+    raw = open(out + "/shard-00000.bin", "rb").read()
+    assert struct.unpack("<5i", raw) == (1, 2, 3, 4, 5)
+    idx = json.load(open(out + "/shard-00000.idx.json"))
+    assert idx["dtype"] == "int32"
+    assert [s["offset"] for s in idx["sequences"]] == [0, 3]
+
+    # replay: same bytes, no duplication
+    tensor.write_token_shards(df, out).collect()
+    assert open(out + "/shard-00000.bin", "rb").read() == raw
+
+    bad = spark.createDataFrame(
+        [(0, 1, [1 << 40])], "shard int, pos long, token_ids array<long>"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="out of int32 range"):
+        tensor.write_token_shards(bad, str(tmp_path / "bad")).collect()
+    # int64 dtype accepts the same id
+    ok = tensor.write_token_shards(
+        bad, str(tmp_path / "wide"), dtype="int64"
+    ).collect()
+    assert ok[0].n_tokens == 1
+    raw64 = open(str(tmp_path / "wide") + "/shard-00000.bin", "rb").read()
+    assert struct.unpack("<q", raw64) == (1 << 40,)
