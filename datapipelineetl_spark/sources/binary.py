@@ -69,3 +69,81 @@ def read_media_dir(
         meta = multimodal.decode_headers(df)
         df = df.join(meta, "media_id")
     return df
+
+
+def read_media_chunks(
+    spark: SparkSession,
+    path: str,
+    chunk_bytes: int = 64 * 1024 * 1024,
+    glob: str | None = None,
+    recursive: bool = True,
+) -> DataFrame:
+    """Chunked media ingestion — the path for files too large for
+    ``read_media_dir``'s one-row-per-file contract (multi-GB video
+    masters; 2 GB is the hard single-row limit): each file becomes
+    ``ceil(length / chunk_bytes)`` rows of ``(media_id, path,
+    chunk_idx, offset, n_bytes, payload)``, reassemblable by
+    ``(media_id, chunk_idx)`` order. NOTE: Spark's ``binaryFile``
+    source omits zero-length files from the listing itself (verified —
+    the skip happens before this operator sees a row); audit empty
+    files with a filesystem listing if they are meaningful in your
+    corpus.
+
+    How it stays scalable: the listing pass selects ONLY (path, length)
+    from the ``binaryFile`` source — column pruning means no file
+    CONTENT is read or shipped for the plan's metadata half; the chunk
+    ranges are computed columnar (sequence + transform), and the bytes
+    themselves are read executor-side by an Arrow-batched
+    ``mapInPandas`` kernel doing seek+read of exactly its chunk. Peak
+    memory per task is one Arrow batch of chunks, so ``chunk_bytes``
+    (not file size) bounds memory. Executor-local ``open()`` — shared
+    storage in a real cluster, as with every file source.
+    """
+    if chunk_bytes < 1:
+        raise ValueError(f"chunk_bytes must be >= 1, got {chunk_bytes}")
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    meta = reader.load(path).select("path", "length")
+    n_chunks = F.greatest(
+        F.ceil(F.col("length") / F.lit(chunk_bytes)).cast("long"), F.lit(1)
+    )
+    ranges = meta.select(
+        text.token_hash60(F.col("path")).alias("media_id"),
+        F.col("path"),
+        F.col("length"),
+        F.posexplode_outer(
+            F.sequence(F.lit(0), n_chunks - 1)
+        ).alias("chunk_idx", "__c"),
+    ).select(
+        "media_id",
+        "path",
+        F.col("chunk_idx").cast("int"),
+        (F.col("__c") * chunk_bytes).alias("offset"),
+        F.least(
+            F.lit(chunk_bytes).cast("long"),
+            F.col("length") - F.col("__c") * chunk_bytes,
+        ).alias("n_bytes"),
+    )
+
+    def kernel(batches):
+        import pandas as pd  # noqa: PLC0415 — executor-side import
+
+        for pdf in batches:
+            payloads = []
+            for p, off, n in zip(pdf["path"], pdf["offset"], pdf["n_bytes"]):
+                local = p[len("file:"):] if p.startswith("file:") else p
+                with open(local, "rb") as f:
+                    f.seek(int(off))
+                    payloads.append(f.read(int(n)))
+            out = pdf.copy()
+            out["payload"] = pd.Series(payloads, index=pdf.index, dtype=object)
+            yield out
+
+    schema = (
+        "media_id long, path string, chunk_idx int, offset long, "
+        "n_bytes long, payload binary"
+    )
+    return ranges.mapInPandas(kernel, schema)

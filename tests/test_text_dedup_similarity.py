@@ -742,3 +742,45 @@ def test_duplicate_spans_and_removal(spark):
     assert out[5] == ""  # NULL text normalizes to empty, never dropped
     with pytest.raises(ValueError, match="n must"):
         dedup.duplicate_spans(df, n=0)
+
+
+def test_read_media_chunks_reassembles_exactly(spark, tmp_path):
+    """sources.binary.read_media_chunks: files split into byte-range
+    chunk rows (metadata listing reads no content), reassembling to the
+    original bytes; the binaryFile SOURCE omits zero-length files (a
+    documented source-level behavior this pins)."""
+    from datapipelineetl_spark.sources import binary
+
+    media = tmp_path / "big"
+    media.mkdir()
+    blob = bytes(range(256)) * 10_000          # 2.56 MB, position-coded
+    (media / "video.dat").write_bytes(blob)
+    (media / "small.dat").write_bytes(b"tiny")
+    (media / "empty.dat").write_bytes(b"")
+
+    out = binary.read_media_chunks(spark, str(media), chunk_bytes=1_000_000)
+    rows = sorted(
+        out.collect(), key=lambda r: (r.path, r.chunk_idx)
+    )
+    by_file: dict[str, list] = {}
+    for r in rows:
+        by_file.setdefault(r.path.rsplit("/", 1)[-1], []).append(r)
+
+    vid = by_file["video.dat"]
+    assert [r.chunk_idx for r in vid] == [0, 1, 2]
+    assert [r.n_bytes for r in vid] == [1_000_000, 1_000_000, 560_000]
+    assert [r.offset for r in vid] == [0, 1_000_000, 2_000_000]
+    assert b"".join(bytes(r.payload) for r in vid) == blob
+    assert len({r.media_id for r in vid}) == 1  # one id per file
+
+    small = by_file["small.dat"]
+    assert len(small) == 1 and bytes(small[0].payload) == b"tiny"
+
+    # the binaryFile source drops zero-length files at the LISTING —
+    # pinned so a Spark version changing this shows up here
+    assert "empty.dat" not in by_file
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="chunk_bytes"):
+        binary.read_media_chunks(spark, str(media), chunk_bytes=0)
