@@ -129,12 +129,24 @@ def read_media_chunks(
     )
 
     def kernel(batches):
+        from urllib.parse import unquote, urlparse  # noqa: PLC0415
+
         import pandas as pd  # noqa: PLC0415 — executor-side import
 
         for pdf in batches:
             payloads = []
             for p, off, n in zip(pdf["path"], pdf["offset"], pdf["n_bytes"]):
-                local = p[len("file:"):] if p.startswith("file:") else p
+                u = urlparse(p)
+                if u.scheme not in ("", "file"):
+                    # object-store byte ranges need the store's ranged
+                    # GET, not posix seek — fail loudly, don't misread
+                    raise ValueError(
+                        f"read_media_chunks reads local/shared-posix "
+                        f"paths only, got scheme {u.scheme!r} in {p}"
+                    )
+                # binaryFile returns URI-style paths: percent-decode so
+                # filenames with spaces/specials open correctly
+                local = unquote(u.path) if u.scheme == "file" else p
                 with open(local, "rb") as f:
                     f.seek(int(off))
                     payloads.append(f.read(int(n)))

@@ -784,3 +784,17 @@ def test_read_media_chunks_reassembles_exactly(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="chunk_bytes"):
         binary.read_media_chunks(spark, str(media), chunk_bytes=0)
+
+
+def test_read_media_chunks_uri_decoded_names(spark, tmp_path):
+    """Filenames with spaces arrive URI-encoded from binaryFile; the
+    chunk kernel must percent-decode before open()."""
+    from datapipelineetl_spark.sources import binary
+
+    media = tmp_path / "odd names"
+    media.mkdir()
+    (media / "a file.dat").write_bytes(b"payload bytes")
+    rows = binary.read_media_chunks(spark, str(media), chunk_bytes=5).collect()
+    assert b"".join(
+        bytes(r.payload) for r in sorted(rows, key=lambda r: r.chunk_idx)
+    ) == b"payload bytes"
