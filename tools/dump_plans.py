@@ -38,6 +38,10 @@ PICK = {
     "q_contamination_pairs": "Train/test contamination: both sides shingle narrowly (explode_outer per the computed-array rule), equi-join on the 60-bit gram hash, partial+final count on the pair key — O(corpus × grams/doc) shuffle, never |train|×|test|.",
     "q_split_documents": "Document chunking: pure narrow array math (sequence + posexplode_outer + slice/join) — zero Exchange, zero Python; 1 row → ceil(n/step) rows inside WholeStageCodegen.",
     "q_repetition_stats": "Gopher repetition metrics (staged): split/trim/distinct/aggregate higher-order functions, shared subtrees routed through columns — zero Exchange, zero Generate, zero Python.",
+    "q_select_budget": "Token-budget best-first selection (staged): the two-phase global cumsum — per-score partial agg, the ONLY Exchange SinglePartition sits over that score-cardinality aggregate, offsets broadcast back, row-level within-key windows stay hashpartitioned. No global ORDER BY anywhere.",
+    "q_dedup_spans": "Exact span dedup (staged): window hashes narrow (posexplode_outer per the computed-array rule), first-occurrence argmin as one partial-agg shuffle on the 60-bit hash, occurrence equi-join — O(total windows), never pairwise; rebuild is the in-aggregate ordered reassembly.",
+    "q_normalize_text": "Unicode normalization (staged): the whole repair chain is codegen replace/regexp except ONE ArrowEvalPython stage (NFC — no Spark built-in); zero shuffle beyond the fixture spread.",
+    "q_shuffle_corpus": "Deterministic loader shuffle (staged): hash + pmod narrow, ONE Exchange on the shard id, per-shard rank sorts independent — no global ordering materializes.",
 }
 
 
@@ -45,8 +49,9 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_session("plans")
     from datapipelineetl_spark import queries_batch12 as b12
+    from datapipelineetl_spark import queries_batch13 as b13
 
-    qs = {**entrymod.queries(), **b12.STAGED_QUERIES}
+    qs = {**entrymod.queries(), **b12.STAGED_QUERIES, **b13.STAGED_QUERIES}
     lines = [
         "# PLANS — physical plans of representative queries (sf0.1, AQE on)",
         "",
@@ -59,6 +64,13 @@ def main() -> None:
         df = qs[name](spark, sf_dir)
         plan = df._jdf.queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        # plans can embed literal control/invisible chars from string
+        # literals in the query (normalize_text's \x07 / zero-widths) —
+        # escape everything non-printable so the file stays text
+        plan = "".join(
+            c if c == "\n" or c.isprintable() else f"\\u{ord(c):04x}"
+            for c in plan
         )
         lines += [f"## {name}", "", note, "", "```", plan.strip(), "```", ""]
     Path("PLANS.md").write_text("\n".join(lines))
