@@ -57,6 +57,9 @@ def write_token_shards(
         import numpy as np  # noqa: PLC0415 — executor-side import
         import pandas as pd  # noqa: PLC0415
 
+        # the driver-side makedirs above covers local mode; on a cluster
+        # the EXECUTOR touches the shared-fs dir, so repeat (idempotent)
+        os.makedirs(out_dir, exist_ok=True)
         pdf = pdf.sort_values(pos_col)
         shard = int(pdf[shard_col].iloc[0])
         seqs, offset = [], 0
