@@ -104,9 +104,32 @@ def main() -> int:
     )
     layout.zorder_write(addressed, out_dir, ["pack_id", "doc_id"], n_files=8)
     packs = spark.read.parquet(out_dir).select("pack_id").distinct().count()
+
+    # 7. the BINARY training artifact: chunk text -> vocab -> token ids
+    #    -> packed id streams -> shuffled shard addresses -> mmap-able
+    #    .bin + .idx.json files (the complete text->tensor->disk path)
+    from datapipelineetl_spark.sinks import tensor
+
+    chunk_docs = chunks.select(F.col("chunk_key").alias("doc_id"), "text")
+    vocab = text.build_vocab(chunk_docs)
+    encoded = text.encode_tokens(chunk_docs, vocab)
+    tensors = corpus.pack_sequences(
+        encoded, budget=1024, id_col="doc_id", n_shards=8
+    )
+    shard_addr = tensors.join(
+        corpus.shuffle_corpus(
+            tensors.select("pack_id"), key_col="pack_id",
+            n_shards=4, salt="epoch0",
+        ),
+        "pack_id",
+    )
+    manifest = tensor.write_token_shards(shard_addr, out_dir + "_bin").collect()
+    n_bin_tokens = sum(m.n_tokens for m in manifest)
+
     print(
         f"documents {n0} -> cleaned {n1} -> decontaminated {n2} -> "
         f"budgeted {n2b} -> train {n3} -> chunks {n4} -> packs {packs} "
+        f"-> binary artifact {len(manifest)} shards / {n_bin_tokens} tokens "
         f"(store: {out_dir})"
     )
     return 0
