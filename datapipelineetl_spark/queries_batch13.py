@@ -122,7 +122,7 @@ _KPS_SALT = "balance"
     """,
 )
 def q_sample_k_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exactly-k balanced sample (k={_KPS_K} docs per language):
+    """Exactly-k balanced sample (k=30 docs per language):
     hash-ordered row_number per stratum, so the selection is
     reproducible, order-independent, and nested (a larger k extends the
     smaller sample). Fraction-based sample_stratified cannot hit exact
