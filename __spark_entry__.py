@@ -38,6 +38,10 @@ from datapipelineetl_spark import queries_batch12  # noqa: E402
 
 queries_batch12.register()  # promote the 12 staged batch-12 queries (round 7)
 
+from datapipelineetl_spark import queries_batch13  # noqa: E402
+
+queries_batch13.register()  # promote the 7 staged batch-13 queries (round 8)
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H Q1-style pricing summary) on sf0.001."""
@@ -45,71 +49,69 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver verifies the FIRST 50 entries of queries() in dict order.
-# Round-7 rotation (VERDICT r6 item 2): slots 0–11 = the twelve staged
-# batch-12 queries promoted this round (their first driver rows);
-# slots 12–20 = the 9 r4-green queries the 3-round contract forces in
-# (green in neither of the two newest records after r6 landed);
-# slots 21–49 = 29 queries whose newest green row is CORRECTNESS_r05 —
-# the 24 oldest in registration order plus the 5 token-family queries
-# (minhash/simhash/winnowing/dedup-cluster) whose tokenization changed
-# this round (phantom-empty-token fix, engine+oracle in lockstep), so
-# they earn fresh driver rows under the new semantics. The remaining
-# 21 r5-green queries age out next round and are forced into r8.
+# Round-8 rotation (VERDICT r7 items 1+3): slots 0–1 = the two r7-RED
+# queries re-earning their rows with driver-hashable output shapes
+# (array<bigint> → md5 digest — the r7 canon-crash fix); then the 21
+# r5-green queries the 3-round contract forces in, interleaved (in
+# registration order, as rotate_window.py emits) with the 7 batch-13
+# promotions earning their first driver rows; the remaining 20 slots
+# fill oldest-newest-green-record first. The r6-green balance ages out
+# next round and is forced into r9.
 PRIORITY: list[str] = [
-    # -- staged batch-12 corpus/tensor family (first driver rows) --
-    "q_pack_greedy",
-    "q_boilerplate_removal",
-    "q_repetition_stats",
-    "q_semantic_dupes",
-    "q_prepare_corpus_quality",
-    "q_extract_keywords",
-    "q_user_hour_anomalies",
-    "q_build_vocab",
+    # -- r7 RED re-earns (driver-canon-safe reshapes) --
     "q_encode_tokens",
     "q_pack_sequences",
-    "q_split_corpus",
-    "q_attrition_report",
-    # -- r4-green, contract-forced (3-round rotation limit) --
-    "q12_line_priority_split",
-    "q_winnow_collisions",
-    "q_range_join_ship_windows",
-    "q_asof_join_next_purchase",
-    "q_salted_join_volume",
-    "q_hypertable_rollup",
-    "q_minhash_capped_near_dups",
-    "q_ivf_recall",
-    "q_lsh_cosine_near_pairs",
-    # -- r5-green refresh: oldest first --
-    "q3_shipping_priority",
-    "q_top3_orders_per_customer",
-    "q_agg_stats",
-    "q_customers_without_orders",
-    "q_active_supplier_keys",
-    "q_priciest_lineitems",
-    "q_rollup_order_volume",
-    "q_clean_chain_events",
-    "q_sessionize",
-    "q_tumbling_window_events",
-    "q_unpivot_lineitem",
-    "q_asof_join_purchase",
-    "q_customers_with_orders_semi",
-    "q_full_outer_nation_activity",
-    "q_cross_join_matrix",
-    "q_orders_above_avg",
-    "q_string_funcs",
-    "q_date_funcs",
-    "q_having_filter",
-    "q6_revenue_delta",
-    "q4_priority_late_ship",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q18_large_orders",
-    # -- r5-green token-family (tokenization semantics changed r7) --
-    "q_minhash_near_dups",
-    "q_simhash",
-    "q_dedup_clusters",
-    "q_winnowing_fingerprints",
-    "q_dedup_clusters_lsh",
+    # -- contract-forced (r5-green aging past the 3-round horizon),
+    #    with the 7 batch-13 first rows in registration order --
+    "q19_bracket_revenue",
+    "q_union_parties_by_nation",
+    "q_intersect_nations",
+    "q_parts_never_ordered",
+    "q_window_order_seq",
+    "q_json_props",
+    "q_ann_lsh_topk",
+    "q_multimodal_features",
+    "q15_top_suppliers",
+    "q2_cheapest_part_per_type",
+    "q22_idle_rich_customers",
+    "q_lineitems_above_order_avg",
+    "q_name_word_counts",
+    "q_order_quantity_profile",
+    "q_ann_recall",
+    "q_approx_sketches",
+    "q_range_join_event_windows",
+    "q9_product_type_profit",
+    "q11_important_parts",
+    "q16_supplier_part_counts",
+    "q20_top_part_shippers",
+    "q_shuffle_corpus",
+    "q_sample_k_per_stratum",
+    "q_normalize_text",
+    "q_select_budget",
+    "q_corpus_report",
+    "q_corpus_drift",
+    "q_dedup_spans",
+    # -- free slots: oldest-newest-green-record first --
+    "q1_pricing_summary",
+    "q5_local_supplier_volume",
+    "q_events_pivot",
+    "q_envelope_roundtrip",
+    "q_meascollec_flatten",
+    "q_clean_cell_metrics",
+    "q_clean_kpi_int",
+    "q_cube_lineitem",
+    "q_window_trailing_revenue",
+    "q_percentiles_by_priority",
+    "q_ngram_jaccard_pairs",
+    "q_frame_sample_plan",
+    "q_multimodal_meta",
+    "q_conditional_counts",
+    "q_weekly_order_volume",
+    "q_sql_regional_revenue",
+    "q_nation_lookup",
+    "q_text_token_stats",
+    "q_text_quality",
+    "q_lang_id",
 ]
 
 

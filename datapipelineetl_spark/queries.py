@@ -46,6 +46,26 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+def driver_unsafe_cols(schema: T.StructType) -> list[tuple[str, str]]:
+    """Output columns the DRIVER's correctness canon cannot hash.
+
+    The driver lexsorts result rows via pandas before hashing; a cell
+    holding a Python list/dict/Row cannot be factorized
+    (``TypeError: unhashable type: 'list'`` — the r7
+    q_encode_tokens/q_pack_sequences miss). Any registered or staged
+    query whose Spark schema contains ArrayType/MapType/StructType must
+    reshape first: md5-digest the collection (q_winnowing_fingerprints
+    pattern) or posexplode to scalar rows. Every local gate layer
+    (tools/check_correctness.py, tests/test_corpus_oracles.py,
+    tools/rotate_window.py) hard-fails on these so the class of miss
+    cannot reach the driver again."""
+    return [
+        (f.name, f.dataType.simpleString())
+        for f in schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return catalog.load(spark, sf_dir, name)
 

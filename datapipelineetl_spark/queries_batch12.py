@@ -438,21 +438,33 @@ def q_build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH {_SQL_VOCAB},
     {_SQL_ENC}
-    SELECT doc_id, input_ids FROM enc
+    SELECT doc_id,
+           md5(array_to_string(input_ids, ',')) AS ids_digest,
+           CAST(len(input_ids) AS INT) AS n_tokens
+    FROM enc
     """,
 )
 def q_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-id encoding of every document against the corpus-built
     vocabulary (the text→tensor boundary): per-doc id sequences in
     original token order, OOV → <unk>. The oracle replays the vocabulary
-    AND the ordered encoding, so every position of every sequence is
-    value-checked.
+    AND the ordered encoding; the sequence ships as an md5 digest of the
+    comma-joined ids (arrays are not driver-hashable — the r7 lesson,
+    same pattern as q_winnowing_fingerprints), which still pins every
+    token-id at every position: any positional drift breaks the digest.
 
     Scale: explode + one broadcastable vocab join + in-aggregate sorted
     rebuild — no per-doc window (text.encode_tokens docstring)."""
     docs = _t(spark, sf_dir, "documents")
     vocab = text.build_vocab(docs)
-    return text.encode_tokens(docs, vocab)
+    enc = text.encode_tokens(docs, vocab)
+    return enc.select(
+        "doc_id",
+        F.md5(F.array_join(F.col("input_ids").cast("array<string>"), ",")).alias(
+            "ids_digest"
+        ),
+        F.size("input_ids").cast("int").alias("n_tokens"),
+    )
 
 
 @query(
@@ -472,7 +484,8 @@ def q_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
              ) AS BIGINT) AS pack_id
       FROM lens)
     SELECT pack_id,
-           flatten(list(input_ids ORDER BY doc_id)) AS token_ids,
+           md5(array_to_string(flatten(list(input_ids ORDER BY doc_id)), ','))
+             AS token_digest,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(nt) AS BIGINT) AS n_tokens
     FROM assigned GROUP BY pack_id
@@ -482,16 +495,27 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The complete text→tensor pipeline in one query: corpus vocabulary
     → per-doc id encoding → contiguous packing on REAL sequence lengths
     → per-pack concatenated id arrays. The oracle replays everything
-    down to the exact token-id at every position of every pack — if any
-    stage (vocab ranks, encoding order, shard hash, cumulative-sum pack
-    assignment, flatten order) drifted, the value hash breaks.
+    down to the exact token-id at every position of every pack; the
+    per-pack tensor ships as an md5 digest of the comma-joined ids
+    (arrays are not driver-hashable — the r7 lesson, same pattern as
+    q_winnowing_fingerprints), so if any stage (vocab ranks, encoding
+    order, shard hash, cumulative-sum pack assignment, flatten order)
+    drifted, the digest breaks.
 
     Scale: see corpus.pack_sequences — one shard shuffle + one pack
     groupBy with in-aggregate ordered flatten."""
     docs = _t(spark, sf_dir, "documents")
     vocab = text.build_vocab(docs)
     enc = text.encode_tokens(docs, vocab)
-    return corpus.pack_sequences(enc, budget=512, n_shards=8)
+    packs = corpus.pack_sequences(enc, budget=512, n_shards=8)
+    return packs.select(
+        "pack_id",
+        F.md5(F.array_join(F.col("token_ids").cast("array<string>"), ",")).alias(
+            "token_digest"
+        ),
+        "n_docs",
+        "n_tokens",
+    )
 
 
 @query(

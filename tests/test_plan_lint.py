@@ -14,6 +14,7 @@ scale paths exist alongside (and are lint-clean)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 import __spark_entry__ as entrymod
 
@@ -36,7 +37,7 @@ NESTED_LOOP_ALLOWED = {
 
 
 @pytest.fixture(scope="module")
-def plans(spark, sf_dir):
+def frames(spark, sf_dir):
     # live registry + the STAGED batteries: a staged query gets linted
     # BEFORE promotion, not discovered dirty when it enters the window
     from datapipelineetl_spark import queries_batch12 as b12
@@ -44,10 +45,50 @@ def plans(spark, sf_dir):
 
     queries = {**entrymod.queries(), **b12.STAGED_QUERIES,
                **b13.STAGED_QUERIES}
-    out = {}
-    for name, fn in queries.items():
-        out[name] = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-    return out
+    return {name: fn(spark, sf_dir) for name, fn in queries.items()}
+
+
+@pytest.fixture(scope="module")
+def plans(frames):
+    return {
+        name: df._jdf.queryExecution().executedPlan().toString()
+        for name, df in frames.items()
+    }
+
+
+def test_no_driver_unhashable_output_anywhere(frames):
+    """The driver's correctness canon lexsorts result rows via pandas,
+    which cannot factorize list/dict/Row cells — an array<...> output
+    column crashes the gate of record even when the query is correct
+    (the r7 q_encode_tokens / q_pack_sequences miss). Enforced over
+    every registered AND staged query so the class of defect cannot
+    take a window slot again: md5-digest the collection
+    (q_winnowing_fingerprints pattern) or posexplode to scalar rows."""
+    from datapipelineetl_spark.queries import driver_unsafe_cols
+
+    offenders = {
+        n: unsafe
+        for n, df in frames.items()
+        if (unsafe := driver_unsafe_cols(df.schema))
+    }
+    assert not offenders, f"driver-unhashable output columns: {offenders}"
+
+
+def test_driver_unsafe_cols_detects_each_complex_type(spark):
+    """The guard itself: every complex Spark output type is flagged,
+    scalars never are (VERDICT r7 item 2's required negative test)."""
+    from datapipelineetl_spark.queries import driver_unsafe_cols
+
+    df = spark.range(1).select(
+        F.col("id"),
+        F.lit("s").alias("ok_str"),
+        F.array(F.lit(1)).alias("bad_arr"),
+        F.create_map(F.lit("k"), F.lit(1)).alias("bad_map"),
+        F.struct(F.lit(1).alias("x")).alias("bad_struct"),
+    )
+    flagged = dict(driver_unsafe_cols(df.schema))
+    assert set(flagged) == {"bad_arr", "bad_map", "bad_struct"}
+    assert driver_unsafe_cols(spark.range(1).schema) == []
 
 
 def test_no_row_at_a_time_python_anywhere(plans):

@@ -26,6 +26,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import __spark_entry__ as entrymod
 from datapipelineetl_spark import catalog
+from datapipelineetl_spark.queries import driver_unsafe_cols
 from datapipelineetl_spark.session import get_session
 
 
@@ -105,6 +106,17 @@ def main() -> int:
             scols = sdf.columns
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
+            failed.append(name)
+            continue
+        # HARD FAILURE (the r7 q_encode_tokens miss: the local str()-canon
+        # happily stringifies Python lists, the driver's pandas lexsort
+        # crashes on them — local green must predict driver green)
+        unsafe = driver_unsafe_cols(sdf.schema)
+        if unsafe:
+            print(
+                f"FAIL  {name}: driver-unhashable output columns {unsafe}; "
+                "md5-digest the collection or posexplode to scalar rows"
+            )
             failed.append(name)
             continue
         if name not in oracles:

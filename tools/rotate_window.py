@@ -31,7 +31,8 @@ WINDOW = 50
 
 
 def main() -> int:
-    n_promote = int(sys.argv[1]) if len(sys.argv) > 1 else None
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_promote = int(args[0]) if args else None
     repo = Path(entrymod.__file__).resolve().parent
     recent = sorted(
         repo.glob("CORRECTNESS_r*.json"),
@@ -104,6 +105,31 @@ def main() -> int:
     print(f"\nsuggested PRIORITY ({len(window)} slots; promotions first):")
     for q in window:
         print(f'    "{q}",')
+    # driver-hashability guard (VERDICT r7 item 2): a query whose output
+    # schema the driver's pandas canon cannot hash must never take a
+    # window slot — build each candidate lazily (schema analysis only,
+    # nothing executes) and fail loudly on array/map/struct columns.
+    if "--no-schema-check" not in sys.argv[1:]:
+        from datapipelineetl_spark.queries import driver_unsafe_cols
+        from datapipelineetl_spark.session import get_session
+
+        spark = get_session("rotate-window-schema-check")
+        all_q = {**entrymod.queries(), **b11.STAGED_QUERIES,
+                 **b12.STAGED_QUERIES, **b13.STAGED_QUERIES}
+        sf_dir = "/root/testdata/sf0.001"
+        unsafe = {}
+        for q in window:
+            cols = driver_unsafe_cols(all_q[q](spark, sf_dir).schema)
+            if cols:
+                unsafe[q] = cols
+        if unsafe:
+            print(
+                f"\nERROR: driver-unhashable output columns in the window: "
+                f"{unsafe} — md5-digest the collection or posexplode to "
+                "scalar rows before giving these queries slots"
+            )
+            return 1
+        print("\nschema check: all window outputs driver-hashable")
     return 0
 
 
