@@ -522,9 +522,10 @@ def remove_duplicate_spans(
     whitespace-normalized like every ``tokens()`` consumer (the
     standard token-stream form of this pass). When byte fidelity
     matters, use ``duplicate_spans``' annotations and cut upstream.
-    Every input row returns (never silently dropped): fully-duplicated
-    docs come back empty, sub-``n``-token and NULL docs come back as
-    their normalized token stream.
+    Every input row returns (never silently dropped) WITH every other
+    input column intact (source, lang, metadata — only ``text_col`` is
+    rewritten): fully-duplicated docs come back empty, sub-``n``-token
+    and NULL docs come back as their normalized token stream.
 
     Scale: the detection cost (above) + one positions explode and one
     groupBy(doc) in-aggregate ordered rebuild — the
@@ -562,7 +563,7 @@ def remove_duplicate_spans(
         ).alias(text_col)
     )
     return (
-        df.select(id_col)
+        df.drop(text_col)
         .join(rebuilt, id_col, "left")
         .fillna({text_col: ""})
     )

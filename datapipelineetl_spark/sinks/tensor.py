@@ -10,18 +10,20 @@ Layout per shard ``s``::
     <dir>/shard-00042.bin       token ids, little-endian int32/int64,
                                 sequences concatenated in pos order
     <dir>/shard-00042.idx.json  {"shard": 42, "dtype": "int32",
+                                 "md5": "...",  # of the .bin bytes
                                  "sequences": [{"pos": 1, "offset": 0,
                                                 "n_tokens": 512}, ...]}
 
 Scale: ONE ``applyInPandas`` over groupBy(shard) — each shard is
 assembled and written by one task (exactly the file-sized-shard layout
 ``shuffle_corpus`` docstrings prescribe), ids never reach the driver.
-Writes are tmp-file + atomic rename, so a replayed task overwrites its
-own shard instead of corrupting or duplicating it (the same
-idempotence contract as the parquet epoch sinks). Executor-local
-``open()`` means the directory must be shared storage in a real
-cluster (NFS/FUSE-mounted object store) — the standard deployment for
-loader-consumed artifacts.
+Writes go to an ATTEMPT-UNIQUE temp file (``tempfile.mkstemp`` in the
+output dir) then ``os.replace`` onto the final name: a replayed task —
+including a speculative attempt or zombie racing its retry, which a
+shared fixed ``.tmp`` name would interleave with — installs a complete
+shard or nothing, never a corrupt mix. Executor-local ``open()`` means
+the directory must be shared storage in a real cluster (NFS/FUSE-mounted
+object store) — the standard deployment for loader-consumed artifacts.
 """
 
 from __future__ import annotations
@@ -43,10 +45,16 @@ def write_token_shards(
     dtype: str = "int32",
 ) -> DataFrame:
     """Write ``(shard, pos, token_ids)`` rows as binary shard files;
-    returns the manifest (shard, n_sequences, n_tokens, path) — a tiny
-    frame to persist next to the artifact. Ids exceeding ``dtype``'s
-    range fail the task loudly (a silently wrapped token id is corrupt
-    training data).
+    returns the manifest (shard, n_sequences, n_tokens, md5, path) — a
+    tiny frame to persist next to the artifact; ``md5`` is the digest of
+    the shard file's bytes (recorded in the ``.idx.json`` too) so a
+    loader can verify integrity before mapping. Ids exceeding
+    ``dtype``'s range fail the task loudly (a silently wrapped token id
+    is corrupt training data).
+
+    The write is EAGER: the shard files exist when this returns (the
+    manifest is checkpointed, so acting on it again re-reads the
+    materialized rows — it never re-runs the file writes).
     """
     if dtype not in _DTYPES:
         raise ValueError(f"dtype must be one of {sorted(_DTYPES)}, got {dtype}")
@@ -54,7 +62,10 @@ def write_token_shards(
     os.makedirs(out_dir, exist_ok=True)
 
     def kernel(pdf):
-        import numpy as np  # noqa: PLC0415 — executor-side import
+        import hashlib  # noqa: PLC0415 — executor-side import
+        import tempfile  # noqa: PLC0415
+
+        import numpy as np  # noqa: PLC0415
         import pandas as pd  # noqa: PLC0415
 
         # the driver-side makedirs above covers local mode; on a cluster
@@ -76,29 +87,61 @@ def write_token_shards(
             )
             offset += int(arr.size)
         path = os.path.join(out_dir, f"shard-{shard:05d}.bin")
-        tmp = path + ".tmp"
-        with open(tmp, "wb") as f:
-            for c in chunks:
-                f.write(c.tobytes())
-        os.replace(tmp, path)  # atomic: replays overwrite, never corrupt
+        # attempt-UNIQUE temp name (never a shared path+'.tmp'): two
+        # racing attempts of the same task each write their own file and
+        # the atomic replace installs whichever finishes — complete
+        # bytes either way, never interleaved
+        digest = hashlib.md5()
+        fd, tmp = tempfile.mkstemp(
+            dir=out_dir, prefix=f".shard-{shard:05d}.", suffix=".bin.tmp"
+        )
+        try:
+            with os.fdopen(fd, "wb") as f:
+                for c in chunks:
+                    b = c.tobytes()
+                    digest.update(b)
+                    f.write(b)
+            os.replace(tmp, path)  # atomic: replays overwrite, never corrupt
+        except BaseException:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+            raise
+        md5 = digest.hexdigest()
         idx = path[: -len(".bin")] + ".idx.json"
-        tmp_idx = idx + ".tmp"
-        with open(tmp_idx, "w") as f:
-            json.dump({"shard": shard, "dtype": dtype, "sequences": seqs}, f)
-        os.replace(tmp_idx, idx)
+        fd_i, tmp_idx = tempfile.mkstemp(
+            dir=out_dir, prefix=f".shard-{shard:05d}.", suffix=".idx.tmp"
+        )
+        try:
+            with os.fdopen(fd_i, "w") as f:
+                json.dump(
+                    {"shard": shard, "dtype": dtype, "md5": md5,
+                     "sequences": seqs}, f,
+                )
+            os.replace(tmp_idx, idx)
+        except BaseException:
+            if os.path.exists(tmp_idx):
+                os.unlink(tmp_idx)
+            raise
         return pd.DataFrame(
             {
                 "shard": [shard],
                 "n_sequences": [len(seqs)],
                 "n_tokens": [offset],
+                "md5": [md5],
                 "path": [path],
             }
         )
 
-    return (
+    manifest = (
         df.select(shard_col, pos_col, ids_col)
         .groupBy(shard_col)
         .applyInPandas(
-            kernel, "shard int, n_sequences long, n_tokens long, path string"
+            kernel,
+            "shard int, n_sequences long, n_tokens long, md5 string, path string",
         )
     )
+    # the file writes are a side effect of executing the plan above: an
+    # eager checkpoint runs them EXACTLY ONCE here — a caller who never
+    # acts on the manifest still gets the shards, and one who acts twice
+    # doesn't rewrite them
+    return manifest.localCheckpoint(eager=True)

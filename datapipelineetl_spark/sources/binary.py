@@ -47,9 +47,13 @@ def read_media_dir(
     across re-ingests of the same tree (a re-run or a late-arriving
     replica keeps its id, so downstream dedup/joins are replay-safe),
     unlike ``monotonically_increasing_id`` which depends on the task
-    layout. ``with_header_meta=True`` chains the REAL stdlib header
-    decode (``multimodal.decode_headers``: WAV/PPM/BMP/PNG/GIF/JPEG
-    dimensions & rates) onto the scan in the same job.
+    layout. ``with_header_meta=True`` runs the REAL stdlib header
+    decode (``multimodal._parse_media_header``: WAV/PPM/BMP/PNG/GIF/JPEG
+    dimensions & rates) INLINE on the scanned batches — one
+    ``mapInPandas`` pass emitting payload + metadata together, so the
+    file contents are read exactly once (the previous self-join against
+    ``decode_headers`` re-executed the scan on both branches and read
+    every byte twice).
 
     Scale: one distributed ``binaryFile`` scan; payloads stay
     executor-side (the header decode is Arrow-batched ``mapInPandas``).
@@ -66,8 +70,25 @@ def read_media_dir(
         F.col("content").alias("payload"),
     )
     if with_header_meta:
-        meta = multimodal.decode_headers(df)
-        df = df.join(meta, "media_id")
+        parse = multimodal._parse_media_header
+        fields = (
+            "detected_format", "width", "height", "duration_ms",
+            "sample_rate", "n_channels", "bit_depth", "valid",
+        )
+
+        def kernel(batches):
+            for pdf in batches:
+                parsed = [parse(b) for b in pdf["payload"]]
+                out = pdf.copy()
+                for k in fields:
+                    out[k] = [p[k] for p in parsed]
+                yield out
+
+        schema = (
+            "media_id long, path string, length long, payload binary, "
+            + multimodal._HEADER_FIELDS
+        )
+        df = df.mapInPandas(kernel, schema)
     return df
 
 
@@ -77,6 +98,7 @@ def read_media_chunks(
     chunk_bytes: int = 64 * 1024 * 1024,
     glob: str | None = None,
     recursive: bool = True,
+    opener=None,
 ) -> DataFrame:
     """Chunked media ingestion — the path for files too large for
     ``read_media_dir``'s one-row-per-file contract (multi-GB video
@@ -96,8 +118,19 @@ def read_media_chunks(
     themselves are read executor-side by an Arrow-batched
     ``mapInPandas`` kernel doing seek+read of exactly its chunk. Peak
     memory per task is one Arrow batch of chunks, so ``chunk_bytes``
-    (not file size) bounds memory. Executor-local ``open()`` — shared
-    storage in a real cluster, as with every file source.
+    (not file size) bounds memory.
+
+    ``opener`` is the byte-range hook for NON-posix storage (a 100 TB
+    media corpus lives in object storage): a serializable callable
+    ``opener(path) -> file-like`` supporting ``seek``/``read``, invoked
+    EXECUTOR-side per file. Default ``None`` = posix ``open`` on
+    local/``file:`` paths with a loud failure on any other scheme
+    (never a misread). Object-store example (fsspec implements ranged
+    GETs behind the file interface)::
+
+        import fsspec
+        chunks = read_media_chunks(spark, "s3a://bucket/videos",
+                                   opener=lambda p: fsspec.open(p, "rb").open())
     """
     if chunk_bytes < 1:
         raise ValueError(f"chunk_bytes must be >= 1, got {chunk_bytes}")
@@ -136,18 +169,24 @@ def read_media_chunks(
         for pdf in batches:
             payloads = []
             for p, off, n in zip(pdf["path"], pdf["offset"], pdf["n_bytes"]):
-                u = urlparse(p)
-                if u.scheme not in ("", "file"):
-                    # object-store byte ranges need the store's ranged
-                    # GET, not posix seek — fail loudly, don't misread
-                    raise ValueError(
-                        f"read_media_chunks reads local/shared-posix "
-                        f"paths only, got scheme {u.scheme!r} in {p}"
-                    )
-                # binaryFile returns URI-style paths: percent-decode so
-                # filenames with spaces/specials open correctly
-                local = unquote(u.path) if u.scheme == "file" else p
-                with open(local, "rb") as f:
+                if opener is not None:
+                    f = opener(p)
+                else:
+                    u = urlparse(p)
+                    if u.scheme not in ("", "file"):
+                        # object-store byte ranges need the store's
+                        # ranged GET, not posix seek — fail loudly
+                        # (pass opener= for s3a/gs/abfs), don't misread
+                        raise ValueError(
+                            f"read_media_chunks reads local/shared-posix "
+                            f"paths only without an opener, got scheme "
+                            f"{u.scheme!r} in {p}"
+                        )
+                    # binaryFile returns URI-style paths: percent-decode
+                    # so filenames with spaces/specials open correctly
+                    local = unquote(u.path) if u.scheme == "file" else p
+                    f = open(local, "rb")
+                with f:
                     f.seek(int(off))
                     payloads.append(f.read(int(n)))
             out = pdf.copy()

@@ -791,8 +791,15 @@ def test_write_token_shards_binary_round_trip(spark, tmp_path):
     ]
     df = spark.createDataFrame(rows, "shard int, pos long, token_ids array<long>")
     out = str(tmp_path / "shards")
-    manifest = {r.shard: r for r in
-                tensor.write_token_shards(df, out).collect()}
+    result = tensor.write_token_shards(df, out)
+    # EAGER contract: the shard files exist BEFORE any action on the
+    # returned manifest (a lazy sink whose caller never materializes the
+    # manifest would silently write nothing — ADVICE r7)
+    import hashlib
+    import os as _os
+
+    assert _os.path.exists(out + "/shard-00000.bin")
+    manifest = {r.shard: r for r in result.collect()}
     assert manifest[0].n_sequences == 2 and manifest[0].n_tokens == 5
     assert manifest[1].n_sequences == 2 and manifest[1].n_tokens == 1
 
@@ -801,6 +808,11 @@ def test_write_token_shards_binary_round_trip(spark, tmp_path):
     idx = json.load(open(out + "/shard-00000.idx.json"))
     assert idx["dtype"] == "int32"
     assert [s["offset"] for s in idx["sequences"]] == [0, 3]
+    # integrity digest: manifest and index both carry the md5 of the
+    # shard file's actual bytes (loader-side verification hook)
+    assert manifest[0].md5 == hashlib.md5(raw).hexdigest() == idx["md5"]
+    # no attempt-unique temp files left behind after the atomic installs
+    assert not [f for f in _os.listdir(out) if f.endswith(".tmp")]
 
     # replay: same bytes, no duplication
     tensor.write_token_shards(df, out).collect()
