@@ -382,7 +382,8 @@ def prepare_corpus(
     semantic_id_col: str = "vec_id",
     semantic_vec_col: str = "embedding",
     normalize: bool = False,
-) -> DataFrame:
+    with_attrition: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """One-call training-corpus preparation — the §2.11 ladder composed
     in its production order:
 
@@ -422,6 +423,18 @@ def prepare_corpus(
     Returns the surviving rows of ``df`` (annotation columns included)
     — every stage is the already-oracle-checked operator, composed.
 
+    ``with_attrition=True`` returns ``(corpus, attrition)`` instead,
+    where ``attrition`` is the same (stage, n_rows, n_dropped) frame as
+    ``attrition_report`` — but FREE: stage counts ride as
+    ``Observation`` metrics on the jobs that already materialize the
+    ladder (the checkpoint barriers), so no stage re-executes for its
+    count (vs. the standalone report's one-count-job-per-stage over a
+    second run of the ladder). The dropping stages get an eager
+    checkpoint each (populating their metric AND serving the
+    multi-reference consumers that follow); pre-pass drops
+    (``max_dup_line_frac``) fold into stage 1's drop count, since the
+    report's stage names mirror the default composition.
+
     Scale: the expensive stage (3) is the capped ladder whose 100 TB
     design is argued/measured in dedup.py + SCALING.md; stages 1/2/4 are
     one narrow pass + one partial-agg shuffle. The quality-ranked
@@ -439,6 +452,25 @@ def prepare_corpus(
             remove_boilerplate_lines(df, id_col=id_col, text_col=text_col),
             id_col,
         )
+    # attrition metrics ride the ladder's own jobs as Observations — a
+    # stage's count is populated when its checkpoint barrier executes,
+    # never by a second pass. Attached BEFORE the max_dup_line_frac
+    # pre-filter (the one row-dropping pre-pass) so its drops appear in
+    # stage 1's n_dropped; the observed nodes are all single-reference
+    # in the executed jobs (stages 1–2 are window/filter chains), so
+    # each metric is counted exactly once.
+    observations: list[tuple[str, object]] = []
+
+    def _observed(frame: DataFrame, stage: str) -> DataFrame:
+        if not with_attrition:
+            return frame
+        from pyspark.sql import Observation  # noqa: PLC0415
+
+        o = Observation()
+        observations.append((stage, o))
+        return frame.observe(o, F.count(F.lit(1)).alias("n"))
+
+    df = _observed(df, "0_input")
     if max_dup_line_frac is not None:
         df = (
             repetition_stats(df, id_col=id_col, text_col=text_col, gram_ns=())
@@ -446,8 +478,10 @@ def prepare_corpus(
             .drop("dup_line_frac", "dup_line_char_frac")
         )
     out = _quality_lang_stage(df, text_col, min_quality, langs)
+    out = _observed(out, "1_quality_lang")
     out = _exact_dedup_stage(out, id_col, text_col)
-    if near_dup_threshold is not None or embeddings is not None:
+    out = _observed(out, "2_exact_dedup")
+    if near_dup_threshold is not None or embeddings is not None or with_attrition:
         # pipeline-level materialization: the filtered+deduped base is
         # referenced by the pair ladder (several times internally) AND
         # the final anti-join — without the barrier the quality/dedup
@@ -468,6 +502,10 @@ def prepare_corpus(
         # duplication rate (can be most of a crawl) — AQE broadcasts it
         # only when it actually fits
         out = out.join(losers, out[id_col] == F.col("__loser"), "left_anti")
+        if with_attrition:
+            # the barrier both populates the stage metric and serves the
+            # semantic stage's three references to `out`
+            out = _observed(out, "3_near_dedup").localCheckpoint(eager=True)
     if embeddings is not None:
         # SemDeDup stage: embedding-space near-dups that share no surface
         # n-grams (translations, paraphrases) — runs AFTER the surface
@@ -507,8 +545,20 @@ def prepare_corpus(
                 F.col("doc_id") != F.col("cluster_id")
             ).select(F.col("doc_id").alias("__sem_loser"))
         out = out.join(sem, out[id_col] == F.col("__sem_loser"), "left_anti")
+        if with_attrition:
+            out = _observed(out, "4_semantic_dedup").localCheckpoint(eager=True)
     if redact:
         out = redact_pii(out, text_col)
+    if with_attrition:
+        counts = [(stage, int(o.get["n"])) for stage, o in observations]
+        rows = [
+            (name, n, (counts[i - 1][1] - n) if i else 0)
+            for i, (name, n) in enumerate(counts)
+        ]
+        report = df.sparkSession.createDataFrame(
+            rows, "stage string, n_rows long, n_dropped long"
+        )
+        return out, report
     return out
 
 

@@ -584,6 +584,24 @@ def test_attrition_report_accounts_for_every_stage(spark):
     surv = corpus.prepare_corpus(df, redact=False).count()
     assert surv == rep["3_near_dedup"][0]
 
+    # with_attrition=True: the SAME report as a free by-product of the
+    # run itself (Observation metrics on the ladder's own jobs — no
+    # second pass), and the corpus output identical to the plain call
+    out, report = corpus.prepare_corpus(df, redact=False, with_attrition=True)
+    got = {r.stage: (r.n_rows, r.n_dropped) for r in report.collect()}
+    assert got == rep
+    assert {r.doc_id for r in out.collect()} == {
+        r.doc_id for r in corpus.prepare_corpus(df, redact=False).collect()
+    }
+    # no-dedup path still reports stages 0-2 (the forced barrier
+    # populates the observations even when no near-dup stage runs)
+    _, rep_nd = corpus.prepare_corpus(
+        df, redact=False, near_dup_threshold=None, with_attrition=True
+    )
+    nd = {r.stage: (r.n_rows, r.n_dropped) for r in rep_nd.collect()}
+    assert nd == {"0_input": (5, 0), "1_quality_lang": (4, 1),
+                  "2_exact_dedup": (3, 1)}
+
 
 def test_shuffle_corpus_is_deterministic_partition(spark):
     """shuffle_corpus: (shard, pos) is a deterministic permutation —
