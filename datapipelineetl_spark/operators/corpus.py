@@ -1273,3 +1273,103 @@ def corpus_drift(
         ).alias("quality_delta"),
         status.alias("status"),
     )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+    out: str = "dsir_weight",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    document by how target-like its hashed n-gram profile is — the
+    mean log-likelihood ratio ``ln(p_target(b) / p_raw(b))`` over the
+    document's features, where features are unigrams + word bigrams
+    hashed into ``n_buckets`` buckets and both distributions are
+    add-``alpha`` smoothed bucket frequencies (target fit on
+    ``target``, raw on ``df`` itself). Rank by the weight and take the
+    top slice (or gumbel-resample downstream) to select raw data that
+    matches a high-quality target domain. Returns
+    (id_col, n_grams, out); gramless docs get n_grams 0 and NULL
+    weight, never a dropped row.
+
+    Scale: both distributions are ``n_buckets``-row frames (metadata —
+    the whole point of hashed features: the model size is fixed
+    regardless of corpus size) built by one partial-agg shuffle each;
+    scoring is one explode + one broadcast join against the bucket
+    table + one groupBy(doc). The totals row is a 1-row scalar
+    crossJoin (plan-lint-allowlisted decorrelated-scalar shape).
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+
+    def grams(col: Column) -> Column:
+        # unigrams + word bigrams; the degenerate shingles of sub-2-token
+        # docs (the lone token / the empty string) are filtered so a
+        # 1-token doc doesn't double-count itself
+        uni = text.tokens(col)
+        bi = F.filter(
+            text.shingles(col, 2), lambda g: (g != "") & ~g.rlike(r"^\S+$")
+        )
+        return F.concat(uni, bi)
+
+    def dist(frame: DataFrame, name: str) -> DataFrame:
+        return (
+            frame.select(F.explode(grams(F.col(text_col))).alias("__g"))
+            .groupBy(
+                F.pmod(text.token_hash60(F.col("__g")), F.lit(n_buckets)).alias(
+                    "__b"
+                )
+            )
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    model = (
+        dist(df, "__raw")
+        .join(dist(target, "__tgt"), "__b", "full")
+        .fillna({"__raw": 0, "__tgt": 0})
+    ).localCheckpoint(eager=True)  # bucket-table-sized; read by totals + join
+    totals = model.agg(
+        F.coalesce(F.sum("__raw"), F.lit(0)).alias("__raw_total"),
+        F.coalesce(F.sum("__tgt"), F.lit(0)).alias("__tgt_total"),
+    )
+    doc_grams = df.select(
+        F.col(id_col),
+        F.explode_outer(grams(F.coalesce(F.col(text_col), F.lit("")))).alias(
+            "__g"
+        ),
+    ).withColumn(
+        "__b",
+        F.when(
+            F.col("__g").isNotNull(),
+            F.pmod(text.token_hash60(F.col("__g")), F.lit(n_buckets)),
+        ),
+    )
+    scored = (
+        doc_grams.join(F.broadcast(model), "__b", "left")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "__lr",
+            F.when(
+                F.col("__g").isNotNull(),
+                F.log(
+                    (F.coalesce(F.col("__tgt"), F.lit(0)) + F.lit(alpha))
+                    / (F.col("__tgt_total") + F.lit(alpha) * n_buckets)
+                )
+                - F.log(
+                    (F.coalesce(F.col("__raw"), F.lit(0)) + F.lit(alpha))
+                    / (F.col("__raw_total") + F.lit(alpha) * n_buckets)
+                ),
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("__lr").alias("n_grams"),
+        F.round(F.avg("__lr"), 5).alias(out),
+    )

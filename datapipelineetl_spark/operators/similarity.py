@@ -508,3 +508,87 @@ def ann_lsh_topk(
         )
     probe = sigs.filter(probe_any).drop(*sig_cols)
     return cosine_topk(probe, query_vec, k, id_col, vec_col, exclude_ids)
+
+
+def kmeans(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Deterministic Euclidean k-means corpus clustering (plain Lloyd —
+    the domain-discovery / cluster-balanced-mixing companion to the
+    spherical ``ivf_fit_centroids`` quantizer): centroids seed from the
+    ``k`` lowest-id vectors (data-derived, no RNG), iterations are
+    fixed-count, and every updated centroid coordinate is ROUNDED to
+    ``round_dp`` decimals — that rounding is what makes the whole
+    trajectory exactly replayable cross-engine (a DuckDB oracle
+    re-derives every iteration; un-rounded averages differ in the last
+    ulp between engines/summation orders and the argmin near a
+    boundary would flip). Returns (id_col, cluster) for EVERY input
+    row — cluster is the seed index 0..k-1, NULL for NULL vectors.
+    Empty clusters keep their previous centroid. Distance ties break
+    to the lower cluster id.
+
+    Scale: centroids are driver metadata (k × dim floats — the only
+    thing collected); each iteration is one narrow assignment pass +
+    one groupBy(cluster) partial-agg of per-dimension means (k × dim
+    scalars shuffled). The assignment here is a JVM fold over literal
+    centroid arrays — bit-exact sequential sums, which the oracle
+    needs; for production k in the hundreds swap the Arrow matmul
+    assignment (``_ivf_assign_pandas``) exactly as IVF does, trading
+    oracle-grade determinism for throughput.
+    """
+    if k < 1 or iters < 0:
+        raise ValueError(f"need k >= 1 and iters >= 0, got {k}, {iters}")
+    vec = F.col(vec_col).cast("array<double>")
+    seeds = (
+        df.filter(vec.isNotNull())
+        .orderBy(id_col)
+        .limit(k)
+        .select(vec.alias("v"))
+        .collect()
+    )
+    if len(seeds) < k:
+        raise ValueError(f"need >= {k} non-null vectors, got {len(seeds)}")
+    cents = [[round(float(x), round_dp) for x in r.v] for r in seeds]
+    dim = len(cents[0])
+
+    def assign(cents: list[list[float]]) -> Column:
+        # array of (dist, cid) structs → array_min compares
+        # lexicographically: min distance, ties to the lower cid
+        entries = [
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        vec,
+                        F.array(*[F.lit(c) for c in cvec]),
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, d: acc + d,
+                ).alias("d"),
+                F.lit(cid).alias("c"),
+            )
+            for cid, cvec in enumerate(cents)
+        ]
+        return F.array_min(F.array(*entries))["c"].cast("int")
+
+    for _ in range(iters):
+        members = df.filter(vec.isNotNull()).select(
+            assign(cents).alias("__c"), vec.alias("__v")
+        )
+        means = members.groupBy("__c").agg(
+            *[
+                F.round(F.avg(F.col("__v")[i]), round_dp).alias(f"c{i}")
+                for i in range(dim)
+            ]
+        ).collect()
+        updated = {r["__c"]: [float(r[f"c{i}"]) for i in range(dim)] for r in means}
+        cents = [updated.get(cid, cvec) for cid, cvec in enumerate(cents)]
+    return df.select(
+        F.col(id_col),
+        F.when(vec.isNotNull(), assign(cents)).alias("cluster"),
+    )

@@ -595,3 +595,175 @@ def normalize_text(
     c = F.regexp_replace(c, _CONTROL_RE, "")
     c = F.replace(c, F.lit("\u00a0"), F.lit(" "))
     return df.withColumn(text_col, c)
+
+
+def unigram_logprob(
+    df: DataFrame,
+    lm_df: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+    out: str = "avg_logprob",
+) -> DataFrame:
+    """Language-model quality scoring, CCNet-style (Wenzek et al. 2020
+    filter wikis/crawls by LM perplexity; here the LM is the exact
+    add-``alpha`` unigram model so the score is deterministic and
+    oracle-replayable): per document, the mean natural-log probability
+    of its tokens under the model fit on ``lm_df`` (default: the corpus
+    itself — self-perplexity flags statistical outliers; pass a
+    high-quality reference corpus for the CCNet selection setup).
+    ``exp(-avg_logprob)`` is the per-token perplexity. OOV tokens take
+    the smoothed zero-count mass: p(t) = (count + alpha) /
+    (total + alpha * (V + 1)), the +1 reserving one pseudo-type for
+    unseen tokens. Returns (id_col, n_tokens, out); tokenless docs get
+    n_tokens 0 and NULL score, never a dropped row.
+
+    Scale: the LM fit is one token-count shuffle (partial-agg) over the
+    REFERENCE corpus, materialized once (vocabulary-sized, the
+    ``build_vocab`` discipline); scoring is one explode + one
+    vocab-join (AQE broadcasts the dimension-sized LM) + one
+    groupBy(doc). The totals row is a 1-row scalar crossJoin — the
+    decorrelated-scalar shape on the plan-lint allowlist, one row
+    replicated, no pair blowup.
+    """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    lm = lm_df if lm_df is not None else df
+    counts = (
+        lm.select(F.explode(tokens(text_col)).alias("__tok"))
+        .groupBy("__tok")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    ).localCheckpoint(eager=True)  # referenced by totals AND the score join
+    totals = counts.agg(
+        F.coalesce(F.sum("__cnt"), F.lit(0)).alias("__total"),
+        F.count(F.lit(1)).alias("__vocab"),
+    )
+    toks = df.select(
+        F.col(id_col),
+        F.explode_outer(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias(
+            "__tok"
+        ),
+    )
+    scored = (
+        toks.join(counts, "__tok", "left")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "__lp",
+            F.when(
+                F.col("__tok").isNotNull(),
+                F.log(
+                    (F.coalesce(F.col("__cnt"), F.lit(0)) + F.lit(alpha))
+                    / (F.col("__total") + F.lit(alpha) * (F.col("__vocab") + 1))
+                ),
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("__lp").alias("n_tokens"),
+        F.round(F.avg("__lp"), 5).alias(out),
+    )
+
+
+def calibrate_quality(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out: str = "quality_pct",
+) -> DataFrame:
+    """Per-group rank calibration of the composite quality score: each
+    document's score becomes its percentile WITHIN its ``group_col``
+    (source/crawl/domain), ``(rank - 1) / (n - 1)`` with the id as the
+    deterministic tiebreak (a 1-doc group scores 0.0). Heuristic score
+    distributions differ per source — a fixed global threshold then
+    over-selects easy sources and starves hard ones; rank-normalizing
+    first makes one threshold mean the same coverage everywhere (the
+    same reasoning as CCNet's per-language perplexity buckets).
+
+    Scale: the scoring pass is narrow codegen; calibration is ONE
+    shuffle on ``group_col`` and a per-group window — partitioned by
+    source, so parallelism follows source cardinality. A single source
+    holding most of the corpus serializes its window into one task: at
+    that shape, two-phase rank it (the ``select_budget`` offsets
+    pattern) or calibrate on a per-source sample.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    scored = with_quality_score(df, text_col)
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("quality_score"), F.col(id_col)
+    )
+    wc = Window.partitionBy(group_col)
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wc))
+        .withColumn(
+            out,
+            F.round(
+                (F.col("__rn") - 1)
+                / F.greatest(F.col("__n") - 1, F.lit(1)).cast("double"),
+                6,
+            ),
+        )
+        .drop("__rn", "__n")
+    )
+
+
+def vocab_growth(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_width: int = 100,
+) -> DataFrame:
+    """Heaps-law vocabulary growth curve: cumulative document, token,
+    and DISTINCT-token counts at corpus checkpoints — how fast the
+    vocabulary grows as the corpus does (sub-linear for natural text;
+    a linear curve flags id-like/generated tokens, a flat one flags
+    heavy duplication). Checkpoints are equal-width ``id_col`` ranges
+    (``bucket = floor(id / bucket_width)``): with dense ingest ids the
+    buckets are equal-count, and the range form needs NO global
+    ordinal — so no corpus-wide window anywhere. A token counts as new
+    in the bucket of its FIRST occurrence (min id).
+
+    Returns (bucket, bucket_start, docs_cum, tokens_cum, vocab_cum).
+
+    Scale: one explode + one groupBy(token) min-id (the only
+    corpus-sized shuffle), one narrow per-doc count, then all windows
+    run over the BUCKET-cardinality frame (corpus_size/bucket_width
+    rows — metadata-sized by construction, the documented vocab-rank
+    window class).
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    if bucket_width < 1:
+        raise ValueError(f"bucket_width must be >= 1, got {bucket_width}")
+    bucket = (F.col(id_col) / bucket_width).cast("long")
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__tok"))
+    new_per_bucket = (
+        toks.groupBy("__tok")
+        .agg(F.min(id_col).alias("__first"))
+        .groupBy((F.col("__first") / bucket_width).cast("long").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("__new_toks"))
+    )
+    per_bucket = (
+        df.select(
+            bucket.alias("bucket"),
+            F.size(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("__nt"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("__docs"),
+            F.sum("__nt").cast("long").alias("__toks"),
+        )
+    )
+    joined = per_bucket.join(new_per_bucket, "bucket", "left").fillna(
+        {"__new_toks": 0}
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return joined.select(
+        "bucket",
+        (F.col("bucket") * bucket_width).alias("bucket_start"),
+        F.sum("__docs").over(w).cast("long").alias("docs_cum"),
+        F.sum("__toks").over(w).cast("long").alias("tokens_cum"),
+        F.sum("__new_toks").over(w).cast("long").alias("vocab_cum"),
+    )

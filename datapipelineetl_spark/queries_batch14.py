@@ -1,0 +1,341 @@
+"""Fourteenth query battery — STAGED for the round-9 verify window.
+
+Round-8 additions to the training-data surface: LM-based quality
+scoring (``text.unigram_logprob`` — the CCNet-style perplexity filter,
+here an exact add-alpha unigram model so the score is
+oracle-replayable), DSIR-style hashed n-gram importance weighting
+(``corpus.dsir_weights``), per-source quality calibration
+(``text.calibrate_quality``), Heaps-law vocabulary growth
+(``text.vocab_growth``), and deterministic Euclidean k-means corpus
+clustering (``similarity.kmeans`` — every Lloyd iteration replayed in
+SQL, so the full assignment is value-checked, not just a recall
+number).
+
+Same staging contract as batches 11–13: separate dicts so importing
+this module cannot grow the live ``queries()`` surface mid-round;
+``tests/test_corpus_oracles.py`` runs the driver-style comparison
+locally; ``register()`` promotes them when the r9 window has slots.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datapipelineetl_spark.operators import corpus, similarity, text
+from datapipelineetl_spark.queries import _t, _t_spread
+from datapipelineetl_spark.queries import QUERIES as _GLOBAL_QUERIES
+from datapipelineetl_spark.queries import ORACLES as _GLOBAL_ORACLES
+from datapipelineetl_spark.queries_ext import _SQL_TOKENS
+
+STAGED_QUERIES: dict = {}
+STAGED_ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        STAGED_QUERIES[name] = fn
+        if oracle is not None:
+            STAGED_ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def register() -> None:
+    """Round-9 wiring: promote the staged queries into the live registry
+    (call from __spark_entry__ next to the batch-13 register, then give
+    them window slots)."""
+    _GLOBAL_QUERIES.update(STAGED_QUERIES)
+    _GLOBAL_ORACLES.update(STAGED_ORACLES)
+
+
+_TOKS = _SQL_TOKENS.format(c="text")
+
+
+# =============================================================================
+# LM quality scoring (CCNet-style, exact unigram model)
+# =============================================================================
+
+@query(
+    "q_unigram_logprob",
+    f"""
+    WITH cnts AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT UNNEST({_TOKS}) AS tok FROM documents)
+      GROUP BY tok),
+    tot AS (
+      SELECT COALESCE(SUM(cnt), 0) AS total, COUNT(*) AS vocab FROM cnts),
+    toks AS (
+      SELECT doc_id, UNNEST(arr) AS tok
+      FROM (SELECT doc_id, {_TOKS} AS arr FROM documents)),
+    lp AS (
+      SELECT t.doc_id,
+             ln((COALESCE(c.cnt, 0) + 0.5) / (tot.total + 0.5 * (tot.vocab + 1)))
+               AS lp
+      FROM toks t LEFT JOIN cnts c ON t.tok = c.tok CROSS JOIN tot),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             ROUND(AVG(lp), 5) AS avg_logprob
+      FROM lp GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+           a.avg_logprob
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM quality scoring (the CCNet-style perplexity filter on an
+    exact add-0.5 unigram model fit on the corpus itself): per-doc mean
+    ln-probability of its tokens, value-checked to 5 decimals — the
+    oracle re-fits the identical model and replays every smoothed
+    probability, so the whole fit+score path is pinned cross-engine.
+
+    Scale: one token-count shuffle for the LM (vocabulary-sized,
+    materialized once) + one broadcastable LM join + one groupBy(doc);
+    the totals row is an allowlisted 1-row scalar crossJoin
+    (text.unigram_logprob docstring)."""
+    docs = _t_spread(spark, sf_dir, "documents")
+    return text.unigram_logprob(docs)
+
+
+# =============================================================================
+# DSIR-style hashed n-gram importance weighting
+# =============================================================================
+
+_DSIR_BUCKETS = 1024
+_SQL_HASH60 = "('0x' || substr(md5({t}), 1, 15))::BIGINT"
+
+# gram construction replay: unigrams + word bigrams, with the degenerate
+# sub-2-token shingles filtered (corpus.dsir_weights' grams())
+_SQL_GRAMS = rf"""list_concat(
+  toks,
+  list_filter(
+    list_transform(generate_series(0, GREATEST(len(toks) - 2, 0)),
+                   i -> array_to_string(list_slice(toks, i + 1, i + 2), ' ')),
+    g -> g <> '' AND NOT regexp_matches(g, '^\S+$')))"""
+
+
+@query(
+    "q_dsir_weights",
+    f"""
+    WITH docs_g AS (
+      SELECT doc_id, source, {_SQL_GRAMS} AS grams
+      FROM (SELECT doc_id, source, {_TOKS} AS toks FROM documents)),
+    raw_d AS (
+      SELECT {_SQL_HASH60.format(t='g')} % {_DSIR_BUCKETS} AS b,
+             CAST(COUNT(*) AS BIGINT) AS raw_cnt
+      FROM (SELECT UNNEST(grams) AS g FROM docs_g) GROUP BY b),
+    tgt_d AS (
+      SELECT {_SQL_HASH60.format(t='g')} % {_DSIR_BUCKETS} AS b,
+             CAST(COUNT(*) AS BIGINT) AS tgt_cnt
+      FROM (SELECT UNNEST(grams) AS g FROM docs_g WHERE source = 'src0')
+      GROUP BY b),
+    model AS (
+      SELECT COALESCE(r.b, t.b) AS b,
+             COALESCE(raw_cnt, 0) AS raw_cnt,
+             COALESCE(tgt_cnt, 0) AS tgt_cnt
+      FROM raw_d r FULL JOIN tgt_d t ON r.b = t.b),
+    tot AS (
+      SELECT COALESCE(SUM(raw_cnt), 0) AS raw_total,
+             COALESCE(SUM(tgt_cnt), 0) AS tgt_total
+      FROM model),
+    lr AS (
+      SELECT g.doc_id,
+             ln((COALESCE(m.tgt_cnt, 0) + 1.0) / (tot.tgt_total + 1.0 * {_DSIR_BUCKETS}))
+             - ln((COALESCE(m.raw_cnt, 0) + 1.0) / (tot.raw_total + 1.0 * {_DSIR_BUCKETS}))
+               AS lr
+      FROM (SELECT doc_id, {_SQL_HASH60.format(t='g')} % {_DSIR_BUCKETS} AS b
+            FROM (SELECT doc_id, UNNEST(grams) AS g FROM docs_g)) g
+      LEFT JOIN model m ON g.b = m.b CROSS JOIN tot),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+             ROUND(AVG(lr), 5) AS dsir_weight
+      FROM lr GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(a.n_grams, 0) AS BIGINT) AS n_grams,
+           a.dsir_weight
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023) of every raw doc
+    against the 'src0' target slice: hashed uni+bigram features,
+    add-1-smoothed bucket distributions, per-doc mean log-likelihood
+    ratio — the oracle re-derives both distributions AND every hashed
+    bucket assignment, so the whole importance model is value-checked.
+
+    Scale: the model is two {0}-bucket metadata frames (fixed size
+    regardless of corpus); scoring is one explode + broadcast bucket
+    join + one groupBy(doc) (corpus.dsir_weights docstring).""".format(
+        _DSIR_BUCKETS
+    )
+    docs = _t_spread(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source") == "src0")
+    return corpus.dsir_weights(docs, target, n_buckets=_DSIR_BUCKETS)
+
+
+# =============================================================================
+# Per-source quality calibration
+# =============================================================================
+
+@query(
+    "q_quality_calibrated",
+    r"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(length(text) AS INT) AS n_chars_m,
+             ROUND(len(regexp_extract_all(text, '[^\w\s]')) * 1.0
+                   / GREATEST(length(text), 1), 4) AS punct_ratio,
+             ROUND(len(list_filter(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
+                                   x -> x IN ('the','and','of','to','is'))) * 1.0
+                   / GREATEST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')), 1), 4)
+               AS stopword_ratio,
+             ROUND(len(regexp_extract_all(text, '[A-Za-z]')) * 1.0
+                   / GREATEST(length(text), 1), 4) AS alpha_ratio
+      FROM documents),
+    s AS (
+      SELECT doc_id, source,
+             ROUND(CAST(
+               (CASE WHEN n_chars_m < 20 THEN 0.0 ELSE 1.0 END) * 0.25
+               + (CASE WHEN stopword_ratio >= 0.01 AND stopword_ratio <= 0.6 THEN 1.0 ELSE 0.0 END) * 0.25
+               + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END) * 0.25
+               + (CASE WHEN alpha_ratio >= 0.5 THEN 1.0 ELSE 0.0 END) * 0.25
+               AS DOUBLE), 4) AS quality_score
+      FROM t)
+    SELECT doc_id, source, quality_score,
+           ROUND((ROW_NUMBER() OVER (PARTITION BY source ORDER BY quality_score, doc_id) - 1)
+                 / GREATEST(COUNT(*) OVER (PARTITION BY source) - 1, 1) * 1.0, 6)
+             AS quality_pct
+    FROM s
+    """,
+)
+def q_quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source rank calibration of the composite quality score: each
+    doc's percentile within its source (deterministic id tiebreak) —
+    the oracle replays the scoring CTE and the window arithmetic, so
+    every percentile is value-checked.
+
+    Scale: narrow scoring + ONE shuffle on source with per-source
+    windows (text.calibrate_quality docstring, incl. the
+    dominant-source caveat)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.calibrate_quality(docs).select(
+        "doc_id", "source", "quality_score", "quality_pct"
+    )
+
+
+# =============================================================================
+# Heaps-law vocabulary growth
+# =============================================================================
+
+_VG_WIDTH = 50
+
+
+@query(
+    "q_vocab_growth",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(arr) AS tok
+      FROM (SELECT doc_id, {_TOKS} AS arr FROM documents)),
+    firsts AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS new_toks
+      FROM (SELECT CAST(MIN(doc_id) // {_VG_WIDTH} AS BIGINT) AS bucket
+            FROM toks GROUP BY tok)
+      GROUP BY bucket),
+    per_b AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS docs,
+             CAST(SUM(nt) AS BIGINT) AS toks
+      FROM (SELECT CAST(doc_id // {_VG_WIDTH} AS BIGINT) AS bucket,
+                   len({_TOKS}) AS nt
+            FROM documents)
+      GROUP BY bucket)
+    SELECT p.bucket,
+           CAST(p.bucket * {_VG_WIDTH} AS BIGINT) AS bucket_start,
+           CAST(SUM(p.docs) OVER w AS BIGINT) AS docs_cum,
+           CAST(SUM(p.toks) OVER w AS BIGINT) AS tokens_cum,
+           CAST(SUM(COALESCE(f.new_toks, 0)) OVER w AS BIGINT) AS vocab_cum
+    FROM per_b p LEFT JOIN firsts f ON p.bucket = f.bucket
+    WINDOW w AS (ORDER BY p.bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth: cumulative docs/tokens/distinct-token
+    counts at every {0}-id-wide corpus checkpoint — first-occurrence
+    attribution, bucket arithmetic, and all three cumulative sums
+    value-checked.
+
+    Scale: one token min-id shuffle; every window runs over the
+    bucket-cardinality frame (text.vocab_growth docstring).""".format(
+        _VG_WIDTH
+    )
+    docs = _t_spread(spark, sf_dir, "documents")
+    return text.vocab_growth(docs, bucket_width=_VG_WIDTH)
+
+
+# =============================================================================
+# Deterministic Euclidean k-means (full Lloyd trajectory replayed in SQL)
+# =============================================================================
+
+_KM_K = 4
+_KM_ITERS = 3
+_KM_DIM = 64
+_KM_DP = 6
+
+
+def _kmeans_oracle(k: int, iters: int, dim: int, dp: int) -> str:
+    """Generate the unrolled Lloyd-iteration CTE chain: seeds = the k
+    lowest-id vectors (rounded), each iteration = argmin assignment
+    (ties to lower cluster id) + per-dimension rounded means (empty
+    clusters keep the previous centroid via COALESCE)."""
+    dist = (
+        f"list_sum(list_transform(generate_series(1, {dim}), "
+        f"j -> (v[j] - cv[j]) * (v[j] - cv[j])))"
+    )
+    ctes = [
+        "v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
+        "FROM embeddings WHERE embedding IS NOT NULL)",
+        f"c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS c, "
+        f"list_transform(v, x -> ROUND(x, {dp})) AS cv "
+        f"FROM v ORDER BY vec_id LIMIT {k})",
+    ]
+    for i in range(iters):
+        ctes.append(
+            f"a{i} AS (SELECT vec_id, v, c FROM ("
+            f"SELECT vec_id, v, c, ROW_NUMBER() OVER "
+            f"(PARTITION BY vec_id ORDER BY d, c) AS rn FROM ("
+            f"SELECT vec_id, v, c, cv, {dist} AS d FROM v CROSS JOIN c{i})) "
+            f"WHERE rn = 1)"
+        )
+        ctes.append(
+            f"c{i + 1} AS (SELECT s.c, COALESCE(u.cv, s.cv) AS cv FROM c{i} s "
+            f"LEFT JOIN (SELECT c, list(ROUND(m, {dp}) ORDER BY j) AS cv FROM ("
+            f"SELECT c, j, AVG(v[j]) AS m FROM a{i}, "
+            f"LATERAL UNNEST(generate_series(1, {dim})) AS t(j) "
+            f"GROUP BY c, j) GROUP BY c) u ON s.c = u.c)"
+        )
+    final = (
+        f"SELECT e.vec_id, a.c AS cluster FROM embeddings e LEFT JOIN ("
+        f"SELECT vec_id, c FROM (SELECT vec_id, c, ROW_NUMBER() OVER "
+        f"(PARTITION BY vec_id ORDER BY d, c) AS rn FROM ("
+        f"SELECT vec_id, c, {dist} AS d FROM v CROSS JOIN c{iters})) "
+        f"WHERE rn = 1) a USING (vec_id)"
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + final
+
+
+@query("q_kmeans_clusters", _kmeans_oracle(_KM_K, _KM_ITERS, _KM_DIM, _KM_DP))
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Euclidean k-means over the embedding corpus
+    (k={0}, {1} Lloyd iterations, seeds = lowest-id vectors): the
+    oracle re-derives EVERY iteration — seed rounding, every distance,
+    every argmin tiebreak, every rounded centroid mean — so the final
+    assignment of every vector is value-checked, a strictly stronger
+    guarantee than the IVF family's recall checks. Per-iteration
+    centroid rounding to {2} decimals is what makes cross-engine float
+    parity exact (similarity.kmeans docstring).
+
+    Scale: centroids are driver metadata; per iteration one narrow
+    argmin pass + one k-row partial agg.""".format(_KM_K, _KM_ITERS, _KM_DP)
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.kmeans(emb, k=_KM_K, iters=_KM_ITERS)

@@ -30,6 +30,8 @@ NESTED_LOOP_ALLOWED = {
     "q_ngram_jaccard_pairs": "declared exact O(n²) baseline; scale path = capped MinHash",
     "q_cosine_near_pairs": "declared exact O(n²) baseline; scale path = q_lsh_cosine_near_pairs",
     "q_fuzzy_name_pairs": "dimension-side pairwise edit distance (supplier×supplier)",
+    "q_unigram_logprob": "1-row LM-totals scalar crossJoin (total tokens + vocab size)",
+    "q_dsir_weights": "1-row distribution-totals scalar crossJoin (raw/target gram totals)",
     # q_semantic_dupes' exact O(n²) pair baseline needs no entry: its BNLJ
     # sits inside cluster_pairs' materialized rounds, below the tail plan
     # the lint reads (same visibility property as q_dedup_clusters_lsh)
@@ -42,9 +44,10 @@ def frames(spark, sf_dir):
     # BEFORE promotion, not discovered dirty when it enters the window
     from datapipelineetl_spark import queries_batch12 as b12
     from datapipelineetl_spark import queries_batch13 as b13
+    from datapipelineetl_spark import queries_batch14 as b14
 
     queries = {**entrymod.queries(), **b12.STAGED_QUERIES,
-               **b13.STAGED_QUERIES}
+               **b13.STAGED_QUERIES, **b14.STAGED_QUERIES}
     return {name: fn(spark, sf_dir) for name, fn in queries.items()}
 
 

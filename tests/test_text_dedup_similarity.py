@@ -840,3 +840,114 @@ def test_read_media_chunks_custom_opener(spark, tmp_path):
     ordered = sorted(rows, key=lambda r: r.chunk_idx)
     assert [r.n_bytes for r in ordered] == [5, 5, 2]
     assert b"".join(bytes(r.payload) for r in ordered) == shadow
+
+
+def test_unigram_logprob_exact_model(spark):
+    """text.unigram_logprob: hand-computed add-alpha unigram model —
+    in-vocab and OOV probabilities exact, separate lm_df honored,
+    tokenless docs return with n_tokens 0 and NULL score."""
+    import math
+
+    lm = spark.createDataFrame(
+        [(1, "a a b")], ["doc_id", "text"]
+    )  # counts: a=2, b=1; total=3, V=2
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "zzz"), (3, "   "), (4, None)],
+        "doc_id int, text string",
+    )
+    got = {r.doc_id: r for r in
+           text.unigram_logprob(docs, lm_df=lm, alpha=0.5).collect()}
+    denom = 3 + 0.5 * (2 + 1)
+    p_a, p_b, p_oov = (2 + 0.5) / denom, (1 + 0.5) / denom, 0.5 / denom
+    assert got[1].n_tokens == 2
+    assert got[1].avg_logprob == round((math.log(p_a) + math.log(p_b)) / 2, 5)
+    assert got[2].n_tokens == 1
+    assert got[2].avg_logprob == round(math.log(p_oov), 5)
+    for d in (3, 4):  # whitespace-only and NULL text: kept, unscored
+        assert got[d].n_tokens == 0 and got[d].avg_logprob is None
+    with pytest.raises(ValueError, match="alpha"):
+        text.unigram_logprob(docs, alpha=0.0)
+
+
+def test_calibrate_quality_per_group_percentiles(spark):
+    """text.calibrate_quality: percentiles computed WITHIN each group
+    (rank-1)/(n-1), id tiebreak, 1-doc group scores 0.0."""
+    good = "the quick brown fox jumps over the lazy dog and runs to the hills"
+    rows = [
+        (1, good, "a"), (2, "!!! ??? !!!", "a"), (3, good + " again", "a"),
+        (4, good, "b"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = {r.doc_id: r.quality_pct
+           for r in text.calibrate_quality(df).collect()}
+    assert got[2] == 0.0          # worst in group a
+    assert got[1] == 0.5          # tie with 3 on score -> id breaks: rank 2 of 3
+    assert got[3] == 1.0
+    assert got[4] == 0.0          # single-doc group
+
+
+def test_vocab_growth_heaps_curve(spark):
+    """text.vocab_growth: first-occurrence attribution and all three
+    cumulative counters on a hand-checked corpus."""
+    rows = [
+        (0, "a b"), (1, "a c"),        # bucket 0: 4 tokens, vocab {a,b,c}
+        (2, "c d d"),                  # bucket 1: 3 tokens, +{d}
+        (5, "a"),                      # bucket 2: 1 token, +{}
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.bucket: r for r in text.vocab_growth(df, bucket_width=2).collect()}
+    assert (got[0].docs_cum, got[0].tokens_cum, got[0].vocab_cum) == (2, 4, 3)
+    assert (got[1].docs_cum, got[1].tokens_cum, got[1].vocab_cum) == (3, 7, 4)
+    assert (got[2].docs_cum, got[2].tokens_cum, got[2].vocab_cum) == (4, 8, 4)
+    assert got[1].bucket_start == 2
+    with pytest.raises(ValueError, match="bucket_width"):
+        text.vocab_growth(df, bucket_width=0)
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    """corpus.dsir_weights: docs sharing the target's n-gram profile
+    weigh higher than off-profile docs; gramless docs return with NULL
+    weight; weights are deterministic across runs."""
+    from datapipelineetl_spark.operators import corpus as corpus_ops
+
+    target_like = "alpha beta gamma delta alpha beta"
+    rows = [
+        (1, target_like), (2, "alpha beta gamma"), (3, "xxx yyy zzz www"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    target = df.filter("doc_id = 1")
+    got = {r.doc_id: r for r in
+           corpus_ops.dsir_weights(df, target, n_buckets=64).collect()}
+    assert got[2].dsir_weight > got[3].dsir_weight  # on-profile beats off
+    assert got[4].n_grams == 0 and got[4].dsir_weight is None
+    again = {r.doc_id: r.dsir_weight for r in
+             corpus_ops.dsir_weights(df, target, n_buckets=64).collect()}
+    assert again == {d: r.dsir_weight for d, r in got.items()}
+    with pytest.raises(ValueError, match="n_buckets"):
+        corpus_ops.dsir_weights(df, target, n_buckets=0)
+
+
+def test_kmeans_separates_blobs_deterministically(spark):
+    """similarity.kmeans: two well-separated blobs land in two clusters,
+    every input row returns (null vector -> null cluster), reruns are
+    identical, and k > available vectors raises."""
+    rows = (
+        [(i, [10.0 + (i % 3) * 0.1, 10.0]) for i in range(6)]
+        + [(i, [-10.0, -10.0 - (i % 2) * 0.1]) for i in range(6, 12)]
+        + [(99, None)]
+    )
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    got = {r.vec_id: r.cluster for r in
+           similarity.kmeans(df, k=2, iters=3, id_col="vec_id").collect()}
+    assert len({got[i] for i in range(6)}) == 1       # blob 1 coherent
+    assert len({got[i] for i in range(6, 12)}) == 1   # blob 2 coherent
+    assert got[0] != got[6]                           # blobs separated
+    assert got[99] is None                            # null vec kept, unclustered
+    again = {r.vec_id: r.cluster for r in
+             similarity.kmeans(df, k=2, iters=3, id_col="vec_id").collect()}
+    assert again == got
+    with pytest.raises(ValueError, match="non-null vectors"):
+        similarity.kmeans(df, k=50, iters=1)
+    with pytest.raises(ValueError, match="k >= 1"):
+        similarity.kmeans(df, k=0)

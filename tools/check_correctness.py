@@ -91,11 +91,12 @@ def main() -> int:
         from datapipelineetl_spark import queries_batch11 as b11
         from datapipelineetl_spark import queries_batch12 as b12
         from datapipelineetl_spark import queries_batch13 as b13
+        from datapipelineetl_spark import queries_batch14 as b14
 
         qs = {**qs, **b11.STAGED_QUERIES, **b12.STAGED_QUERIES,
-              **b13.STAGED_QUERIES}
+              **b13.STAGED_QUERIES, **b14.STAGED_QUERIES}
         oracles = {**oracles, **b11.STAGED_ORACLES, **b12.STAGED_ORACLES,
-                   **b13.STAGED_ORACLES}
+                   **b13.STAGED_ORACLES, **b14.STAGED_ORACLES}
     failed = []
     for name, fn in qs.items():
         if only and name not in only:

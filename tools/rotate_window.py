@@ -26,6 +26,7 @@ import __spark_entry__ as entrymod
 from datapipelineetl_spark import queries_batch11 as b11
 from datapipelineetl_spark import queries_batch12 as b12
 from datapipelineetl_spark import queries_batch13 as b13
+from datapipelineetl_spark import queries_batch14 as b14
 
 WINDOW = 50
 
@@ -58,7 +59,7 @@ def main() -> int:
     staged = [
         q
         for q in {**b11.STAGED_QUERIES, **b12.STAGED_QUERIES,
-                  **b13.STAGED_QUERIES}
+                  **b13.STAGED_QUERIES, **b14.STAGED_QUERIES}
         if q not in registered
     ]
     print(
@@ -115,7 +116,8 @@ def main() -> int:
 
         spark = get_session("rotate-window-schema-check")
         all_q = {**entrymod.queries(), **b11.STAGED_QUERIES,
-                 **b12.STAGED_QUERIES, **b13.STAGED_QUERIES}
+                 **b12.STAGED_QUERIES, **b13.STAGED_QUERIES,
+                 **b14.STAGED_QUERIES}
         sf_dir = "/root/testdata/sf0.001"
         unsafe = {}
         for q in window:
