@@ -125,11 +125,33 @@ def main() -> int:
         n=8,
         dropped_dir=str(work / "contam_audit"),
     )
-    clean = corpus.redact_pii(
-        spark.read.parquet(clean_dir).drop("__batch_id"), "text"
-    )
+    with_epoch = spark.read.parquet(clean_dir)
+    clean = corpus.redact_pii(with_epoch.drop("__batch_id"), "text")
     n2 = clean.count()
     clean.write.mode("overwrite").parquet(str(work / "final"))
+
+    # --- between-epochs drift: profile each ingest epoch's survivors
+    # and diff the two corpus_report snapshots — the "did the crawl's
+    # source/language/quality mix shift while we ingested?" dashboard.
+    # Epochs come from STAGE 1's micro-batches (1-file triggers → one
+    # __batch_id per arrival file; stage 2 drains all files at once so
+    # its batch id is a single epoch): batch 0 = the first crawl
+    # window, later batches = the next. In production: store each
+    # window's report (group-count-sized parquet) and diff consecutive
+    # snapshots. The demo stream carries only (doc_id, text), so
+    # source/lang rejoin from the document store — a real crawler
+    # would keep them on the arrival records.
+    epochs = spark.read.parquet(deduped_dir).select("doc_id", "__batch_id")
+    meta = docs.select("doc_id", "source", "lang")
+    epoch = (
+        clean.select("doc_id", "text").join(epochs, "doc_id").join(meta, "doc_id")
+    )
+    rep1 = corpus.corpus_report(epoch.filter(F.col("__batch_id") == 0))
+    rep2 = corpus.corpus_report(epoch.filter(F.col("__batch_id") > 0))
+    drift = corpus.corpus_drift(rep1, rep2)
+    print("drift between ingest epochs (batch 0 vs later):")
+    drift.orderBy("source", "lang").show(truncate=False)
+    n_drift = drift.count()
 
     def audit_count(path: Path) -> int:
         # an audit store may not exist (no drops, or every batch's
@@ -156,9 +178,10 @@ def main() -> int:
     print(
         f"arrived={n0} accepted_after_dedup={n1} clean={n2} "
         f"dup_pairs_audited={dups} contamination_pairs_audited={contam} "
-        f"state_partitions_folded={folded} (of {parts_before})"
+        f"state_partitions_folded={folded} (of {parts_before}) "
+        f"drift_rows={n_drift}"
     )
-    return 0 if n2 > 0 and n2 <= n1 <= n0 else 1
+    return 0 if n2 > 0 and n2 <= n1 <= n0 and n_drift > 0 else 1
 
 
 if __name__ == "__main__":
