@@ -145,3 +145,69 @@ def write_token_shards(
     # acts on the manifest still gets the shards, and one who acts twice
     # doesn't rewrite them
     return manifest.localCheckpoint(eager=True)
+
+
+def read_token_shards(
+    spark,
+    in_dir: str,
+    verify_checksum: bool = True,
+) -> DataFrame:
+    """Read a ``write_token_shards`` artifact back as (shard, pos,
+    token_ids) rows — the loader-eye inverse, for audits, round-trip
+    verification, and re-processing a shipped artifact without the
+    original corpus. When ``verify_checksum`` is on (default), each
+    task md5-hashes its shard's bytes and fails LOUDLY on mismatch
+    with the index's recorded digest — a bit-rotted or half-copied
+    shard surfaces as an error naming the file, never as silently
+    corrupt token ids.
+
+    Scale: the driver lists only the ``.idx.json`` paths (shard-count
+    metadata); each shard's index and binary are read executor-side by
+    an Arrow-batched kernel, one shard per row of the path frame —
+    parallelism = shard count, bytes never on the driver. Same
+    shared-posix storage contract as the writer.
+    """
+    import glob as _glob
+
+    paths = sorted(_glob.glob(os.path.join(in_dir, "shard-*.idx.json")))
+    if not paths:
+        raise ValueError(f"no shard-*.idx.json under {in_dir!r}")
+    pdf = spark.createDataFrame(
+        [(p,) for p in paths], "idx_path string"
+    ).repartition(min(len(paths), spark.sparkContext.defaultParallelism))
+
+    def kernel(batches):
+        import hashlib  # noqa: PLC0415 — executor-side import
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        for b in batches:
+            shards, poss, ids = [], [], []
+            for p in b["idx_path"]:
+                with open(p) as f:
+                    meta = json.load(f)
+                np_dtype = _DTYPES[meta["dtype"]][0]
+                bin_path = p[: -len(".idx.json")] + ".bin"
+                with open(bin_path, "rb") as f:
+                    raw = f.read()
+                if verify_checksum and "md5" in meta:
+                    got = hashlib.md5(raw).hexdigest()
+                    if got != meta["md5"]:
+                        raise ValueError(
+                            f"checksum mismatch for {bin_path}: index says "
+                            f"{meta['md5']}, bytes hash to {got}"
+                        )
+                arr = np.frombuffer(raw, dtype=np_dtype)
+                for s in meta["sequences"]:
+                    shards.append(int(meta["shard"]))
+                    poss.append(int(s["pos"]))
+                    ids.append(
+                        arr[s["offset"] : s["offset"] + s["n_tokens"]]
+                        .astype("int64")
+                        .tolist()
+                    )
+            yield pd.DataFrame(
+                {"shard": shards, "pos": poss, "token_ids": ids}
+            )
+
+    return pdf.mapInPandas(kernel, "shard int, pos long, token_ids array<long>")

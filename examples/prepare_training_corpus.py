@@ -126,11 +126,20 @@ def main() -> int:
     manifest = tensor.write_token_shards(shard_addr, out_dir + "_bin").collect()
     n_bin_tokens = sum(m.n_tokens for m in manifest)
 
+    # 8. artifact integrity: read the shards back loader-style — each
+    #    task re-hashes its shard against the index's md5 and every
+    #    (shard, pos) id stream must hold exactly the packed token count
+    read_back = tensor.read_token_shards(spark, out_dir + "_bin")
+    n_read = read_back.select(
+        F.sum(F.size("token_ids")).cast("long")
+    ).first()[0]
+    assert n_read == n_bin_tokens, (n_read, n_bin_tokens)
+
     print(
         f"documents {n0} -> cleaned {n1} -> decontaminated {n2} -> "
         f"budgeted {n2b} -> train {n3} -> chunks {n4} -> packs {packs} "
         f"-> binary artifact {len(manifest)} shards / {n_bin_tokens} tokens "
-        f"(store: {out_dir})"
+        f"(checksum-verified read-back: {n_read} tokens; store: {out_dir})"
     )
     return 0
 

@@ -899,3 +899,33 @@ def test_text_to_tensor_to_disk_round_trip(spark, tmp_path):
             assert ids == expect[(idx["shard"], s["pos"])]
             seen += 1
     assert seen == len(expect) and seen > 0
+
+
+def test_read_token_shards_round_trip_and_checksum(spark, tmp_path):
+    """tensor.read_token_shards: the loader-eye inverse — every (shard,
+    pos, ids) row comes back exactly; a flipped byte in a shard file
+    fails LOUDLY against the index's md5 (and is readable again with
+    verification off, returning the corrupt value rather than
+    crashing)."""
+    from datapipelineetl_spark.sinks import tensor
+
+    rows = [(0, 1, [1, 2, 3]), (0, 2, [4, 5]), (1, 1, [9]), (1, 2, [])]
+    df = spark.createDataFrame(rows, "shard int, pos long, token_ids array<long>")
+    out = str(tmp_path / "shards")
+    tensor.write_token_shards(df, out)
+    back = {(r.shard, r.pos): r.token_ids
+            for r in tensor.read_token_shards(spark, out).collect()}
+    assert back == {(0, 1): [1, 2, 3], (0, 2): [4, 5], (1, 1): [9], (1, 2): []}
+
+    # corrupt one byte of shard 0 → checksum failure names the file
+    binp = tmp_path / "shards" / "shard-00000.bin"
+    raw = bytearray(binp.read_bytes())
+    raw[0] ^= 0xFF
+    binp.write_bytes(bytes(raw))
+    with pytest.raises(Exception, match="checksum mismatch.*shard-00000"):
+        tensor.read_token_shards(spark, out).collect()
+    unverified = tensor.read_token_shards(spark, out, verify_checksum=False)
+    assert unverified.count() == 4  # opt-out path still reads
+
+    with pytest.raises(ValueError, match="no shard"):
+        tensor.read_token_shards(spark, str(tmp_path / "empty"))

@@ -41,7 +41,11 @@ PICK = {
     "q_select_budget": "Token-budget best-first selection (staged): the two-phase global cumsum — per-score partial agg, the ONLY Exchange SinglePartition sits over that score-cardinality aggregate, offsets broadcast back, row-level within-key windows stay hashpartitioned. No global ORDER BY anywhere.",
     "q_dedup_spans": "Exact span dedup (staged): window hashes narrow (posexplode_outer per the computed-array rule), first-occurrence argmin as one partial-agg shuffle on the 60-bit hash, occurrence equi-join — O(total windows), never pairwise; rebuild is the in-aggregate ordered reassembly.",
     "q_normalize_text": "Unicode normalization (staged): the whole repair chain is codegen replace/regexp except ONE ArrowEvalPython stage (NFC — no Spark built-in); zero shuffle beyond the fixture spread.",
-    "q_shuffle_corpus": "Deterministic loader shuffle (staged): hash + pmod narrow, ONE Exchange on the shard id, per-shard rank sorts independent — no global ordering materializes.",
+    "q_shuffle_corpus": "Deterministic loader shuffle: hash + pmod narrow, ONE Exchange on the shard id, per-shard rank sorts independent — no global ordering materializes.",
+    "q_unigram_logprob": "Unigram-LM scoring (staged): one vocabulary-sized token-count aggregate (materialized once via checkpoint), the LM join broadcast, the totals row an allowlisted 1-row BroadcastNestedLoopJoin, one groupBy(doc) — the reference corpus is scanned once.",
+    "q_dsir_weights": "DSIR importance weights (staged): two fixed-size (n_buckets) distribution aggregates, bucket model broadcast into the scoring join, 1-row totals crossJoin, one groupBy(doc) — model size independent of corpus size.",
+    "q_vocab_growth": "Heaps-law curve (staged): one token min-id shuffle, narrow per-doc counts, and every window over the BUCKET-cardinality frame — the single-partition WindowExec is metadata-sized by construction (corpus_rows / bucket_width).",
+    "q_kmeans_clusters": "Deterministic k-means (staged): the final assignment pass is ONE narrow Project (JVM fold distances over literal centroid arrays → array_min struct argmin) — zero Exchange, zero Python; the Lloyd iterations ran as k-row partial aggs before this plan.",
 }
 
 
@@ -50,8 +54,10 @@ def main() -> None:
     spark = get_session("plans")
     from datapipelineetl_spark import queries_batch12 as b12
     from datapipelineetl_spark import queries_batch13 as b13
+    from datapipelineetl_spark import queries_batch14 as b14
 
-    qs = {**entrymod.queries(), **b12.STAGED_QUERIES, **b13.STAGED_QUERIES}
+    qs = {**entrymod.queries(), **b12.STAGED_QUERIES,
+          **b13.STAGED_QUERIES, **b14.STAGED_QUERIES}
     lines = [
         "# PLANS — physical plans of representative queries (sf0.1, AQE on)",
         "",
