@@ -1373,3 +1373,126 @@ def dsir_weights(
         F.count("__lr").alias("n_grams"),
         F.round(F.avg("__lr"), 5).alias(out),
     )
+
+
+def dsir_resample(
+    weights: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    weight_col: str = "dsir_weight",
+    temperature: float = 1.0,
+    salt: str = "",
+    key_out: str = "resample_key",
+) -> DataFrame:
+    """Gumbel-top-k importance resampling — the selection half of DSIR
+    (Xie et al. 2023 sample ∝ importance WITHOUT replacement; the
+    Gumbel-max trick makes that a single top-k): each doc gets
+    ``key = weight / temperature + G(hash(id, salt))`` where ``G`` is a
+    deterministic Gumbel draw from the doc's own hash
+    (``u = (hash60 + 0.5) / 2^60``, ``G = -ln(-ln(u))``), and the k
+    largest keys are the sample. Same corpus + salt → the same sample
+    forever (the RNG-free discipline of every sampler here); a new
+    ``salt`` draws an independent sample; ``temperature`` → 0
+    approaches deterministic top-k by weight, large values approach
+    uniform. NULL weights are excluded (unscored docs can't be
+    importance-sampled); NULL ids get the usual sentinel coin.
+
+    Returns the selected rows (all input columns + ``key_out`` rounded
+    to 6 decimals), deterministic ties broken by id.
+
+    Scale: a narrow key computation + ONE top-k
+    (TakeOrderedAndProject for driver-sized k; for corpus-sized k use
+    the two-phase threshold form: per-partition top-k partial, then a
+    key-threshold selected on the aggregated counts — the
+    select_until_token_budget pattern). No shuffle before the top-k.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    kstr = F.coalesce(F.col(id_col).cast("string"), F.lit(_NULL_KEY))
+    h = text.token_hash60(F.concat(kstr, F.lit(salt)))
+    u = (h + F.lit(0.5)) / F.lit(float(1 << 60))
+    gumbel = -F.log(-F.log(u))
+    key = F.round(
+        F.col(weight_col).cast("double") / F.lit(float(temperature)) + gumbel, 6
+    )
+    return (
+        weights.filter(F.col(weight_col).isNotNull())
+        .withColumn(key_out, key)
+        .orderBy(F.col(key_out).desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def pack_best_fit(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    n_shards: int = 256,
+    pack_col: str = "pack_id",
+) -> DataFrame:
+    """Sequence packing, best-fit-decreasing form — the padding
+    minimizer: within each shard, rows are taken LONGEST FIRST (ties by
+    id) and each goes to the open pack with the LEAST remaining room
+    that still fits; only when none fits does a new pack open. Keeping
+    every pack open (vs ``pack_greedy``'s single open pack that closes
+    forever on overflow) recovers the capacity next-fit strands, so
+    pack count — and with it padding — is empirically lower on ragged
+    length distributions (property-pinned in tests; BFD is the classic
+    bin-packing heuristic, ≤ 11/9·OPT + 1 packs). A row larger than
+    ``budget`` sits alone in its own pack, same contract as greedy.
+    Fully deterministic: the (length desc, id) order and the
+    least-room/lowest-pack-id tiebreak admit exactly one packing.
+
+    Scale: ONE shuffle on the shard hash; each shard packs
+    independently via Arrow-batched ``applyInPandas`` (the same §2.9
+    escape hatch as ``pack_greedy`` — best-fit's bin state is
+    data-dependent and sequential). State per task is the open-pack
+    remaining-room table (O(packs-per-shard) ints); keep shards
+    file-sized via ``n_shards`` exactly as the other packers prescribe.
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(pack_col, T.LongType())]
+    )
+
+    def _pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            [token_col, id_col], ascending=[False, True], kind="mergesort"
+        ).reset_index(drop=True)
+        base = int(key[0]) << 32
+        room: list[int] = []  # remaining capacity per open pack
+        assigned = []
+        for t in pdf[token_col]:
+            t = int(t)
+            # least remaining room that still fits; ties → lowest pack id
+            best, best_room = -1, None
+            for i, r in enumerate(room):
+                if t <= r and (best_room is None or r < best_room):
+                    best, best_room = i, r
+            if best < 0:
+                room.append(budget - t)  # may go negative: oversized singleton
+                best = len(room) - 1
+                if t > budget:
+                    room[best] = -1  # never accepts another row
+            else:
+                room[best] -= t
+            assigned.append(base + best)
+        pdf[pack_col] = pd.array(assigned, dtype="int64")
+        return pdf
+
+    shard = F.pmod(text.token_hash60(F.col(id_col).cast("string")), F.lit(n_shards))
+    return (
+        df.withColumn("__shard", shard)
+        .groupBy("__shard")
+        .applyInPandas(_pack, schema=out_schema.add("__shard", T.LongType()))
+        .drop("__shard")
+    )

@@ -6,10 +6,13 @@ here an exact add-alpha unigram model so the score is
 oracle-replayable), DSIR-style hashed n-gram importance weighting
 (``corpus.dsir_weights``), per-source quality calibration
 (``text.calibrate_quality``), Heaps-law vocabulary growth
-(``text.vocab_growth``), and deterministic Euclidean k-means corpus
+(``text.vocab_growth``), deterministic Euclidean k-means corpus
 clustering (``similarity.kmeans`` — every Lloyd iteration replayed in
 SQL, so the full assignment is value-checked, not just a recall
-number).
+number), gumbel-top-k importance resampling (``corpus.dsir_resample``
+— the selection half of DSIR, every deterministic gumbel draw
+replayed), and best-fit-decreasing packing (``corpus.pack_best_fit`` —
+the open-bin state machine replayed as a recursive CTE).
 
 Same staging contract as batches 11–13: separate dicts so importing
 this module cannot grow the live ``queries()`` surface mid-round;
@@ -339,3 +342,127 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmin pass + one k-row partial agg.""".format(_KM_K, _KM_ITERS, _KM_DP)
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.kmeans(emb, k=_KM_K, iters=_KM_ITERS)
+
+
+# =============================================================================
+# Gumbel-top-k importance resampling (the selection half of DSIR)
+# =============================================================================
+
+_RS_K = 100
+
+# dsir_weights' whole CTE chain is reused verbatim (ONE definition above,
+# via the oracle string of q_dsir_weights up to `agg`) — the resample
+# oracle extends it with the deterministic gumbel key + top-k
+_SQL_DSIR_CTES = STAGED_ORACLES["q_dsir_weights"].split("SELECT d.doc_id")[0].rstrip().rstrip(",")
+
+
+@query(
+    "q_dsir_resample",
+    f"""
+    {_SQL_DSIR_CTES},
+    keyed AS (
+      SELECT doc_id, n_grams, dsir_weight,
+             ROUND(dsir_weight / 1.0
+                   + -ln(-ln((({_SQL_HASH60.format(t="doc_id::VARCHAR || 'e0'")}) + 0.5) / 1152921504606846976.0)),
+                   6) AS resample_key
+      FROM agg WHERE dsir_weight IS NOT NULL)
+    SELECT doc_id, dsir_weight, resample_key
+    FROM keyed ORDER BY resample_key DESC, doc_id LIMIT {_RS_K}
+    """,
+)
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full DSIR selection pipeline: hashed-feature importance
+    weights → gumbel-top-k resampling (k={0}, salt 'e0') — the oracle
+    replays the weight model AND every deterministic gumbel draw
+    (u from the doc's own 60-bit hash), so the exact selected set and
+    every selection key are value-checked.
+
+    Scale: the weights pass (corpus.dsir_weights) + a narrow key
+    computation + ONE top-k (corpus.dsir_resample docstring).""".format(_RS_K)
+    docs = _t_spread(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source") == "src0")
+    w = corpus.dsir_weights(docs, target, n_buckets=_DSIR_BUCKETS)
+    return corpus.dsir_resample(w, k=_RS_K, salt="e0").select(
+        "doc_id", "dsir_weight", "resample_key"
+    )
+
+
+# =============================================================================
+# Best-fit-decreasing packing (open-bin state replayed as a recursive CTE)
+# =============================================================================
+
+_BF_BUDGET = 512
+_BF_SHARDS = 8
+
+
+def _best_fit_oracle(budget: int, n_shards: int) -> str:
+    """Replay pack_best_fit's sequential bin state in SQL: items in
+    (len desc, id) order per shard; the recursion carries the open-pack
+    remaining-room LIST, choosing min-(room, index) among fitting packs
+    (exactly the operator's least-room/lowest-id tiebreak); a new pack
+    opens when none fits, with room -1 (never fits again) for oversized
+    singletons."""
+    return f"""
+    WITH RECURSIVE lens AS (
+      SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS nt,
+             {_SQL_HASH60.format(t='doc_id::VARCHAR')} % {n_shards} AS shard
+      FROM documents),
+    seq AS (
+      SELECT shard, doc_id, nt,
+             ROW_NUMBER() OVER (PARTITION BY shard ORDER BY nt DESC, doc_id) AS rn
+      FROM lens),
+    bounds AS (SELECT shard, MAX(rn) AS mx FROM seq GROUP BY shard),
+    rec AS (
+      SELECT shard, CAST(0 AS BIGINT) AS rn,
+             CAST([] AS BIGINT[]) AS room, CAST([] AS BIGINT[]) AS assign
+      FROM bounds
+      UNION ALL
+      SELECT r.shard, r.rn + 1,
+             CASE WHEN best.pos IS NULL
+                  THEN list_append(r.room,
+                       CASE WHEN s.nt > {budget} THEN -1 ELSE {budget} - s.nt END)
+                  ELSE list_transform(generate_series(1, len(r.room)),
+                       z -> CASE WHEN z = best.pos THEN r.room[z] - s.nt
+                            ELSE r.room[z] END)
+             END,
+             list_append(r.assign,
+                         COALESCE(best.pos, len(r.room) + 1))
+      FROM rec r
+      JOIN seq s ON s.shard = r.shard AND s.rn = r.rn + 1
+      LEFT JOIN LATERAL (
+        SELECT list_sort(list_filter(
+                 list_transform(generate_series(1, len(r.room)),
+                                z -> {{'rm': r.room[z], 'pos': z}}),
+                 x -> x.rm >= s.nt))[1].pos AS pos
+      ) best ON TRUE),
+    final AS (
+      SELECT r.shard, u.j AS rn, CAST(u.p AS BIGINT) AS p
+      FROM rec r JOIN bounds b ON r.shard = b.shard AND r.rn = b.mx,
+           LATERAL (SELECT UNNEST(r.assign) AS p,
+                           generate_subscripts(r.assign, 1) AS j) u)
+    SELECT s.doc_id, s.nt AS n_tokens,
+           CAST(s.shard * 4294967296 + (f.p - 1) AS BIGINT) AS pack_id
+    FROM seq s JOIN final f ON s.shard = f.shard AND s.rn = f.rn
+    """
+
+
+@query("q_pack_best_fit", _best_fit_oracle(_BF_BUDGET, _BF_SHARDS))
+def q_pack_best_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-fit-decreasing packing of the corpus on REAL token counts
+    (budget {0}, {1} shards): the oracle replays the whole sequential
+    bin-state machine — (len desc, id) order, least-room/lowest-id
+    placement, oversized singleton closure — as a recursive CTE
+    carrying the open-pack room list, so EVERY document's pack
+    assignment is value-checked.
+
+    Scale: one shard shuffle + per-shard sequential Arrow pass
+    (corpus.pack_best_fit docstring).""".format(_BF_BUDGET, _BF_SHARDS)
+    docs = _t(spark, sf_dir, "documents")
+    lens = docs.select(
+        "doc_id",
+        F.size(text.tokens("text")).cast("long").alias("n_tokens"),
+    )
+    packed = corpus.pack_best_fit(
+        lens, "doc_id", "n_tokens", budget=_BF_BUDGET, n_shards=_BF_SHARDS
+    )
+    return packed.select("doc_id", "n_tokens", "pack_id")

@@ -929,3 +929,67 @@ def test_read_token_shards_round_trip_and_checksum(spark, tmp_path):
 
     with pytest.raises(ValueError, match="no shard"):
         tensor.read_token_shards(spark, str(tmp_path / "empty"))
+
+
+def test_pack_best_fit_tighter_than_greedy(spark):
+    """pack_best_fit: budget respected (singleton exception), every row
+    returns, deterministic, and on ragged lengths it uses no more packs
+    than greedy (the padding win that justifies a second packer)."""
+    rows = [(i, (i * 37) % 400 + 50) for i in range(200)] + [(999, 5000)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    out = corpus.pack_best_fit(df, "doc_id", "n_tokens", budget=1000, n_shards=8)
+    assert out.count() == 201
+    per_pack = out.groupBy("pack_id").agg(
+        F.sum("n_tokens").alias("s"), F.count(F.lit(1)).alias("n")
+    ).collect()
+    for r in per_pack:
+        assert r.s <= 1000 or r.n == 1  # only a singleton may exceed
+    big = out.filter(F.col("doc_id") == 999).collect()[0]
+    assert out.filter(F.col("pack_id") == big.pack_id).count() == 1
+    again = {(r.doc_id, r.pack_id) for r in corpus.pack_best_fit(
+        df, "doc_id", "n_tokens", budget=1000, n_shards=8
+    ).collect()}
+    assert {(r.doc_id, r.pack_id) for r in out.collect()} == again
+
+    n_bf = out.select("pack_id").distinct().count()
+    n_greedy = (
+        corpus.pack_greedy(df, "doc_id", "n_tokens", budget=1000, n_shards=8)
+        .select("pack_id").distinct().count()
+    )
+    assert n_bf <= n_greedy
+    # and best-fit actually recovers stranded capacity on an adversarial
+    # next-fit case: [600, 600, 400, 400] budget 1000 → greedy in id
+    # order packs (600),(600,400),(400)=3; best-fit-decreasing packs
+    # (600,400),(600,400)=2
+    adv = spark.createDataFrame(
+        [(1, 600), (2, 600), (3, 400), (4, 400)], ["doc_id", "n_tokens"]
+    )
+    bf = corpus.pack_best_fit(adv, "doc_id", "n_tokens", budget=1000, n_shards=1)
+    assert bf.select("pack_id").distinct().count() == 2
+    with pytest.raises(ValueError, match="budget"):
+        corpus.pack_best_fit(adv, "doc_id", "n_tokens", budget=0)
+
+
+def test_dsir_resample_gumbel_topk(spark):
+    """dsir_resample: deterministic gumbel-top-k — fixed k, repeatable,
+    salt-dependent, weight-respecting at low temperature, null weights
+    excluded."""
+    rows = [(i, float(i) / 10.0) for i in range(100)] + [(999, None)]
+    df = spark.createDataFrame(rows, "doc_id int, dsir_weight double")
+    got = corpus.dsir_resample(df, k=20, salt="e0").collect()
+    assert len(got) == 20
+    assert all(r.doc_id != 999 for r in got)  # null weight excluded
+    again = {r.doc_id for r in corpus.dsir_resample(df, k=20, salt="e0").collect()}
+    assert {r.doc_id for r in got} == again
+    other = {r.doc_id for r in corpus.dsir_resample(df, k=20, salt="e1").collect()}
+    assert again != other  # new salt, new sample
+    # temperature -> 0: selection approaches deterministic top-k by weight
+    cold = {r.doc_id for r in
+            corpus.dsir_resample(df, k=10, temperature=1e-6).collect()}
+    assert cold == set(range(90, 100))
+    # higher-weight docs are over-represented at temperature 1
+    assert sum(1 for d in again if d >= 50) > sum(1 for d in again if d < 50)
+    # k beyond the scored rows returns them all
+    assert corpus.dsir_resample(df, k=500).count() == 100
+    with pytest.raises(ValueError, match="temperature"):
+        corpus.dsir_resample(df, k=5, temperature=0.0)

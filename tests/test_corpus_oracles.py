@@ -89,6 +89,11 @@ def test_staged_registry_promoted():
     assert set(b13.STAGED_ORACLES) == set(b13.STAGED_QUERIES)
     assert len(b13.STAGED_QUERIES) == 7
     live = entrymod.queries()
+    # batch14 stays staged (r9 backlog): importing it must NOT have
+    # grown the live surface
+    assert set(b14.STAGED_ORACLES) == set(b14.STAGED_QUERIES)
+    assert len(b14.STAGED_QUERIES) == 7
+    assert not (set(b14.STAGED_QUERIES) & set(live))
     n = len(live)
     for b in (b11, b12, b13):
         assert set(b.STAGED_QUERIES) <= set(live)
