@@ -1496,3 +1496,55 @@ def pack_best_fit(
         .applyInPandas(_pack, schema=out_schema.add("__shard", T.LongType()))
         .drop("__shard")
     )
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    embeddings: DataFrame,
+    k_per_cluster: int,
+    n_clusters: int = 8,
+    iters: int = 3,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+    salt: str = "",
+) -> DataFrame:
+    """Cluster-balanced corpus sampling: deterministic k-means over the
+    embedding space (``similarity.kmeans``), then exactly
+    ``k_per_cluster`` docs from each cluster (``sample_k_per_stratum``)
+    — the embedding-space analogue of per-language balancing, for when
+    the axis worth balancing (content domain, topic, register) has no
+    label column. Inherits both parents' determinism: same corpus +
+    salt → the same sample forever, larger k extends the smaller
+    sample. Docs without a (non-NULL) embedding are excluded — a
+    balanced sample can only balance what is embedded; audit the
+    unembedded remainder with an anti-join if it matters.
+
+    The embedding table's id joins the corpus id directly (the fixture
+    tables share an id space — same contract as prepare_corpus's
+    SemDeDup stage; map upstream when yours differ).
+
+    Scale: the k-means driver metadata loop + ONE broadcastable
+    (vec_id, cluster) join (assignment frame is corpus-row-sized but
+    two-column narrow) + sample_k_per_stratum's one shuffle on the
+    cluster id. ``n_clusters`` strata × window sort — hot clusters are
+    bounded by construction (k-means splits mass), unlike natural
+    labels.
+    """
+    from datapipelineetl_spark.operators import similarity  # noqa: PLC0415
+
+    assign = (
+        similarity.kmeans(
+            embeddings, k=n_clusters, iters=iters,
+            id_col=vec_id_col, vec_col=vec_col,
+        )
+        .filter(F.col("cluster").isNotNull())
+        .select(
+            F.col(vec_id_col).alias(id_col), F.col("cluster").alias(cluster_col)
+        )
+    )
+    joined = df.join(assign, id_col)
+    return sample_k_per_stratum(
+        joined, k_per_cluster, cluster_col, key_col=id_col, salt=salt
+    )

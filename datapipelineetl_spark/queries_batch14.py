@@ -11,8 +11,10 @@ clustering (``similarity.kmeans`` — every Lloyd iteration replayed in
 SQL, so the full assignment is value-checked, not just a recall
 number), gumbel-top-k importance resampling (``corpus.dsir_resample``
 — the selection half of DSIR, every deterministic gumbel draw
-replayed), and best-fit-decreasing packing (``corpus.pack_best_fit`` —
-the open-bin state machine replayed as a recursive CTE).
+replayed), best-fit-decreasing packing (``corpus.pack_best_fit`` —
+the open-bin state machine replayed as a recursive CTE), and
+cluster-balanced sampling (``corpus.cluster_balanced_sample`` — k-means
+strata × exactly-k selection, both halves' oracles composed).
 
 Same staging contract as batches 11–13: separate dicts so importing
 this module cannot grow the live ``queries()`` surface mid-round;
@@ -286,11 +288,13 @@ _KM_DIM = 64
 _KM_DP = 6
 
 
-def _kmeans_oracle(k: int, iters: int, dim: int, dp: int) -> str:
-    """Generate the unrolled Lloyd-iteration CTE chain: seeds = the k
-    lowest-id vectors (rounded), each iteration = argmin assignment
-    (ties to lower cluster id) + per-dimension rounded means (empty
-    clusters keep the previous centroid via COALESCE)."""
+def _kmeans_ctes(k: int, iters: int, dim: int, dp: int) -> str:
+    """Generate the unrolled Lloyd-iteration CTE chain ending in
+    ``afinal(vec_id, c)``: seeds = the k lowest-id vectors (rounded),
+    each iteration = argmin assignment (ties to lower cluster id) +
+    per-dimension rounded means (empty clusters keep the previous
+    centroid via COALESCE). Shared by the kmeans and
+    cluster-balanced-sample oracles — ONE replay of the trajectory."""
     dist = (
         f"list_sum(list_transform(generate_series(1, {dim}), "
         f"j -> (v[j] - cv[j]) * (v[j] - cv[j])))"
@@ -317,17 +321,21 @@ def _kmeans_oracle(k: int, iters: int, dim: int, dp: int) -> str:
             f"LATERAL UNNEST(generate_series(1, {dim})) AS t(j) "
             f"GROUP BY c, j) GROUP BY c) u ON s.c = u.c)"
         )
-    final = (
-        f"SELECT e.vec_id, a.c AS cluster FROM embeddings e LEFT JOIN ("
-        f"SELECT vec_id, c FROM (SELECT vec_id, c, ROW_NUMBER() OVER "
+    ctes.append(
+        f"afinal AS (SELECT vec_id, c FROM (SELECT vec_id, c, ROW_NUMBER() OVER "
         f"(PARTITION BY vec_id ORDER BY d, c) AS rn FROM ("
         f"SELECT vec_id, c, {dist} AS d FROM v CROSS JOIN c{iters})) "
-        f"WHERE rn = 1) a USING (vec_id)"
+        f"WHERE rn = 1)"
     )
-    return "WITH " + ",\n".join(ctes) + "\n" + final
+    return ",\n".join(ctes)
 
 
-@query("q_kmeans_clusters", _kmeans_oracle(_KM_K, _KM_ITERS, _KM_DIM, _KM_DP))
+@query(
+    "q_kmeans_clusters",
+    f"""WITH {_kmeans_ctes(_KM_K, _KM_ITERS, _KM_DIM, _KM_DP)}
+    SELECT e.vec_id, a.c AS cluster
+    FROM embeddings e LEFT JOIN afinal a USING (vec_id)""",
+)
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Euclidean k-means over the embedding corpus
     (k={0}, {1} Lloyd iterations, seeds = lowest-id vectors): the
@@ -466,3 +474,46 @@ def q_pack_best_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         lens, "doc_id", "n_tokens", budget=_BF_BUDGET, n_shards=_BF_SHARDS
     )
     return packed.select("doc_id", "n_tokens", "pack_id")
+
+
+# =============================================================================
+# Cluster-balanced sampling (k-means strata × exactly-k selection)
+# =============================================================================
+
+_CBS_K = 25
+
+
+@query(
+    "q_cluster_balanced_sample",
+    f"""WITH {_kmeans_ctes(_KM_K, _KM_ITERS, _KM_DIM, _KM_DP)},
+    joined AS (
+      SELECT d.doc_id, a.c AS cluster
+      FROM documents d JOIN afinal a ON d.doc_id = a.vec_id)
+    SELECT doc_id, cluster FROM (
+      SELECT doc_id, cluster,
+             ROW_NUMBER() OVER (
+               PARTITION BY cluster
+               ORDER BY ('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR),
+                 '__null__') || 'cb0'), 1, 15))::BIGINT, doc_id
+             ) AS rk
+      FROM joined)
+    WHERE rk <= {_CBS_K}
+    """,
+)
+def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced corpus sample: k-means strata over the embedding
+    space (k={0}, the SAME replayed Lloyd trajectory as
+    q_kmeans_clusters — one `_kmeans_ctes` definition feeds both
+    oracles) × exactly {1} docs per cluster by keyed-hash order — the
+    unlabeled-axis balancing an eval-set builder needs. Every cluster
+    assignment AND every selection is value-checked.
+
+    Scale: k-means driver metadata loop + one narrow assignment join +
+    one shuffle on the cluster id (corpus.cluster_balanced_sample
+    docstring).""".format(_KM_K, _CBS_K)
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    return corpus.cluster_balanced_sample(
+        docs, emb, k_per_cluster=_CBS_K, n_clusters=_KM_K, iters=_KM_ITERS,
+        salt="cb0",
+    ).select("doc_id", "cluster")

@@ -993,3 +993,39 @@ def test_dsir_resample_gumbel_topk(spark):
     assert corpus.dsir_resample(df, k=500).count() == 100
     with pytest.raises(ValueError, match="temperature"):
         corpus.dsir_resample(df, k=5, temperature=0.0)
+
+
+def test_cluster_balanced_sample_composition(spark):
+    """cluster_balanced_sample: exactly min(k, cluster size) docs per
+    k-means cluster, deterministic, nested in k, unembedded docs
+    excluded."""
+    docs_rows = [(i, f"doc {i}") for i in range(24)] + [(99, "unembedded")]
+    docs = spark.createDataFrame(docs_rows, ["doc_id", "text"])
+    emb_rows = (
+        [(i, [10.0 + (i % 3) * 0.1, 0.0]) for i in range(12)]
+        + [(i, [-10.0, (i % 2) * 0.1]) for i in range(12, 24)]
+    )
+    emb = spark.createDataFrame(emb_rows, "vec_id int, embedding array<float>")
+    out = corpus.cluster_balanced_sample(
+        docs, emb, k_per_cluster=5, n_clusters=2, iters=2, salt="s"
+    )
+    rows = out.collect()
+    by_cluster: dict[int, set[int]] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster, set()).add(r.doc_id)
+    assert len(by_cluster) == 2
+    assert all(len(v) == 5 for v in by_cluster.values())
+    assert all(99 not in v for v in by_cluster.values())
+    # the two blobs stay in separate strata
+    assert all(v <= set(range(12)) or v <= set(range(12, 24))
+               for v in by_cluster.values())
+    # nested: k=3 is a prefix of k=5 per cluster
+    small = {r.doc_id for r in corpus.cluster_balanced_sample(
+        docs, emb, k_per_cluster=3, n_clusters=2, iters=2, salt="s"
+    ).collect()}
+    assert small <= {r.doc_id for r in rows}
+    # deterministic rerun
+    again = {(r.doc_id, r.cluster) for r in corpus.cluster_balanced_sample(
+        docs, emb, k_per_cluster=5, n_clusters=2, iters=2, salt="s"
+    ).collect()}
+    assert again == {(r.doc_id, r.cluster) for r in rows}
