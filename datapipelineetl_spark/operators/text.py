@@ -604,6 +604,7 @@ def unigram_logprob(
     text_col: str = "text",
     alpha: float = 0.5,
     out: str = "avg_logprob",
+    lm_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Language-model quality scoring, CCNet-style (Wenzek et al. 2020
     filter wikis/crawls by LM perplexity; here the LM is the exact
@@ -618,6 +619,13 @@ def unigram_logprob(
     unseen tokens. Returns (id_col, n_tokens, out); tokenless docs get
     n_tokens 0 and NULL score, never a dropped row.
 
+    ``lm_counts`` accepts an already-fit (token, count) frame instead of
+    a document corpus — the streaming tie-in:
+    ``streaming.runner.read_lm_counts`` folds an incrementally
+    maintained count store into exactly this shape, so a crawl's LM
+    advances batch-by-batch with no refit over history. Mutually
+    exclusive with ``lm_df``.
+
     Scale: the LM fit is one token-count shuffle (partial-agg) over the
     REFERENCE corpus, materialized once (vocabulary-sized, the
     ``build_vocab`` discipline); scoring is one explode + one
@@ -628,12 +636,19 @@ def unigram_logprob(
     """
     if alpha <= 0:
         raise ValueError(f"alpha must be > 0, got {alpha}")
-    lm = lm_df if lm_df is not None else df
-    counts = (
-        lm.select(F.explode(tokens(text_col)).alias("__tok"))
-        .groupBy("__tok")
-        .agg(F.count(F.lit(1)).alias("__cnt"))
-    ).localCheckpoint(eager=True)  # referenced by totals AND the score join
+    if lm_counts is not None and lm_df is not None:
+        raise ValueError("pass lm_df OR lm_counts, not both")
+    if lm_counts is not None:
+        counts = lm_counts.select(
+            F.col("token").alias("__tok"), F.col("count").alias("__cnt")
+        )
+    else:
+        lm = lm_df if lm_df is not None else df
+        counts = lm.select(F.explode(tokens(text_col)).alias("__tok")).groupBy(
+            "__tok"
+        ).agg(F.count(F.lit(1)).alias("__cnt"))
+    # referenced by totals AND the score join
+    counts = counts.localCheckpoint(eager=True)
     totals = counts.agg(
         F.coalesce(F.sum("__cnt"), F.lit(0)).alias("__total"),
         F.count(F.lit(1)).alias("__vocab"),

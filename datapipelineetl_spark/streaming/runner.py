@@ -1144,3 +1144,54 @@ def streaming_corpus_filter(
     return run_foreach_batch(
         stream, handle, checkpoint, available_now=available_now, skip_empty=True
     )
+
+
+def streaming_lm_counts(
+    stream: DataFrame,
+    store: str,
+    checkpoint: str,
+    text_col: str = "text",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming incremental unigram-LM fit: each micro-batch writes its
+    PARTIAL token counts under its ``__batch_id`` partition (dynamic
+    partition overwrite — a replayed batch REWRITES its partition, the
+    ``continuous_rollup`` exactly-once contract), and ``read_lm_counts``
+    folds the partials exactly (counts are associative). Feed the folded
+    frame to ``text.unigram_logprob(lm_counts=...)`` and LM-based
+    quality scoring tracks a growing crawl without ever refitting over
+    history — the model is always "every token seen so far".
+
+    Scale: per batch ONE explode + ONE partial-agg shuffle over THAT
+    batch only; the store grows by ≤ batch-vocabulary rows per batch —
+    fold old partitions with ``compact_state``-style maintenance
+    (``sinks.maintenance.compact``) when batch count grows.
+    """
+    from datapipelineetl_spark.operators import text as text_ops  # noqa: PLC0415
+    from datapipelineetl_spark.sinks import maintenance  # noqa: PLC0415
+
+    def agg(df: DataFrame, epoch_id: int) -> None:
+        partial = (
+            df.select(F.explode(text_ops.tokens(text_col)).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("count_partial"))
+        )
+        maintenance.overwrite_partitions(
+            partial.withColumn("__batch_id", F.lit(epoch_id)), store, ["__batch_id"]
+        )
+
+    return run_foreach_batch(
+        stream, agg, checkpoint, available_now=available_now, skip_empty=True
+    )
+
+
+def read_lm_counts(spark: SparkSession, store: str) -> DataFrame:
+    """Fold a ``streaming_lm_counts`` store into the (token, count)
+    frame ``text.unigram_logprob(lm_counts=...)`` consumes — one
+    partial-agg groupBy over the partials; exact because counts are
+    associative (the ``read_rollup`` read-time-fold contract)."""
+    return (
+        spark.read.parquet(store)
+        .groupBy("token")
+        .agg(F.sum("count_partial").cast("long").alias("count"))
+    )

@@ -1103,3 +1103,59 @@ def test_streaming_corpus_filter_normalize_stage(spark, tmp_path):
         run()
         got = {r.doc_id for r in spark.read.parquet(out).collect()}
         assert got == expect, (norm, got)
+
+
+def test_streaming_lm_counts_incremental_fit(spark, tmp_path):
+    """Streaming unigram-LM fit: per-batch partial token counts fold at
+    read time into EXACTLY the batch fit's counts; unigram_logprob
+    scores identically through lm_counts as through a direct fit; a
+    checkpoint-loss replay rewrites partitions instead of
+    double-counting."""
+    import shutil
+
+    from datapipelineetl_spark.operators import text as text_ops
+
+    rows = [(1, "a a b"), (2, "b c"), (3, "a c c d")]
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "lm_store")
+    ck = str(tmp_path / "ckpt")
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    docs.repartition(3).write.parquet(src)
+
+    def drain():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        runner.streaming_lm_counts(stream, store=store, checkpoint=ck)
+
+    drain()
+    got = {r.token: r["count"] for r in runner.read_lm_counts(spark, store).collect()}
+    assert got == {"a": 3, "b": 2, "c": 3, "d": 1}
+    # multiple batches actually accrued (1-file triggers)
+    parts = {r["__batch_id"] for r in
+             spark.read.parquet(store).select("__batch_id").distinct().collect()}
+    assert len(parts) > 1
+
+    # scoring through the folded counts == scoring through a direct fit
+    via_counts = {
+        r.doc_id: r.avg_logprob
+        for r in text_ops.unigram_logprob(
+            docs, lm_counts=runner.read_lm_counts(spark, store)
+        ).collect()
+    }
+    direct = {r.doc_id: r.avg_logprob
+              for r in text_ops.unigram_logprob(docs).collect()}
+    assert via_counts == direct
+
+    # checkpoint loss → full replay rewrites each batch's partition
+    # (overwrite, not append): counts unchanged
+    shutil.rmtree(ck)
+    drain()
+    again = {r.token: r["count"] for r in runner.read_lm_counts(spark, store).collect()}
+    assert again == got
+
+    with pytest.raises(ValueError, match="not both"):
+        text_ops.unigram_logprob(docs, lm_df=docs,
+                                 lm_counts=runner.read_lm_counts(spark, store))
