@@ -782,3 +782,210 @@ def vocab_growth(
         F.sum("__toks").over(w).cast("long").alias("tokens_cum"),
         F.sum("__new_toks").over(w).cast("long").alias("vocab_cum"),
     )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    group_col: str | None = "lang",
+    n_buckets: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lm_df: DataFrame | None = None,
+    lm_counts: DataFrame | None = None,
+    alpha: float = 0.5,
+    out: str = "ppl_bucket",
+) -> DataFrame:
+    """CCNet's perplexity bucketing (Wenzek et al. 2020 split each
+    language's crawl into head/middle/tail by LM perplexity and treat
+    the buckets as quality tiers): rank documents by ``unigram_logprob``
+    WITHIN ``group_col`` (per-language thresholds — absolute perplexity
+    isn't comparable across languages) and deal them into ``n_buckets``
+    equal-count buckets, 0 = least perplexing (head). Bucket boundaries
+    are rank-based (ntile semantics via explicit row_number/count — the
+    replayable form), ties broken by id; docs the LM can't score
+    (no tokens) get a NULL bucket, never a dropped row. Pass
+    ``group_col=None`` for one global bucketing.
+
+    Scale: the unigram_logprob cost + ONE shuffle on the group and a
+    per-group window — same skew caveat as ``calibrate_quality``
+    (two-phase-rank a dominant group).
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    scored = unigram_logprob(
+        df, lm_df=lm_df, id_col=id_col, text_col=text_col,
+        alpha=alpha, lm_counts=lm_counts,
+    )
+    keep = [id_col] + ([group_col] if group_col else [])
+    joined = df.select(*keep).join(scored, id_col)
+    grp = [group_col] if group_col else []
+    scorable = F.col("avg_logprob").isNotNull()
+    # higher avg_logprob = less perplexing = lower (better) bucket
+    w = Window.partitionBy(*grp).orderBy(
+        F.col("avg_logprob").desc(), F.col(id_col)
+    )
+    wc = Window.partitionBy(*grp)
+    ranked = (
+        joined.filter(scorable)
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wc))
+        .withColumn(
+            out,
+            ((F.col("__rn") - 1) * n_buckets / F.col("__n")).cast("int"),
+        )
+        .drop("__rn", "__n")
+    )
+    unscorable = joined.filter(~scorable).withColumn(
+        out, F.lit(None).cast("int")
+    )
+    return ranked.unionByName(unscorable)
+
+
+_BPE_EOW = "</w>"
+
+
+def _bpe_merge_fold(syms: Column, a: str, b: str) -> Column:
+    """Left-to-right single-pass merge of adjacent (a, b) → a+b inside a
+    symbol array, as ONE codegen fold (no Python, no explode): the
+    accumulator carries the emitted prefix plus the pending previous
+    symbol; overlapping occurrences resolve left-to-right ("a a a" with
+    merge (a,a) → ["aa", "a"]), the standard BPE convention."""
+    init = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit(None).cast("string").alias("pend"),
+    )
+
+    def step(acc, s):
+        merged = acc["pend"].isNotNull() & (acc["pend"] == a) & (s == b)
+        flushed = F.when(
+            acc["pend"].isNull(), acc["out"]
+        ).otherwise(F.concat(acc["out"], F.array(acc["pend"])))
+        return F.struct(
+            F.when(merged, F.concat(acc["out"], F.array(F.lit(a + b))))
+            .otherwise(flushed)
+            .alias("out"),
+            F.when(merged, F.lit(None).cast("string")).otherwise(s).alias("pend"),
+        )
+
+    def fin(acc):
+        return F.when(acc["pend"].isNull(), acc["out"]).otherwise(
+            F.concat(acc["out"], F.array(acc["pend"]))
+        )
+
+    return F.aggregate(syms, init, step, fin)
+
+
+def train_bpe(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    min_pair_count: int = 1,
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """Distributed byte-pair-encoding merge training (Sennrich et al.
+    2016 — the real tokenizer-training step behind ``build_vocab``'s
+    word-level artifact): ONE corpus-sized shuffle builds the
+    (word, count) table; every Lloyd-style iteration after that runs on
+    the VOCABULARY-sized table only — weighted adjacent-symbol-pair
+    counts (explode pairs × word count, one partial-agg groupBy), the
+    argmax pair collected to the driver (count desc, then (left, right)
+    lexicographic — fully deterministic), and the merge applied to every
+    word's symbol array by a single codegen fold. Words start as
+    characters + a ``</w>`` end-of-word marker. Training stops early
+    when no pair reaches ``min_pair_count``.
+
+    Returns ``(merges, words)``: the ordered merge table
+    [(left, right, weighted_count)] — THE BPE artifact a tokenizer
+    ships — and the final segmented word table
+    (word, count, syms array<string>) for inspection/encoding.
+
+    Scale: the corpus is touched once (word counts); per merge the work
+    is O(vocabulary × word length) — independent of corpus size, the
+    property that makes BPE trainable on a 100 TB crawl (the word table
+    of even a huge crawl is ~10⁷ rows). Each iteration's word table is
+    eagerly checkpointed: the merge fold would otherwise stack
+    ``n_merges`` deep in lineage and analysis time, not execution,
+    becomes the bottleneck. Only the 1-row argmax and the final merge
+    list touch the driver.
+    """
+    if n_merges < 0:
+        raise ValueError(f"n_merges must be >= 0, got {n_merges}")
+    if min_pair_count < 1:
+        raise ValueError(f"min_pair_count must be >= 1, got {min_pair_count}")
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .withColumn(
+            "syms",
+            F.concat(
+                F.split(F.col("word"), ""),
+                F.array(F.lit(_BPE_EOW)),
+            ),
+        )
+    ).localCheckpoint(eager=True)
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        n = F.size("syms")
+        pairs = (
+            words.select(
+                F.col("count"),
+                F.explode_outer(
+                    F.zip_with(
+                        F.slice(F.col("syms"), 1, F.greatest(n - 1, F.lit(0))),
+                        F.slice(F.col("syms"), 2, F.greatest(n - 1, F.lit(0))),
+                        lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                    )
+                ).alias("p"),
+            )
+            .filter(F.col("p").isNotNull())
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("count").cast("long").alias("cnt"))
+        )
+        top = pairs.orderBy(F.desc("cnt"), "a", "b").limit(1).collect()
+        if not top or top[0].cnt < min_pair_count:
+            break
+        a, b, cnt = top[0].a, top[0].b, int(top[0].cnt)
+        merges.append((a, b, cnt))
+        words = words.withColumn(
+            "syms", _bpe_merge_fold(F.col("syms"), a, b)
+        ).localCheckpoint(eager=True)
+    return merges, words
+
+
+def bpe_segment(
+    df: DataFrame,
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+    text_col: str = "text",
+    out: str = "pieces",
+) -> DataFrame:
+    """Apply a trained BPE merge table to a text column: each token is
+    split to characters + ``</w>`` and the merges replay IN TRAINING
+    ORDER (the BPE inference contract — order is the artifact), yielding
+    the subword piece sequence per document. The real-piece-count
+    successor to ``with_token_stats``'s ``n_subwords`` proxy.
+
+    Scale: pure codegen — one fold per merge chained over a narrow
+    column; no shuffle, no Python. For merge tables in the tens of
+    thousands, chain in groups of a few hundred with intermediate
+    checkpoints (same lineage-depth caveat as training), or move to an
+    Arrow kernel with a trie — the semantics stay identical.
+    """
+    toks = tokens(text_col)
+    word_syms = F.transform(
+        toks,
+        lambda w: F.concat(F.split(w, ""), F.array(F.lit(_BPE_EOW))),
+    )
+    # a closure factory, NOT default-arg lambdas: PySpark infers the
+    # higher-order function's arity from the Python signature, and
+    # `lambda s, _a=a: ...` reads as a 2/3-arg (element, index) lambda
+    def _apply(a: str, b: str):
+        return lambda s: _bpe_merge_fold(s, a, b)
+
+    df = df.withColumn("__wsyms", word_syms)
+    for m in merges:
+        df = df.withColumn(
+            "__wsyms", F.transform(F.col("__wsyms"), _apply(m[0], m[1]))
+        )
+    return df.withColumn(out, F.flatten(F.col("__wsyms"))).drop("__wsyms")

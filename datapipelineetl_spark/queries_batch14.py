@@ -517,3 +517,48 @@ def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, emb, k_per_cluster=_CBS_K, n_clusters=_KM_K, iters=_KM_ITERS,
         salt="cb0",
     ).select("doc_id", "cluster")
+
+
+# =============================================================================
+# CCNet perplexity buckets (per-language head/middle/tail quality tiers)
+# =============================================================================
+
+# the unigram-LM CTE chain is reused verbatim from q_unigram_logprob
+# (ONE definition — a model change can never update only one replay)
+_SQL_LM_CTES = STAGED_ORACLES["q_unigram_logprob"].split("SELECT d.doc_id")[0].rstrip().rstrip(",")
+
+
+@query(
+    "q_perplexity_buckets",
+    f"""
+    {_SQL_LM_CTES},
+    scored AS (
+      SELECT d.doc_id, d.lang, a.avg_logprob
+      FROM documents d LEFT JOIN agg a USING (doc_id))
+    SELECT doc_id, lang, avg_logprob,
+           CASE WHEN avg_logprob IS NULL THEN NULL
+                ELSE CAST(FLOOR(
+                  (ROW_NUMBER() OVER (
+                     PARTITION BY lang,
+                       CASE WHEN avg_logprob IS NULL THEN 1 ELSE 0 END
+                     ORDER BY avg_logprob DESC, doc_id) - 1) * 3.0
+                  / COUNT(*) OVER (
+                     PARTITION BY lang,
+                       CASE WHEN avg_logprob IS NULL THEN 1 ELSE 0 END)
+                ) AS INT) END AS ppl_bucket
+    FROM scored
+    """,
+)
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: every document dealt into
+    head/middle/tail (3 equal-count buckets) by LM log-probability rank
+    WITHIN its language — the oracle replays the LM fit (the SAME CTE
+    chain as q_unigram_logprob), every score, and the rank-to-bucket
+    arithmetic, so each doc's quality tier is value-checked.
+
+    Scale: the unigram_logprob cost + ONE shuffle on lang with
+    per-language windows (text.perplexity_buckets docstring)."""
+    docs = _t_spread(spark, sf_dir, "documents")
+    return text.perplexity_buckets(docs, group_col="lang", n_buckets=3).select(
+        "doc_id", "lang", "avg_logprob", "ppl_bucket"
+    )

@@ -301,3 +301,32 @@ def test_shuffle_corpus_matches_python_reference(spark, keys, n_shards):
         for pos, k in enumerate(sorted(ks, key=lambda k: (h(k), k)), 1):
             expect[k] = (s, pos)
     assert got == expect
+
+
+_words = st.lists(
+    st.text(alphabet="abcde", min_size=1, max_size=5), min_size=1, max_size=15
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(_words, min_size=1, max_size=4),
+       st.integers(min_value=0, max_value=6))
+def test_train_bpe_matches_reference_on_random_corpora(spark, docs_words, n_merges):
+    """Distributed BPE == the sequential reference on RANDOM corpora:
+    the pair-count weighting, (count desc, pair) tiebreak, </w>
+    handling, and left-to-right overlap rule hold for inputs nobody
+    hand-picked (including 1-char words whose first merge involves the
+    end marker, and repeated-letter words with overlapping pairs)."""
+    from tests.test_text_dedup_similarity import _ref_bpe
+
+    from datapipelineetl_spark.operators import text as text_ops
+
+    corpus_texts = [" ".join(ws) for ws in docs_words]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus_texts)], ["doc_id", "text"]
+    )
+    merges, words = text_ops.train_bpe(df, n_merges=n_merges)
+    ref_merges, ref_syms = _ref_bpe(corpus_texts, n_merges)
+    assert merges == ref_merges
+    got = {r.word: list(r.syms) for r in words.collect()}
+    assert got == ref_syms

@@ -33,6 +33,7 @@ NESTED_LOOP_ALLOWED = {
     "q_unigram_logprob": "1-row LM-totals scalar crossJoin (total tokens + vocab size)",
     "q_dsir_weights": "1-row distribution-totals scalar crossJoin (raw/target gram totals)",
     "q_dsir_resample": "same dsir_weights totals crossJoin (resampling builds on the weights)",
+    "q_perplexity_buckets": "same unigram_logprob 1-row LM-totals crossJoin (buckets build on the score)",
     # q_semantic_dupes' exact O(n²) pair baseline needs no entry: its BNLJ
     # sits inside cluster_pairs' materialized rounds, below the tail plan
     # the lint reads (same visibility property as q_dedup_clusters_lsh)

@@ -951,3 +951,109 @@ def test_kmeans_separates_blobs_deterministically(spark):
         similarity.kmeans(df, k=50, iters=1)
     with pytest.raises(ValueError, match="k >= 1"):
         similarity.kmeans(df, k=0)
+
+
+def test_perplexity_buckets_per_group_tiers(spark):
+    """text.perplexity_buckets: head/middle/tail dealt by LM-score rank
+    WITHIN each group; equal-count buckets; unscorable docs get NULL
+    bucket but are never dropped; bucket 0 = least perplexing."""
+    common = "the common words appear here again and again and again"
+    rows = [
+        (1, common + " " + common, "en"),       # most in-distribution
+        (2, common, "en"),
+        (3, "rare zyx qwv unusual tokens", "en"),  # most perplexing
+        (4, common, "fr"),
+        (5, "  ", "fr"),                          # unscorable
+        (6, "zz yy", "fr"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    got = {r.doc_id: r for r in
+           text.perplexity_buckets(df, group_col="lang", n_buckets=3).collect()}
+    assert len(got) == 6  # nothing dropped
+    assert got[3].ppl_bucket == 2          # tail of en
+    assert got[1].ppl_bucket == 0          # head of en
+    assert got[5].ppl_bucket is None       # unscorable
+    en_buckets = [got[d].ppl_bucket for d in (1, 2, 3)]
+    assert sorted(en_buckets) == [0, 1, 2]  # equal-count deal
+    # fr has 2 scorable docs over 3 buckets: ranks 0,1 -> buckets 0,1
+    assert {got[4].ppl_bucket, got[6].ppl_bucket} == {0, 1}
+    with pytest.raises(ValueError, match="n_buckets"):
+        text.perplexity_buckets(df, n_buckets=0)
+
+
+def _ref_bpe(texts, n_merges):
+    """Pure-Python reference BPE (Sennrich-style): same tokenization
+    (lower + whitespace), same </w> marker, same (count desc, pair
+    lexicographic) tiebreak, same left-to-right merge application."""
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        for w in (t or "").lower().split():
+            words[w] += 1
+    syms = {w: list(w) + ["</w>"] for w in words}
+    merges = []
+    for _ in range(n_merges):
+        pc = Counter()
+        for w, c in words.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += c
+        if not pc:
+            break
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, cnt))
+        for w, s in syms.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    return merges, syms
+
+
+@pytest.mark.parametrize("corpus", [
+    ["low low low low low", "lower lower", "newest newest newest",
+     "widest widest", "new new"],
+    ["aaaa aaa aa a", "ab ab ab abab"],              # overlap resolution
+    ["répété répété déjà", "naïve café café café"],  # non-ascii chars
+    ["x"],                                            # single char + </w>
+])
+def test_train_bpe_matches_python_reference(spark, corpus):
+    """Distributed BPE == the sequential reference, merge for merge and
+    symbol for symbol (the tiebreak, the </w> handling, and the
+    left-to-right overlap rule all pinned)."""
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(corpus)],
+                               ["doc_id", "text"])
+    merges, words = text.train_bpe(df, n_merges=8)
+    ref_merges, ref_syms = _ref_bpe(corpus, 8)
+    assert merges == ref_merges
+    got_syms = {r.word: list(r.syms) for r in words.collect()}
+    assert got_syms == ref_syms
+
+
+def test_bpe_segment_applies_merges_in_order(spark):
+    """bpe_segment: inference replays the trained merges in order; the
+    piece stream per doc equals the reference segmentation; an empty
+    merge table yields pure character+</w> streams."""
+    corpus = ["low low low lower lowest", "low lowest"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(corpus)],
+                               ["doc_id", "text"])
+    merges, _ = text.train_bpe(df, n_merges=6)
+    ref_merges, ref_syms = _ref_bpe(corpus, 6)
+    assert merges == ref_merges
+    got = {r.doc_id: list(r.pieces)
+           for r in text.bpe_segment(df, merges).collect()}
+    for i, t in enumerate(corpus):
+        expect = [p for w in t.lower().split() for p in ref_syms[w]]
+        assert got[i] == expect, (i, got[i], expect)
+    # zero merges: chars + </w>
+    raw = {r.doc_id: list(r.pieces)
+           for r in text.bpe_segment(df, []).collect()}
+    assert raw[1] == list("low") + ["</w>"] + list("lowest") + ["</w>"]
+    with pytest.raises(ValueError, match="n_merges"):
+        text.train_bpe(df, n_merges=-1)
