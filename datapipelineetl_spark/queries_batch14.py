@@ -562,3 +562,98 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.perplexity_buckets(docs, group_col="lang", n_buckets=3).select(
         "doc_id", "lang", "avg_logprob", "ppl_bucket"
     )
+
+
+# =============================================================================
+# Distributed BPE merge training (the FULL training loop replayed in SQL)
+# =============================================================================
+
+_BPE_N = 12
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    """Replay the ENTIRE BPE training loop as one recursive CTE whose
+    single-row state carries every word's symbol string: per iteration,
+    weighted adjacent-pair counts via nested list lambdas, the argmax
+    pair by (count desc, pair lexicographic) struct-sort, and the merge
+    applied by ONE string replace. Two encoding tricks make it exact:
+    symbols join on a DOUBLE \\x1f separator, so the merge pattern
+    ``\\x1f a \\x1f\\x1f b \\x1f`` consumes one separator from each side
+    — symbol-level occurrences stay disjoint in the string and a single
+    left-to-right non-overlapping replace IS the engine's fold; and
+    pairs dedupe as \\x1f-joined strings (list_distinct can't hash
+    structs). Caveat shared with the engine: tokens must not contain
+    \\x1f (not a whitespace char, so tokenization leaves it — absent
+    from any real corpus)."""
+    s, d = "\x1f", "\x1f\x1f"
+    return f"""
+    WITH RECURSIVE words0 AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT UNNEST({_TOKS}) AS word FROM documents)
+      GROUP BY word),
+    init AS (
+      SELECT list({{'w': '{d}' || array_to_string(list_append(regexp_split_to_array(word, ''), '</w>'), '{d}') || '{d}', 'c': cnt}}) AS ws
+      FROM words0),
+    rec AS (
+      SELECT 0 AS it, (SELECT ws FROM init) AS ws,
+             CAST([] AS STRUCT(a VARCHAR, b VARCHAR, cnt BIGINT)[]) AS ms
+      UNION ALL
+      SELECT it + 1,
+             list_transform(ws, wc -> {{
+               'w': replace(wc.w, '{s}' || best.a || '{d}' || best.b || '{s}',
+                            '{s}' || best.a || best.b || '{s}'),
+               'c': wc.c}}),
+             list_append(ms, best)
+      FROM (
+        SELECT it, ws, ms,
+               CASE WHEN b0.negc IS NULL THEN NULL
+                    ELSE {{'a': string_split(b0.p, '{s}')[1],
+                          'b': string_split(b0.p, '{s}')[2],
+                          'cnt': -b0.negc}} END AS best
+        FROM (
+          SELECT it, ws, ms,
+                 list_sort(list_transform(
+                   list_distinct(list_transform(pw, x -> x.p)),
+                   p -> {{'negc': -list_sum(list_transform(pw, x ->
+                            CASE WHEN x.p = p THEN x.c ELSE 0 END)),
+                         'p': p}}))[1] AS b0
+          FROM (
+            SELECT it, ws, ms,
+                   flatten(list_transform(ws, wc ->
+                     list_transform(generate_series(1, len(list_filter(string_split(wc.w, '{d}'), y -> y <> '')) - 1),
+                       i -> {{'p': list_filter(string_split(wc.w, '{d}'), y -> y <> '')[i] || '{s}'
+                                 || list_filter(string_split(wc.w, '{d}'), y -> y <> '')[i + 1],
+                             'c': wc.c}}))) AS pw
+            FROM rec WHERE it < {n_merges}))
+      ) WHERE best IS NOT NULL
+    )
+    SELECT CAST(u.rank AS BIGINT) AS rank, u.m.a AS left_sym,
+           u.m.b AS right_sym, u.m.cnt AS pair_count
+    FROM (SELECT ms FROM rec ORDER BY it DESC LIMIT 1) r,
+         LATERAL (SELECT UNNEST(r.ms) AS m, generate_subscripts(r.ms, 1) AS rank) u
+    ORDER BY rank
+    """
+
+
+@query("q_train_bpe", _bpe_oracle(_BPE_N))
+def q_train_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge training over the corpus ({0} merges): the
+    oracle replays the ENTIRE training loop — word counting, every
+    iteration's weighted pair counts, every (count desc, lexicographic)
+    argmax, every left-to-right merge application — so the merge table
+    (THE tokenizer artifact) is value-checked rank by rank, pair by
+    pair, count by count. The iterative-algorithm companion to
+    q_kmeans_clusters' unrolled replay: here the recursion carries the
+    full segmented-word state.
+
+    Scale: the corpus is scanned once (word counts); each of the {0}
+    merge iterations runs on the vocabulary-sized word table only
+    (text.train_bpe docstring). The merge list itself is metadata
+    ({0} rows) — building the result frame from the driver-held list is
+    the attrition_report pattern.""".format(_BPE_N)
+    docs = _t_spread(spark, sf_dir, "documents")
+    merges, _ = text.train_bpe(docs, n_merges=_BPE_N)
+    rows = [(i + 1, a, b, cnt) for i, (a, b, cnt) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "rank long, left_sym string, right_sym string, pair_count long"
+    )
