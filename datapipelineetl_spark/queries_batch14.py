@@ -571,7 +571,7 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_N = 12
 
 
-def _bpe_oracle(n_merges: int) -> str:
+def _bpe_ctes(n_merges: int) -> str:
     """Replay the ENTIRE BPE training loop as one recursive CTE whose
     single-row state carries every word's symbol string: per iteration,
     weighted adjacent-pair counts via nested list lambdas, the argmax
@@ -592,7 +592,7 @@ def _bpe_oracle(n_merges: int) -> str:
       FROM (SELECT UNNEST({_TOKS}) AS word FROM documents)
       GROUP BY word),
     init AS (
-      SELECT list({{'w': '{d}' || array_to_string(list_append(regexp_split_to_array(word, ''), '</w>'), '{d}') || '{d}', 'c': cnt}}) AS ws
+      SELECT list({{'o': word, 'w': '{d}' || array_to_string(list_append(regexp_split_to_array(word, ''), '</w>'), '{d}') || '{d}', 'c': cnt}}) AS ws
       FROM words0),
     rec AS (
       SELECT 0 AS it, (SELECT ws FROM init) AS ws,
@@ -600,6 +600,7 @@ def _bpe_oracle(n_merges: int) -> str:
       UNION ALL
       SELECT it + 1,
              list_transform(ws, wc -> {{
+               'o': wc.o,
                'w': replace(wc.w, '{s}' || best.a || '{d}' || best.b || '{s}',
                             '{s}' || best.a || best.b || '{s}'),
                'c': wc.c}}),
@@ -626,7 +627,10 @@ def _bpe_oracle(n_merges: int) -> str:
                              'c': wc.c}}))) AS pw
             FROM rec WHERE it < {n_merges}))
       ) WHERE best IS NOT NULL
-    )
+    )"""
+
+
+_BPE_TRAIN_TAIL = """
     SELECT CAST(u.rank AS BIGINT) AS rank, u.m.a AS left_sym,
            u.m.b AS right_sym, u.m.cnt AS pair_count
     FROM (SELECT ms FROM rec ORDER BY it DESC LIMIT 1) r,
@@ -635,7 +639,7 @@ def _bpe_oracle(n_merges: int) -> str:
     """
 
 
-@query("q_train_bpe", _bpe_oracle(_BPE_N))
+@query("q_train_bpe", _bpe_ctes(_BPE_N) + _BPE_TRAIN_TAIL)
 def q_train_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE merge training over the corpus ({0} merges): the
     oracle replays the ENTIRE training loop — word counting, every
@@ -656,4 +660,91 @@ def q_train_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [(i + 1, a, b, cnt) for i, (a, b, cnt) in enumerate(merges)]
     return spark.createDataFrame(
         rows, "rank long, left_sym string, right_sym string, pair_count long"
+    )
+
+
+@query(
+    "q_bpe_segment",
+    _bpe_ctes(_BPE_N)
+    + """,
+    wmap AS (
+      SELECT u.wc.o AS word,
+             list_filter(string_split(u.wc.w, chr(31) || chr(31)), y -> y <> '')
+               AS pieces
+      FROM (SELECT ws FROM rec ORDER BY it DESC LIMIT 1) r,
+           LATERAL (SELECT UNNEST(r.ws) AS wc) u),
+    toks AS (
+      SELECT doc_id, UNNEST(arr) AS word, generate_subscripts(arr, 1) AS pos
+      FROM (SELECT doc_id, """
+    + _TOKS
+    + """ AS arr FROM documents)),
+    per_doc AS (
+      SELECT t.doc_id,
+             md5(array_to_string(flatten(list(m.pieces ORDER BY t.pos)), ' '))
+               AS pieces_digest,
+             CAST(SUM(len(m.pieces)) AS BIGINT) AS n_pieces
+      FROM toks t JOIN wmap m ON t.word = m.word
+      GROUP BY t.doc_id)
+    SELECT d.doc_id,
+           COALESCE(p.pieces_digest, md5('')) AS pieces_digest,
+           CAST(COALESCE(p.n_pieces, 0) AS BIGINT) AS n_pieces
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE inference over the corpus with the merges trained on it: each
+    document's subword piece stream, shipped as an md5 digest of the
+    space-joined pieces + the piece count (driver-hashable; pieces
+    contain no spaces by construction). The oracle replays the SAME
+    training recursion as q_train_bpe (one `_bpe_ctes` definition feeds
+    both) and maps every document's token sequence through the final
+    segmented word table — so training AND inference are value-checked
+    at every position. Tokenless docs digest the empty string.
+
+    Scale: the train cost + one posexplode + one broadcastable
+    word-table join + one in-aggregate ordered rebuild per doc — the
+    encode_tokens plan shape with BPE pieces instead of vocab ids."""
+    docs = _t_spread(spark, sf_dir, "documents")
+    merges, words = text.train_bpe(docs, n_merges=_BPE_N)
+    toks = docs.select(
+        F.col("doc_id"),
+        F.posexplode_outer(
+            text.tokens(F.coalesce(F.col("text"), F.lit("")))
+        ).alias("pos", "word"),
+    )
+    joined = toks.join(words.select("word", "syms"), "word", "left")
+    per_doc = (
+        joined.filter(F.col("word").isNotNull())
+        .groupBy("doc_id")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.flatten(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(
+                                    F.struct(F.col("pos"), F.col("syms"))
+                                )
+                            ),
+                            lambda s: s["syms"],
+                        )
+                    ),
+                    " ",
+                )
+            ).alias("pieces_digest"),
+            F.sum(F.size("syms")).cast("long").alias("n_pieces"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("pieces_digest"), F.md5(F.lit(""))).alias(
+                "pieces_digest"
+            ),
+            F.coalesce(F.col("n_pieces"), F.lit(0).cast("long")).alias(
+                "n_pieces"
+            ),
+        )
     )

@@ -92,7 +92,7 @@ def test_staged_registry_promoted():
     # batch14 stays staged (r9 backlog): importing it must NOT have
     # grown the live surface
     assert set(b14.STAGED_ORACLES) == set(b14.STAGED_QUERIES)
-    assert len(b14.STAGED_QUERIES) == 10
+    assert len(b14.STAGED_QUERIES) == 11
     assert not (set(b14.STAGED_QUERIES) & set(live))
     n = len(live)
     for b in (b11, b12, b13):
