@@ -818,8 +818,9 @@ def perplexity_buckets(
         df, lm_df=lm_df, id_col=id_col, text_col=text_col,
         alpha=alpha, lm_counts=lm_counts,
     )
-    keep = [id_col] + ([group_col] if group_col else [])
-    joined = df.select(*keep).join(scored, id_col)
+    # annotate, don't project: every input column survives (the
+    # calibrate_quality contract) — only the score and bucket are added
+    joined = df.join(scored.select(id_col, "avg_logprob"), id_col)
     grp = [group_col] if group_col else []
     scorable = F.col("avg_logprob").isNotNull()
     # higher avg_logprob = less perplexing = lower (better) bucket

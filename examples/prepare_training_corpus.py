@@ -9,6 +9,8 @@ Stages (each one an oracle-checked operator; see COVERAGE.md):
                         dedup → capped near-dup clustering →
                         representative keep → PII redaction
   2. contaminated_ids   drop docs sharing 8-grams with the held-out set
+  2a. perplexity tiers  per-language CCNet buckets; the tail tier drops
+                        (perplexity_buckets on the unigram LM)
   2b. token budget      best-first selection until the token budget
                         (select_until_token_budget, two-phase cumsum)
   3. train/val split    disjoint-exhaustive holdout bands (split_corpus)
@@ -62,12 +64,23 @@ def main() -> int:
     decon = clean.join(drop, "doc_id", "anti")
     n2 = decon.count()
 
+    # 2a. LM quality tier: CCNet-style per-language perplexity buckets
+    #     (unigram-LM score rank within language) — drop the tail
+    #     third, the statistical-outlier tier (oracle-checked as
+    #     q_perplexity_buckets)
+    tiers = text.perplexity_buckets(
+        decon.join(docs.select("doc_id", "lang"), "doc_id"),
+        group_col="lang", n_buckets=3,
+    )
+    decon = tiers.filter(F.col("ppl_bucket") < 2).select("doc_id", "text")
+    n2a = decon.count()
+
     # 2b. cap the corpus at a token budget, best quality first — the
     #     "train on the best N tokens" selection (two-phase cumsum, no
     #     global sort; oracle-checked as q_select_budget)
     scored = text.with_token_stats(text.with_quality_score(decon))
     decon = corpus.select_until_token_budget(
-        scored, 5_000, "n_tokens", "quality_score"
+        scored, 4_000, "n_tokens", "quality_score"
     ).select("doc_id", "text")
     n2b = decon.count()
 
@@ -126,6 +139,12 @@ def main() -> int:
     manifest = tensor.write_token_shards(shard_addr, out_dir + "_bin").collect()
     n_bin_tokens = sum(m.n_tokens for m in manifest)
 
+    # 7b. the second tokenizer artifact: BPE merges trained on the SAME
+    #     chunk corpus the id-vocab came from (train_bpe — corpus
+    #     scanned once, then vocabulary-sized iterations; the full loop
+    #     is oracle-checked as q_train_bpe / q_bpe_segment)
+    merges, _ = text.train_bpe(chunk_docs, n_merges=12)
+
     # 8. artifact integrity: read the shards back loader-style — each
     #    task re-hashes its shard against the index's md5 and every
     #    (shard, pos) id stream must hold exactly the packed token count
@@ -137,8 +156,10 @@ def main() -> int:
 
     print(
         f"documents {n0} -> cleaned {n1} -> decontaminated {n2} -> "
-        f"budgeted {n2b} -> train {n3} -> chunks {n4} -> packs {packs} "
+        f"ppl-tiered {n2a} -> budgeted {n2b} -> train {n3} -> "
+        f"chunks {n4} -> packs {packs} "
         f"-> binary artifact {len(manifest)} shards / {n_bin_tokens} tokens "
+        f"+ {len(merges)} BPE merges "
         f"(checksum-verified read-back: {n_read} tokens; store: {out_dir})"
     )
     return 0

@@ -4,6 +4,7 @@ int-vs-BIGINT drift passes a stringified value compare but may fail a typed
 one — this catches it early.
 
 Usage: python tools/check_types.py [sf_dir]
+       python tools/check_types.py --staged [sf_dir]   # + staged batteries
 """
 
 from __future__ import annotations
@@ -38,7 +39,9 @@ COMPAT = {
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    staged = "--staged" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     spark = get_session("type-audit")
     con = duckdb.connect()
     for t in catalog.TABLES:
@@ -46,6 +49,13 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    if staged:
+        # a dtype drift in a STAGED query should be caught before its
+        # promotion takes a window slot, not after
+        from datapipelineetl_spark import queries_batch14 as b14
+
+        qs = {**qs, **b14.STAGED_QUERIES}
+        oracles = {**oracles, **b14.STAGED_ORACLES}
     bad = 0
     for name, fn in sorted(qs.items()):
         if name not in oracles:
