@@ -10,8 +10,8 @@ gate of record.
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
        python tools/check_correctness.py --staged [sf_dir] [query ...]
 
-``--staged`` ALSO checks the STAGED sets (queries_batch11 — promoted
-round 6 — and queries_batch12, awaiting r7 window slots) with the same
+``--staged`` ALSO checks the STAGED batteries (batches 11–13 were
+promoted rounds 6–8; batch 14 awaits r9 window slots) with the same
 comparison.
 """
 
