@@ -990,3 +990,105 @@ def bpe_segment(
             "__wsyms", F.transform(F.col("__wsyms"), _apply(m[0], m[1]))
         )
     return df.withColumn(out, F.flatten(F.col("__wsyms"))).drop("__wsyms")
+
+
+def bigram_logprob(
+    df: DataFrame,
+    lm_df: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.7,
+    alpha: float = 0.5,
+    out: str = "avg_logprob",
+) -> DataFrame:
+    """Interpolated bigram language-model scoring — the next n-gram
+    step above ``unigram_logprob`` toward the KenLM-style perplexity
+    filters of CCNet/Gopher: per token,
+    ``p = lam * p_bigram_MLE + (1 - lam) * p_unigram_addalpha`` where
+    ``p_bigram_MLE = c(prev, tok) / c(prev as context)`` (0 when the
+    context or the pair is unseen) and the unigram term is the same
+    add-``alpha`` model as ``unigram_logprob`` — so every token keeps
+    positive mass and the first token of a document backs off to the
+    unigram model outright. Returns (id_col, n_tokens, out) with the
+    mean natural-log probability rounded to 5 decimals; tokenless docs
+    get n_tokens 0 and a NULL score, never a dropped row.
+
+    The model fits on ``lm_df`` (default: the corpus itself). The
+    oracle replays the full fit — bigram counts, context counts,
+    unigram counts, totals — and every interpolated probability, so
+    the fit+score path is value-checked end to end.
+
+    Scale: (prev, tok) pairs come from per-row ARRAY math (an indexed
+    transform over the token array), not a window — zero shuffle until
+    the count fits, which are partial-aggregated shuffles bounded by
+    bigram-vocabulary size. Scoring is the token explode + three
+    dimension-sized left joins (AQE broadcasts each count table) + one
+    groupBy(doc). The totals row is the allowlisted 1-row scalar
+    crossJoin, same as ``unigram_logprob``.
+    """
+    if not (0.0 <= lam <= 1.0):
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    lm = lm_df if lm_df is not None else df
+
+    def pair_rows(frame: DataFrame, cols: list) -> DataFrame:
+        """(…cols, __prev, __tok) — one row per token, __prev NULL at
+        position 0, built narrow from the token array."""
+        arr = tokens(F.coalesce(F.col(text_col), F.lit("")))
+        idx = F.when(
+            F.size(arr) > 0, F.sequence(F.lit(1), F.size(arr))
+        ).otherwise(F.array().cast("array<int>"))
+        pairs = F.transform(
+            idx,
+            lambda i: F.struct(
+                F.element_at(arr, i).alias("__tok"),
+                F.when(i > 1, F.element_at(arr, i - 1)).alias("__prev"),
+            ),
+        )
+        return frame.select(
+            *cols, F.explode_outer(pairs).alias("__p")
+        ).select(*cols, F.col("__p.__tok"), F.col("__p.__prev"))
+
+    fit = pair_rows(lm, [])
+    uni = fit.filter(F.col("__tok").isNotNull()).groupBy("__tok").agg(
+        F.count(F.lit(1)).alias("__ucnt")
+    )
+    uni = uni.localCheckpoint(eager=True)  # feeds totals AND the score join
+    totals = uni.agg(
+        F.coalesce(F.sum("__ucnt"), F.lit(0)).alias("__total"),
+        F.count(F.lit(1)).alias("__vocab"),
+    )
+    big = (
+        fit.filter(F.col("__prev").isNotNull())
+        .groupBy("__prev", "__tok")
+        .agg(F.count(F.lit(1)).alias("__bcnt"))
+    )
+    ctx = (
+        fit.filter(F.col("__prev").isNotNull())
+        .groupBy(F.col("__prev").alias("__ctx"))
+        .agg(F.count(F.lit(1)).alias("__ccnt"))
+    )
+
+    toks = pair_rows(df, [id_col])
+    p_uni = (F.coalesce(F.col("__ucnt"), F.lit(0)) + F.lit(alpha)) / (
+        F.col("__total") + F.lit(alpha) * (F.col("__vocab") + 1)
+    )
+    p_big = F.when(
+        F.col("__prev").isNotNull() & F.col("__ccnt").isNotNull(),
+        F.coalesce(F.col("__bcnt"), F.lit(0)) / F.col("__ccnt"),
+    ).otherwise(F.lit(0.0))
+    p = F.when(
+        F.col("__prev").isNotNull(), F.lit(lam) * p_big + F.lit(1.0 - lam) * p_uni
+    ).otherwise(p_uni)
+    scored = (
+        toks.join(uni, "__tok", "left")
+        .join(big, ["__prev", "__tok"], "left")
+        .join(ctx, toks["__prev"] == ctx["__ctx"], "left")
+        .crossJoin(F.broadcast(totals))
+        .withColumn("__lp", F.when(F.col("__tok").isNotNull(), F.log(p)))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("__lp").alias("n_tokens"),
+        F.round(F.avg("__lp"), 5).alias(out),
+    )

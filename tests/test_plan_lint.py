@@ -34,6 +34,7 @@ NESTED_LOOP_ALLOWED = {
     "q_dsir_weights": "1-row distribution-totals scalar crossJoin (raw/target gram totals)",
     "q_dsir_resample": "same dsir_weights totals crossJoin (resampling builds on the weights)",
     "q_perplexity_buckets": "same unigram_logprob 1-row LM-totals crossJoin (buckets build on the score)",
+    "q_bigram_logprob": "1-row LM-totals scalar crossJoin (unigram backoff denominator)",
     # q_semantic_dupes' exact O(n²) pair baseline needs no entry: its BNLJ
     # sits inside cluster_pairs' materialized rounds, below the tail plan
     # the lint reads (same visibility property as q_dedup_clusters_lsh)
@@ -47,9 +48,11 @@ def frames(spark, sf_dir):
     from datapipelineetl_spark import queries_batch12 as b12
     from datapipelineetl_spark import queries_batch13 as b13
     from datapipelineetl_spark import queries_batch14 as b14
+    from datapipelineetl_spark import queries_batch15 as b15
 
     queries = {**entrymod.queries(), **b12.STAGED_QUERIES,
-               **b13.STAGED_QUERIES, **b14.STAGED_QUERIES}
+               **b13.STAGED_QUERIES, **b14.STAGED_QUERIES,
+               **b15.STAGED_QUERIES}
     return {name: fn(spark, sf_dir) for name, fn in queries.items()}
 
 

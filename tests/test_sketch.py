@@ -1,0 +1,255 @@
+"""Sketch-operator tests: count-min, HyperLogLog, Bloom, bigram LM.
+
+The oracle queries (queries_batch15 via test_corpus_oracles) pin the
+sketch CONTENTS against SQL replays; these tests pin the mathematical
+GUARANTEES (CM never underestimates, Bloom never false-negatives, HLL
+is order/partitioning-invariant) and the input validation."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from datapipelineetl_spark.operators import sketch, text
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# count-min
+# ---------------------------------------------------------------------------
+
+def test_countmin_never_underestimates(spark, docs):
+    """The CM guarantee, over the ENTIRE vocabulary (the oracle query
+    only reads the top 20): min-of-counters >= true count for every
+    token, with equality exactly when none of a token's d cells has a
+    collision."""
+    sk = sketch.countmin_sketch(docs, depth=3, width=32)
+    true = (
+        docs.select(F.explode(text.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+    )
+    est = sketch.countmin_estimate(sk, true.select("token"), depth=3, width=32)
+    rows = true.join(est, "token").collect()
+    assert rows
+    assert all(r.cm_count >= r.true_count for r in rows)
+
+
+def test_countmin_absent_token_estimates_collision_mass_only(spark, docs):
+    sk = sketch.countmin_sketch(docs, depth=3, width=64)
+    probe = spark.createDataFrame(
+        [("definitely-not-in-the-corpus-xyzzy",)], ["token"]
+    )
+    [row] = sketch.countmin_estimate(sk, probe, depth=3, width=64).collect()
+    # absent token: estimate is pure collision mass, possibly 0
+    assert row.cm_count >= 0
+
+
+def test_countmin_total_mass_per_row(spark, docs):
+    """Each counter row holds the complete token stream: per-row cell
+    sums all equal the corpus token count."""
+    sk = sketch.countmin_sketch(docs, depth=3, width=64)
+    total = docs.select(F.explode(text.tokens("text"))).count()
+    per_row = {r["row"]: r["s"] for r in
+               sk.groupBy("row").agg(F.sum("cnt").alias("s")).collect()}
+    assert per_row == {0: total, 1: total, 2: total}
+
+
+def test_countmin_validates_params(docs):
+    with pytest.raises(ValueError, match="depth/width"):
+        sketch.countmin_sketch(docs, depth=0, width=64)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+def test_hll_reasonable_and_partitioning_invariant(spark, docs):
+    """Estimate lands within the ±3σ band (σ ≈ 1.04/√m) of the true
+    cardinality, and — the float-order-proof design point — the result
+    is IDENTICAL under different partitionings, because the harmonic
+    numerator accumulates as an exact BIGINT instead of float sums."""
+    est1 = sketch.hll_distinct(docs, "lang", "text", m=64, ngram=2)
+    est8 = sketch.hll_distinct(
+        docs.repartition(8), "lang", "text", m=64, ngram=2
+    )
+    r1 = {r.lang: (r.hll_estimate, r.n_empty_buckets) for r in est1.collect()}
+    r8 = {r.lang: (r.hll_estimate, r.n_empty_buckets) for r in est8.collect()}
+    assert r1 == r8
+    true = {
+        r.lang: r.d
+        for r in docs.select(
+            "lang", F.explode(text.shingles("text", 2)).alias("g")
+        )
+        .groupBy("lang")
+        .agg(F.countDistinct("g").alias("d"))
+        .collect()
+    }
+    for lang, (est, _) in r1.items():
+        rel = abs(est - true[lang]) / true[lang]
+        assert rel < 3 * 1.04 / 8, f"{lang}: est {est} vs true {true[lang]}"
+
+
+def test_hll_exact_small_set_via_linear_counting(spark):
+    """A 3-distinct-token corpus whose tokens occupy three DISTINCT
+    buckets (md5 % 64 of beta/delta/epsilon = 43/17/0 — alpha/gamma
+    collide at 59, a real miniature of HLL's bucket-collision error,
+    so they're avoided here): linear counting with 61/64 empty buckets
+    estimates near-exactly."""
+    df = spark.createDataFrame(
+        [("g", "beta delta epsilon"), ("g", "delta epsilon beta")],
+        ["source", "text"],
+    )
+    [row] = sketch.hll_distinct(df, "source", "text", m=64).collect()
+    assert row.n_empty_buckets == 61
+    assert abs(row.hll_estimate - 3.0) < 0.15
+
+
+def test_hll_validates_params(docs):
+    with pytest.raises(ValueError, match="power of two"):
+        sketch.hll_distinct(docs, m=48)
+    with pytest.raises(ValueError, match="ngram"):
+        sketch.hll_distinct(docs, ngram=0)
+
+
+# ---------------------------------------------------------------------------
+# Bloom
+# ---------------------------------------------------------------------------
+
+def test_bloom_positions_match_python_md5(spark):
+    """The md5-slice positions are exactly hashlib's — the same bytes
+    the oracle's SQL md5 produces."""
+    df = spark.createDataFrame([("hello world",)], ["g"])
+    [row] = df.select(
+        sketch.bloom_positions(F.col("g"), k=2, hex_width=4).alias("p")
+    ).collect()
+    hx = hashlib.md5(b"hello world").hexdigest()
+    assert row.p == [int(hx[0:4], 16), int(hx[4:8], 16)]
+
+
+def test_bloom_no_false_negatives(spark, docs):
+    """Every document sharing an 8-gram with the benchmark (the exact
+    join's answer) is Bloom-flagged — the one-sided error guarantee."""
+    bench = docs.filter(F.col("source") == "src0")
+    corp = docs.filter(F.col("source") != "src0")
+    bits = sketch.build_bloom_bitset(bench, n=8, k=2, hex_width=4)
+    flagged = sketch.bloom_flag_contaminated(
+        corp, bits, n=8, k=2, hex_width=4
+    )
+
+    def grams(df):
+        return df.select(
+            "doc_id",
+            F.explode(F.array_distinct(text.shingles("text", 8))).alias("g"),
+        )
+
+    exact_ids = {
+        r.doc_id
+        for r in grams(corp)
+        .join(grams(bench).select("g").distinct(), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    bloom_ids = {
+        r.doc_id for r in flagged.filter("bloom_contaminated = 1").collect()
+    }
+    assert exact_ids <= bloom_ids
+    # every input row comes back, flagged or not
+    assert flagged.count() == corp.count()
+
+
+def test_bloom_bitset_and_param_validation(spark, docs):
+    with pytest.raises(ValueError, match="k must be"):
+        sketch.bloom_positions(F.lit("x"), k=9, hex_width=4)
+    with pytest.raises(ValueError, match="hex_width"):
+        sketch.bloom_positions(F.lit("x"), k=1, hex_width=2)
+    with pytest.raises(ValueError, match="bitset must be"):
+        sketch.bloom_flag_contaminated(
+            docs, np.zeros(10, dtype=np.uint8), hex_width=4
+        )
+
+
+def test_bloom_default_width_is_collision_free_here(spark, docs):
+    """At the production default (m = 2^20) this corpus produces zero
+    false positives: bloom set == exact set."""
+    bench = docs.filter(F.col("source") == "src0")
+    corp = docs.filter(F.col("source") != "src0")
+    bits = sketch.build_bloom_bitset(bench, n=8, k=2)
+    flagged = sketch.bloom_flag_contaminated(corp, bits, n=8, k=2)
+    fp = flagged.filter("bloom_contaminated = 1").join(
+        corp.select(
+            "doc_id",
+            F.explode(F.array_distinct(text.shingles("text", 8))).alias("g"),
+        )
+        .join(
+            bench.select(
+                F.explode(
+                    F.array_distinct(text.shingles("text", 8))
+                ).alias("g")
+            ).distinct(),
+            "g",
+            "left_semi",
+        )
+        .select("doc_id")
+        .distinct(),
+        "doc_id",
+        "left_anti",
+    )
+    assert fp.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# bigram LM
+# ---------------------------------------------------------------------------
+
+def test_bigram_lam_zero_equals_unigram(docs):
+    """lam=0 collapses the interpolation to the pure add-alpha unigram
+    model — scores must match unigram_logprob EXACTLY (same rounding,
+    same null semantics)."""
+    bg = {
+        r.doc_id: (r.n_tokens, r.avg_logprob)
+        for r in text.bigram_logprob(docs, lam=0.0, alpha=0.5).collect()
+    }
+    un = {
+        r.doc_id: (r.n_tokens, r.avg_logprob)
+        for r in text.unigram_logprob(docs, alpha=0.5).collect()
+    }
+    assert bg == un
+
+
+def test_bigram_prefers_seen_transitions(spark):
+    """'a b' repeated: the a→b transition is certain, so the bigram
+    model scores the corpus strictly higher than the unigram model."""
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "a b a b")], ["doc_id", "text"]
+    )
+    bg = {r.doc_id: r.avg_logprob for r in text.bigram_logprob(df).collect()}
+    un = {r.doc_id: r.avg_logprob for r in text.unigram_logprob(df).collect()}
+    assert all(bg[i] > un[i] for i in (1, 2))
+
+
+def test_bigram_keeps_tokenless_rows(spark):
+    df = spark.createDataFrame(
+        [(1, "one two three"), (2, ""), (3, None)], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: r for r in text.bigram_logprob(df).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[2].n_tokens == 0 and rows[2].avg_logprob is None
+    assert rows[3].n_tokens == 0 and rows[3].avg_logprob is None
+
+
+def test_bigram_validates_params(docs):
+    with pytest.raises(ValueError, match="lam"):
+        text.bigram_logprob(docs, lam=1.5)
+    with pytest.raises(ValueError, match="alpha"):
+        text.bigram_logprob(docs, alpha=0.0)

@@ -27,6 +27,7 @@ from datapipelineetl_spark import queries_batch11 as b11
 from datapipelineetl_spark import queries_batch12 as b12
 from datapipelineetl_spark import queries_batch13 as b13
 from datapipelineetl_spark import queries_batch14 as b14
+from datapipelineetl_spark import queries_batch15 as b15
 
 WINDOW = 50
 
