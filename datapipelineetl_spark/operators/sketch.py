@@ -45,6 +45,8 @@ __all__ = [
     "countmin_sketch",
     "countmin_estimate",
     "hll_distinct",
+    "hll_registers",
+    "hll_estimate_from_registers",
     "bloom_positions",
     "build_bloom_bitset",
     "bloom_flag_contaminated",
@@ -170,6 +172,26 @@ def hll_distinct(
     b = int(math.log2(m))
     if 2**b != m or not (4 <= m <= 4096):
         raise ValueError(f"m must be a power of two in [4, 4096], got {m}")
+    regs = hll_registers(df, group_col, text_col, m, ngram)
+    return hll_estimate_from_registers(regs, group_col, m, out)
+
+
+def hll_registers(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    m: int = 64,
+    ngram: int = 1,
+) -> DataFrame:
+    """The mergeable half of HLL: (group_col, __bucket, __reg) max-rank
+    registers. Register MAX is associative and idempotent, so partials
+    from any split of the data — partitions, micro-batches, per-day
+    corpora — fold exactly with ``groupBy(...).agg(max(__reg))``; the
+    streaming tie-in (``streaming.runner.streaming_sketch_state``)
+    relies on exactly this."""
+    b = int(math.log2(m))
+    if 2**b != m or not (4 <= m <= 4096):
+        raise ValueError(f"m must be a power of two in [4, 4096], got {m}")
     if ngram < 1:
         raise ValueError(f"ngram must be >= 1, got {ngram}")
     w = 60 - b  # suffix bit width
@@ -183,12 +205,29 @@ def hll_distinct(
     rho = F.when(suffix == 0, F.lit(w + 1)).otherwise(
         F.lit(w + 1) - F.length(F.bin(suffix))
     )
-    regs = (
+    return (
         toks.select(group_col, (h % m).cast("int").alias("__bucket"),
                     rho.alias("__rho"))
         .groupBy(group_col, "__bucket")
         .agg(F.max("__rho").alias("__reg"))
     )
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame,
+    group_col: str = "source",
+    m: int = 64,
+    out: str = "hll_estimate",
+) -> DataFrame:
+    """Fold (group_col, __bucket, __reg) registers into the estimate —
+    the read-time half shared by the batch operator and the streaming
+    state fold. ``regs`` must hold ONE row per (group, bucket) (merge
+    partials with max first). See ``hll_distinct`` for the float-parity
+    design (exact BIGINT harmonic numerator)."""
+    b = int(math.log2(m))
+    if 2**b != m:
+        raise ValueError(f"m must be a power of two, got {m}")
+    w = 60 - b
     alpha = 0.7213 / (1 + 1.079 / m)
     folded = regs.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("__present"),

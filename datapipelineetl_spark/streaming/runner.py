@@ -1195,3 +1195,87 @@ def read_lm_counts(spark: SparkSession, store: str) -> DataFrame:
         .groupBy("token")
         .agg(F.sum("count_partial").cast("long").alias("count"))
     )
+
+
+def streaming_sketch_state(
+    stream: DataFrame,
+    store: str,
+    checkpoint: str,
+    text_col: str = "text",
+    group_col: str = "source",
+    depth: int = 3,
+    width: int = 64,
+    m: int = 64,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming sketch maintenance: each micro-batch writes its
+    PARTIAL count-min cells (``<store>/cm``) and HLL max-rank registers
+    (``<store>/hll``) under its ``__batch_id`` partition (dynamic
+    partition overwrite — a replayed batch REWRITES its partition, the
+    ``continuous_rollup`` exactly-once contract). Sketches are the
+    canonical mergeable state: CM cells fold by SUM, HLL registers by
+    MAX — both associative AND (for HLL) idempotent — so
+    ``read_countmin_state`` / ``read_hll_state`` reconstruct EXACTLY
+    the sketch a batch build over the full history would produce
+    (pinned by the parity test). A crawl's heavy-hitter counters and
+    per-source vocabulary cardinality advance batch-by-batch with no
+    pass over history.
+
+    Scale: per batch ONE explode + partial-agg shuffles over THAT
+    batch only, each bounded by sketch geometry (depth*width cells,
+    m registers per group) — the store grows by at most that many rows
+    per batch regardless of batch size; ``compact_state``-style
+    maintenance folds old partitions when batch count grows.
+    """
+    from datapipelineetl_spark.operators import sketch  # noqa: PLC0415
+    from datapipelineetl_spark.sinks import maintenance  # noqa: PLC0415
+
+    def agg(df: DataFrame, epoch_id: int) -> None:
+        cm = sketch.countmin_sketch(df, text_col, depth, width)
+        maintenance.overwrite_partitions(
+            cm.withColumn("__batch_id", F.lit(epoch_id)),
+            f"{store}/cm",
+            ["__batch_id"],
+        )
+        hll = sketch.hll_registers(df, group_col, text_col, m)
+        maintenance.overwrite_partitions(
+            hll.withColumn("__batch_id", F.lit(epoch_id)),
+            f"{store}/hll",
+            ["__batch_id"],
+        )
+
+    return run_foreach_batch(
+        stream, agg, checkpoint, available_now=available_now, skip_empty=True
+    )
+
+
+def read_countmin_state(spark: SparkSession, store: str) -> DataFrame:
+    """Fold a ``streaming_sketch_state`` CM store into the
+    (row, bucket, cnt) grid ``sketch.countmin_estimate`` consumes —
+    counter sums are associative, so the fold is exact."""
+    return (
+        spark.read.parquet(f"{store}/cm")
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def read_hll_state(
+    spark: SparkSession,
+    store: str,
+    group_col: str = "source",
+    m: int = 64,
+    out: str = "hll_estimate",
+) -> DataFrame:
+    """Fold a ``streaming_sketch_state`` HLL store into per-group
+    estimates: register MAX across batch partials (exact — max is
+    associative and idempotent), then the shared estimator
+    (``sketch.hll_estimate_from_registers``)."""
+    from datapipelineetl_spark.operators import sketch  # noqa: PLC0415
+
+    regs = (
+        spark.read.parquet(f"{store}/hll")
+        .groupBy(group_col, "__bucket")
+        .agg(F.max("__reg").alias("__reg"))
+    )
+    return sketch.hll_estimate_from_registers(regs, group_col, m, out)
