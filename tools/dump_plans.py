@@ -46,6 +46,10 @@ PICK = {
     "q_dsir_weights": "DSIR importance weights (staged): two fixed-size (n_buckets) distribution aggregates, bucket model broadcast into the scoring join, 1-row totals crossJoin, one groupBy(doc) — model size independent of corpus size.",
     "q_vocab_growth": "Heaps-law curve (staged): one token min-id shuffle, narrow per-doc counts, and every window over the BUCKET-cardinality frame — the single-partition WindowExec is metadata-sized by construction (corpus_rows / bucket_width).",
     "q_kmeans_clusters": "Deterministic k-means (staged): the final assignment pass is ONE narrow Project (JVM fold distances over literal centroid arrays → array_min struct argmin) — zero Exchange, zero Python; the Lloyd iterations ran as k-row partial aggs before this plan.",
+    "q_countmin_counts": "Count-min grid (staged): one explode + ONE partial-agg shuffle bounded by depth×width per partition; the 20-row probe side joins the broadcast 3×64 grid — no vocabulary-sized shuffle on the estimate path.",
+    "q_hll_distinct": "HyperLogLog two-grain (staged): per grain ONE partial-agg shuffle on (source, bucket) — at most m=64 partial registers per group per partition cross the exchange; the estimator fold is register-cardinality work; the exact BIGINT harmonic numerator keeps the plan partitioning-invariant.",
+    "q_bloom_decontam": "Bloom decontamination (staged): the bloom half is MAP-ONLY — narrow gram/position math into one Arrow-batched bit test against the broadcast bitset, zero corpus shuffle; the only Exchange serves the exact-join comparison column that production omits.",
+    "q_bigram_logprob": "Interpolated bigram LM (staged): (prev,tok) pairs from per-row array math — NO window Exchange; bigram/context/unigram fits are vocabulary-bounded partial aggs, broadcast back into the scoring join; 1-row totals crossJoin allowlisted.",
 }
 
 
@@ -55,9 +59,11 @@ def main() -> None:
     from datapipelineetl_spark import queries_batch12 as b12
     from datapipelineetl_spark import queries_batch13 as b13
     from datapipelineetl_spark import queries_batch14 as b14
+    from datapipelineetl_spark import queries_batch15 as b15
 
     qs = {**entrymod.queries(), **b12.STAGED_QUERIES,
-          **b13.STAGED_QUERIES, **b14.STAGED_QUERIES}
+          **b13.STAGED_QUERIES, **b14.STAGED_QUERIES,
+          **b15.STAGED_QUERIES}
     lines = [
         "# PLANS — physical plans of representative queries (sf0.1, AQE on)",
         "",
