@@ -1279,3 +1279,69 @@ def read_hll_state(
         .agg(F.max("__reg").alias("__reg"))
     )
     return sketch.hll_estimate_from_registers(regs, group_col, m, out)
+
+
+def streaming_bloom_decontaminate(
+    stream: DataFrame,
+    bitset,
+    output_dir: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    k: int = 2,
+    hex_width: int = 5,
+    dropped_dir: str | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming decontamination through the Bloom bitset — the
+    MAP-ONLY form of ``streaming_decontaminate``: per micro-batch,
+    every document's distinct word ``n``-grams take one Arrow-batched
+    bit test against the broadcast benchmark bitset
+    (``sketch.build_bloom_bitset``, built ONCE from the held-out set);
+    hits are dropped, clean rows land in ``output_dir`` through the
+    epoch-keyed idempotent write. No eval-store join, no per-batch
+    shuffle of grams — the batch pipeline is scan → narrow gram math →
+    bit test → anti-semi on the flag.
+
+    Direction of error is the SAFE one for this job: Bloom false
+    positives only ever over-drop training documents (the benchmark
+    never leaks through), false negatives don't exist. Size m
+    (``hex_width``) to the eval set to bound the over-drop —
+    ``q_bloom_decontam``'s oracle pins the false-positive behavior
+    exactly, and the parity test pins this wrapper against the exact
+    join at the collision-free width.
+
+    ``dropped_dir`` records (id, n_grams, n_bloom_hits) per batch for
+    the attrition audit.
+    """
+    from datapipelineetl_spark.operators import sketch  # noqa: PLC0415
+    from datapipelineetl_spark.sinks import maintenance  # noqa: PLC0415
+
+    def handle(df: DataFrame, epoch_id: int) -> None:
+        flags = sketch.bloom_flag_contaminated(
+            df, bitset, id_col=id_col, text_col=text_col, n=n, k=k,
+            hex_width=hex_width,
+        )
+        # two consumers (clean anti-join + audit write) — materialize
+        # once so the gram/bit pass runs once per batch
+        bad = flags.filter(F.col("bloom_contaminated") == 1).localCheckpoint(
+            eager=True
+        )
+        clean = df.join(bad.select(id_col), id_col, "anti")
+        maintenance.overwrite_partitions(
+            clean.withColumn("__batch_id", F.lit(epoch_id)),
+            output_dir,
+            ["__batch_id"],
+        )
+        if dropped_dir is not None:
+            maintenance.overwrite_partitions(
+                bad.select(id_col, "n_grams", "n_bloom_hits")
+                .withColumn("__batch_id", F.lit(epoch_id)),
+                dropped_dir,
+                ["__batch_id"],
+            )
+
+    return run_foreach_batch(
+        stream, handle, checkpoint, available_now=available_now, skip_empty=True
+    )

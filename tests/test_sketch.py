@@ -327,3 +327,65 @@ def test_streaming_sketch_state_folds_to_batch_sketch(spark, tmp_path):
     drain()
     assert cm_key(runner.read_countmin_state(spark, store)) == batch_cm
     assert hll_key(runner.read_hll_state(spark, store, "source", m=64)) == batch_hll
+
+
+def test_streaming_bloom_decontaminate_matches_exact_join(spark, tmp_path):
+    """At the collision-free production width, the streaming Bloom
+    pass keeps EXACTLY the documents the exact-join streaming
+    decontamination keeps, the dropped audit carries the hit counts,
+    and a checkpoint-loss replay rewrites instead of duplicating."""
+    import shutil
+
+    from datapipelineetl_spark.operators import corpus as corpus_ops
+    from datapipelineetl_spark.streaming import runner
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bench = docs.filter(F.col("source") == "src0")
+    corp = docs.filter(F.col("source") != "src0").select("doc_id", "text")
+
+    src = str(tmp_path / "src")
+    corp.repartition(3).write.parquet(src)
+
+    def stream():
+        return (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+
+    # exact-join reference
+    out_exact = str(tmp_path / "out_exact")
+    runner.streaming_decontaminate(
+        stream(),
+        corpus_ops.ngram_hashes(bench, n=8),
+        output_dir=out_exact,
+        checkpoint=str(tmp_path / "ck_exact"),
+        n=8,
+    )
+    exact_kept = {r.doc_id for r in spark.read.parquet(out_exact).collect()}
+
+    # bloom path at the production width (no false positives here)
+    bits = sketch.build_bloom_bitset(bench, n=8, k=2)
+    out_bloom = str(tmp_path / "out_bloom")
+    dropped = str(tmp_path / "dropped")
+    ck = str(tmp_path / "ck_bloom")
+    runner.streaming_bloom_decontaminate(
+        stream(), bits, output_dir=out_bloom, checkpoint=ck, n=8, k=2,
+        dropped_dir=dropped,
+    )
+    bloom_kept = {r.doc_id for r in spark.read.parquet(out_bloom).collect()}
+    assert bloom_kept == exact_kept
+
+    audit = spark.read.parquet(dropped)
+    dropped_ids = {r.doc_id for r in audit.collect()}
+    assert dropped_ids == {r.doc_id for r in corp.collect()} - exact_kept
+    assert audit.filter("n_bloom_hits < 1").count() == 0
+
+    # checkpoint loss → replay rewrites batch partitions, no dupes
+    shutil.rmtree(ck)
+    runner.streaming_bloom_decontaminate(
+        stream(), bits, output_dir=out_bloom, checkpoint=ck, n=8, k=2,
+        dropped_dir=dropped,
+    )
+    again = [r.doc_id for r in spark.read.parquet(out_bloom).collect()]
+    assert sorted(again) == sorted(bloom_kept)
