@@ -1092,3 +1092,136 @@ def bigram_logprob(
         F.count("__lp").alias("n_tokens"),
         F.round(F.avg("__lp"), 5).alias(out),
     )
+
+
+def pmi_bigrams(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Top-``k`` word bigrams by pointwise mutual information —
+    word2vec-style phrase detection (Mikolov et al. 2013): collocations
+    whose joint probability beats the independence assumption become
+    tokenizer vocab candidates / boilerplate-phrase signals.
+    ``pmi = ln( (c12/T2) / ((c1/T1) * (c2/T1)) )`` with ``c12`` the
+    bigram count over T2 total bigrams and ``c1``/``c2`` unigram counts
+    over T1 total tokens; pairs under ``min_count`` are noise and
+    dropped. Returns (w1, w2, pair_count, pmi) — ranking is on the
+    ROUNDED pmi (5 decimals) with (w1, w2) tiebreak, the
+    ``extract_keywords`` cross-engine rank discipline.
+
+    Scale: two vocabulary-bounded partial-agg shuffles (bigram +
+    unigram counts), unigram tables broadcast back onto the
+    bigram-vocabulary frame, totals as the allowlisted 1-row scalar
+    crossJoin, top-k via TakeOrderedAndProject — corpus rows are
+    touched exactly twice (both narrow explodes), never sorted.
+    """
+    toks = tokens(text_col)
+    uni = (
+        df.select(F.explode_outer(toks).alias("__w"))
+        .filter(F.col("__w").isNotNull())
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    big = (
+        df.select(F.explode_outer(shingles(text_col, 2)).alias("__bg"))
+        .filter(F.col("__bg").isNotNull() & F.col("__bg").contains(" "))
+        .groupBy("__bg")
+        .agg(F.count(F.lit(1)).alias("__c12"))
+        .filter(F.col("__c12") >= min_count)
+        .withColumn("w1", F.split("__bg", " ").getItem(0))
+        .withColumn("w2", F.split("__bg", " ").getItem(1))
+    )
+    totals = uni.agg(
+        F.sum("__c").alias("__t1"), F.count(F.lit(1)).alias("__v")
+    ).crossJoin(
+        df.select(F.explode_outer(shingles(text_col, 2)).alias("__bg"))
+        .filter(F.col("__bg").isNotNull() & F.col("__bg").contains(" "))
+        .agg(F.count(F.lit(1)).alias("__t2"))
+    )
+    u1 = uni.select(F.col("__w").alias("w1"), F.col("__c").alias("__c1"))
+    u2 = uni.select(F.col("__w").alias("w2"), F.col("__c").alias("__c2"))
+    pmi = F.log(
+        (F.col("__c12") / F.col("__t2"))
+        / ((F.col("__c1") / F.col("__t1")) * (F.col("__c2") / F.col("__t1")))
+    )
+    scored = (
+        big.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            F.col("__c12").alias("pair_count"),
+            F.round(pmi, 5).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(k)
+
+
+def vocab_overlap(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise vocabulary overlap between groups: for every unordered
+    group pair (a < b), the distinct-token-set sizes, intersection, and
+    Jaccard similarity — the between-crawls / between-sources lexical
+    drift signal next to ``corpus_report``'s per-source profile.
+    Returns (src_a, src_b, vocab_a, vocab_b, n_shared, jaccard) with
+    jaccard rounded to 6 decimals. Pairs sharing ZERO tokens are absent
+    (join semantics — the scalable default); outer-complete against a
+    cross join of the group list if the full matrix is needed.
+
+    Scale: ONE distinct shuffle on (group, token) over the corpus,
+    materialized once (it feeds the sizes AND the pair join); the pair
+    join is a self-equi-join on the token over VOCABULARY-sized rows
+    (its shuffle re-keys on token but moves vocab x groups rows, not
+    corpus rows) and the output aggregate is group-pair-cardinality.
+    The corpus itself is scanned once; no pairwise document work. A
+    token shared by g groups expands to g^2 join rows — fine for
+    source/crawl cardinalities (tens), not for thousands of groups.
+    """
+    gt = (
+        df.select(
+            F.col(group_col).alias("__grp"),
+            F.explode_outer(tokens(text_col)).alias("__w"),
+        )
+        .filter(F.col("__w").isNotNull())
+        .distinct()
+    )
+    gt = gt.localCheckpoint(eager=True)  # feeds sizes AND the pair join
+    sizes = gt.groupBy("__grp").agg(F.count(F.lit(1)).alias("__vocab"))
+    a = gt.select(F.col("__grp").alias("src_a"), "__w")
+    b = gt.select(F.col("__grp").alias("src_b"), "__w")
+    shared = (
+        a.join(b, "__w")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(
+            F.broadcast(sizes.withColumnRenamed("__grp", "src_a")
+                        .withColumnRenamed("__vocab", "vocab_a")),
+            "src_a",
+        )
+        .join(
+            F.broadcast(sizes.withColumnRenamed("__grp", "src_b")
+                        .withColumnRenamed("__vocab", "vocab_b")),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "vocab_a",
+            "vocab_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -406,3 +406,89 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     (text.bigram_logprob docstring)."""
     docs = _t_spread(spark, sf_dir, "documents")
     return text.bigram_logprob(docs, lam=0.7, alpha=0.5)
+
+
+# =============================================================================
+# PMI phrase detection (Mikolov et al. 2013 phrase-collocation scoring)
+# =============================================================================
+
+@query(
+    "q_pmi_bigrams",
+    f"""
+    WITH toksarr AS (SELECT {_TOKS} AS toks FROM documents),
+    uni AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT UNNEST(toks) AS w FROM toksarr) GROUP BY w),
+    bigs AS (
+      SELECT bg FROM (SELECT UNNEST({_sql_shingles(2)}) AS bg FROM toksarr)
+      WHERE contains(bg, ' ')),
+    big AS (
+      SELECT bg, split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+             CAST(COUNT(*) AS BIGINT) AS c12
+      FROM bigs GROUP BY bg HAVING COUNT(*) >= 5),
+    tot AS (
+      SELECT (SELECT SUM(c) FROM uni) AS t1,
+             (SELECT COUNT(*) FROM bigs) AS t2)
+    SELECT b.w1, b.w2, b.c12 AS pair_count,
+           ROUND(ln((b.c12 / tot.t2) /
+                    ((u1.c / tot.t1) * (u2.c / tot.t1))), 5) AS pmi
+    FROM big b
+    JOIN uni u1 ON b.w1 = u1.w
+    JOIN uni u2 ON b.w2 = u2.w
+    CROSS JOIN tot
+    ORDER BY pmi DESC, b.w1, b.w2
+    LIMIT 20
+    """,
+)
+def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI phrase detection: top-20 word bigrams whose joint
+    probability beats independence (word2vec-style collocation
+    scoring), min pair count 5. The oracle refits both count tables
+    and replays every log-ratio; ranking is on the ROUNDED score with
+    lexicographic tiebreak (the extract_keywords cross-engine rank
+    discipline), so the top-k set is deterministic on both engines.
+
+    Scale: two vocabulary-bounded partial-agg shuffles + broadcast
+    unigram joins + TakeOrderedAndProject; 1-row totals crossJoin
+    allowlisted (text.pmi_bigrams docstring)."""
+    docs = _t_spread(spark, sf_dir, "documents")
+    return text.pmi_bigrams(docs, min_count=5, k=20)
+
+
+# =============================================================================
+# Cross-source vocabulary overlap
+# =============================================================================
+
+@query(
+    "q_vocab_overlap",
+    f"""
+    WITH gt AS (
+      SELECT DISTINCT source AS grp, w
+      FROM (SELECT source, UNNEST({_TOKS}) AS w FROM documents)),
+    sizes AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS vocab FROM gt GROUP BY grp),
+    shared AS (
+      SELECT a.grp AS src_a, b.grp AS src_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM gt a JOIN gt b ON a.w = b.w AND a.grp < b.grp
+      GROUP BY a.grp, b.grp)
+    SELECT s.src_a, s.src_b,
+           sa.vocab AS vocab_a, sb.vocab AS vocab_b, s.n_shared,
+           ROUND(s.n_shared / (sa.vocab + sb.vocab - s.n_shared), 6)
+             AS jaccard
+    FROM shared s
+    JOIN sizes sa ON s.src_a = sa.grp
+    JOIN sizes sb ON s.src_b = sb.grp
+    """,
+)
+def q_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources — the lexical-drift
+    companion to q_corpus_drift: every unordered source pair's
+    distinct-token intersection and similarity, all 190 pairs
+    value-checked (set sizes, intersections, and the rounded ratio).
+
+    Scale: one (source, token) distinct shuffle over the corpus
+    (materialized once), a vocabulary-sized token self-join, and a
+    pair-cardinality aggregate (text.vocab_overlap docstring)."""
+    docs = _t_spread(spark, sf_dir, "documents")
+    return text.vocab_overlap(docs, "source", "text")

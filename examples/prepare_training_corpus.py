@@ -64,6 +64,28 @@ def main() -> int:
     decon = clean.join(drop, "doc_id", "anti")
     n2 = decon.count()
 
+    # 2'. the crawl-monitoring sketches over the surviving corpus —
+    #     metadata-sized answers without vocabulary-wide shuffles
+    #     (oracle-checked as q_countmin_counts / q_hll_distinct; at
+    #     ingest time the same state maintains incrementally via
+    #     streaming_sketch_state):
+    #     - count-min heavy hitters: top tokens by estimated frequency
+    #     - HLL: per-corpus distinct-token estimate from 64 registers
+    from datapipelineetl_spark.operators import sketch
+
+    grid = sketch.countmin_sketch(decon, depth=3, width=64)
+    probes = (
+        decon.select(F.explode(text.tokens("text")).alias("token"))
+        .groupBy("token").count()
+        .orderBy(F.desc("count"), "token").limit(3).select("token")
+    )
+    hot = sketch.countmin_estimate(grid, probes).orderBy(
+        F.desc("cm_count"), "token"
+    ).collect()
+    vocab_est = sketch.hll_distinct(
+        decon.withColumn("__all", F.lit("corpus")), "__all", "text"
+    ).first()["hll_estimate"]
+
     # 2a. LM quality tier: CCNet-style per-language perplexity buckets
     #     (unigram-LM score rank within language) — drop the tail
     #     third, the statistical-outlier tier (oracle-checked as
@@ -154,6 +176,8 @@ def main() -> int:
     ).first()[0]
     assert n_read == n_bin_tokens, (n_read, n_bin_tokens)
 
+    hh = ", ".join(f"{r.token}~{r.cm_count}" for r in hot)
+    print(f"sketch monitor: heavy hitters [{hh}]; HLL vocab ~{vocab_est}")
     print(
         f"documents {n0} -> cleaned {n1} -> decontaminated {n2} -> "
         f"ppl-tiered {n2a} -> budgeted {n2b} -> train {n3} -> "

@@ -35,6 +35,7 @@ NESTED_LOOP_ALLOWED = {
     "q_dsir_resample": "same dsir_weights totals crossJoin (resampling builds on the weights)",
     "q_perplexity_buckets": "same unigram_logprob 1-row LM-totals crossJoin (buckets build on the score)",
     "q_bigram_logprob": "1-row LM-totals scalar crossJoin (unigram backoff denominator)",
+    "q_pmi_bigrams": "1-row corpus-totals scalar crossJoin (T1/T2 PMI denominators)",
     # q_semantic_dupes' exact O(n²) pair baseline needs no entry: its BNLJ
     # sits inside cluster_pairs' materialized rounds, below the tail plan
     # the lint reads (same visibility property as q_dedup_clusters_lsh)

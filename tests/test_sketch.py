@@ -389,3 +389,55 @@ def test_streaming_bloom_decontaminate_matches_exact_join(spark, tmp_path):
     )
     again = [r.doc_id for r in spark.read.parquet(out_bloom).collect()]
     assert sorted(again) == sorted(bloom_kept)
+
+
+# ---------------------------------------------------------------------------
+# PMI bigrams / vocabulary overlap
+# ---------------------------------------------------------------------------
+
+def test_pmi_bigrams_finds_planted_collocation(spark):
+    """A corpus where 'new york' always co-occurs but its words are
+    also common alone: the planted phrase must outrank independent
+    pairs, and every returned pair respects min_count."""
+    rows = [(i, "new york " + ("aa bb " * 5)) for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = text.pmi_bigrams(df, min_count=5, k=5).collect()
+    assert got, "expected pairs above min_count"
+    assert (got[0].w1, got[0].w2) == ("new", "york")
+    assert all(r.pair_count >= 5 for r in got)
+
+
+def test_pmi_certain_pair_formula(spark):
+    """Two tokens that ONLY occur as a pair: pmi = ln(T1^2 / (c1*c2*T2))
+    with c12 = c1 = c2 = T2 — hand-checked against the closed form."""
+    import math
+
+    df = spark.createDataFrame([(i, "xq yq") for i in range(6)],
+                               ["doc_id", "text"])
+    [row] = text.pmi_bigrams(df, min_count=5, k=1).collect()
+    # T1 = 12 tokens, c1 = c2 = 6, T2 = 6 bigrams, c12 = 6
+    expect = math.log((6 / 6) / ((6 / 12) * (6 / 12)))
+    assert row.pair_count == 6
+    assert abs(row.pmi - round(expect, 5)) < 1e-9
+
+
+def test_vocab_overlap_pairs_and_jaccard(spark):
+    """Three tiny sources with hand-computable vocabularies: all three
+    unordered pairs come back with exact set sizes and Jaccard."""
+    df = spark.createDataFrame(
+        [
+            ("s1", "a b c"),
+            ("s1", "c d"),          # s1 vocab {a,b,c,d}
+            ("s2", "c d e"),        # s2 vocab {c,d,e}
+            ("s3", "x y"),          # s3 vocab {x,y} — disjoint
+        ],
+        ["source", "text"],
+    )
+    got = {
+        (r.src_a, r.src_b): (r.vocab_a, r.vocab_b, r.n_shared, r.jaccard)
+        for r in text.vocab_overlap(df, "source", "text").collect()
+    }
+    assert got[("s1", "s2")] == (4, 3, 2, round(2 / 5, 6))
+    # zero-overlap pairs are ABSENT by join semantics (documented) —
+    # s3 shares nothing with either source
+    assert len(got) == 1

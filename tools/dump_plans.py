@@ -50,6 +50,8 @@ PICK = {
     "q_hll_distinct": "HyperLogLog two-grain (staged): per grain ONE partial-agg shuffle on (source, bucket) — at most m=64 partial registers per group per partition cross the exchange; the estimator fold is register-cardinality work; the exact BIGINT harmonic numerator keeps the plan partitioning-invariant.",
     "q_bloom_decontam": "Bloom decontamination (staged): the bloom half is MAP-ONLY — narrow gram/position math into one Arrow-batched bit test against the broadcast bitset, zero corpus shuffle; the only Exchange serves the exact-join comparison column that production omits.",
     "q_bigram_logprob": "Interpolated bigram LM (staged): (prev,tok) pairs from per-row array math — NO window Exchange; bigram/context/unigram fits are vocabulary-bounded partial aggs, broadcast back into the scoring join; 1-row totals crossJoin allowlisted.",
+    "q_pmi_bigrams": "PMI collocations (staged): two vocabulary-bounded partial aggs, unigram tables broadcast onto the bigram frame, 1-row totals crossJoin allowlisted, top-k as TakeOrderedAndProject — corpus scanned twice narrowly, never sorted.",
+    "q_vocab_overlap": "Vocabulary overlap (staged): ONE corpus distinct shuffle materialized once (localCheckpoint feeds sizes + pair join), token self-join over vocabulary-sized rows, pair-cardinality aggregate with broadcast size joins.",
 }
 
 
