@@ -299,9 +299,13 @@ def bloom_positions(
 def _distinct_grams(df: DataFrame, text_col: str, n: int) -> Column:
     """Distinct word n-grams, the ``corpus.ngram_hashes`` construction
     (shingles keep the sub-n-token remainder gram — lockstep with the
-    contamination oracles)."""
+    contamination oracles). NULL text coalesces to "" so the gram
+    array is never NULL (a NULL array would make size()/flatten() NULL
+    and crash the Arrow batch downstream)."""
     del df  # construction depends only on the column
-    return F.array_distinct(shingles(text_col, n))
+    return F.array_distinct(
+        shingles(F.coalesce(F.col(text_col), F.lit("")), n)
+    )
 
 
 def build_bloom_bitset(

@@ -1225,3 +1225,98 @@ def vocab_overlap(
             ).alias("jaccard"),
         )
     )
+
+
+def token_entropy(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group Shannon entropy of the token distribution (nats) plus
+    the vocab-normalized form — the information-density signal next to
+    ``vocab_overlap``/``corpus_report``: repetitive or templated
+    sources score low, lexically diverse ones approach ln(vocab).
+    Returns (group_col, n_tokens, vocab, entropy, norm_entropy) with
+    ``entropy = -sum(p ln p)`` over the group's token relative
+    frequencies, both entropies rounded to 5 decimals (1-token-type
+    groups normalize to 0 by convention).
+
+    Scale: ONE (group, token) partial-agg count shuffle over the
+    corpus, then a group-cardinality fold of vocabulary-sized rows —
+    the same footprint as a per-source vocabulary count. Float note:
+    the p·ln p sum is order-sensitive in the last ulps (Spark's
+    partial-agg order varies), absorbed by the 5-decimal rounding —
+    the avg_logprob discipline.
+    """
+    counts = (
+        df.select(
+            F.col(group_col),
+            F.explode_outer(tokens(text_col)).alias("__w"),
+        )
+        .filter(F.col("__w").isNotNull())
+        .groupBy(group_col, "__w")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    per = counts.groupBy(group_col).agg(
+        F.sum("__c").alias("__t"),
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum(F.col("__c") * F.log(F.col("__c"))).alias("__clnc"),
+    )
+    # -sum(c/T ln(c/T)) = ln T - (1/T) sum(c ln c)
+    ent = F.log(F.col("__t")) - F.col("__clnc") / F.col("__t")
+    return per.select(
+        group_col,
+        F.col("__t").cast("long").alias("n_tokens"),
+        F.col("vocab").cast("long").alias("vocab"),
+        F.round(ent, 5).alias("entropy"),
+        F.round(
+            F.when(F.col("vocab") > 1, ent / F.log(F.col("vocab"))).otherwise(
+                F.lit(0.0)
+            ),
+            5,
+        ).alias("norm_entropy"),
+    )
+
+
+def oov_rate(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    min_count: int = 20,
+) -> DataFrame:
+    """Per-group out-of-vocabulary exposure: the fraction of token
+    OCCURRENCES whose corpus-wide frequency is below ``min_count`` —
+    the tokenizer-coverage / rare-token signal a vocab-size decision
+    needs per source (a source full of sub-threshold tokens will
+    degrade to <unk> under a frequency-pruned vocabulary, the
+    ``build_vocab(min_count=...)`` rule). Returns
+    (group_col, n_tokens, n_oov, oov_rate) with the rate rounded to 6
+    decimals; tokenless groups are absent.
+
+    Scale: one corpus-wide token-count fit (vocabulary-sized,
+    broadcast back), one narrow explode join, one group-cardinality
+    aggregate — no per-document state.
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    toks = df.select(
+        F.col(group_col),
+        F.explode_outer(tokens(text_col)).alias("__w"),
+    ).filter(F.col("__w").isNotNull())
+    fit = toks.groupBy("__w").agg(F.count(F.lit(1)).alias("__c"))
+    return (
+        toks.join(F.broadcast(fit), "__w")
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("__c") < min_count, 1).otherwise(0)
+            ).cast("long").alias("n_oov"),
+        )
+        .select(
+            group_col,
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
+        )
+    )

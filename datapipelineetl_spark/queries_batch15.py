@@ -492,3 +492,66 @@ def q_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair-cardinality aggregate (text.vocab_overlap docstring)."""
     docs = _t_spread(spark, sf_dir, "documents")
     return text.vocab_overlap(docs, "source", "text")
+
+
+# =============================================================================
+# Token-distribution entropy / OOV exposure (corpus statistics)
+# =============================================================================
+
+@query(
+    "q_token_entropy",
+    f"""
+    WITH counts AS (
+      SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT source, UNNEST({_TOKS}) AS w FROM documents)
+      GROUP BY source, w),
+    per AS (
+      SELECT source, SUM(c) AS t, CAST(COUNT(*) AS BIGINT) AS vocab,
+             SUM(c * ln(c)) AS clnc
+      FROM counts GROUP BY source)
+    SELECT source, CAST(t AS BIGINT) AS n_tokens, vocab,
+           ROUND(ln(t) - clnc / t, 5) AS entropy,
+           ROUND(CASE WHEN vocab > 1
+                      THEN (ln(t) - clnc / t) / ln(vocab)
+                      ELSE 0.0::DOUBLE END, 5) AS norm_entropy
+    FROM per
+    """,
+)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Shannon entropy of the token distribution plus the
+    vocab-normalized form — the information-density / templatedness
+    signal. The oracle refits the distribution and replays
+    ``ln T - (sum c ln c)/T`` to 5 decimals.
+
+    Scale: ONE (source, token) partial-agg shuffle, then a
+    group-cardinality fold over vocabulary-sized rows
+    (text.token_entropy docstring)."""
+    docs = _t_spread(spark, sf_dir, "documents")
+    return text.token_entropy(docs, "source", "text")
+
+
+@query(
+    "q_oov_rate",
+    f"""
+    WITH toks AS (SELECT source, UNNEST({_TOKS}) AS w FROM documents),
+    fit AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY w)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN f.c < 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           ROUND(SUM(CASE WHEN f.c < 20 THEN 1 ELSE 0 END) / COUNT(*), 6)
+             AS oov_rate
+    FROM toks t JOIN fit f ON t.w = f.w
+    GROUP BY source
+    """,
+)
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source out-of-vocabulary exposure: the share of token
+    occurrences whose corpus-wide frequency is below 20 — the
+    tokenizer-coverage signal a frequency-pruned vocabulary
+    (build_vocab's min_count rule) turns into <unk> mass. Every
+    source's numerator, denominator, and rounded rate value-checked.
+
+    Scale: one vocabulary-sized count fit broadcast back onto the
+    narrow token explode, one group-cardinality aggregate
+    (text.oov_rate docstring)."""
+    docs = _t_spread(spark, sf_dir, "documents")
+    return text.oov_rate(docs, "source", "text", min_count=20)

@@ -441,3 +441,58 @@ def test_vocab_overlap_pairs_and_jaccard(spark):
     # zero-overlap pairs are ABSENT by join semantics (documented) —
     # s3 shares nothing with either source
     assert len(got) == 1
+
+
+# ---------------------------------------------------------------------------
+# token entropy / OOV rate
+# ---------------------------------------------------------------------------
+
+def test_token_entropy_hand_computed(spark):
+    """Uniform 4-token source → entropy ln(4), norm 1.0; single-token
+    source → 0 with the vocab=1 normalization convention."""
+    import math
+
+    df = spark.createDataFrame(
+        [("u", "a b c d"), ("u", "b a d c"), ("r", "z z z z")],
+        ["source", "text"],
+    )
+    got = {r.source: r for r in
+           text.token_entropy(df, "source", "text").collect()}
+    assert got["u"].n_tokens == 8 and got["u"].vocab == 4
+    assert abs(got["u"].entropy - round(math.log(4), 5)) < 1e-9
+    assert got["u"].norm_entropy == 1.0
+    assert got["r"].entropy == 0.0 and got["r"].norm_entropy == 0.0
+
+
+def test_oov_rate_threshold_boundary(spark):
+    """min_count is exclusive at the boundary: a token seen exactly
+    min_count times is IN vocabulary."""
+    rows = [("s", "common rare")] * 3  # common appears 3x, rare 3x
+    rows += [("s", "common")] * 2      # common 5x total
+    df = spark.createDataFrame(rows, ["source", "text"])
+    [r] = text.oov_rate(df, "source", "text", min_count=5).collect()
+    # common(5) >= 5 → in-vocab; rare(3) < 5 → 3 OOV occurrences of 8
+    assert (r.n_tokens, r.n_oov) == (8, 3)
+    assert r.oov_rate == round(3 / 8, 6)
+    [r4] = text.oov_rate(df, "source", "text", min_count=3).collect()
+    assert r4.n_oov == 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="min_count"):
+        text.oov_rate(df, min_count=0)
+
+
+def test_bloom_flag_handles_null_and_empty_text(spark):
+    """NULL/empty text must flow through the Arrow bit test as rows
+    (the "" gram), never crash it — every input row returns."""
+    bench = spark.createDataFrame([(0, "a b c d e f g h")], ["doc_id", "text"])
+    corp = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "a b c d e f g h x")],
+        ["doc_id", "text"],
+    )
+    bits = sketch.build_bloom_bitset(bench, n=8, k=2)
+    got = {r.doc_id: r for r in
+           sketch.bloom_flag_contaminated(corp, bits, n=8, k=2).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[3].bloom_contaminated == 1  # shares the full 8-gram
+    # null/empty text reduce to the "" gram, not a crash
+    assert got[1].n_grams == 1 and got[2].n_grams == 1

@@ -52,6 +52,7 @@ PICK = {
     "q_bigram_logprob": "Interpolated bigram LM (staged): (prev,tok) pairs from per-row array math — NO window Exchange; bigram/context/unigram fits are vocabulary-bounded partial aggs, broadcast back into the scoring join; 1-row totals crossJoin allowlisted.",
     "q_pmi_bigrams": "PMI collocations (staged): two vocabulary-bounded partial aggs, unigram tables broadcast onto the bigram frame, 1-row totals crossJoin allowlisted, top-k as TakeOrderedAndProject — corpus scanned twice narrowly, never sorted.",
     "q_vocab_overlap": "Vocabulary overlap (staged): ONE corpus distinct shuffle materialized once (localCheckpoint feeds sizes + pair join), token self-join over vocabulary-sized rows, pair-cardinality aggregate with broadcast size joins.",
+    "q_token_entropy": "Token entropy (staged): ONE (source, token) partial-agg Exchange, then a group-cardinality fold — the ln T - (sum c ln c)/T identity keeps everything in two aggregates, no per-token probability join.",
 }
 
 
