@@ -284,13 +284,15 @@ def bloom_positions(
             f"k must be in [1, {bloom_max_k(hex_width)}] at width "
             f"{hex_width}, got {k}"
         )
+    # long, not int: a 8-hex slice reaches 16^8-1, past int32 (ANSI
+    # would throw on roughly half of all grams at hex_width=8)
     return F.array(
         *[
             F.conv(
                 F.substring(F.md5(gram), 1 + hex_width * j, hex_width),
                 16,
                 10,
-            ).cast("int")
+            ).cast("long")
             for j in range(k)
         ]
     )
@@ -331,8 +333,15 @@ def build_bloom_bitset(
     ).filter(F.col("__g").isNotNull())
     pos_rows = (
         grams.select(
-            F.explode(bloom_positions(F.col("__g"), k, hex_width)).alias("p")
+            # explode_outer per the computed-array rule (NOTES.md
+            # InferFiltersFromGenerate trap: a non-outer explode over a
+            # computed array re-inlines the k md5 slices below the
+            # Generate, computing them twice)
+            F.explode_outer(
+                bloom_positions(F.col("__g"), k, hex_width)
+            ).alias("p")
         )
+        .filter(F.col("p").isNotNull())
         .distinct()
         .collect()
     )

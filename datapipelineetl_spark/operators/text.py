@@ -1021,9 +1021,12 @@ def bigram_logprob(
     Scale: (prev, tok) pairs come from per-row ARRAY math (an indexed
     transform over the token array), not a window — zero shuffle until
     the count fits, which are partial-aggregated shuffles bounded by
-    bigram-vocabulary size. Scoring is the token explode + three
-    dimension-sized left joins (AQE broadcasts each count table) + one
-    groupBy(doc). The totals row is the allowlisted 1-row scalar
+    bigram-vocabulary size; the reference corpus explodes exactly
+    TWICE (unigram fit + bigram fit — context counts derive from the
+    checkpointed bigram table, ``ccnt(prev) = sum_tok bcnt(prev,
+    tok)``, never a third corpus pass). Scoring is the token explode +
+    three dimension-sized left joins (AQE broadcasts each count table)
+    + one groupBy(doc). The totals row is the allowlisted 1-row scalar
     crossJoin, same as ``unigram_logprob``.
     """
     if not (0.0 <= lam <= 1.0):
@@ -1064,10 +1067,13 @@ def bigram_logprob(
         .groupBy("__prev", "__tok")
         .agg(F.count(F.lit(1)).alias("__bcnt"))
     )
+    big = big.localCheckpoint(eager=True)  # feeds ctx AND the score join
+    # ccnt(prev) == sum_tok bcnt(prev, tok): derive the context counts
+    # from the vocabulary-sized bigram table instead of a third full
+    # corpus explode+shuffle
     ctx = (
-        fit.filter(F.col("__prev").isNotNull())
-        .groupBy(F.col("__prev").alias("__ctx"))
-        .agg(F.count(F.lit(1)).alias("__ccnt"))
+        big.groupBy(F.col("__prev").alias("__ctx"))
+        .agg(F.sum("__bcnt").alias("__ccnt"))
     )
 
     toks = pair_rows(df, [id_col])
@@ -1112,10 +1118,12 @@ def pmi_bigrams(
     ``extract_keywords`` cross-engine rank discipline.
 
     Scale: two vocabulary-bounded partial-agg shuffles (bigram +
-    unigram counts), unigram tables broadcast back onto the
-    bigram-vocabulary frame, totals as the allowlisted 1-row scalar
-    crossJoin, top-k via TakeOrderedAndProject — corpus rows are
-    touched exactly twice (both narrow explodes), never sorted.
+    unigram counts; the unfiltered bigram table is checkpointed once
+    and feeds both the pair table and the T2 total), unigram tables
+    broadcast back onto the bigram-vocabulary frame, totals as the
+    allowlisted 1-row scalar crossJoin, top-k via
+    TakeOrderedAndProject — corpus rows are touched exactly twice
+    (both narrow explodes), never sorted.
     """
     toks = tokens(text_col)
     uni = (
@@ -1124,22 +1132,25 @@ def pmi_bigrams(
         .groupBy("__w")
         .agg(F.count(F.lit(1)).alias("__c"))
     )
-    big = (
+    # unfiltered bigram counts, materialized once (vocabulary-sized):
+    # they feed the min_count-filtered pair table AND the T2 total —
+    # without the checkpoint each consumer would re-run the corpus
+    # explode
+    big0 = (
         df.select(F.explode_outer(shingles(text_col, 2)).alias("__bg"))
         .filter(F.col("__bg").isNotNull() & F.col("__bg").contains(" "))
         .groupBy("__bg")
         .agg(F.count(F.lit(1)).alias("__c12"))
-        .filter(F.col("__c12") >= min_count)
+        .localCheckpoint(eager=True)
+    )
+    big = (
+        big0.filter(F.col("__c12") >= min_count)
         .withColumn("w1", F.split("__bg", " ").getItem(0))
         .withColumn("w2", F.split("__bg", " ").getItem(1))
     )
     totals = uni.agg(
         F.sum("__c").alias("__t1"), F.count(F.lit(1)).alias("__v")
-    ).crossJoin(
-        df.select(F.explode_outer(shingles(text_col, 2)).alias("__bg"))
-        .filter(F.col("__bg").isNotNull() & F.col("__bg").contains(" "))
-        .agg(F.count(F.lit(1)).alias("__t2"))
-    )
+    ).crossJoin(big0.agg(F.sum("__c12").alias("__t2")))
     u1 = uni.select(F.col("__w").alias("w1"), F.col("__c").alias("__c1"))
     u2 = uni.select(F.col("__w").alias("w2"), F.col("__c").alias("__c2"))
     pmi = F.log(
@@ -1293,9 +1304,10 @@ def oov_rate(
     (group_col, n_tokens, n_oov, oov_rate) with the rate rounded to 6
     decimals; tokenless groups are absent.
 
-    Scale: one corpus-wide token-count fit (vocabulary-sized,
-    broadcast back), one narrow explode join, one group-cardinality
-    aggregate — no per-document state.
+    Scale: one corpus-wide token-count fit (vocabulary-sized; AQE
+    broadcasts it into the scoring join when it fits, shuffles when
+    the vocabulary is too large to replicate), one narrow explode
+    join, one group-cardinality aggregate — no per-document state.
     """
     if min_count < 1:
         raise ValueError(f"min_count must be >= 1, got {min_count}")
@@ -1305,7 +1317,10 @@ def oov_rate(
     ).filter(F.col("__w").isNotNull())
     fit = toks.groupBy("__w").agg(F.count(F.lit(1)).alias("__c"))
     return (
-        toks.join(F.broadcast(fit), "__w")
+        # no broadcast hint: the vocabulary is unbounded at corpus
+        # scale — AQE broadcasts when it fits, shuffles when it doesn't
+        # (the unigram_logprob join discipline)
+        toks.join(fit, "__w")
         .groupBy(group_col)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),

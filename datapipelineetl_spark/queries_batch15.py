@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datapipelineetl_spark.operators import sketch, text
-from datapipelineetl_spark.queries import _t, _t_spread
+from datapipelineetl_spark.queries import _t_spread
 from datapipelineetl_spark.queries import QUERIES as _GLOBAL_QUERIES
 from datapipelineetl_spark.queries import ORACLES as _GLOBAL_ORACLES
 from datapipelineetl_spark.queries_ext import _SQL_TOKENS
@@ -148,7 +148,12 @@ def _sql_hll(items_cte: str, grain: str) -> str:
     (source, it) rows. Harmonic numerator kept as an exact BIGINT sum
     of powers of two (matches the engine's float-order-proof design);
     every float literal is ::DOUBLE (DuckDB bare decimals are DECIMAL,
-    whose arithmetic diverges from IEEE)."""
+    whose arithmetic diverges from IEEE). NULL items are filtered
+    explicitly — the engine's hll_registers filters isNotNull, and a
+    NULL-text document would otherwise feed a phantom NULL register
+    into COUNT(*) here (latent on this fixture, which has no NULL
+    text, but the oracle must not depend on that)."""
+    items_cte = f"SELECT * FROM ({items_cte}) WHERE it IS NOT NULL"
     return f"""
     SELECT source, '{grain}' AS grain,
            CAST(COUNT(DISTINCT it) AS BIGINT) AS true_distinct,
@@ -245,8 +250,13 @@ def _sql_bloom_pos(g: str, j: int) -> str:
 
 @query(
     "q_bloom_decontam",
+    # COALESCE(text, ''): the engine side coalesces NULL text to the ""
+    # gram (sketch._distinct_grams) — the oracle must shingle the same
+    # way or a NULL-text doc diverges (latent on this fixture)
     f"""
-    WITH toks AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+    WITH toks AS (SELECT doc_id, source,
+                         {_SQL_TOKENS.format(c="COALESCE(text, '')")} AS toks
+                  FROM documents),
     grams AS (
       SELECT doc_id, source, UNNEST(list_distinct({_sql_shingles(8)})) AS g
       FROM toks),
@@ -311,10 +321,14 @@ def q_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def grams_of(df: DataFrame, *cols: str) -> DataFrame:
+        # same NULL-text coalesce as the bloom side (_distinct_grams):
+        # the exact-comparison column must shingle identically
         return df.select(
             *cols,
             F.explode_outer(
-                F.array_distinct(text.shingles("text", 8))
+                F.array_distinct(
+                    text.shingles(F.coalesce(F.col("text"), F.lit("")), 8)
+                )
             ).alias("__g"),
         ).filter(F.col("__g").isNotNull())
 

@@ -60,7 +60,8 @@ def main() -> int:
     staged = [
         q
         for q in {**b11.STAGED_QUERIES, **b12.STAGED_QUERIES,
-                  **b13.STAGED_QUERIES, **b14.STAGED_QUERIES}
+                  **b13.STAGED_QUERIES, **b14.STAGED_QUERIES,
+                  **b15.STAGED_QUERIES}
         if q not in registered
     ]
     print(
@@ -118,7 +119,7 @@ def main() -> int:
         spark = get_session("rotate-window-schema-check")
         all_q = {**entrymod.queries(), **b11.STAGED_QUERIES,
                  **b12.STAGED_QUERIES, **b13.STAGED_QUERIES,
-                 **b14.STAGED_QUERIES}
+                 **b14.STAGED_QUERIES, **b15.STAGED_QUERIES}
         sf_dir = "/root/testdata/sf0.001"
         unsafe = {}
         for q in window:
