@@ -1548,3 +1548,35 @@ def cluster_balanced_sample(
     return sample_k_per_stratum(
         joined, k_per_cluster, cluster_col, key_col=id_col, salt=salt
     )
+
+
+def flag_blocklisted(
+    df: DataFrame,
+    blocklist: list[str] | tuple[str, ...],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Blocklist screening — the C4 "bad words" rule (Raffel et al.
+    2020 drop any page containing a word from the banned-words list):
+    annotate every document with its blocklisted-TOKEN count and the
+    keep decision. Matching is on whole lowered whitespace tokens (the
+    repo tokenizer), not substrings — "classic" does not trip a block
+    on "ass"; a substring policy belongs in redact_pii's regex chain.
+    Returns the input plus (n_blocked_tokens, kept) — callers filter
+    on ``kept`` (the annotate-then-filter shape of the quality ladder,
+    so attrition stays auditable).
+
+    Scale: the blocklist is a LITERAL array in the plan (lists are
+    hundreds of words — far under expression-size limits), so the
+    screen is one narrow codegen ``array_intersect``/``filter`` pass:
+    zero shuffle, zero Python, no join. A million-term blocklist would
+    move to a broadcast join on exploded tokens instead.
+    """
+    if not blocklist:
+        raise ValueError("blocklist must be non-empty")
+    terms = F.array(*[F.lit(w.lower()) for w in blocklist])
+    toks = text.tokens(F.coalesce(F.col(text_col), F.lit("")))
+    blocked = F.size(F.filter(toks, lambda t: F.array_contains(terms, t)))
+    return df.withColumn("n_blocked_tokens", blocked).withColumn(
+        "kept", (F.col("n_blocked_tokens") == 0).cast("int")
+    )

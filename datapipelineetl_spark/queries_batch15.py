@@ -569,3 +569,39 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (text.oov_rate docstring)."""
     docs = _t_spread(spark, sf_dir, "documents")
     return text.oov_rate(docs, "source", "text", min_count=20)
+
+
+# =============================================================================
+# C4 blocklist screening
+# =============================================================================
+
+_BLOCKLIST = ("slow", "legacy", "lorem")
+
+
+@query(
+    "q_blocklist_filter",
+    f"""
+    SELECT doc_id, text, lang, source, n_chars,
+           CAST(len(list_filter({_SQL_TOKENS.format(c="COALESCE(text, '')")},
+                                t -> list_contains({list(_BLOCKLIST)}, t)))
+                AS INT) AS n_blocked_tokens,
+           CAST(CASE WHEN len(list_filter(
+                              {_SQL_TOKENS.format(c="COALESCE(text, '')")},
+                              t -> list_contains({list(_BLOCKLIST)}, t))) = 0
+                     THEN 1 ELSE 0 END AS INT) AS kept
+    FROM documents
+    """,
+)
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 bad-words screening (Raffel et al. 2020's banned-list drop
+    rule) as an auditable annotation: every document's blocklisted
+    whole-token count plus the keep decision, value-checked per row —
+    token-level matching, so substrings never false-trip.
+
+    Scale: the blocklist is a plan literal; the screen is one narrow
+    codegen array pass — zero shuffle, zero Python, no join
+    (corpus.flag_blocklisted docstring)."""
+    docs = _t_spread(spark, sf_dir, "documents")
+    from datapipelineetl_spark.operators import corpus as corpus_ops
+
+    return corpus_ops.flag_blocklisted(docs, list(_BLOCKLIST))

@@ -496,3 +496,19 @@ def test_bloom_flag_handles_null_and_empty_text(spark):
     assert got[3].bloom_contaminated == 1  # shares the full 8-gram
     # null/empty text reduce to the "" gram, not a crash
     assert got[1].n_grams == 1 and got[2].n_grams == 1
+
+
+def test_flag_blocklisted_token_level_not_substring(spark):
+    """'classic' must not trip a block on 'ass'; actual blocked tokens
+    count per occurrence; null text survives as kept."""
+    from datapipelineetl_spark.operators import corpus as corpus_ops
+
+    df = spark.createDataFrame(
+        [(1, "a classic example"), (2, "ass ass b"), (3, None), (4, "ASS")],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: (r.n_blocked_tokens, r.kept) for r in
+           corpus_ops.flag_blocklisted(df, ["ass"]).collect()}
+    assert got == {1: (0, 1), 2: (2, 0), 3: (0, 1), 4: (1, 0)}
+    with pytest.raises(ValueError, match="non-empty"):
+        corpus_ops.flag_blocklisted(df, [])
