@@ -110,6 +110,36 @@ def main() -> int:
             spark, str(work / "dedup_state"), keep_last=1
         )
 
+    # --- crawl-health sketches, maintained batch-by-batch over the
+    # same arrivals (streaming_sketch_state): count-min cells + HLL
+    # registers land under each __batch_id and fold EXACTLY at read
+    # time (sum / max) — the monitor never re-reads history, and the
+    # folded state is bit-identical to a batch build (test-pinned)
+    stream_sk = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    runner.streaming_sketch_state(
+        stream_sk.withColumn("source", F.lit("crawl")),
+        store=str(work / "sketch_state"),
+        checkpoint=str(work / "ck_sk"),
+        group_col="source",
+    )
+    vocab_est = runner.read_hll_state(
+        spark, str(work / "sketch_state"), "source"
+    ).first()["hll_estimate"]
+    token_mass = (
+        runner.read_countmin_state(spark, str(work / "sketch_state"))
+        .filter(F.col("row") == 0)
+        .agg(F.sum("cnt"))
+        .first()[0]
+    )
+    print(
+        f"crawl monitor (sketch state): ~{vocab_est} distinct tokens "
+        f"(HLL), {token_mass} tokens ingested (CM row mass)"
+    )
+
     # --- stage 2: streaming decontamination + redaction of the survivors
     clean_dir = str(work / "clean")
     stream2 = (
