@@ -284,12 +284,23 @@ def bloom_positions(
             f"k must be in [1, {bloom_max_k(hex_width)}] at width "
             f"{hex_width}, got {k}"
         )
-    # long, not int: a 8-hex slice reaches 16^8-1, past int32 (ANSI
-    # would throw on roughly half of all grams at hex_width=8)
+    return _positions_from_md5(F.md5(gram), k, hex_width)
+
+
+def _positions_from_md5(md5_col: Column, k: int, hex_width: int) -> Column:
+    """k bit positions from an ALREADY-COMPUTED md5 hex string — split
+    out so array-lambda callers hash each gram exactly once (inside a
+    ``transform`` lambda expressions run interpreted, without codegen's
+    common-subexpression elimination, so an inlined ``md5(g)`` per
+    slice would really execute k times — measured ~2x on the corpus
+    side of the Bloom flag at the 10x corpus).
+
+    long, not int: an 8-hex slice reaches 16^8-1, past int32 (ANSI
+    would throw on roughly half of all grams at hex_width=8)."""
     return F.array(
         *[
             F.conv(
-                F.substring(F.md5(gram), 1 + hex_width * j, hex_width),
+                F.substring(md5_col, 1 + hex_width * j, hex_width),
                 16,
                 10,
             ).cast("long")
@@ -389,13 +400,31 @@ def bloom_flag_contaminated(
     bc = spark.sparkContext.broadcast(bitset.tobytes())
 
     grams = _distinct_grams(corpus, text_col, n)
-    prepared = corpus.select(
-        F.col(id_col),
-        F.size(grams).alias("n_grams"),
-        F.flatten(
-            F.transform(grams, lambda g: bloom_positions(g, k, hex_width))
-        ).alias("__pos"),
-    )
+    # when every slice fits in the 60-bit md5 prefix (k*hex_width <=
+    # 15 hex chars — true for all the defaults), ship ONE long per
+    # gram and derive the k positions numpy-side: k x less Arrow
+    # volume and one conv per gram instead of k inside the
+    # interpreted transform lambda
+    compact = k * hex_width <= 15
+    if compact:
+        per_gram = F.transform(
+            grams,
+            lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast(
+                "long"
+            ),
+        )
+    else:
+        md5s = F.transform(grams, F.md5)
+        per_gram = F.flatten(
+            F.transform(
+                md5s, lambda m: _positions_from_md5(m, k, hex_width)
+            )
+        )
+    # n_grams is NOT computed here: interpreted array lambdas don't
+    # share subexpressions, so a size(grams) column would re-run the
+    # whole shingle construction a second time — the kernel derives it
+    # from the list lengths instead
+    prepared = corpus.select(F.col(id_col), per_gram.alias("__pos"))
 
     id_field = prepared.schema[id_col]
     out_schema = (
@@ -404,23 +433,55 @@ def bloom_flag_contaminated(
     )
 
     def _flag(batches):
-        bits = np.frombuffer(bc.value, dtype=np.uint8)
-        for pdf in batches:
-            flat = (
-                np.concatenate([np.asarray(p, dtype=np.int64) for p in pdf["__pos"]])
-                if len(pdf)
-                else np.empty(0, dtype=np.int64)
-            )
-            set_ = (bits[flat >> 3] & (1 << (flat & 7)).astype(np.uint8)) != 0
-            hits, off = [], 0
-            for ng in pdf["n_grams"]:
-                g = int(ng)
-                row = set_[off : off + g * k]
-                hits.append(int(row.reshape(g, k).all(axis=1).sum()) if g else 0)
-                off += g * k
-            out = pdf[[id_col, "n_grams"]].copy()
-            out["n_bloom_hits"] = np.asarray(hits, dtype=np.int32)
-            out["bloom_contaminated"] = (out["n_bloom_hits"] > 0).astype(np.int32)
-            yield out
+        # mapInArrow, not mapInPandas: the positions column is a
+        # list<long> whose pandas conversion materializes one numpy
+        # object per ROW — Arrow's ListArray instead hands over the
+        # flat values buffer zero-copy, and the whole bit test
+        # vectorizes with no per-row Python (measured ~2x off the
+        # corpus-side pass at the 10x corpus)
+        import pyarrow as pa  # executor-side
 
-    return prepared.mapInPandas(_flag, schema=out_schema)
+        bits = np.frombuffer(bc.value, dtype=np.uint8)
+        mask = 16**hex_width - 1
+        shifts = np.array(
+            [4 * (15 - hex_width * (j + 1)) for j in range(k)], dtype=np.int64
+        )
+        for rb in batches:
+            pos = rb.column(rb.schema.get_field_index("__pos"))
+            flat = pos.flatten().to_numpy(zero_copy_only=False).astype(
+                np.int64, copy=False
+            )
+            lengths = pa.compute.list_value_length(pos).to_numpy(
+                zero_copy_only=False
+            )
+            lengths = np.nan_to_num(lengths.astype(np.float64)).astype(
+                np.int64
+            )  # null lists (never produced upstream) count as empty
+            if compact:
+                # (G, k) positions from the 60-bit prefixes
+                matrix = (flat[:, None] >> shifts[None, :]) & mask
+            else:
+                matrix = flat.reshape(-1, k)
+            set_ = (
+                bits[matrix >> 3] & (1 << (matrix & 7)).astype(np.uint8)
+            ) != 0
+            gram_hits = (
+                set_.all(axis=1) if flat.size else np.zeros(0, dtype=bool)
+            )
+            grams_per_row = lengths if compact else lengths // k
+            bounds = np.zeros(len(lengths) + 1, dtype=np.int64)
+            np.cumsum(grams_per_row, out=bounds[1:])
+            csum = np.zeros(gram_hits.size + 1, dtype=np.int64)
+            np.cumsum(gram_hits, out=csum[1:])
+            hits = (csum[bounds[1:]] - csum[bounds[:-1]]).astype(np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(rb.schema.get_field_index(id_col)),
+                    pa.array(grams_per_row.astype(np.int32), type=pa.int32()),
+                    pa.array(hits, type=pa.int32()),
+                    pa.array((hits > 0).astype(np.int32), type=pa.int32()),
+                ],
+                names=[id_col, "n_grams", "n_bloom_hits", "bloom_contaminated"],
+            )
+
+    return prepared.mapInArrow(_flag, schema=out_schema)
