@@ -1561,19 +1561,32 @@ def flag_blocklisted(
     annotate every document with its blocklisted-TOKEN count and the
     keep decision. Matching is on whole lowered whitespace tokens (the
     repo tokenizer), not substrings — "classic" does not trip a block
-    on "ass"; a substring policy belongs in redact_pii's regex chain.
-    Returns the input plus (n_blocked_tokens, kept) — callers filter
-    on ``kept`` (the annotate-then-filter shape of the quality ladder,
-    so attrition stays auditable).
+    on "ass". Terms must therefore BE single tokens: a multi-word
+    phrase or whitespace-padded term could never equal any token, so
+    such entries are rejected loudly instead of silently never
+    matching (phrase/substring policies belong in ``redact_pii``'s
+    regex chain or an n-gram join). Returns the input plus
+    (n_blocked_tokens, kept) — callers filter on ``kept`` (the
+    annotate-then-filter shape of the quality ladder, so attrition
+    stays auditable).
 
-    Scale: the blocklist is a LITERAL array in the plan (lists are
-    hundreds of words — far under expression-size limits), so the
-    screen is one narrow codegen ``array_intersect``/``filter`` pass:
-    zero shuffle, zero Python, no join. A million-term blocklist would
-    move to a broadcast join on exploded tokens instead.
+    Scale: the blocklist is a LITERAL array in the plan, scanned by an
+    interpreted ``filter``/``array_contains`` lambda per token —
+    O(tokens x terms) per row, fine for the hundreds-of-words lists
+    this targets; still one narrow pass, zero shuffle, zero Python,
+    no join. A much larger blocklist should move to a broadcast join
+    on exploded tokens instead (HOF lambdas run interpreted — see
+    NOTES.md).
     """
     if not blocklist:
         raise ValueError("blocklist must be non-empty")
+    bad_terms = [w for w in blocklist if (not w.strip()) or w.strip() != w
+                 or any(c.isspace() for c in w)]
+    if bad_terms:
+        raise ValueError(
+            "blocklist terms must be single whitespace-free tokens "
+            f"(whole-token matching can never match these): {bad_terms!r}"
+        )
     terms = F.array(*[F.lit(w.lower()) for w in blocklist])
     toks = text.tokens(F.coalesce(F.col(text_col), F.lit("")))
     blocked = F.size(F.filter(toks, lambda t: F.array_contains(terms, t)))

@@ -267,7 +267,7 @@ def bloom_max_k(hex_width: int) -> int:
 def bloom_positions(
     gram: Column, k: int = 2, hex_width: int = BLOOM_HEX_WIDTH
 ) -> Column:
-    """``array<int>`` of ``k`` bit positions for a gram, each a
+    """``array<long>`` of ``k`` bit positions for a gram, each a
     disjoint ``hex_width``-hex-char slice of its md5 — k independent
     hash functions into a fixed m = 16^hex_width-bit space, replayable
     in SQL as ``('0x' || substr(md5(g), 1 + hw*j, hw))::BIGINT``.
@@ -407,12 +407,7 @@ def bloom_flag_contaminated(
     # interpreted transform lambda
     compact = k * hex_width <= 15
     if compact:
-        per_gram = F.transform(
-            grams,
-            lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast(
-                "long"
-            ),
-        )
+        per_gram = F.transform(grams, token_hash60)
     else:
         md5s = F.transform(grams, F.md5)
         per_gram = F.flatten(
@@ -440,18 +435,23 @@ def bloom_flag_contaminated(
         # vectorizes with no per-row Python (measured ~2x off the
         # corpus-side pass at the 10x corpus)
         import pyarrow as pa  # executor-side
+        import pyarrow.compute as pc  # explicit: pa.compute is NOT
+        # resolvable from a bare `import pyarrow` — it only worked via
+        # to_numpy()'s internal import side effect (review finding)
 
         bits = np.frombuffer(bc.value, dtype=np.uint8)
-        mask = 16**hex_width - 1
-        shifts = np.array(
-            [4 * (15 - hex_width * (j + 1)) for j in range(k)], dtype=np.int64
-        )
+        if compact:
+            mask = 16**hex_width - 1
+            shifts = np.array(
+                [4 * (15 - hex_width * (j + 1)) for j in range(k)],
+                dtype=np.int64,
+            )
         for rb in batches:
             pos = rb.column(rb.schema.get_field_index("__pos"))
             flat = pos.flatten().to_numpy(zero_copy_only=False).astype(
                 np.int64, copy=False
             )
-            lengths = pa.compute.list_value_length(pos).to_numpy(
+            lengths = pc.list_value_length(pos).to_numpy(
                 zero_copy_only=False
             )
             lengths = np.nan_to_num(lengths.astype(np.float64)).astype(
@@ -465,9 +465,7 @@ def bloom_flag_contaminated(
             set_ = (
                 bits[matrix >> 3] & (1 << (matrix & 7)).astype(np.uint8)
             ) != 0
-            gram_hits = (
-                set_.all(axis=1) if flat.size else np.zeros(0, dtype=bool)
-            )
+            gram_hits = set_.all(axis=1)
             grams_per_row = lengths if compact else lengths // k
             bounds = np.zeros(len(lengths) + 1, dtype=np.int64)
             np.cumsum(grams_per_row, out=bounds[1:])

@@ -512,3 +512,15 @@ def test_flag_blocklisted_token_level_not_substring(spark):
     assert got == {1: (0, 1), 2: (2, 0), 3: (0, 1), 4: (1, 0)}
     with pytest.raises(ValueError, match="non-empty"):
         corpus_ops.flag_blocklisted(df, [])
+
+
+def test_flag_blocklisted_rejects_non_token_terms(spark):
+    """Whole-token matching can never match a phrase or padded term —
+    such blocklist entries fail loudly instead of silently
+    under-blocking (review finding)."""
+    from datapipelineetl_spark.operators import corpus as corpus_ops
+
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    for bad in (["bad phrase"], [" ass "], ["ok", "\tx"], [""]):
+        with pytest.raises(ValueError, match="single whitespace-free|non-empty"):
+            corpus_ops.flag_blocklisted(df, bad)
