@@ -1335,3 +1335,62 @@ def oov_rate(
             F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
         )
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group Zipf rank-frequency fit: ordinary least squares of
+    ``ln(freq)`` on ``ln(rank)`` over the group's token distribution —
+    natural text runs a slope near -1 (Zipf's law); templated or
+    synthetic sources flatten toward 0, making the slope a cheap
+    distribution-shape signal next to ``token_entropy``. Ranks are
+    deterministic (count desc, token asc tiebreak). Returns
+    (group_col, vocab, slope, intercept) rounded to 5 decimals;
+    single-token-type groups have no regression and return NULLs.
+
+    Scale: one (group, token) partial-agg count shuffle, a per-group
+    rank window over VOCABULARY-sized rows (partitioned by group —
+    parallelism follows group cardinality, never a single global
+    sort), and a group-cardinality fold of the five OLS sums. Float
+    note: the sums are order-sensitive in the last ulps, absorbed by
+    the 5-decimal rounding (the avg_logprob discipline).
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(
+            F.col(group_col),
+            F.explode_outer(tokens(text_col)).alias("__w"),
+        )
+        .filter(F.col("__w").isNotNull())
+        .groupBy(group_col, "__w")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w = Window.partitionBy(group_col).orderBy(F.desc("__c"), "__w")
+    ranked = counts.withColumn("__r", F.row_number().over(w))
+    x, y = F.log("__r"), F.log("__c")
+    sums = ranked.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(x * y).alias("__sxy"),
+        F.sum(x * x).alias("__sxx"),
+    )
+    slope = (F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")) / (
+        F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    )
+    with_slope = sums.withColumn(
+        "__slope", F.when(F.col("__n") > 1, slope)
+    )
+    intercept = (F.col("__sy") - F.col("__slope") * F.col("__sx")) / F.col(
+        "__n"
+    )
+    return with_slope.select(
+        group_col,
+        F.col("__n").cast("long").alias("vocab"),
+        F.round("__slope", 5).alias("slope"),
+        F.round(intercept, 5).alias("intercept"),
+    )

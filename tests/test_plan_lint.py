@@ -50,10 +50,11 @@ def frames(spark, sf_dir):
     from datapipelineetl_spark import queries_batch13 as b13
     from datapipelineetl_spark import queries_batch14 as b14
     from datapipelineetl_spark import queries_batch15 as b15
+    from datapipelineetl_spark import queries_batch16 as b16
 
     queries = {**entrymod.queries(), **b12.STAGED_QUERIES,
                **b13.STAGED_QUERIES, **b14.STAGED_QUERIES,
-               **b15.STAGED_QUERIES}
+               **b15.STAGED_QUERIES, **b16.STAGED_QUERIES}
     return {name: fn(spark, sf_dir) for name, fn in queries.items()}
 
 

@@ -524,3 +524,22 @@ def test_flag_blocklisted_rejects_non_token_terms(spark):
     for bad in (["bad phrase"], [" ass "], ["ok", "\tx"], [""]):
         with pytest.raises(ValueError, match="single whitespace-free|non-empty"):
             corpus_ops.flag_blocklisted(df, bad)
+
+
+def test_zipf_fit_known_distribution(spark):
+    """An exact power-law corpus (freq = 12/rank over 4 tokens) must
+    recover slope -1 and intercept ln(12) almost exactly; a 1-type
+    source returns NULLs."""
+    import math
+
+    words = {"w1": 12, "w2": 6, "w3": 4, "w4": 3}
+    body = " ".join(" ".join([w] * c) for w, c in words.items())
+    df = spark.createDataFrame(
+        [("z", body), ("single", "only only only")], ["source", "text"]
+    )
+    got = {r.source: r for r in text.zipf_fit(df, "source", "text").collect()}
+    assert got["z"].vocab == 4
+    assert abs(got["z"].slope - (-1.0)) < 1e-6
+    assert abs(got["z"].intercept - round(math.log(12), 5)) < 1e-5
+    assert got["single"].vocab == 1
+    assert got["single"].slope is None and got["single"].intercept is None

@@ -53,6 +53,7 @@ PICK = {
     "q_pmi_bigrams": "PMI collocations (staged): two vocabulary-bounded partial aggs, unigram tables broadcast onto the bigram frame, 1-row totals crossJoin allowlisted, top-k as TakeOrderedAndProject — corpus scanned twice narrowly, never sorted.",
     "q_vocab_overlap": "Vocabulary overlap (staged): ONE corpus distinct shuffle materialized once (localCheckpoint feeds sizes + pair join), token self-join over vocabulary-sized rows, pair-cardinality aggregate with broadcast size joins.",
     "q_token_entropy": "Token entropy (staged): ONE (source, token) partial-agg Exchange, then a group-cardinality fold — the ln T - (sum c ln c)/T identity keeps everything in two aggregates, no per-token probability join.",
+    "q_zipf_fit": "Zipf OLS (staged): count Exchange → per-source rank Window over vocabulary-sized rows (hash-partitioned by source, never SinglePartition) → group-cardinality OLS fold.",
 }
 
 
@@ -63,10 +64,11 @@ def main() -> None:
     from datapipelineetl_spark import queries_batch13 as b13
     from datapipelineetl_spark import queries_batch14 as b14
     from datapipelineetl_spark import queries_batch15 as b15
+    from datapipelineetl_spark import queries_batch16 as b16
 
     qs = {**entrymod.queries(), **b12.STAGED_QUERIES,
           **b13.STAGED_QUERIES, **b14.STAGED_QUERIES,
-          **b15.STAGED_QUERIES}
+          **b15.STAGED_QUERIES, **b16.STAGED_QUERIES}
     lines = [
         "# PLANS — physical plans of representative queries (sf0.1, AQE on)",
         "",

@@ -28,6 +28,7 @@ from datapipelineetl_spark import queries_batch12 as b12
 from datapipelineetl_spark import queries_batch13 as b13
 from datapipelineetl_spark import queries_batch14 as b14
 from datapipelineetl_spark import queries_batch15 as b15
+from datapipelineetl_spark import queries_batch16 as b16
 
 WINDOW = 50
 
@@ -61,7 +62,7 @@ def main() -> int:
         q
         for q in {**b11.STAGED_QUERIES, **b12.STAGED_QUERIES,
                   **b13.STAGED_QUERIES, **b14.STAGED_QUERIES,
-                  **b15.STAGED_QUERIES}
+                  **b15.STAGED_QUERIES, **b16.STAGED_QUERIES}
         if q not in registered
     ]
     print(
@@ -119,7 +120,8 @@ def main() -> int:
         spark = get_session("rotate-window-schema-check")
         all_q = {**entrymod.queries(), **b11.STAGED_QUERIES,
                  **b12.STAGED_QUERIES, **b13.STAGED_QUERIES,
-                 **b14.STAGED_QUERIES, **b15.STAGED_QUERIES}
+                 **b14.STAGED_QUERIES, **b15.STAGED_QUERIES,
+                 **b16.STAGED_QUERIES}
         sf_dir = "/root/testdata/sf0.001"
         unsafe = {}
         for q in window:
