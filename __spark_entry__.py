@@ -42,6 +42,40 @@ from datapipelineetl_spark import queries_batch13  # noqa: E402
 
 queries_batch13.register()  # promote the 7 staged batch-13 queries (round 8)
 
+from datapipelineetl_spark import queries_batch14  # noqa: E402
+from datapipelineetl_spark import queries_batch15  # noqa: E402
+from datapipelineetl_spark import queries_batch16  # noqa: E402
+
+queries_batch14.register()  # promote the 11 staged batch-14 queries (round 9)
+queries_batch15.register()  # promote the 9 staged batch-15 sketch queries (round 9)
+queries_batch16.register()  # promote q_zipf_fit (round 9 — the tiering
+# policy freed the slot the flat contract would have spent on batch-11)
+
+
+# Freshness tiers (VERDICT r8 item 2 — the rotation-capacity policy).
+# CORE = the SURVEY §2 reference-parity surface (relational battery,
+# cleaning chain, feeds, streaming envelopes): re-verified every 3
+# CORRECTNESS records, unchanged contract. EXTENSION = the LLM-pipeline
+# batteries promoted from the staged batches (corpus/text/dedup/
+# similarity/sketch): re-verified every 5 records. Capacity math at the
+# current census (99 core + 50 extension): 99/3 + 50/5 = 43 forced
+# slots per round on average against the 50-slot window — ~7 slots of
+# structural slack, room for ~35 more extension queries before the next
+# policy decision. The tier of a query is fixed at promotion time:
+# everything that entered through a staged batch is EXTENSION.
+EXTENSION_TIER: frozenset[str] = frozenset(
+    name
+    for mod in (
+        queries_batch11,
+        queries_batch12,
+        queries_batch13,
+        queries_batch14,
+        queries_batch15,
+        queries_batch16,
+    )
+    for name in mod.STAGED_QUERIES
+)
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H Q1-style pricing summary) on sf0.001."""
@@ -49,69 +83,66 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver verifies the FIRST 50 entries of queries() in dict order.
-# Round-8 rotation (VERDICT r7 items 1+3): slots 0–1 = the two r7-RED
-# queries re-earning their rows with driver-hashable output shapes
-# (array<bigint> → md5 digest — the r7 canon-crash fix); then the 21
-# r5-green queries the 3-round contract forces in, interleaved (in
-# registration order, as rotate_window.py emits) with the 7 batch-13
-# promotions earning their first driver rows; the remaining 20 slots
-# fill oldest-newest-green-record first. The r6-green balance ages out
-# next round and is forced into r9.
+# Round-9 rotation (VERDICT r8 items 1+2): the tiering policy (below)
+# released the 10 batch-11 slots the flat 3-round contract would have
+# forced, so ALL 21 staged queries promote this round — slots 0-20 =
+# batch-16's q_zipf_fit + batch-14's 11 LM/BPE/DSIR/k-means queries +
+# batch-15's 9 sketch/corpus-statistics queries earning first driver
+# rows; then the 20 contract-forced core queries (r6-green aging past
+# the 3-record core horizon); the last 9 slots pad oldest-newest-green
+# -record first (batch-11, green r6 — refreshing them now defers their
+# extension-horizon forcing past r11).
 PRIORITY: list[str] = [
-    # -- r7 RED re-earns (driver-canon-safe reshapes) --
-    "q_encode_tokens",
-    "q_pack_sequences",
-    # -- contract-forced (r5-green aging past the 3-round horizon),
-    #    with the 7 batch-13 first rows in registration order --
-    "q19_bracket_revenue",
-    "q_union_parties_by_nation",
-    "q_intersect_nations",
-    "q_parts_never_ordered",
-    "q_window_order_seq",
-    "q_json_props",
-    "q_ann_lsh_topk",
-    "q_multimodal_features",
-    "q15_top_suppliers",
-    "q2_cheapest_part_per_type",
-    "q22_idle_rich_customers",
-    "q_lineitems_above_order_avg",
-    "q_name_word_counts",
-    "q_order_quantity_profile",
-    "q_ann_recall",
-    "q_approx_sketches",
-    "q_range_join_event_windows",
-    "q9_product_type_profit",
-    "q11_important_parts",
-    "q16_supplier_part_counts",
-    "q20_top_part_shippers",
-    "q_shuffle_corpus",
-    "q_sample_k_per_stratum",
-    "q_normalize_text",
-    "q_select_budget",
-    "q_corpus_report",
-    "q_corpus_drift",
-    "q_dedup_spans",
-    # -- free slots: oldest-newest-green-record first --
-    "q1_pricing_summary",
-    "q5_local_supplier_volume",
-    "q_events_pivot",
-    "q_envelope_roundtrip",
-    "q_meascollec_flatten",
-    "q_clean_cell_metrics",
-    "q_clean_kpi_int",
-    "q_cube_lineitem",
-    "q_window_trailing_revenue",
-    "q_percentiles_by_priority",
-    "q_ngram_jaccard_pairs",
-    "q_frame_sample_plan",
-    "q_multimodal_meta",
-    "q_conditional_counts",
-    "q_weekly_order_volume",
-    "q_sql_regional_revenue",
-    "q_nation_lookup",
-    "q_text_token_stats",
-    "q_text_quality",
-    "q_lang_id",
+    "q_zipf_fit",
+    "q_unigram_logprob",
+    "q_dsir_weights",
+    "q_quality_calibrated",
+    "q_vocab_growth",
+    "q_kmeans_clusters",
+    "q_dsir_resample",
+    "q_pack_best_fit",
+    "q_cluster_balanced_sample",
+    "q_perplexity_buckets",
+    "q_train_bpe",
+    "q_bpe_segment",
+    "q_countmin_counts",
+    "q_hll_distinct",
+    "q_bloom_decontam",
+    "q_bigram_logprob",
+    "q_pmi_bigrams",
+    "q_vocab_overlap",
+    "q_token_entropy",
+    "q_oov_rate",
+    "q_blocklist_filter",
+    "q_dedup_token_set",
+    "q_cosine_topk",
+    "q_cosine_near_pairs",
+    "q_tf_idf",
+    "q7_volume_shipping",
+    "q13_order_count_distribution",
+    "q17_small_quantity_revenue",
+    "q_profile_orders",
+    "q_kpi_pivot",
+    "q_session_window_events",
+    "q_grouping_sets",
+    "q_posexplode_embedding",
+    "q_array_lambda_battery",
+    "q_null_semantics",
+    "q_nullsafe_join",
+    "q8_market_share",
+    "q_fuzzy_name_pairs",
+    "q21_blamable_suppliers",
+    "q_price_histogram",
+    "q_regex_extract_ldn",
+    "q_sample_stratified",
+    "q_corpus_mix",
+    "q_pack_chunks",
+    "q_redact_pii",
+    "q_prepare_corpus",
+    "q_split_documents",
+    "q_contamination_pairs",
+    "q_ngram_counts",
+    "q_funnel_stages",
 ]
 
 

@@ -1,11 +1,12 @@
 """Compute the next round's PRIORITY window (the perennial round-start
 task — VERDICT item 1 in rounds 4 and 5).
 
-Reads the TWO newest CORRECTNESS_r*.json records, derives which
-registered queries' freshest green row is about to age past 2 records
-(i.e. green in neither file — the round-6 contract arithmetic:
-3-round rotation for 109 queries over a 50-slot window), folds in any
-staged promotions, and prints a suggested 50-slot window. Purely
+Reads the newest CORRECTNESS_r*.json records, derives which registered
+queries' freshest green row is about to age past its tier's horizon
+(round-9 tiering policy, VERDICT r8 item 2: CORE queries re-verify
+every 3 records, EXTENSION-tier queries — ``__spark_entry__.
+EXTENSION_TIER``, the promoted staged batteries — every 5), folds in
+any staged promotions, and prints a suggested 50-slot window. Purely
 advisory — paste the result into ``__spark_entry__.PRIORITY`` and let
 ``tests/test_schemas.py::test_driver_check_window_contract`` be the
 gate of record.
@@ -40,7 +41,7 @@ def main() -> int:
     recent = sorted(
         repo.glob("CORRECTNESS_r*.json"),
         key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)),
-    )[-2:]
+    )[-4:]
 
     def greens(path):
         rec = json.loads(path.read_text())
@@ -52,11 +53,21 @@ def main() -> int:
         }
 
     rec, latest_green = greens(recent[-1])
-    green = set(latest_green)
-    for p in recent[:-1]:
-        green |= greens(p)[1]
+    # tier arithmetic (contract-test twin): a query is ABOUT TO age out
+    # when it is green in none of the newest (horizon - 1) records —
+    # core horizon 3 → 2 records, extension horizon 5 → 4 records.
+    green_by_n: dict[int, set] = {}
+    for n in (2, 4):
+        g = set()
+        for p in recent[-n:]:
+            g |= greens(p)[1]
+        green_by_n[n] = g
     registered = list(entrymod.queries())
-    aged = [q for q in registered if q not in green]
+
+    def horizon_records(q):
+        return 4 if q in entrymod.EXTENSION_TIER else 2
+
+    aged = [q for q in registered if q not in green_by_n[horizon_records(q)]]
     red = [q for q in rec if q in registered and q not in latest_green]
     staged = [
         q
@@ -65,11 +76,17 @@ def main() -> int:
                   **b15.STAGED_QUERIES, **b16.STAGED_QUERIES}
         if q not in registered
     ]
+    n_core = sum(1 for q in registered if q not in entrymod.EXTENSION_TIER)
     print(
         f"latest records: {[p.name for p in recent]} "
-        f"({len(green)} green across both)"
+        f"(core green in newest 2: "
+        f"{len(green_by_n[2])}, extension green in newest 4: "
+        f"{len(green_by_n[4])})"
     )
-    print(f"registered    : {len(registered)}")
+    print(
+        f"registered    : {len(registered)} "
+        f"({n_core} core / {len(registered) - n_core} extension)"
+    )
     print(f"aging out     : {len(aged)} (must re-verify this round)")
     if red:
         print(f"RED last round: {red} (must be in the window)")
