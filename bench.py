@@ -52,6 +52,14 @@ from datapipelineetl_spark import queries_batch13  # noqa: E402
 
 queries_batch13.register()  # normalize/shuffle/budget/span family, round 8
 
+from datapipelineetl_spark import queries_batch14  # noqa: E402
+from datapipelineetl_spark import queries_batch15  # noqa: E402
+from datapipelineetl_spark import queries_batch16  # noqa: E402
+
+queries_batch14.register()  # LM/BPE/DSIR/k-means family, round 9
+queries_batch15.register()  # sketch + corpus-statistics family, round 9
+queries_batch16.register()  # Zipf fit, round 9
+
 HEADLINE = [
     # scan + agg
     "q1_pricing_summary",
@@ -110,6 +118,16 @@ HEADLINE = [
     "q_shuffle_corpus",
     "q_select_budget",
     "q_dedup_spans",
+    # batch-14/15 promotions (round 9): the four VERDICT-r8-named
+    # representatives — LM scoring, DSIR weighting, k-means clustering,
+    # and the map-only Bloom decontamination pass. The rest of the
+    # family rides the correctness gate (their shapes are covered:
+    # bigram shares the unigram pass, countmin/hll are flat partial-agg
+    # shuffles already represented by q_agg_stats-class timings).
+    "q_unigram_logprob",
+    "q_dsir_weights",
+    "q_kmeans_clusters",
+    "q_bloom_decontam",
 ]
 
 # Reference warm best-of-N seconds at sf0.1 / local[32], refreshed
@@ -162,6 +180,13 @@ EXPECTED_SEC = {
     "q_shuffle_corpus": 0.57,
     "q_select_budget": 1.15,
     "q_dedup_spans": 1.54,
+    # batch-14/15 rows: re-measured same-day as the round-9 promotion
+    # (best-of-3, bench conditions — the SCALING.md pre-measurements
+    # re-read within noise: 1.14/1.80/2.99/2.58)
+    "q_unigram_logprob": 1.21,
+    "q_dsir_weights": 1.87,
+    "q_kmeans_clusters": 3.48,
+    "q_bloom_decontam": 2.13,
 }
 
 
