@@ -1593,3 +1593,83 @@ def flag_blocklisted(
     return df.withColumn("n_blocked_tokens", blocked).withColumn(
         "kept", (F.col("n_blocked_tokens") == 0).cast("int")
     )
+
+
+def flag_blocklisted_join(
+    df: DataFrame,
+    blocklist: DataFrame | list[str] | tuple[str, ...],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``flag_blocklisted`` for LARGE term lists — same output contract
+    (input + ``n_blocked_tokens`` + ``kept``), different physical plan.
+
+    The literal-array form scans an interpreted O(tokens x terms) HOF
+    lambda per row, which is the right call for C4-sized lists
+    (hundreds of terms: zero shuffle, zero join, and the list rides the
+    plan). Interpreted lambdas don't get cheaper with term count,
+    though, so past roughly 10^3-10^4 terms this variant wins: explode
+    the lowered tokens, broadcast LEFT SEMI join against the term table
+    (hash probe per token — O(tokens) per row, term count only affects
+    the broadcast build), count hits per document, join the counts
+    back. Crossover measurement in SCALING.md ("Round 9: blocklist
+    crossover").
+
+    ``blocklist`` may be a single-column DataFrame (any column name —
+    the 10^4+ case, read from a table, never a driver literal) or a
+    Python list, validated like ``flag_blocklisted``.
+
+    Scale: two shuffles more than the literal form — the hit-count
+    partial agg (bounded by BLOCKED occurrences, near-zero on clean
+    corpora) and the count join back onto ``df`` (AQE picks a broadcast
+    build when the hit frame is small, which it is unless the corpus is
+    mostly blocked). The semi-join itself stays map-side behind the
+    term broadcast.
+    """
+    if isinstance(blocklist, DataFrame):
+        term_col = blocklist.columns[0]
+        terms_df = blocklist.select(
+            F.lower(F.col(term_col)).alias("__term")
+        ).distinct()
+    else:
+        if not blocklist:
+            raise ValueError("blocklist must be non-empty")
+        bad_terms = [w for w in blocklist if (not w.strip()) or w.strip() != w
+                     or any(c.isspace() for c in w)]
+        if bad_terms:
+            raise ValueError(
+                "blocklist terms must be single whitespace-free tokens "
+                f"(whole-token matching can never match these): {bad_terms!r}"
+            )
+        terms_df = (
+            df.sparkSession.createDataFrame(
+                [(w.lower(),) for w in blocklist], "`__term` string"
+            ).distinct()
+        )
+    toks = df.select(
+        F.col(id_col),
+        # explode_outer, not explode: InferFiltersFromGenerate re-inlines
+        # a non-outer generate's computed child below the Generate
+        # (NOTES.md) — and empty/NULL texts must still survive to the
+        # left join as zero-count docs anyway.
+        F.explode_outer(
+            text.tokens(F.coalesce(F.col(text_col), F.lit("")))
+        ).alias("__tok"),
+    )
+    hits = (
+        toks.join(
+            F.broadcast(terms_df), toks["__tok"] == terms_df["__term"],
+            "left_semi",
+        )
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__n_blocked"))
+    )
+    return (
+        df.join(hits, id_col, "left")
+        .withColumn(
+            "n_blocked_tokens",
+            F.coalesce(F.col("__n_blocked"), F.lit(0)).cast("int"),
+        )
+        .drop("__n_blocked")
+        .withColumn("kept", (F.col("n_blocked_tokens") == 0).cast("int"))
+    )

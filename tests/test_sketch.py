@@ -526,6 +526,35 @@ def test_flag_blocklisted_rejects_non_token_terms(spark):
             corpus_ops.flag_blocklisted(df, bad)
 
 
+def test_flag_blocklisted_join_parity(spark):
+    """The broadcast-join variant (large-list scale path, VERDICT r8
+    item 6) must return exactly the literal-HOF form's answers — same
+    counts, same keeps — on the edge battery (substrings, repeated
+    blocked tokens, NULL text, case), from both a list and a term
+    DataFrame; and it shares the literal form's loud term validation."""
+    from datapipelineetl_spark.operators import corpus as corpus_ops
+
+    df = spark.createDataFrame(
+        [(1, "a classic example"), (2, "ass ass b"), (3, None), (4, "ASS"),
+         (5, ""), (6, "damn Ass dAmN x")],
+        ["doc_id", "text"],
+    )
+    terms = ["ass", "damn"]
+    want = {r.doc_id: (r.n_blocked_tokens, r.kept) for r in
+            corpus_ops.flag_blocklisted(df, terms).collect()}
+    got_list = {r.doc_id: (r.n_blocked_tokens, r.kept) for r in
+                corpus_ops.flag_blocklisted_join(df, terms).collect()}
+    term_df = spark.createDataFrame([("ASS",), ("damn",)], ["term"])
+    got_df = {r.doc_id: (r.n_blocked_tokens, r.kept) for r in
+              corpus_ops.flag_blocklisted_join(df, term_df).collect()}
+    assert got_list == want
+    assert got_df == want
+    assert want[6] == (3, 0)  # case-folded, per-occurrence
+    for bad in (["bad phrase"], [" ass "], [""]):
+        with pytest.raises(ValueError, match="single whitespace-free|non-empty"):
+            corpus_ops.flag_blocklisted_join(df, bad)
+
+
 def test_zipf_fit_known_distribution(spark):
     """An exact power-law corpus (freq = 12/rank over 4 tokens) must
     recover slope -1 and intercept ln(12) almost exactly; a 1-type
