@@ -43,6 +43,7 @@ def write_token_shards(
     pos_col: str = "pos",
     ids_col: str = "token_ids",
     dtype: str = "int32",
+    put=None,
 ) -> DataFrame:
     """Write ``(shard, pos, token_ids)`` rows as binary shard files;
     returns the manifest (shard, n_sequences, n_tokens, md5, path) — a
@@ -55,11 +56,30 @@ def write_token_shards(
     The write is EAGER: the shard files exist when this returns (the
     manifest is checkpointed, so acting on it again re-reads the
     materialized rows — it never re-runs the file writes).
+
+    ``put`` — object-store mode (VERDICT r8 item 7): rename-atomicity
+    does not exist on S3-class stores, so the posix mkstemp+``os.
+    replace`` discipline is the WRONG tool there; what those stores do
+    guarantee is that a single PUT is all-or-nothing. Pass ``put(path,
+    data: bytes) -> None`` performing one atomic PUT (fsspec:
+    ``fs.pipe_file``; boto3: ``put_object``) and the kernel issues
+    exactly ONE put per object (``.bin`` then ``.idx.json``) with no
+    temp names, no rename, no directory pre-creation. Replay safety
+    shifts from rename-wins to last-PUT-wins: the kernel is
+    deterministic per shard, so a speculative attempt or zombie retry
+    re-PUTs byte-identical content — readers see a complete object
+    either way. The index is PUT AFTER its binary, so any reader
+    keying off index presence (``read_token_shards``) never sees an
+    index whose binary hasn't landed. One-shot PUT holds the shard in
+    memory — shards are loader-file-sized by construction
+    (``shuffle_corpus``); move to multipart upload only if shard
+    sizing ever exceeds executor memory.
     """
     if dtype not in _DTYPES:
         raise ValueError(f"dtype must be one of {sorted(_DTYPES)}, got {dtype}")
     np_dtype, bound = _DTYPES[dtype]
-    os.makedirs(out_dir, exist_ok=True)
+    if put is None:
+        os.makedirs(out_dir, exist_ok=True)
 
     def kernel(pdf):
         import hashlib  # noqa: PLC0415 — executor-side import
@@ -69,8 +89,10 @@ def write_token_shards(
         import pandas as pd  # noqa: PLC0415
 
         # the driver-side makedirs above covers local mode; on a cluster
-        # the EXECUTOR touches the shared-fs dir, so repeat (idempotent)
-        os.makedirs(out_dir, exist_ok=True)
+        # the EXECUTOR touches the shared-fs dir, so repeat (idempotent).
+        # Object stores have no directories — skip in put mode.
+        if put is None:
+            os.makedirs(out_dir, exist_ok=True)
         pdf = pdf.sort_values(pos_col)
         shard = int(pdf[shard_col].iloc[0])
         seqs, offset = [], 0
@@ -87,41 +109,53 @@ def write_token_shards(
             )
             offset += int(arr.size)
         path = os.path.join(out_dir, f"shard-{shard:05d}.bin")
-        # attempt-UNIQUE temp name (never a shared path+'.tmp'): two
-        # racing attempts of the same task each write their own file and
-        # the atomic replace installs whichever finishes — complete
-        # bytes either way, never interleaved
         digest = hashlib.md5()
-        fd, tmp = tempfile.mkstemp(
-            dir=out_dir, prefix=f".shard-{shard:05d}.", suffix=".bin.tmp"
-        )
-        try:
-            with os.fdopen(fd, "wb") as f:
-                for c in chunks:
-                    b = c.tobytes()
-                    digest.update(b)
-                    f.write(b)
-            os.replace(tmp, path)  # atomic: replays overwrite, never corrupt
-        except BaseException:
-            if os.path.exists(tmp):
-                os.unlink(tmp)
-            raise
+        if put is not None:
+            # object-store mode: ONE all-or-nothing PUT per object, no
+            # temp names, no rename (neither exists there) — replays
+            # re-PUT byte-identical content, last-writer-wins is safe
+            data = b"".join(c.tobytes() for c in chunks)
+            digest.update(data)
+            put(path, data)
+        else:
+            # posix mode: attempt-UNIQUE temp name (never a shared
+            # path+'.tmp'): two racing attempts of the same task each
+            # write their own file and the atomic replace installs
+            # whichever finishes — complete bytes either way, never
+            # interleaved
+            fd, tmp = tempfile.mkstemp(
+                dir=out_dir, prefix=f".shard-{shard:05d}.", suffix=".bin.tmp"
+            )
+            try:
+                with os.fdopen(fd, "wb") as f:
+                    for c in chunks:
+                        b = c.tobytes()
+                        digest.update(b)
+                        f.write(b)
+                os.replace(tmp, path)  # atomic: replays overwrite, never corrupt
+            except BaseException:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
+                raise
         md5 = digest.hexdigest()
         idx = path[: -len(".bin")] + ".idx.json"
-        fd_i, tmp_idx = tempfile.mkstemp(
-            dir=out_dir, prefix=f".shard-{shard:05d}.", suffix=".idx.tmp"
-        )
-        try:
-            with os.fdopen(fd_i, "w") as f:
-                json.dump(
-                    {"shard": shard, "dtype": dtype, "md5": md5,
-                     "sequences": seqs}, f,
-                )
-            os.replace(tmp_idx, idx)
-        except BaseException:
-            if os.path.exists(tmp_idx):
-                os.unlink(tmp_idx)
-            raise
+        idx_doc = {"shard": shard, "dtype": dtype, "md5": md5,
+                   "sequences": seqs}
+        if put is not None:
+            # AFTER the binary: index presence implies binary presence
+            put(idx, json.dumps(idx_doc).encode())
+        else:
+            fd_i, tmp_idx = tempfile.mkstemp(
+                dir=out_dir, prefix=f".shard-{shard:05d}.", suffix=".idx.tmp"
+            )
+            try:
+                with os.fdopen(fd_i, "w") as f:
+                    json.dump(idx_doc, f)
+                os.replace(tmp_idx, idx)
+            except BaseException:
+                if os.path.exists(tmp_idx):
+                    os.unlink(tmp_idx)
+                raise
         return pd.DataFrame(
             {
                 "shard": [shard],
