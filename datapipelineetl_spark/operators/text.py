@@ -992,6 +992,109 @@ def bpe_segment(
     return df.withColumn(out, F.flatten(F.col("__wsyms"))).drop("__wsyms")
 
 
+def bpe_segment_kernel(
+    df: DataFrame,
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+    text_col: str = "text",
+    out: str = "pieces",
+) -> DataFrame:
+    """``bpe_segment`` for LARGE merge tables — identical output
+    contract and semantics, Arrow-batched kernel instead of one chained
+    codegen fold per merge (VERDICT r8 item 7: the fold form's plan
+    grows linearly with table size; past a few thousand merges analysis
+    time dominates).
+
+    Semantics are pinned BY the fold form: one left-to-right
+    single-pass merge per table entry, applied in training order, each
+    merge visited exactly once. That is NOT the heap-style
+    "lowest-rank pair anywhere, repeat" inference — if a later merge
+    re-creates an earlier merge's pair string (possible when two
+    different merges build the same symbol string), the fold does NOT
+    go back, so neither does this kernel. The rank-dict loop below is
+    exactly the fold with its no-op passes skipped: a cursor walks the
+    table; each step jumps to the smallest rank >= cursor whose pair is
+    currently adjacent somewhere in the word (every skipped rank's pass
+    would have emitted the word unchanged) and runs that one
+    left-to-right pass. Per word the cost is O(applied merges x word
+    length) — independent of table size; the table itself is one
+    pair->ranks hash (the depth-2 trie BPE actually needs: merges match
+    adjacent PAIRS, never longer prefixes). Distinct words memoize
+    within each task, so the Zipf head of any real corpus segments
+    once per task, not once per occurrence.
+
+    Scale: one ``mapInPandas`` pass, no shuffle; the merge table ships
+    once per task in the closure (tens of thousands of entries = a few
+    MB — broadcast territory only far beyond any real BPE vocabulary).
+    Parity with the fold form is pinned by
+    ``test_bpe_segment_kernel_parity`` including the
+    re-created-pair case where heap-style inference would diverge.
+    """
+    import bisect  # noqa: PLC0415
+    import re as _re  # noqa: PLC0415
+
+    pair_ranks: dict[tuple[str, str], list[int]] = {}
+    for rank, m in enumerate(merges):
+        pair_ranks.setdefault((m[0], m[1]), []).append(rank)
+    merge_pairs = [(m[0], m[1]) for m in merges]
+    split_re = _re.compile(TOKEN_SPLIT_RE)
+    eow = _BPE_EOW
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
+        + [f"`{out}` array<string>"]
+    )
+    text_name = text_col
+
+    def seg_word(word: str) -> list[str]:
+        syms = list(word) + [eow]
+        cursor = 0
+        while len(syms) > 1:
+            best = None
+            for i in range(len(syms) - 1):
+                ranks = pair_ranks.get((syms[i], syms[i + 1]))
+                if ranks is None:
+                    continue
+                j = bisect.bisect_left(ranks, cursor)
+                if j < len(ranks) and (best is None or ranks[j] < best):
+                    best = ranks[j]
+            if best is None:
+                break
+            a, b = merge_pairs[best]
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            syms = merged
+            cursor = best + 1
+        return syms
+
+    def kernel(pdfs):
+        cache: dict[str, list[str]] = {}
+
+        def seg_text(t):
+            if t is None:
+                return None  # tokens(NULL) -> NULL pieces, fold parity
+            pieces: list[str] = []
+            for w in split_re.split(t.lower()):
+                if not w:
+                    continue
+                got = cache.get(w)
+                if got is None:
+                    got = cache[w] = seg_word(w)
+                pieces.extend(got)
+            return pieces
+
+        for pdf in pdfs:
+            pdf = pdf.copy()
+            pdf[out] = pdf[text_name].map(seg_text)
+            yield pdf
+
+    return df.mapInPandas(kernel, out_schema)
+
+
 def bigram_logprob(
     df: DataFrame,
     lm_df: DataFrame | None = None,

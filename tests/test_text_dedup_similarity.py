@@ -1057,3 +1057,58 @@ def test_bpe_segment_applies_merges_in_order(spark):
     assert raw[1] == list("low") + ["</w>"] + list("lowest") + ["</w>"]
     with pytest.raises(ValueError, match="n_merges"):
         text.train_bpe(df, n_merges=-1)
+
+
+def test_bpe_segment_kernel_parity(spark):
+    """bpe_segment_kernel == bpe_segment piece-for-piece (the fold form
+    pins the semantics): on a trained table over a real-ish corpus, on
+    NULL/empty/whitespace-only texts, on a merge table with duplicate
+    pairs, and — the case that separates the fold semantics from
+    heap-style lowest-rank-anywhere inference — a later merge
+    re-creating an earlier merge's pair string, which NEITHER form may
+    go back and merge. Also exercises a multi-thousand-entry table,
+    where the chained-fold plan would be impractical."""
+    corpus = ["low low low lower lowest", "low lowest newer wider",
+              "new newer newest wide wider widest"]
+    rows = [(i, t) for i, t in enumerate(corpus)] + [
+        (97, None), (98, ""), (99, " \t\n ")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    merges, _ = text.train_bpe(df, n_merges=10)
+    want = {r.doc_id: r.pieces and list(r.pieces)
+            for r in text.bpe_segment(df, merges).collect()}
+    got = {r.doc_id: r.pieces and list(r.pieces)
+           for r in text.bpe_segment_kernel(df, merges).collect()}
+    assert got == want
+    assert got[97] is None and got[98] == [] and got[99] == []
+
+    # heap-divergence pin: table [("a","bc"), ("b","c")] on "abc" —
+    # merge 0 finds no "bc" symbol yet, merge 1 creates it, and nobody
+    # revisits merge 0: pieces are [a, bc, </w>], NOT [abc</w>-ish]
+    tricky = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
+    path_merges = [("a", "bc", 9), ("b", "c", 9)]
+    want_t = [list(r.pieces) for r in
+              text.bpe_segment(tricky, path_merges).collect()][0]
+    got_t = [list(r.pieces) for r in
+             text.bpe_segment_kernel(tricky, path_merges).collect()][0]
+    assert got_t == want_t == ["a", "bc", "</w>"]
+
+    # duplicate pair entries in the table: both forms apply the pass
+    # twice without crashing, and agree
+    dup = [("a", "a", 9), ("aa", "a", 9), ("a", "a", 9)]
+    docs = spark.createDataFrame(
+        [(i, "a" * n) for i, n in enumerate((1, 2, 3, 4, 5, 6, 7))],
+        ["doc_id", "text"])
+    want_d = {r.doc_id: list(r.pieces)
+              for r in text.bpe_segment(docs, dup).collect()}
+    got_d = {r.doc_id: list(r.pieces)
+             for r in text.bpe_segment_kernel(docs, dup).collect()}
+    assert got_d == want_d
+
+    # table-size headroom: 5000 synthetic merges (absent pairs beyond
+    # the trained head) — the kernel's per-word cost is rank-dict
+    # lookups, not 5000 chained passes; the fold form is NOT run here
+    # (its plan would be the very bottleneck this kernel removes)
+    big = list(merges) + [(f"zz{i}", f"qq{i}", 1) for i in range(5000)]
+    got_big = {r.doc_id: r.pieces and list(r.pieces)
+               for r in text.bpe_segment_kernel(df, big).collect()}
+    assert got_big == got  # the synthetic tail can never match
