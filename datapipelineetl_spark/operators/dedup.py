@@ -567,3 +567,134 @@ def remove_duplicate_spans(
         .join(rebuilt, id_col, "left")
         .fillna({text_col: ""})
     )
+
+
+def gram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    dp: int = 6,
+) -> DataFrame:
+    """Per-document n-gram novelty: the share of a document's distinct
+    word ``n``-grams that appear in NO other document — the
+    memorization-risk / boilerplate mirror image of the contamination
+    join (novelty 0 = every shingle exists elsewhere; 1 = all original
+    content). Returns (id_col, n_grams, n_common, novelty) for every
+    input row; docs with no ``n``-gram (shorter than ``n`` tokens or
+    NULL text) get zero counts and a NULL novelty, never a dropped row.
+
+    Scale: the gram table (one narrow shingle/hash pass,
+    ``corpus.ngram_hashes``) feeds a doc-frequency partial agg and a
+    join back onto itself — all three shuffles are bounded by the
+    DISTINCT-gram table, never pairwise; the final fold is one
+    partial-agg groupBy(doc). Same md5-60 hash caveat as the
+    contamination family: a collision would overcount sharing, and the
+    oracle (which joins on gram TEXT) would expose it.
+    """
+    from datapipelineetl_spark.operators import corpus as _corpus  # noqa: PLC0415 — cycle guard
+
+    g = _corpus.ngram_hashes(df, id_col=id_col, text_col=text_col, n=n)
+    freq = g.groupBy("__g").agg(F.count(F.lit(1)).cast("long").alias("__ndocs"))
+    per_doc = (
+        g.join(freq, "__g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum((F.col("__ndocs") >= 2).cast("long")).alias("n_common"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+            F.coalesce(F.col("n_common"), F.lit(0)).alias("n_common"),
+            F.when(
+                F.col("n_grams") > 0,
+                F.round(
+                    (F.col("n_grams") - F.col("n_common"))
+                    / F.col("n_grams").cast("double"),
+                    dp,
+                ),
+            ).alias("novelty"),
+        )
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    max_bucket_size: int | None = None,
+    dp: int = 6,
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT pairs: for documents sharing ≥1
+    distinct word ``n``-gram, ``containment(A in B) = |grams(A) ∩
+    grams(B)| / |grams(A)|`` — the Broder measure Jaccard-based
+    near-dup misses when one document EMBEDS another (full-quote
+    inclusion, template + payload): a short doc fully contained in a
+    long one has tiny Jaccard but containment 1.0. Returns (id_a,
+    id_b, n_shared, containment_a, containment_b) for pairs where
+    EITHER direction reaches ``threshold``; id_a < id_b, both
+    directional scores reported, rounded to ``dp`` (single int/int
+    divisions — deterministic cross-engine).
+
+    Scale: the ``fingerprint_collision_pairs`` shape — gram-hash
+    equi-join + per-pair count, O(corpus × grams/doc) shuffle, never
+    |corpus|²; ``max_bucket_size`` drops boilerplate grams present in
+    more than that many docs before pairing (the standard skew cap —
+    exactly the grams whose pairs would be boilerplate matches, not
+    containment evidence).
+    """
+    from datapipelineetl_spark.operators import corpus as _corpus  # noqa: PLC0415 — cycle guard
+
+    if not 0.0 <= threshold <= 1.0:
+        raise ValueError(f"threshold must be in [0, 1], got {threshold}")
+    g = _corpus.ngram_hashes(df, id_col=id_col, text_col=text_col, n=n)
+    sizes = g.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__sz")
+    ).localCheckpoint(eager=True)  # tiny (one row per doc); reused twice
+    if max_bucket_size is not None:
+        keep = (
+            g.groupBy("__g")
+            .agg(F.count(F.lit(1)).alias("__bsz"))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .select("__g")
+        )
+        g = g.join(keep, "__g")
+    a = g.select(F.col(id_col).alias("id_a"), "__g")
+    b = g.select(F.col(id_col).alias("id_b"), "__g")
+    shared = (
+        a.join(b, "__g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("__sz").alias("__sza"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("__sz").alias("__szb"))
+    # sizes is doc-cardinality — NOT force-broadcast (at corpus scale it
+    # is billions of rows); AQE picks broadcast when it actually fits,
+    # else these are id-keyed shuffle joins bounded by the PAIR table
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            F.round(F.col("n_shared") / F.col("__sza").cast("double"), dp).alias(
+                "containment_a"
+            ),
+            F.round(F.col("n_shared") / F.col("__szb").cast("double"), dp).alias(
+                "containment_b"
+            ),
+        )
+        .filter(
+            (F.col("containment_a") >= threshold)
+            | (F.col("containment_b") >= threshold)
+        )
+    )

@@ -592,3 +592,79 @@ def kmeans(
         F.col(id_col),
         F.when(vec.isNotNull(), assign(cents)).alias("cluster"),
     )
+
+
+def semdedup(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    public method): k-means-cluster the embedding corpus, compare
+    cosine similarity only WITHIN each cluster, and drop every vector
+    that is ≥ ``threshold``-similar to a LOWER-id member of its
+    cluster (the deterministic stand-in for the paper's arbitrary
+    keeper choice). Returns (id_col, cluster, n_dups_earlier, kept)
+    for every input row — the annotate-then-filter shape of the
+    quality ladder, so attrition stays auditable. NULL vectors get a
+    NULL cluster and are kept (nothing to compare).
+
+    This is the embedding-space complement of the surface near-dup
+    ladder: MinHash/SimHash find docs sharing n-grams; semdedup finds
+    semantic copies sharing none (translations, templated rewrites) —
+    ``dedup.semantic_dupes``'s exact O(n²) baseline made scalable by
+    the cluster partition.
+
+    Scale: the whole point of the method — the O(n²) pairwise cosine
+    is fenced inside clusters, so work is sum over clusters of
+    |cluster|² instead of n². Production k grows with corpus
+    (SemDeDup used 50k clusters for LAION) keeping clusters small and
+    bounded; the pair join is an equi-join on cluster id (one shuffle
+    keyed by cluster — skewed clusters hurt, which is an argument for
+    larger k, not salting: the cap IS the cluster size). The k-means
+    fit itself collects only k×dim centroid metadata
+    (``similarity.kmeans``).
+    """
+    if not 0.0 <= threshold <= 1.0:
+        raise ValueError(f"threshold must be in [0, 1], got {threshold}")
+    assign = kmeans(
+        df, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
+        round_dp=round_dp,
+    )
+    v = (
+        df.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+        )
+        .join(assign, id_col)
+        .filter(F.col("cluster").isNotNull())
+    )
+    a, b = v.alias("a"), v.alias("b")
+    dup_counts = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"b.{id_col}").alias(id_col),
+            F.round(cosine(F.col("a.__v"), F.col("b.__v")), 4).alias("__cos"),
+        )
+        .filter(F.col("__cos") >= threshold)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("int").alias("n_dups_earlier"))
+    )
+    return (
+        assign.join(dup_counts, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("cluster"),
+            F.coalesce(F.col("n_dups_earlier"), F.lit(0)).alias("n_dups_earlier"),
+            (F.coalesce(F.col("n_dups_earlier"), F.lit(0)) == 0)
+            .cast("int")
+            .alias("kept"),
+        )
+    )

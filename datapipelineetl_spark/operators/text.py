@@ -1497,3 +1497,233 @@ def zipf_fit(
         F.round("__slope", 5).alias("slope"),
         F.round(intercept, 5).alias("intercept"),
     )
+
+
+# Gopher quality-rule constants (Rae et al. 2021, public method —
+# "Scaling Language Models: ... Gopher", Table A1 repetition/quality
+# heuristics). The stop-token rule uses the paper's 8-word list.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
+) -> DataFrame:
+    """The Gopher quality-rule battery as an auditable annotation: each
+    published heuristic lands as its own 0/1 flag, ``kept`` is their
+    conjunction — the annotate-then-filter quality-ladder shape.
+    Rules (Rae et al. 2021): word count in [min_words, max_words];
+    mean word length in [3, 10]; symbol-to-word ratio ('#' and
+    ellipsis) <= 0.1; <= 90% of lines starting with a bullet; <= 30%
+    of lines ending with an ellipsis; >= 80% of words containing an
+    alphabetic character; >= 2 distinct stop words present
+    (``stopwords`` defaults to the paper's 8-word list; pass a
+    corpus-appropriate list for non-English or synthetic corpora).
+
+    Every flag is computed in INTEGER arithmetic (``10 * n_symbols <=
+    n_words`` instead of a float ratio compare) so the decision
+    boundary is bit-exact across engines — the oracle replays each
+    inequality literally, and no float column ever reaches the output.
+
+    Scale: one narrow codegen pass over the text column — token/line
+    array math per row, zero shuffle, zero Python, no join.
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    toks = tokens(txt)
+    n_words = F.size(toks)
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    # '#' count + ellipsis count ('…' or a literal three-dot run,
+    # counted non-overlapping via replace-and-measure)
+    n_hash = F.length(txt) - F.length(F.replace(txt, F.lit("#"), F.lit("")))
+    n_uni_ell = F.length(txt) - F.length(F.replace(txt, F.lit("…"), F.lit("")))
+    n_dot_ell = (
+        F.length(txt) - F.length(F.replace(txt, F.lit("..."), F.lit("")))
+    ) / 3
+    n_symbols = (n_hash + n_uni_ell + n_dot_ell.cast("long")).cast("long")
+    lines = F.filter(F.split(txt, "\n"), lambda x: F.trim(x) != "")
+    n_lines = F.size(lines)
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda x: F.substring(F.trim(x), 1, 1).isin("-", "*", "•"),
+        )
+    )
+    n_ell_end = F.size(
+        F.filter(
+            lines,
+            lambda x: F.trim(x).endswith("...") | F.trim(x).endswith("…"),
+        )
+    )
+    n_alpha = F.size(F.filter(toks, lambda w: w.rlike("[a-z]")))
+    if not stopwords:
+        raise ValueError("stopwords must be non-empty")
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(w) for w in stopwords]),
+        )
+    )
+    flags = {
+        "r_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "r_mean_word_len": (n_words > 0)
+        & (sum_len >= 3 * n_words)
+        & (sum_len <= 10 * n_words),
+        "r_symbol_ratio": 10 * n_symbols <= n_words,
+        "r_bullet_lines": 10 * n_bullet <= 9 * n_lines,
+        "r_ellipsis_lines": 10 * n_ell_end <= 3 * n_lines,
+        "r_alpha_words": 5 * n_alpha >= 4 * n_words,
+        "r_stopwords": n_stop >= 2,
+    }
+    out = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        *[v.cast("int").alias(k) for k, v in flags.items()],
+    )
+    kept = F.lit(True)
+    for k in flags:
+        kept = kept & (F.col(k) == 1)
+    return out.withColumn("kept", kept.cast("int"))
+
+
+def quality_linear(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    weights_milli: dict[int, int] | None = None,
+    bias_milli: int = 0,
+    out: str = "quality_prob",
+) -> DataFrame:
+    """fastText-style linear quality classifier over hashed
+    bag-of-words features (the Joulin et al. 2016 architecture the
+    GPT-3/LLaMA-class quality filters use, public method): each token
+    hashes to one of ``n_buckets`` feature buckets, the model is one
+    weight per bucket + a bias, and the document score is the mean
+    token weight pushed through a sigmoid. Returns (id_col, n_tokens,
+    out) with ``out`` rounded to 5 decimals; tokenless docs get NULL.
+
+    Weights are INTEGER MILLI-UNITS (``weights_milli[bucket]`` in
+    [-1000, 1000]); the per-document accumulation is an exact BIGINT
+    sum — float enters only at the single final division + sigmoid, so
+    the score is bit-exact across engines and partitionings (float
+    sums would be addition-order-dependent — NOTES.md). Default
+    weights derive each bucket's milli-weight from the bucket id via a
+    Knuth multiplicative hash (``(b * 2654435761) % 2001 - 1000``) —
+    a deterministic stand-in pinning the full scoring path; production
+    swaps in trained weights with the same dict shape.
+
+    Scale: the model rides the plan as a CASE/element_at literal over
+    ``n_buckets`` entries (a few KB — fastText's own hashing-trick
+    size story); scoring is per-row array math: zero shuffle, zero
+    Python, no join, no explode.
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    if weights_milli is None:
+        # default weights stay ARITHMETIC (no array literal at all):
+        # w(b) = (b * 2654435761) % 2001 - 1000, computed inline per
+        # token — the plan carries a formula, not a model
+        def milli(t):
+            b = token_hash60(t) % n_buckets
+            return (b * 2654435761) % 2001 - 1000
+    else:
+        bad = {b: w for b, w in weights_milli.items()
+               if not -1000 <= w <= 1000 or not 0 <= b < n_buckets}
+        if bad:
+            raise ValueError(
+                f"weights must map buckets [0, {n_buckets}) to milli-units "
+                f"in [-1000, 1000]; offending entries: {bad!r}"
+            )
+        # trained model as ONE array literal indexed by bucket —
+        # ConstantFolding collapses it to a single Literal, so
+        # element_at probes materialized ArrayData, it does not
+        # re-build the array per token; absent buckets weigh 0
+        warr = F.array(
+            *[F.lit(int(weights_milli.get(b, 0))) for b in range(n_buckets)]
+        )
+
+        def milli(t):
+            return F.element_at(
+                warr, (token_hash60(t) % n_buckets + 1).cast("int")
+            ).cast("long")
+
+    toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
+    milli_sum = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + milli(t),
+    )
+    n = F.size(toks)
+    score = (milli_sum + F.lit(int(bias_milli))) / (1000.0 * n)
+    prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-score)), 5)
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        F.when(n > 0, prob).alias(out),
+    )
+
+
+def source_kl(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    dp: int = 6,
+) -> DataFrame:
+    """Per-group KL divergence KL(P_group || P_corpus) between each
+    group's unigram token distribution and the whole corpus's — the
+    domain-shift diagnostic of data-mixing work (how far each source's
+    language sits from the mixture; the pointwise quantity DSIR's
+    importance weights integrate). Returns (group_col, n_tokens,
+    kl_divergence) with the divergence in nats rounded to ``dp``.
+    Groups are the P side, the corpus the Q side, so support(P) ⊆
+    support(Q) by construction and no smoothing is needed: every
+    group token has corpus mass.
+
+    Uses the identity KL = (S_in - S_cross) / n_g + ln T - ln n_g
+    where S_in = Σ_t c_gt·ln c_gt and S_cross = Σ_t c_gt·ln c_t — two
+    float folds over vocabulary-sized count rows plus exact BIGINT
+    totals (the ``token_entropy`` discipline: keep the float work to
+    the minimal fold, everything structural stays integer).
+
+    Scale: ONE (group, token) partial-agg shuffle (vocabulary-bounded);
+    the corpus-side counts derive from the SAME table by a second
+    token-level aggregate (no second corpus pass) joined back
+    broadcast-style (AQE: token vocabulary vs group-token table).
+    """
+    gt = (
+        df.select(
+            F.col(group_col),
+            F.explode_outer(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("__t"),
+        )
+        .filter(F.col("__t").isNotNull())
+        .groupBy(group_col, "__t")
+        .agg(F.count(F.lit(1)).cast("long").alias("__cgt"))
+        .localCheckpoint(eager=True)  # feeds BOTH sides below — one corpus pass
+    )
+    corpus_t = gt.groupBy("__t").agg(F.sum("__cgt").alias("__ct"))
+    total = gt.agg(F.sum("__cgt").alias("__T"))
+    joined = gt.join(corpus_t, "__t")
+    per_group = joined.groupBy(group_col).agg(
+        F.sum("__cgt").cast("long").alias("n_tokens"),
+        F.sum(F.col("__cgt") * F.log(F.col("__cgt").cast("double"))).alias("__s_in"),
+        F.sum(F.col("__cgt") * F.log(F.col("__ct").cast("double"))).alias("__s_cross"),
+    )
+    return (
+        per_group.crossJoin(F.broadcast(total))  # 1-row totals (allowlisted)
+        .select(
+            F.col(group_col),
+            F.col("n_tokens"),
+            F.round(
+                (F.col("__s_in") - F.col("__s_cross")) / F.col("n_tokens")
+                + F.log(F.col("__T").cast("double"))
+                - F.log(F.col("n_tokens").cast("double")),
+                dp,
+            ).alias("kl_divergence"),
+        )
+    )
