@@ -575,6 +575,7 @@ def gram_novelty(
     text_col: str = "text",
     n: int = 8,
     dp: int = 6,
+    materialize: bool = False,
 ) -> DataFrame:
     """Per-document n-gram novelty: the share of a document's distinct
     word ``n``-grams that appear in NO other document — the
@@ -595,6 +596,12 @@ def gram_novelty(
     from datapipelineetl_spark.operators import corpus as _corpus  # noqa: PLC0415 — cycle guard
 
     g = _corpus.ngram_hashes(df, id_col=id_col, text_col=text_col, n=n)
+    if materialize:
+        # the gram table feeds the frequency agg AND the join side —
+        # un-materialized, each reference re-runs the interpreted
+        # shingle+md5 construction (the NOTES.md no-shared-subexpression
+        # rule); opt-in to keep the operator lazy by default
+        g = g.localCheckpoint(eager=True)
     freq = g.groupBy("__g").agg(F.count(F.lit(1)).cast("long").alias("__ndocs"))
     per_doc = (
         g.join(freq, "__g")
@@ -631,6 +638,7 @@ def containment_pairs(
     n: int = 8,
     max_bucket_size: int | None = None,
     dp: int = 6,
+    materialize: bool = False,
 ) -> DataFrame:
     """Asymmetric n-gram CONTAINMENT pairs: for documents sharing ≥1
     distinct word ``n``-gram, ``containment(A in B) = |grams(A) ∩
@@ -655,6 +663,11 @@ def containment_pairs(
     if not 0.0 <= threshold <= 1.0:
         raise ValueError(f"threshold must be in [0, 1], got {threshold}")
     g = _corpus.ngram_hashes(df, id_col=id_col, text_col=text_col, n=n)
+    if materialize:
+        # referenced by sizes + both join sides (+ the bucket cap):
+        # materialize the narrow (id, gram-hash) rows once instead of
+        # re-running the interpreted shingle+md5 pass per reference
+        g = g.localCheckpoint(eager=True)
     sizes = g.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("__sz")
     ).localCheckpoint(eager=True)  # tiny (one row per doc); reused twice

@@ -602,6 +602,7 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 6,
+    materialize: bool = False,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     public method): k-means-cluster the embedding corpus, compare
@@ -635,13 +636,33 @@ def semdedup(
         df, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
         round_dp=round_dp,
     )
+    if materialize:
+        # the assignment (a k×dim JVM argmin fold per row) feeds the
+        # pair join TWICE (both sides) and the output join once —
+        # materialize the narrow (id, cluster) rows instead of running
+        # the fold three times (opt-in, keeps the operator lazy)
+        assign = assign.localCheckpoint(eager=True)
+    # UNIT-normalize once per vector (O(n) folds), so the pair stage —
+    # the O(Σ|cluster|²) hot path — is a single dot fold per pair
+    # instead of dot + two norm folds: cosine(a, b) == dot(â, b̂). The
+    # oracle replays the same normalize-then-dot form so the float
+    # path matches operation for operation.
+    vec = F.col(vec_col).cast("array<double>")
     v = (
-        df.select(
-            F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+        df.select(F.col(id_col), vec.alias("__v"))
+        # norm routed through its own column FIRST: referencing norm()
+        # inside the transform lambda would re-run the whole fold per
+        # element (interpreted HOFs share no subexpressions — NOTES.md)
+        .withColumn("__n", norm(F.col("__v")))
+        .select(
+            F.col(id_col),
+            F.transform(F.col("__v"), lambda x: x / F.col("__n")).alias("__u"),
         )
         .join(assign, id_col)
         .filter(F.col("cluster").isNotNull())
     )
+    if materialize:
+        v = v.localCheckpoint(eager=True)
     a, b = v.alias("a"), v.alias("b")
     dup_counts = (
         a.join(
@@ -651,7 +672,7 @@ def semdedup(
         )
         .select(
             F.col(f"b.{id_col}").alias(id_col),
-            F.round(cosine(F.col("a.__v"), F.col("b.__v")), 4).alias("__cos"),
+            F.round(dot(F.col("a.__u"), F.col("b.__u")), 4).alias("__cos"),
         )
         .filter(F.col("__cos") >= threshold)
         .groupBy(id_col)

@@ -1,0 +1,190 @@
+"""Round-9 operator battery: SemDeDup, Gopher rules, hashed linear
+quality, per-source KL, gram novelty, containment pairs. The staged
+oracle gate (test_corpus_oracles / check_correctness --staged) covers
+fixture-scale parity; these tests pin the semantics the fixture can't
+reach — bullet/ellipsis/symbol rule branches, NULL handling, custom
+model weights, hand-computed divergences, containment extremes."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from datapipelineetl_spark.operators import corpus, dedup, similarity, text
+
+
+def test_semdedup_within_cluster_only(spark):
+    """Duplicates are dropped only when they share a cluster: two
+    identical vectors in the same cluster → later id dropped; a vector
+    cosine-identical to one in ANOTHER cluster survives (the fence is
+    the method); NULL vectors keep NULL cluster and are kept."""
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),          # dup of 1, same cluster
+        (3, [0.0, 1.0, 0.0, 0.0]),          # other cluster seed
+        (4, [0.0, 0.999, 0.01, 0.0]),       # near-dup of 3 in its cluster
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.vec_id: r for r in
+           similarity.semdedup(df, k=2, iters=2, threshold=0.95).collect()}
+    assert got[1].kept == 1 and got[2].kept == 0
+    assert got[2].n_dups_earlier == 1
+    assert got[3].kept == 1 and got[4].kept == 0
+    assert got[1].cluster == got[2].cluster
+    assert got[3].cluster == got[4].cluster != got[1].cluster
+    assert got[5].cluster is None and got[5].kept == 1
+    with pytest.raises(ValueError, match="threshold"):
+        similarity.semdedup(df, threshold=1.5)
+
+
+def test_gopher_rules_each_branch(spark):
+    """Each Gopher flag flips on its own synthetic trigger: the flags
+    the parquet fixture never exercises (bullets, ellipsis lines,
+    symbol ratio) included; NULL text is a kept=0 zero-word row, not a
+    crash; integer decision boundaries are exact (10 symbols in 100
+    words = ratio 0.1 passes, 11 fails)."""
+    good = "the quick brown fox and the lazy dog " * 8  # 72 words, has the+and
+    docs = [
+        (1, good),
+        (2, None),
+        (3, "# " * 5 + good),                      # 5 hashes vs ~77 words: passes
+        (4, ("# " * 30) + good),                   # 30 symbols vs 102 words: fails
+        (5, "\n".join(["- bullet line"] * 10)),     # all lines bulleted
+        (6, "\n".join(["trails off..."] * 10)),     # all lines ellipsis-ended
+        (7, "a " * 60),                            # mean word length 1 < 3
+        (8, "1 2 3 4 5 " * 12),                    # no alphabetic words
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r.doc_id: r for r in
+           text.gopher_rules(df, stopwords=("the", "and")).collect()}
+    assert got[1].kept == 1
+    assert got[2].n_words == 0 and got[2].kept == 0 and got[2].r_word_count == 0
+    assert got[3].r_symbol_ratio == 1
+    assert got[4].r_symbol_ratio == 0 and got[4].kept == 0
+    assert got[5].r_bullet_lines == 0
+    assert got[6].r_ellipsis_lines == 0
+    assert got[7].r_mean_word_len == 0
+    assert got[8].r_alpha_words == 0 and got[8].r_stopwords == 0
+    with pytest.raises(ValueError, match="stopwords"):
+        text.gopher_rules(df, stopwords=())
+
+
+def test_gopher_symbol_boundary_exact(spark):
+    """10·n_symbols <= n_words at the boundary: exactly ratio 0.1
+    passes, one more symbol fails — integer arithmetic, no float
+    wobble."""
+    words100 = "word " * 100
+    df = spark.createDataFrame(
+        [(1, words100 + "#" * 10), (2, words100 + "#" * 11)],
+        ["doc_id", "text"],
+    )
+    # '#'*10 glued to the last word: token count stays 100
+    got = {r.doc_id: r.r_symbol_ratio for r in
+           text.gopher_rules(df, stopwords=("word",)).collect()}
+    assert got == {1: 1, 2: 0}
+
+
+def test_quality_linear_custom_weights_and_reference(spark):
+    """The element_at (trained-model) path scores exactly the pure-
+    Python computation; out-of-range weights and buckets fail loudly;
+    NULL/empty text yields NULL prob with n_tokens 0."""
+    import hashlib
+
+    def h60(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+
+    weights = {b: (7 * b) % 1001 - 500 for b in range(64)}
+    rows = [(1, "alpha beta gamma"), (2, "alpha alpha"), (3, None), (4, " ")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: (r.n_tokens, r.quality_prob) for r in
+           text.quality_linear(df, n_buckets=64, weights_milli=weights,
+                               bias_milli=100).collect()}
+
+    def ref(txt):
+        toks = [w for w in txt.lower().split() if w]
+        s = sum(weights[h60(t) % 64] for t in toks) + 100
+        return round(1.0 / (1.0 + math.exp(-(s / (1000.0 * len(toks))))), 5)
+
+    assert got[1] == (3, ref("alpha beta gamma"))
+    assert got[2] == (2, ref("alpha alpha"))
+    assert got[3] == (0, None) and got[4] == (0, None)
+    with pytest.raises(ValueError, match="milli-units"):
+        text.quality_linear(df, n_buckets=64, weights_milli={0: 2000})
+    with pytest.raises(ValueError, match="milli-units"):
+        text.quality_linear(df, n_buckets=64, weights_milli={99: 1})
+    with pytest.raises(ValueError, match="n_buckets"):
+        text.quality_linear(df, n_buckets=0)
+
+
+def test_source_kl_zero_and_hand_computed(spark):
+    """A source distributed exactly like the corpus has KL 0; a skewed
+    two-source example matches the hand-computed divergence."""
+    same = [(f"s{i}", "a a b") for i in range(4)]
+    df = spark.createDataFrame(same, ["source", "text"])
+    got = {r.source: r.kl_divergence for r in text.source_kl(df).collect()}
+    assert all(v == 0.0 for v in got.values())
+
+    # corpus: x has {a:2}, y has {a:1, b:1} → totals a:3, b:1, T=4
+    df2 = spark.createDataFrame([("x", "a a"), ("y", "a b")],
+                                ["source", "text"])
+    got2 = {r.source: (r.n_tokens, r.kl_divergence)
+            for r in text.source_kl(df2).collect()}
+    kl_x = math.log((2 / 2) / (3 / 4))                      # all mass on a
+    kl_y = 0.5 * math.log(0.5 / 0.75) + 0.5 * math.log(0.5 / 0.25)
+    assert got2["x"] == (2, round(kl_x, 6))
+    assert got2["y"] == (2, round(kl_y, 6))
+
+
+def test_gram_novelty_extremes(spark):
+    """A doc cloned verbatim has novelty 0 (every gram shared); a
+    unique doc novelty 1; a doc shorter than n still yields its single
+    short gram; all rows survive."""
+    eight = "one two three four five six seven eight"
+    rows = [(1, eight), (2, eight), (3, "alpha beta gamma delta epsilon zeta eta theta"), (4, "tiny")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in dedup.gram_novelty(df, n=8).collect()}
+    assert got[1].novelty == 0.0 and got[2].novelty == 0.0
+    assert got[3].novelty == 1.0
+    assert got[4].n_grams == 1 and got[4].novelty == 1.0
+    assert len(got) == 4
+
+
+def test_containment_pairs_asymmetry(spark):
+    """A short doc embedded verbatim in a long one: containment_a = 1.0
+    while Jaccard-style symmetric overlap is small; the threshold
+    filter keeps the pair on EITHER direction; max_bucket_size drops
+    boilerplate grams."""
+    short = "w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    long_ = short + " x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 x12 x13 x14 x15 x16"
+    df = spark.createDataFrame(
+        [(1, short), (2, long_), (3, "totally different content here now ok fine yes")],
+        ["doc_id", "text"],
+    )
+    got = {(r.id_a, r.id_b): r for r in
+           dedup.containment_pairs(df, threshold=0.9, n=8).collect()}
+    assert (1, 2) in got and len(got) == 1
+    pair = got[(1, 2)]
+    assert pair.containment_a == 1.0 and pair.containment_b < 0.2
+
+    # boilerplate cap: with every shared gram capped away, no pairs
+    none = dedup.containment_pairs(df, threshold=0.0, n=8,
+                                   max_bucket_size=1).collect()
+    assert none == []
+    with pytest.raises(ValueError, match="threshold"):
+        dedup.containment_pairs(df, threshold=-0.1)
+
+
+def test_flag_blocklisted_join_matches_hof_on_fixture(spark):
+    """Crossover-scale sanity on real fixture text: both blocklist
+    forms agree doc-for-doc at sf0.001 with a mixed hit/miss list."""
+    from datapipelineetl_spark import catalog
+
+    docs = catalog.load(spark, "/root/testdata/sf0.001", "documents")
+    terms = ["the", "spark", "zz-not-present"]
+    a = {r.doc_id: (r.n_blocked_tokens, r.kept) for r in
+         corpus.flag_blocklisted(docs, terms).collect()}
+    b = {r.doc_id: (r.n_blocked_tokens, r.kept) for r in
+         corpus.flag_blocklisted_join(docs, terms).collect()}
+    assert a == b and len(a) == 500

@@ -19,16 +19,19 @@ from datapipelineetl_spark import queries_batch13 as b13
 from datapipelineetl_spark import queries_batch14 as b14
 from datapipelineetl_spark import queries_batch15 as b15
 from datapipelineetl_spark import queries_batch16 as b16
+from datapipelineetl_spark import queries_batch17 as b17
 
 # batches 11/12/13 were promoted (rounds 6/7/8); batch14 is the live
 # staged set awaiting r9 window slots — all run the driver-style
 # compare here
 _STAGED_QUERIES = {**b11.STAGED_QUERIES, **b12.STAGED_QUERIES,
                    **b13.STAGED_QUERIES, **b14.STAGED_QUERIES,
-                   **b15.STAGED_QUERIES, **b16.STAGED_QUERIES}
+                   **b15.STAGED_QUERIES, **b16.STAGED_QUERIES,
+                   **b17.STAGED_QUERIES}
 _STAGED_ORACLES = {**b11.STAGED_ORACLES, **b12.STAGED_ORACLES,
                    **b13.STAGED_ORACLES, **b14.STAGED_ORACLES,
-                   **b15.STAGED_ORACLES, **b16.STAGED_ORACLES}
+                   **b15.STAGED_ORACLES, **b16.STAGED_ORACLES,
+                   **b17.STAGED_ORACLES}
 
 
 @pytest.fixture(scope="module")

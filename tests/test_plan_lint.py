@@ -36,6 +36,7 @@ NESTED_LOOP_ALLOWED = {
     "q_perplexity_buckets": "same unigram_logprob 1-row LM-totals crossJoin (buckets build on the score)",
     "q_bigram_logprob": "1-row LM-totals scalar crossJoin (unigram backoff denominator)",
     "q_pmi_bigrams": "1-row corpus-totals scalar crossJoin (T1/T2 PMI denominators)",
+    "q_source_kl": "1-row corpus-total-tokens scalar crossJoin (the ln T term)",
     # q_semantic_dupes' exact O(n²) pair baseline needs no entry: its BNLJ
     # sits inside cluster_pairs' materialized rounds, below the tail plan
     # the lint reads (same visibility property as q_dedup_clusters_lsh)
@@ -51,10 +52,12 @@ def frames(spark, sf_dir):
     from datapipelineetl_spark import queries_batch14 as b14
     from datapipelineetl_spark import queries_batch15 as b15
     from datapipelineetl_spark import queries_batch16 as b16
+    from datapipelineetl_spark import queries_batch17 as b17
 
     queries = {**entrymod.queries(), **b12.STAGED_QUERIES,
                **b13.STAGED_QUERIES, **b14.STAGED_QUERIES,
-               **b15.STAGED_QUERIES, **b16.STAGED_QUERIES}
+               **b15.STAGED_QUERIES, **b16.STAGED_QUERIES,
+               **b17.STAGED_QUERIES}
     return {name: fn(spark, sf_dir) for name, fn in queries.items()}
 
 
