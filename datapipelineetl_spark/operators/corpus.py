@@ -23,6 +23,7 @@ Design rules shared with the rest of §2.11:
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Mapping
 
 from pyspark.sql import Column, DataFrame, Window
@@ -622,6 +623,7 @@ def ngram_hashes(
     text_col: str = "text",
     n: int = 8,
     gram_col: str = "__g",
+    drop_empty: bool = False,
 ) -> DataFrame:
     """(id, gram_hash) rows: each document's DISTINCT word ``n``-gram
     60-bit hashes — the precomputable half of the contamination join.
@@ -631,11 +633,20 @@ def ngram_hashes(
     (``streaming.runner.streaming_decontaminate``) — becomes a plain
     equi-join against it instead of re-shingling the eval side.
 
+    ``drop_empty``: a ZERO-token document shingles to the single empty
+    gram ``""`` — for the contamination family that phantom gram is
+    harmless noise the oracles replay, but for corpus-internal pair
+    measures (``dedup.gram_novelty``, ``dedup.containment_pairs``) it
+    makes every pair of empty documents "fully contained" in each
+    other, a quadratic garbage blowup on boilerplate-stripped corpora.
+    Those callers pass True to drop it (the hash of ``""`` is a
+    constant, so this is one literal comparison, not a text check).
+
     Scale: narrow shingle/hash array math + one explode — O(tokens) per
     row, no shuffle.
     """
     g = F.array_distinct(text.shingles(text_col, n))
-    return (
+    out = (
         df.withColumn("__gs", g)
         .select(
             F.col(id_col),
@@ -645,6 +656,11 @@ def ngram_hashes(
         )
         .filter(F.col(gram_col).isNotNull())
     )
+    if drop_empty:
+        # md5("")[:15] as the 60-bit int — the phantom gram's constant
+        empty_hash = int(hashlib.md5(b"").hexdigest()[:15], 16)
+        out = out.filter(F.col(gram_col) != empty_hash)
+    return out
 
 
 def contamination_pairs(
@@ -1550,6 +1566,20 @@ def cluster_balanced_sample(
     )
 
 
+def _validate_blocklist_terms(blocklist) -> None:
+    """Shared term validation for both blocklist forms (one definition
+    so the two forms' loud-failure behavior cannot drift)."""
+    if not blocklist:
+        raise ValueError("blocklist must be non-empty")
+    bad_terms = [w for w in blocklist if (not w.strip()) or w.strip() != w
+                 or any(c.isspace() for c in w)]
+    if bad_terms:
+        raise ValueError(
+            "blocklist terms must be single whitespace-free tokens "
+            f"(whole-token matching can never match these): {bad_terms!r}"
+        )
+
+
 def flag_blocklisted(
     df: DataFrame,
     blocklist: list[str] | tuple[str, ...],
@@ -1578,15 +1608,7 @@ def flag_blocklisted(
     on exploded tokens instead (HOF lambdas run interpreted — see
     NOTES.md).
     """
-    if not blocklist:
-        raise ValueError("blocklist must be non-empty")
-    bad_terms = [w for w in blocklist if (not w.strip()) or w.strip() != w
-                 or any(c.isspace() for c in w)]
-    if bad_terms:
-        raise ValueError(
-            "blocklist terms must be single whitespace-free tokens "
-            f"(whole-token matching can never match these): {bad_terms!r}"
-        )
+    _validate_blocklist_terms(blocklist)
     terms = F.array(*[F.lit(w.lower()) for w in blocklist])
     toks = text.tokens(F.coalesce(F.col(text_col), F.lit("")))
     blocked = F.size(F.filter(toks, lambda t: F.array_contains(terms, t)))
@@ -1619,6 +1641,13 @@ def flag_blocklisted_join(
     the 10^4+ case, read from a table, never a driver literal) or a
     Python list, validated like ``flag_blocklisted``.
 
+    PRECONDITION: ``id_col`` must uniquely identify rows (the corpus-
+    ladder invariant every id-keyed operator here shares). The hit
+    counts aggregate per id and join back — duplicate ids would all
+    receive the combined count, so a dirty row's clean sibling would
+    be dropped. If ids may repeat, use the literal-HOF form (purely
+    per-row) or dedup first.
+
     Scale: two shuffles more than the literal form — the hit-count
     partial agg (bounded by BLOCKED occurrences, near-zero on clean
     corpora) and the count join back onto ``df`` (AQE picks a broadcast
@@ -1632,15 +1661,7 @@ def flag_blocklisted_join(
             F.lower(F.col(term_col)).alias("__term")
         ).distinct()
     else:
-        if not blocklist:
-            raise ValueError("blocklist must be non-empty")
-        bad_terms = [w for w in blocklist if (not w.strip()) or w.strip() != w
-                     or any(c.isspace() for c in w)]
-        if bad_terms:
-            raise ValueError(
-                "blocklist terms must be single whitespace-free tokens "
-                f"(whole-token matching can never match these): {bad_terms!r}"
-            )
+        _validate_blocklist_terms(blocklist)
         terms_df = (
             df.sparkSession.createDataFrame(
                 [(w.lower(),) for w in blocklist], "`__term` string"

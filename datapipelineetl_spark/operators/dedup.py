@@ -582,8 +582,11 @@ def gram_novelty(
     memorization-risk / boilerplate mirror image of the contamination
     join (novelty 0 = every shingle exists elsewhere; 1 = all original
     content). Returns (id_col, n_grams, n_common, novelty) for every
-    input row; docs with no ``n``-gram (shorter than ``n`` tokens or
-    NULL text) get zero counts and a NULL novelty, never a dropped row.
+    input row. ZERO-token docs (empty/whitespace/NULL text) get zero
+    counts and a NULL novelty (their phantom empty gram is dropped —
+    ``ngram_hashes(drop_empty=True)``), never a dropped row; a doc
+    shorter than ``n`` tokens contributes its single shorter-than-n
+    shingle (real content, counted).
 
     Scale: the gram table (one narrow shingle/hash pass,
     ``corpus.ngram_hashes``) feeds a doc-frequency partial agg and a
@@ -595,7 +598,9 @@ def gram_novelty(
     """
     from datapipelineetl_spark.operators import corpus as _corpus  # noqa: PLC0415 — cycle guard
 
-    g = _corpus.ngram_hashes(df, id_col=id_col, text_col=text_col, n=n)
+    g = _corpus.ngram_hashes(
+        df, id_col=id_col, text_col=text_col, n=n, drop_empty=True
+    )
     if materialize:
         # the gram table feeds the frequency agg AND the join side —
         # un-materialized, each reference re-runs the interpreted
@@ -649,7 +654,10 @@ def containment_pairs(
     id_b, n_shared, containment_a, containment_b) for pairs where
     EITHER direction reaches ``threshold``; id_a < id_b, both
     directional scores reported, rounded to ``dp`` (single int/int
-    divisions — deterministic cross-engine).
+    divisions — deterministic cross-engine). Zero-token documents
+    share NO grams (their phantom empty shingle is dropped,
+    ``ngram_hashes(drop_empty=True)``) — without that, every pair of
+    empty docs would report containment 1.0.
 
     Scale: the ``fingerprint_collision_pairs`` shape — gram-hash
     equi-join + per-pair count, O(corpus × grams/doc) shuffle, never
@@ -662,15 +670,21 @@ def containment_pairs(
 
     if not 0.0 <= threshold <= 1.0:
         raise ValueError(f"threshold must be in [0, 1], got {threshold}")
-    g = _corpus.ngram_hashes(df, id_col=id_col, text_col=text_col, n=n)
+    g = _corpus.ngram_hashes(
+        df, id_col=id_col, text_col=text_col, n=n, drop_empty=True
+    )
     if materialize:
-        # referenced by sizes + both join sides (+ the bucket cap):
-        # materialize the narrow (id, gram-hash) rows once instead of
-        # re-running the interpreted shingle+md5 pass per reference
+        # referenced by sizes (twice, via sa/sb) + both join sides
+        # (+ the bucket cap): materialize the narrow (id, gram-hash)
+        # rows once instead of re-running the interpreted shingle+md5
+        # pass per reference. sizes itself stays LAZY — it is a
+        # doc-cardinality table (billions of rows at corpus scale, not
+        # checkpoint material), and each reference is one cheap
+        # partial-agg over the materialized gram rows.
         g = g.localCheckpoint(eager=True)
     sizes = g.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("__sz")
-    ).localCheckpoint(eager=True)  # tiny (one row per doc); reused twice
+    )
     if max_bucket_size is not None:
         keep = (
             g.groupBy("__g")

@@ -652,11 +652,19 @@ def semdedup(
         df.select(F.col(id_col), vec.alias("__v"))
         # norm routed through its own column FIRST: referencing norm()
         # inside the transform lambda would re-run the whole fold per
-        # element (interpreted HOFs share no subexpressions — NOTES.md)
+        # element (interpreted HOFs share no subexpressions — NOTES.md).
+        # Zero-norm vectors map to the zero unit vector (x/0.0 would be
+        # NULL/NaN and silently skip even byte-identical zero pairs;
+        # dot(0⃗, ·) = 0 never reaches a positive threshold — defined,
+        # deterministic, and replayed by the oracle's CASE)
         .withColumn("__n", norm(F.col("__v")))
         .select(
             F.col(id_col),
-            F.transform(F.col("__v"), lambda x: x / F.col("__n")).alias("__u"),
+            F.transform(
+                F.col("__v"),
+                lambda x: F.when(F.col("__n") > 0, x / F.col("__n"))
+                .otherwise(F.lit(0.0)),
+            ).alias("__u"),
         )
         .join(assign, id_col)
         .filter(F.col("cluster").isNotNull())

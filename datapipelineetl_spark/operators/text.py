@@ -1036,7 +1036,12 @@ def bpe_segment_kernel(
     for rank, m in enumerate(merges):
         pair_ranks.setdefault((m[0], m[1]), []).append(rank)
     merge_pairs = [(m[0], m[1]) for m in merges]
-    split_re = _re.compile(TOKEN_SPLIT_RE)
+    # re.ASCII pins Python's \s to [ \t\n\r\f\v] — exactly Java's
+    # default \s, which is what the fold form's Spark-side split uses.
+    # Without it Python \s also splits Unicode whitespace (NBSP, thin
+    # space, ideographic space) and the two forms tokenize real web
+    # text differently (parity test covers NBSP).
+    split_re = _re.compile(TOKEN_SPLIT_RE, _re.ASCII)
     eow = _BPE_EOW
     out_schema = ", ".join(
         [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
@@ -1546,18 +1551,23 @@ def gopher_rules(
         F.length(txt) - F.length(F.replace(txt, F.lit("..."), F.lit("")))
     ) / 3
     n_symbols = (n_hash + n_uni_ell + n_dot_ell.cast("long")).cast("long")
-    lines = F.filter(F.split(txt, "\n"), lambda x: F.trim(x) != "")
+    # trim spaces AND \t\r: crawled CRLF text leaves a trailing \r on
+    # every line after the \n split, and plain trim() strips only
+    # spaces — the ellipsis/bullet rules would silently never fire on
+    # Windows-lineage text (the oracle replays the same 3-char trim)
+    _trim = lambda x: F.trim(x, F.lit(" \t\r"))  # noqa: E731
+    lines = F.filter(F.split(txt, "\n"), lambda x: _trim(x) != "")
     n_lines = F.size(lines)
     n_bullet = F.size(
         F.filter(
             lines,
-            lambda x: F.substring(F.trim(x), 1, 1).isin("-", "*", "•"),
+            lambda x: F.substring(_trim(x), 1, 1).isin("-", "*", "•"),
         )
     )
     n_ell_end = F.size(
         F.filter(
             lines,
-            lambda x: F.trim(x).endswith("...") | F.trim(x).endswith("…"),
+            lambda x: _trim(x).endswith("...") | _trim(x).endswith("…"),
         )
     )
     n_alpha = F.size(F.filter(toks, lambda w: w.rlike("[a-z]")))

@@ -82,10 +82,13 @@ _SD_K = 16
 _SD_ITERS = 1
 
 # normalize-then-dot, operation-for-operation the engine's float path
-# (similarity.semdedup pre-normalizes so the pair stage is one fold)
+# (similarity.semdedup pre-normalizes so the pair stage is one fold;
+# zero-norm vectors map to the zero unit vector in both engines — a
+# bare division would be NULL in Spark but inf/NaN in DuckDB)
 _SQL_UNIT = (
-    "list_transform(v.v, x -> x / sqrt(list_sum("
-    "list_transform(v.v, y -> y * y))))"
+    "list_transform(v.v, x -> CASE WHEN sqrt(list_sum("
+    "list_transform(v.v, y -> y * y))) > 0 THEN x / sqrt(list_sum("
+    "list_transform(v.v, y -> y * y))) ELSE 0.0 END)"
 )
 _SQL_COS = (
     "ROUND(list_sum(list_transform(generate_series(1, {dim}), "
@@ -161,7 +164,8 @@ _SQL_GOPHER_FLAGS = f"""
           + (len(txt) - len(replace(txt, '…', '')))
           + CAST((len(txt) - len(replace(txt, '...', ''))) / 3 AS BIGINT)
           AS n_symbols,
-        list_filter(string_split(txt, chr(10)), x -> trim(x) <> '') AS lines,
+        list_filter(string_split(txt, chr(10)),
+                    x -> trim(x, ' ' || chr(9) || chr(13)) <> '') AS lines,
         len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) AS n_alpha,
         len(list_filter(list_distinct(toks),
                         w -> w IN {_GOPHER_STOPS!r})) AS n_stop
@@ -174,10 +178,12 @@ _SQL_GOPHER_FLAGS = f"""
              AND sum_len <= 10 * n_words AS INT) AS r_mean_word_len,
         CAST(10 * n_symbols <= n_words AS INT) AS r_symbol_ratio,
         CAST(10 * len(list_filter(lines,
-               x -> substring(trim(x), 1, 1) IN ('-', '*', '•')))
+               x -> substring(trim(x, ' ' || chr(9) || chr(13)), 1, 1)
+                    IN ('-', '*', '•')))
              <= 9 * len(lines) AS INT) AS r_bullet_lines,
         CAST(10 * len(list_filter(lines,
-               x -> ends_with(trim(x), '...') OR ends_with(trim(x), '…')))
+               x -> ends_with(trim(x, ' ' || chr(9) || chr(13)), '...')
+                    OR ends_with(trim(x, ' ' || chr(9) || chr(13)), '…')))
              <= 3 * len(lines) AS INT) AS r_ellipsis_lines,
         CAST(5 * n_alpha >= 4 * n_words AS INT) AS r_alpha_words,
         CAST(n_stop >= 2 AS INT) AS r_stopwords
@@ -318,7 +324,8 @@ _NOV_N = 8
     grams AS (
       SELECT doc_id, g
       FROM (SELECT doc_id, UNNEST(list_distinct({_sql_shingles(_NOV_N)})) AS g
-            FROM toks_all)),
+            FROM toks_all)
+      WHERE g <> ''),  -- drop_empty: zero-token docs share no grams
     freq AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS ndocs
              FROM grams GROUP BY g),
     pd AS (
@@ -362,7 +369,8 @@ _CT_THRESHOLD = 0.2
     grams AS (
       SELECT doc_id, g
       FROM (SELECT doc_id, UNNEST(list_distinct({_sql_shingles(_NOV_N)})) AS g
-            FROM toks_all)),
+            FROM toks_all)
+      WHERE g <> ''),  -- drop_empty: zero-token docs share no grams
     sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz
            FROM grams GROUP BY doc_id),
     sh AS (

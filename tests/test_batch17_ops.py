@@ -39,6 +39,24 @@ def test_semdedup_within_cluster_only(spark):
         similarity.semdedup(df, threshold=1.5)
 
 
+def test_semdedup_zero_vectors_defined(spark):
+    """All-zero vectors normalize to the zero unit vector (never
+    NULL/NaN): their dot with anything is 0.0, below any positive
+    threshold — both stay kept with a real (non-NULL) cluster, and no
+    NULL cosine silently skips the comparison (review finding: a bare
+    x/0.0 was NULL in Spark but inf/NaN in DuckDB)."""
+    rows = [
+        (1, [1.0, 0.0]), (2, [0.9, 0.1]),
+        (3, [0.0, 0.0]), (4, [0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.vec_id: r for r in
+           similarity.semdedup(df, k=2, iters=1, threshold=0.5).collect()}
+    assert got[3].cluster is not None and got[4].cluster is not None
+    assert got[3].kept == 1 and got[4].kept == 1
+    assert got[4].n_dups_earlier == 0
+
+
 def test_gopher_rules_each_branch(spark):
     """Each Gopher flag flips on its own synthetic trigger: the flags
     the parquet fixture never exercises (bullets, ellipsis lines,
@@ -69,6 +87,22 @@ def test_gopher_rules_each_branch(spark):
     assert got[8].r_alpha_words == 0 and got[8].r_stopwords == 0
     with pytest.raises(ValueError, match="stopwords"):
         text.gopher_rules(df, stopwords=())
+
+
+def test_gopher_rules_crlf_lines(spark):
+    """CRLF-terminated lines (crawled Windows-lineage text) leave a
+    trailing \\r after the \\n split; the 3-char trim must still see
+    the ellipsis/bullet endings (review finding: plain trim strips
+    only spaces, so ellipsis-spam passed the rule)."""
+    df = spark.createDataFrame(
+        [(1, "trails off...\r\ntrails off...\r\ntrails off...\r"),
+         (2, "- bullet\r\n- bullet\r\n- bullet\r")],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in
+           text.gopher_rules(df, stopwords=("the",)).collect()}
+    assert got[1].r_ellipsis_lines == 0
+    assert got[2].r_bullet_lines == 0
 
 
 def test_gopher_symbol_boundary_exact(spark):
@@ -149,6 +183,23 @@ def test_gram_novelty_extremes(spark):
     assert got[3].novelty == 1.0
     assert got[4].n_grams == 1 and got[4].novelty == 1.0
     assert len(got) == 4
+
+
+def test_empty_docs_share_no_grams(spark):
+    """Zero-token documents (empty/whitespace/NULL text) must NOT pair
+    with each other through the phantom empty shingle (review finding:
+    they all reported containment 1.0 and novelty 0.0): novelty gives
+    them zero grams and NULL novelty per its contract, containment
+    emits no pairs among them."""
+    rows = [(1, ""), (2, ""), (3, "   \t"), (4, None),
+            (5, "real content words here eight total for gram")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    nov = {r.doc_id: r for r in dedup.gram_novelty(df, n=8).collect()}
+    for i in (1, 2, 3, 4):
+        assert nov[i].n_grams == 0 and nov[i].novelty is None, nov[i]
+    assert nov[5].n_grams >= 1
+    pairs = dedup.containment_pairs(df, threshold=0.0, n=8).collect()
+    assert pairs == []
 
 
 def test_containment_pairs_asymmetry(spark):

@@ -82,28 +82,24 @@ def test_staged_query_matches_oracle(spark, sf_dir, duck, name):
 
 
 def test_staged_registry_promoted():
-    """Rounds 6/7/8 promoted the staged batches: __spark_entry__ calls
-    b11/b12/b13.register(), so the live registry must contain every
-    staged query with its oracle, and register() must be idempotent
+    """Rounds 6-9 promoted the staged batches: __spark_entry__ calls
+    b11-b16.register(), so the live registry must contain every
+    promoted query with its oracle, and register() must be idempotent
     (the driver and the tests may both import the entry module)."""
     import __spark_entry__ as entrymod
 
     from datapipelineetl_spark import queries as q
 
-    assert set(b11.STAGED_ORACLES) == set(b11.STAGED_QUERIES)
-    assert len(b11.STAGED_QUERIES) == 10
-    assert set(b12.STAGED_ORACLES) == set(b12.STAGED_QUERIES)
-    assert len(b12.STAGED_QUERIES) == 12
-    assert set(b13.STAGED_ORACLES) == set(b13.STAGED_QUERIES)
-    assert len(b13.STAGED_QUERIES) == 7
+    for b, size in ((b11, 10), (b12, 12), (b13, 7), (b14, 11),
+                    (b15, 9), (b16, 1), (b17, 6)):
+        assert set(b.STAGED_ORACLES) == set(b.STAGED_QUERIES)
+        assert len(b.STAGED_QUERIES) == size
     live = entrymod.queries()
-    # batch14 stays staged (r9 backlog): importing it must NOT have
+    # batch17 stays staged (r10 backlog): importing it must NOT have
     # grown the live surface
-    assert set(b14.STAGED_ORACLES) == set(b14.STAGED_QUERIES)
-    assert len(b14.STAGED_QUERIES) == 11
-    assert not (set(b14.STAGED_QUERIES) & set(live))
+    assert not (set(b17.STAGED_QUERIES) & set(live))
     n = len(live)
-    for b in (b11, b12, b13):
+    for b in (b11, b12, b13, b14, b15, b16):
         assert set(b.STAGED_QUERIES) <= set(live)
         assert set(b.STAGED_ORACLES) <= set(q.ORACLES)
         b.register()

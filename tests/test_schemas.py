@@ -90,14 +90,14 @@ def test_driver_check_window_contract():
        this assertion's message — it is next round's mandatory slots
        (tools/rotate_window.py replays the same arithmetic).
 
-    Tiering (VERDICT r8 item 2 — the rotation-capacity policy): at 148
-    registered queries a flat 3-record horizon needs 148/3 ≈ 49.3
-    slots/round — one query of slack, structurally broken on the next
-    promotion. So the registry is two-tier: CORE (SURVEY §2
+    Tiering (VERDICT r8 item 2 — the rotation-capacity policy): at 149
+    registered queries a flat 3-record horizon needs 149/3 ≈ 49.7
+    slots/round — under one query of slack, structurally broken on the
+    next promotion. So the registry is two-tier: CORE (SURVEY §2
     reference-parity surface) keeps the 3-record horizon; EXTENSION
     (the LLM-pipeline batteries promoted from staged batches,
     ``__spark_entry__.EXTENSION_TIER``) relaxes to 5 records. Expected
-    load: 99/3 + 49/5 ≈ 43 slots/round — ~7 slots of slack, ~35 more
+    load: 99/3 + 50/5 = 43 slots/round — ~7 slots of slack, ~35 more
     extension queries of headroom.
     """
     import json

@@ -1071,6 +1071,8 @@ def test_bpe_segment_kernel_parity(spark):
     corpus = ["low low low lower lowest", "low lowest newer wider",
               "new newer newest wide wider widest"]
     rows = [(i, t) for i, t in enumerate(corpus)] + [
+        (96, "low\u00a0lower low"),  # NBSP: Java \s does NOT split it —
+        # the kernel must not either (re.ASCII pin)
         (97, None), (98, ""), (99, " \t\n ")]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     merges, _ = text.train_bpe(df, n_merges=10)
