@@ -1517,6 +1517,7 @@ def gopher_rules(
     min_words: int = 50,
     max_words: int = 100_000,
     stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
+    annotate: bool = False,
 ) -> DataFrame:
     """The Gopher quality-rule battery as an auditable annotation: each
     published heuristic lands as its own 0/1 flag, ``kept`` is their
@@ -1590,11 +1591,21 @@ def gopher_rules(
         "r_alpha_words": 5 * n_alpha >= 4 * n_words,
         "r_stopwords": n_stop >= 2,
     }
-    out = df.select(
-        F.col(id_col),
-        n_words.alias("n_words"),
-        *[v.cast("int").alias(k) for k, v in flags.items()],
-    )
+    if annotate:
+        # streaming-composable form: keep EVERY input column and add
+        # the flags (gopher_rules is a stateless narrow projection, so
+        # it applies to readStream frames directly — annotate=True is
+        # what lets the ingest ladder filter on `kept` downstream
+        # without a stream-stream join back to the source columns)
+        out = df.withColumn("n_words", n_words)
+        for k, v in flags.items():
+            out = out.withColumn(k, v.cast("int"))
+    else:
+        out = df.select(
+            F.col(id_col),
+            n_words.alias("n_words"),
+            *[v.cast("int").alias(k) for k, v in flags.items()],
+        )
     kept = F.lit(True)
     for k in flags:
         kept = kept & (F.col(k) == 1)
@@ -1609,6 +1620,7 @@ def quality_linear(
     weights_milli: dict[int, int] | None = None,
     bias_milli: int = 0,
     out: str = "quality_prob",
+    annotate: bool = False,
 ) -> DataFrame:
     """fastText-style linear quality classifier over hashed
     bag-of-words features (the Joulin et al. 2016 architecture the
@@ -1672,6 +1684,11 @@ def quality_linear(
     n = F.size(toks)
     score = (milli_sum + F.lit(int(bias_milli))) / (1000.0 * n)
     prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-score)), 5)
+    if annotate:
+        # keep every input column (streaming-composable; see
+        # gopher_rules) — only the score lands, no n_tokens column
+        # to collide with other annotators' token counts
+        return df.withColumn(out, F.when(n > 0, prob))
     return df.select(
         F.col(id_col),
         n.alias("n_tokens"),

@@ -239,3 +239,48 @@ def test_flag_blocklisted_join_matches_hof_on_fixture(spark):
     b = {r.doc_id: (r.n_blocked_tokens, r.kept) for r in
          corpus.flag_blocklisted_join(docs, terms).collect()}
     assert a == b and len(a) == 500
+
+
+def test_streaming_quality_annotate_parity(spark, tmp_path):
+    """The quality battery is streaming-composable: gopher_rules +
+    quality_linear with annotate=True apply DIRECTLY to a readStream
+    frame (stateless narrow projections — no foreachBatch, no state
+    store), and the drained annotations equal the batch run on the
+    same files row for row. This is the ingest-time quality tier: a
+    sink can filter on `kept` / threshold `quality_prob` with every
+    source column still present."""
+    from pyspark.sql import functions as F
+
+    pdir = str(tmp_path / "docs")
+    rows = [
+        (1, "the quick brown fox and the lazy dog " * 8, "web"),
+        (2, "a " * 60, "web"),
+        (3, None, "books"),
+        (4, "1 2 3 4 5 " * 12, "books"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    df.coalesce(1).write.parquet(pdir)
+
+    def annotate(frame):
+        g = text.gopher_rules(frame, stopwords=("the", "and"), annotate=True)
+        return text.quality_linear(g, n_buckets=64, annotate=True)
+
+    stream = spark.readStream.schema(df.schema).parquet(pdir)
+    q = (
+        annotate(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("qanno")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.doc_id: r.asDict() for r in spark.sql("SELECT * FROM qanno").collect()}
+    want = {r.doc_id: r.asDict() for r in annotate(df).collect()}
+    assert got == want
+    # every source column survived, plus the annotations
+    assert {"doc_id", "text", "source", "n_words", "kept",
+            "quality_prob"} <= set(got[1])
+    assert got[1]["kept"] == 1 and got[2]["kept"] == 0
+    assert got[3]["quality_prob"] is None  # NULL text: scoreless, kept row
