@@ -52,10 +52,10 @@ def main() -> int:
     if staged:
         # a dtype drift in a STAGED query should be caught before its
         # promotion takes a window slot, not after
-        from datapipelineetl_spark import queries_batch14 as b14
+        from datapipelineetl_spark import queries_batch17 as b17
 
-        qs = {**qs, **b14.STAGED_QUERIES}
-        oracles = {**oracles, **b14.STAGED_ORACLES}
+        qs = {**qs, **b17.STAGED_QUERIES}
+        oracles = {**oracles, **b17.STAGED_ORACLES}
     bad = 0
     for name, fn in sorted(qs.items()):
         if name not in oracles:

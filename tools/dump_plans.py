@@ -54,6 +54,12 @@ PICK = {
     "q_vocab_overlap": "Vocabulary overlap (staged): ONE corpus distinct shuffle materialized once (localCheckpoint feeds sizes + pair join), token self-join over vocabulary-sized rows, pair-cardinality aggregate with broadcast size joins.",
     "q_token_entropy": "Token entropy (staged): ONE (source, token) partial-agg Exchange, then a group-cardinality fold — the ln T - (sum c ln c)/T identity keeps everything in two aggregates, no per-token probability join.",
     "q_zipf_fit": "Zipf OLS (staged): count Exchange → per-source rank Window over vocabulary-sized rows (hash-partitioned by source, never SinglePartition) → group-cardinality OLS fold.",
+    "q_semdedup": "SemDeDup (staged): the k-means assignment + unit vectors land as ONE materialized (id, cluster, unit) table; the pair stage is a cluster-keyed equi-join whose work is bounded by Σ|cluster|² with a single dot fold per pair; output is two id-keyed left joins — no O(n²) anywhere.",
+    "q_gopher_rules": "Gopher rule battery (staged): one narrow Project of integer inequalities over token/line array math — zero Exchange, zero Python, zero Generate.",
+    "q_quality_linear": "Hashed linear quality (staged): per-row aggregate fold over token milli-weights (inline formula, exact BIGINT) — zero Exchange, zero Python; the sigmoid is one scalar expression.",
+    "q_source_kl": "Per-source KL (staged): ONE (source, token) partial-agg Exchange materialized once (feeds corpus counts + the per-group folds), 1-row totals crossJoin allowlisted — corpus scanned once.",
+    "q_gram_novelty": "Gram novelty (staged): the drop_empty gram table materialized once; doc-frequency agg + gram join + doc fold — three Exchanges all bounded by the DISTINCT-gram table, never pairwise.",
+    "q_doc_containment": "Containment pairs (staged): materialized gram table self-joined on the 60-bit hash, pair counts partial-agg, lazy doc-size joins left to AQE (no forced broadcast of a corpus-cardinality table).",
 }
 
 
@@ -65,10 +71,12 @@ def main() -> None:
     from datapipelineetl_spark import queries_batch14 as b14
     from datapipelineetl_spark import queries_batch15 as b15
     from datapipelineetl_spark import queries_batch16 as b16
+    from datapipelineetl_spark import queries_batch17 as b17
 
     qs = {**entrymod.queries(), **b12.STAGED_QUERIES,
           **b13.STAGED_QUERIES, **b14.STAGED_QUERIES,
-          **b15.STAGED_QUERIES, **b16.STAGED_QUERIES}
+          **b15.STAGED_QUERIES, **b16.STAGED_QUERIES,
+          **b17.STAGED_QUERIES}
     lines = [
         "# PLANS — physical plans of representative queries (sf0.1, AQE on)",
         "",
