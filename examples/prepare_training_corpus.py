@@ -86,6 +86,32 @@ def main() -> int:
         decon.withColumn("__all", F.lit("corpus")), "__all", "text"
     ).first()["hll_estimate"]
 
+    # 2''. the round-9 rule tier: Gopher quality rules + C4 blocklist
+    #      + the fastText-style hashed linear score, all as ANNOTATIONS
+    #      (annotate=True keeps every column — the same composition
+    #      works verbatim on a readStream frame; oracle-checked as
+    #      q_gopher_rules / q_blocklist_filter / q_quality_linear). The
+    #      fixture's synthetic vocabulary is clean, so the keep rule
+    #      here is the rule battery minus the stop-word check (31
+    #      distinct tokens can't carry a stop-word distribution) —
+    #      production keeps `kept == 1` outright.
+    ruled = text.gopher_rules(
+        decon, stopwords=("the", "a"), annotate=True
+    )
+    ruled = corpus.flag_blocklisted(
+        ruled.drop("kept"), ["spam-token"],
+    ).withColumnRenamed("kept", "bl_kept")
+    ruled = text.quality_linear(ruled, annotate=True)
+    decon = (
+        ruled.filter(
+            (F.col("r_word_count") + F.col("r_mean_word_len")
+             + F.col("r_alpha_words") >= 3)
+            & (F.col("bl_kept") == 1)
+        )
+        .select("doc_id", "text")
+    )
+    n2r = decon.count()
+
     # 2a. LM quality tier: CCNet-style per-language perplexity buckets
     #     (unigram-LM score rank within language) — drop the tail
     #     third, the statistical-outlier tier (oracle-checked as
@@ -180,7 +206,7 @@ def main() -> int:
     print(f"sketch monitor: heavy hitters [{hh}]; HLL vocab ~{vocab_est}")
     print(
         f"documents {n0} -> cleaned {n1} -> decontaminated {n2} -> "
-        f"ppl-tiered {n2a} -> budgeted {n2b} -> train {n3} -> "
+        f"rule-tiered {n2r} -> ppl-tiered {n2a} -> budgeted {n2b} -> train {n3} -> "
         f"chunks {n4} -> packs {packs} "
         f"-> binary artifact {len(manifest)} shards / {n_bin_tokens} tokens "
         f"+ {len(merges)} BPE merges "
