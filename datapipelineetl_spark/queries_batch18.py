@@ -1,0 +1,113 @@
+"""Eighteenth query battery — STAGED behind batch 17 (r11 horizon if
+the r10 window fills with batch-17's six).
+
+Round-9 tail: tokenizer fertility statistics — the "how well does the
+tokenizer fit this corpus" diagnostic (pieces per word, characters per
+piece, per language) computed from the SAME distributed BPE training
+the q_train_bpe/q_bpe_segment pair pins. Same staging contract as
+batches 11–17.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datapipelineetl_spark.operators import text
+from datapipelineetl_spark.queries import _t_spread
+from datapipelineetl_spark.queries import QUERIES as _GLOBAL_QUERIES
+from datapipelineetl_spark.queries import ORACLES as _GLOBAL_ORACLES
+from datapipelineetl_spark.queries_batch14 import _BPE_N, _bpe_ctes
+from datapipelineetl_spark.queries_ext import _SQL_TOKENS
+
+STAGED_QUERIES: dict = {}
+STAGED_ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        STAGED_QUERIES[name] = fn
+        if oracle is not None:
+            STAGED_ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def register() -> None:
+    """Promote the staged queries into the live registry."""
+    _GLOBAL_QUERIES.update(STAGED_QUERIES)
+    _GLOBAL_ORACLES.update(STAGED_ORACLES)
+
+
+_TOKS = _SQL_TOKENS.format(c="text")
+
+
+@query(
+    "q_token_fertility",
+    _bpe_ctes(_BPE_N)
+    + """,
+    wmap AS (
+      SELECT u.wc.o AS word,
+             len(list_filter(string_split(u.wc.w, chr(31) || chr(31)),
+                             y -> y <> '')) AS n_pieces
+      FROM (SELECT ws FROM rec ORDER BY it DESC LIMIT 1) r,
+           LATERAL (SELECT UNNEST(r.ws) AS wc) u),
+    toks AS (
+      SELECT lang, UNNEST("""
+    + _TOKS
+    + """) AS word FROM documents)
+    SELECT t.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(m.n_pieces) AS BIGINT) AS n_pieces,
+           ROUND(SUM(m.n_pieces) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS fertility,
+           ROUND(SUM(len(t.word)) / CAST(SUM(m.n_pieces) AS DOUBLE), 6)
+             AS chars_per_piece
+    FROM toks t JOIN wmap m ON t.word = m.word
+    GROUP BY t.lang
+    """,
+)
+def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language for the corpus-trained BPE
+    ({0} merges): pieces per word (the fertility metric multilingual
+    tokenizer work reports — high fertility on a language means the
+    vocabulary underserves it) and characters per piece (compression).
+    The oracle replays the SAME full training recursion as
+    q_train_bpe (one `_bpe_ctes` definition now feeds THREE oracles)
+    and folds every token occurrence through the final segmented word
+    state — both ratios value-checked per language.
+
+    Scale: the train cost (corpus scanned once, iterations on the
+    vocabulary-sized word table) + one token explode joined against
+    the broadcastable word table (piece counts are vocabulary
+    metadata, not corpus data) + one partial-agg groupBy(lang) — no
+    re-segmentation pass: the training word state already holds every
+    word's piece count.""".format(_BPE_N)
+    docs = _t_spread(spark, sf_dir, "documents")
+    _, words = text.train_bpe(docs, n_merges=_BPE_N)
+    toks = docs.select(
+        F.col("lang"),
+        F.explode_outer(
+            text.tokens(F.coalesce(F.col("text"), F.lit("")))
+        ).alias("word"),
+    ).filter(F.col("word").isNotNull())
+    pieces = words.select(
+        "word", F.size("syms").cast("long").alias("__np")
+    )
+    return (
+        toks.join(pieces, "word")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("__np").cast("long").alias("n_pieces"),
+            F.round(
+                F.sum("__np") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("fertility"),
+            F.round(
+                F.sum(F.length("word"))
+                / F.sum("__np").cast("double"),
+                6,
+            ).alias("chars_per_piece"),
+        )
+    )

@@ -20,6 +20,7 @@ from datapipelineetl_spark import queries_batch14 as b14
 from datapipelineetl_spark import queries_batch15 as b15
 from datapipelineetl_spark import queries_batch16 as b16
 from datapipelineetl_spark import queries_batch17 as b17
+from datapipelineetl_spark import queries_batch18 as b18
 
 # batches 11/12/13 were promoted (rounds 6/7/8); batch14 is the live
 # staged set awaiting r9 window slots — all run the driver-style
@@ -27,11 +28,11 @@ from datapipelineetl_spark import queries_batch17 as b17
 _STAGED_QUERIES = {**b11.STAGED_QUERIES, **b12.STAGED_QUERIES,
                    **b13.STAGED_QUERIES, **b14.STAGED_QUERIES,
                    **b15.STAGED_QUERIES, **b16.STAGED_QUERIES,
-                   **b17.STAGED_QUERIES}
+                   **b17.STAGED_QUERIES, **b18.STAGED_QUERIES}
 _STAGED_ORACLES = {**b11.STAGED_ORACLES, **b12.STAGED_ORACLES,
                    **b13.STAGED_ORACLES, **b14.STAGED_ORACLES,
                    **b15.STAGED_ORACLES, **b16.STAGED_ORACLES,
-                   **b17.STAGED_ORACLES}
+                   **b17.STAGED_ORACLES, **b18.STAGED_ORACLES}
 
 
 @pytest.fixture(scope="module")
@@ -91,13 +92,14 @@ def test_staged_registry_promoted():
     from datapipelineetl_spark import queries as q
 
     for b, size in ((b11, 10), (b12, 12), (b13, 7), (b14, 11),
-                    (b15, 9), (b16, 1), (b17, 6)):
+                    (b15, 9), (b16, 1), (b17, 6), (b18, 1)):
         assert set(b.STAGED_ORACLES) == set(b.STAGED_QUERIES)
         assert len(b.STAGED_QUERIES) == size
     live = entrymod.queries()
-    # batch17 stays staged (r10 backlog): importing it must NOT have
-    # grown the live surface
+    # batches 17/18 stay staged (r10/r11 backlog): importing them must
+    # NOT have grown the live surface
     assert not (set(b17.STAGED_QUERIES) & set(live))
+    assert not (set(b18.STAGED_QUERIES) & set(live))
     n = len(live)
     for b in (b11, b12, b13, b14, b15, b16):
         assert set(b.STAGED_QUERIES) <= set(live)

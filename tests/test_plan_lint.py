@@ -53,11 +53,12 @@ def frames(spark, sf_dir):
     from datapipelineetl_spark import queries_batch15 as b15
     from datapipelineetl_spark import queries_batch16 as b16
     from datapipelineetl_spark import queries_batch17 as b17
+    from datapipelineetl_spark import queries_batch18 as b18
 
     queries = {**entrymod.queries(), **b12.STAGED_QUERIES,
                **b13.STAGED_QUERIES, **b14.STAGED_QUERIES,
                **b15.STAGED_QUERIES, **b16.STAGED_QUERIES,
-               **b17.STAGED_QUERIES}
+               **b17.STAGED_QUERIES, **b18.STAGED_QUERIES}
     return {name: fn(spark, sf_dir) for name, fn in queries.items()}
 
 

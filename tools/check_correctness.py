@@ -95,15 +95,16 @@ def main() -> int:
         from datapipelineetl_spark import queries_batch15 as b15
         from datapipelineetl_spark import queries_batch16 as b16
         from datapipelineetl_spark import queries_batch17 as b17
+        from datapipelineetl_spark import queries_batch18 as b18
 
         qs = {**qs, **b11.STAGED_QUERIES, **b12.STAGED_QUERIES,
               **b13.STAGED_QUERIES, **b14.STAGED_QUERIES,
               **b15.STAGED_QUERIES, **b16.STAGED_QUERIES,
-              **b17.STAGED_QUERIES}
+              **b17.STAGED_QUERIES, **b18.STAGED_QUERIES}
         oracles = {**oracles, **b11.STAGED_ORACLES, **b12.STAGED_ORACLES,
                    **b13.STAGED_ORACLES, **b14.STAGED_ORACLES,
                    **b15.STAGED_ORACLES, **b16.STAGED_ORACLES,
-                   **b17.STAGED_ORACLES}
+                   **b17.STAGED_ORACLES, **b18.STAGED_ORACLES}
     failed = []
     for name, fn in qs.items():
         if only and name not in only:

@@ -53,9 +53,10 @@ def main() -> int:
         # a dtype drift in a STAGED query should be caught before its
         # promotion takes a window slot, not after
         from datapipelineetl_spark import queries_batch17 as b17
+        from datapipelineetl_spark import queries_batch18 as b18
 
-        qs = {**qs, **b17.STAGED_QUERIES}
-        oracles = {**oracles, **b17.STAGED_ORACLES}
+        qs = {**qs, **b17.STAGED_QUERIES, **b18.STAGED_QUERIES}
+        oracles = {**oracles, **b17.STAGED_ORACLES, **b18.STAGED_ORACLES}
     bad = 0
     for name, fn in sorted(qs.items()):
         if name not in oracles:

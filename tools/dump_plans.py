@@ -72,11 +72,12 @@ def main() -> None:
     from datapipelineetl_spark import queries_batch15 as b15
     from datapipelineetl_spark import queries_batch16 as b16
     from datapipelineetl_spark import queries_batch17 as b17
+    from datapipelineetl_spark import queries_batch18 as b18
 
     qs = {**entrymod.queries(), **b12.STAGED_QUERIES,
           **b13.STAGED_QUERIES, **b14.STAGED_QUERIES,
           **b15.STAGED_QUERIES, **b16.STAGED_QUERIES,
-          **b17.STAGED_QUERIES}
+          **b17.STAGED_QUERIES, **b18.STAGED_QUERIES}
     lines = [
         "# PLANS — physical plans of representative queries (sf0.1, AQE on)",
         "",

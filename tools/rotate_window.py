@@ -31,6 +31,7 @@ from datapipelineetl_spark import queries_batch14 as b14
 from datapipelineetl_spark import queries_batch15 as b15
 from datapipelineetl_spark import queries_batch16 as b16
 from datapipelineetl_spark import queries_batch17 as b17
+from datapipelineetl_spark import queries_batch18 as b18
 
 WINDOW = 50
 
@@ -75,7 +76,7 @@ def main() -> int:
         for q in {**b11.STAGED_QUERIES, **b12.STAGED_QUERIES,
                   **b13.STAGED_QUERIES, **b14.STAGED_QUERIES,
                   **b15.STAGED_QUERIES, **b16.STAGED_QUERIES,
-                  **b17.STAGED_QUERIES}
+                  **b17.STAGED_QUERIES, **b18.STAGED_QUERIES}
         if q not in registered
     ]
     n_core = sum(1 for q in registered if q not in entrymod.EXTENSION_TIER)
@@ -140,7 +141,8 @@ def main() -> int:
         all_q = {**entrymod.queries(), **b11.STAGED_QUERIES,
                  **b12.STAGED_QUERIES, **b13.STAGED_QUERIES,
                  **b14.STAGED_QUERIES, **b15.STAGED_QUERIES,
-                 **b16.STAGED_QUERIES, **b17.STAGED_QUERIES}
+                 **b16.STAGED_QUERIES, **b17.STAGED_QUERIES,
+                 **b18.STAGED_QUERIES}
         sf_dir = "/root/testdata/sf0.001"
         unsafe = {}
         for q in window:
