@@ -538,8 +538,9 @@ def kmeans(
     scalars shuffled). The assignment here is a JVM fold over literal
     centroid arrays — bit-exact sequential sums, which the oracle
     needs; for production k in the hundreds swap the Arrow matmul
-    assignment (``_ivf_assign_pandas``) exactly as IVF does, trading
-    oracle-grade determinism for throughput.
+    assignment — ``assign_clusters_arrow`` below, parity-tested
+    against this fold on the fixture — trading oracle-grade tie
+    determinism for throughput, exactly as IVF does.
     """
     if k < 1 or iters < 0:
         raise ValueError(f"need k >= 1 and iters >= 0, got {k}, {iters}")
@@ -696,4 +697,58 @@ def semdedup(
             .cast("int")
             .alias("kept"),
         )
+    )
+
+
+def assign_clusters_arrow(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The Arrow-matmul cluster assignment — the production swap the
+    ``kmeans`` docstring promises for k in the hundreds, where the
+    JVM-fold form's k×dim-LITERAL plan makes analysis time the
+    bottleneck (measured: the semdedup geometry grid, SCALING.md).
+    Returns (id_col, cluster) with the same contract as ``kmeans``'s
+    assignment: NULL vector → NULL cluster, distance ties → the lower
+    cluster id (``np.argmin`` returns the first minimum).
+
+    One batched matmul per Arrow batch: argmin_c |v−c|² = argmin_c
+    (|c|² − 2·v·c) — |v|² is constant per row and drops out, so the
+    kernel computes V @ Cᵀ once ((batch × dim) @ (dim × k)) plus a
+    k-vector of centroid norms. The centroid matrix rides the closure
+    (k × dim floats — model metadata, megabytes at k=10⁵/dim=10³).
+
+    Float caveat, why this is NOT the oracle path: BLAS dot products
+    sum in a different order than the JVM fold, so a vector equidistant
+    to two centroids at the last ulp can flip — the fixture-scale
+    parity test passes exactly, but oracle-grade determinism keeps the
+    fold form (``kmeans`` default) for value-checked queries.
+    """
+    import numpy as np  # noqa: PLC0415
+
+    cmat = np.asarray(centroids, dtype=np.float64)
+    if cmat.ndim != 2 or cmat.shape[0] < 1:
+        raise ValueError(f"need a non-empty k x dim centroid matrix, got {cmat.shape}")
+    cnorm2 = (cmat * cmat).sum(axis=1)
+    dim = cmat.shape[1]
+
+    def kernel(pdfs):
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in pdfs:
+            vecs = pdf[vec_col]
+            m, nullmask = _stack_nullable(vecs, dim)
+            # argmin_c (|c|^2 - 2 v.c): one matmul per batch
+            scores = cnorm2[None, :] - 2.0 * (m @ cmat.T)
+            best = scores.argmin(axis=1).astype("float64")
+            best[nullmask] = float("nan")
+            yield pd.DataFrame({id_col: pdf[id_col], "cluster": best})
+
+    out_schema = f"`{id_col}` {dict(df.dtypes)[id_col]}, `cluster` double"
+    return (
+        df.select(id_col, F.col(vec_col).cast("array<double>").alias(vec_col))
+        .mapInPandas(kernel, out_schema)
+        .select(F.col(id_col), F.col("cluster").cast("int").alias("cluster"))
     )

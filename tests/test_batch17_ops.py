@@ -284,3 +284,38 @@ def test_streaming_quality_annotate_parity(spark, tmp_path):
             "quality_prob"} <= set(got[1])
     assert got[1]["kept"] == 1 and got[2]["kept"] == 0
     assert got[3]["quality_prob"] is None  # NULL text: scoreless, kept row
+
+
+def test_assign_clusters_arrow_matches_fold(spark):
+    """The Arrow-matmul assignment (the kmeans docstring's documented
+    production swap for large k) matches the JVM-fold assignment on
+    the full embedding fixture — same argmin, same lower-id tiebreak
+    discipline — and returns NULL cluster for NULL vectors."""
+    from datapipelineetl_spark import catalog
+
+    emb = catalog.load(spark, "/root/testdata/sf0.001", "embeddings")
+    k = 8
+    seeds = [
+        [round(float(x), 6) for x in r.v]
+        for r in emb.filter("embedding IS NOT NULL")
+        .orderBy("vec_id").limit(k)
+        .selectExpr("CAST(embedding AS array<double>) AS v").collect()
+    ]
+    # iters=0: kmeans assigns against the rounded seed centroids with
+    # the JVM fold — the reference semantics for the Arrow swap
+    want = {r.vec_id: r.cluster
+            for r in similarity.kmeans(emb, k=k, iters=0).collect()}
+    got = {r.vec_id: r.cluster
+           for r in similarity.assign_clusters_arrow(emb, seeds).collect()}
+    assert got == want and len(got) == 500
+
+    nulls = spark.createDataFrame(
+        [(900, None), (901, [1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got_n = {r.vec_id: r.cluster for r in
+             similarity.assign_clusters_arrow(
+                 nulls, [[1.0, 0.0], [0.0, 1.0]]).collect()}
+    assert got_n[900] is None and got_n[901] == 0
+    with pytest.raises(ValueError, match="centroid matrix"):
+        similarity.assign_clusters_arrow(nulls, [])
