@@ -631,8 +631,11 @@ def semdedup(
     fit itself collects only k×dim centroid metadata
     (``similarity.kmeans``).
     """
-    if not 0.0 <= threshold <= 1.0:
-        raise ValueError(f"threshold must be in [0, 1], got {threshold}")
+    if not 0.0 < threshold <= 1.0:
+        # strictly positive: at 0.0 every zero-norm vector would pair
+        # with its whole cluster through cos 0.0 >= 0.0 — similarity
+        # zero is the definition of NOT a duplicate
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     assign = kmeans(
         df, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
         round_dp=round_dp,
@@ -656,15 +659,19 @@ def semdedup(
         # element (interpreted HOFs share no subexpressions — NOTES.md).
         # Zero-norm vectors map to the zero unit vector (x/0.0 would be
         # NULL/NaN and silently skip even byte-identical zero pairs;
-        # dot(0⃗, ·) = 0 never reaches a positive threshold — defined,
-        # deterministic, and replayed by the oracle's CASE)
+        # dot(0⃗, ·) = 0 never reaches the required-positive threshold —
+        # defined, deterministic, and replayed by the oracle's CASE).
+        # A NULL norm (a NULL ELEMENT inside the vector — corrupt
+        # input) falls through BOTH whens to NULL elements: corruption
+        # propagates as NULL cosine → never flagged, never rewritten
+        # to a fake zero vector.
         .withColumn("__n", norm(F.col("__v")))
         .select(
             F.col(id_col),
             F.transform(
                 F.col("__v"),
                 lambda x: F.when(F.col("__n") > 0, x / F.col("__n"))
-                .otherwise(F.lit(0.0)),
+                .when(F.col("__n") == 0, F.lit(0.0)),
             ).alias("__u"),
         )
         .join(assign, id_col)
@@ -717,8 +724,11 @@ def assign_clusters_arrow(
     One batched matmul per Arrow batch: argmin_c |v−c|² = argmin_c
     (|c|² − 2·v·c) — |v|² is constant per row and drops out, so the
     kernel computes V @ Cᵀ once ((batch × dim) @ (dim × k)) plus a
-    k-vector of centroid norms. The centroid matrix rides the closure
-    (k × dim floats — model metadata, megabytes at k=10⁵/dim=10³).
+    k-vector of centroid norms. The centroid matrix rides the closure:
+    model metadata through k in the THOUSANDS (k=10³ × dim=10³ float64
+    = 8 MB); at SemDeDup-scale k (50k × 10³ = 400 MB) ship it as a
+    broadcast variable the kernel dereferences instead — closure
+    serialization per task is the wrong transport at that size.
 
     Float caveat, why this is NOT the oracle path: BLAS dot products
     sum in a different order than the JVM fold, so a vector equidistant
@@ -727,6 +737,8 @@ def assign_clusters_arrow(
     fold form (``kmeans`` default) for value-checked queries.
     """
     import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
 
     cmat = np.asarray(centroids, dtype=np.float64)
     if cmat.ndim != 2 or cmat.shape[0] < 1:
@@ -734,21 +746,18 @@ def assign_clusters_arrow(
     cnorm2 = (cmat * cmat).sum(axis=1)
     dim = cmat.shape[1]
 
-    def kernel(pdfs):
-        import pandas as pd  # noqa: PLC0415
+    # the _ivf_assign_pandas idiom: scalar pandas_udf returning nullable
+    # Int32 (pd.NA for null vectors) — no hand-built output schema, no
+    # NaN sentinel round-trip
+    def _assign(vecs):
+        m, nullmask = _stack_nullable(vecs, dim)
+        scores = cnorm2[None, :] - 2.0 * (m @ cmat.T)
+        best = pd.array(scores.argmin(axis=1).astype(np.int32), dtype="Int32")
+        best[nullmask] = pd.NA
+        return pd.Series(best)
 
-        for pdf in pdfs:
-            vecs = pdf[vec_col]
-            m, nullmask = _stack_nullable(vecs, dim)
-            # argmin_c (|c|^2 - 2 v.c): one matmul per batch
-            scores = cnorm2[None, :] - 2.0 * (m @ cmat.T)
-            best = scores.argmin(axis=1).astype("float64")
-            best[nullmask] = float("nan")
-            yield pd.DataFrame({id_col: pdf[id_col], "cluster": best})
-
-    out_schema = f"`{id_col}` {dict(df.dtypes)[id_col]}, `cluster` double"
-    return (
-        df.select(id_col, F.col(vec_col).cast("array<double>").alias(vec_col))
-        .mapInPandas(kernel, out_schema)
-        .select(F.col(id_col), F.col("cluster").cast("int").alias("cluster"))
+    assign = pandas_udf(_assign, "int")
+    return df.select(
+        F.col(id_col),
+        assign(F.col(vec_col).cast("array<double>")).alias("cluster"),
     )

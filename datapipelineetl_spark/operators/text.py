@@ -1596,10 +1596,13 @@ def gopher_rules(
         # the flags (gopher_rules is a stateless narrow projection, so
         # it applies to readStream frames directly — annotate=True is
         # what lets the ingest ladder filter on `kept` downstream
-        # without a stream-stream join back to the source columns)
-        out = df.withColumn("n_words", n_words)
-        for k, v in flags.items():
-            out = out.withColumn(k, v.cast("int"))
+        # without a stream-stream join back to the source columns).
+        # ONE withColumns projection, not a withColumn loop — each
+        # withColumn adds its own analyzer Project node.
+        out = df.withColumns(
+            {"n_words": n_words,
+             **{k: v.cast("int") for k, v in flags.items()}}
+        )
     else:
         out = df.select(
             F.col(id_col),

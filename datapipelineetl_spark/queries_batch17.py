@@ -84,11 +84,14 @@ _SD_ITERS = 1
 # normalize-then-dot, operation-for-operation the engine's float path
 # (similarity.semdedup pre-normalizes so the pair stage is one fold;
 # zero-norm vectors map to the zero unit vector in both engines — a
-# bare division would be NULL in Spark but inf/NaN in DuckDB)
+# bare division would be NULL in Spark but inf/NaN in DuckDB — and a
+# NULL norm (corrupt NULL element) falls through both branches to
+# NULL, exactly the engine's no-otherwise when-chain)
 _SQL_UNIT = (
     "list_transform(v.v, x -> CASE WHEN sqrt(list_sum("
     "list_transform(v.v, y -> y * y))) > 0 THEN x / sqrt(list_sum("
-    "list_transform(v.v, y -> y * y))) ELSE 0.0 END)"
+    "list_transform(v.v, y -> y * y))) WHEN sqrt(list_sum("
+    "list_transform(v.v, y -> y * y))) = 0 THEN 0.0 END)"
 )
 _SQL_COS = (
     "ROUND(list_sum(list_transform(generate_series(1, {dim}), "

@@ -50,7 +50,7 @@ _TOKS = _SQL_TOKENS.format(c="text")
     wmap AS (
       SELECT u.wc.o AS word,
              len(list_filter(string_split(u.wc.w, chr(31) || chr(31)),
-                             y -> y <> '')) AS n_pieces
+                             y -> y <> '' AND y <> '</w>')) AS n_pieces
       FROM (SELECT ws FROM rec ORDER BY it DESC LIMIT 1) r,
            LATERAL (SELECT UNNEST(r.ws) AS wc) u),
     toks AS (
@@ -72,7 +72,9 @@ def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fertility per language for the corpus-trained BPE
     ({0} merges): pieces per word (the fertility metric multilingual
     tokenizer work reports — high fertility on a language means the
-    vocabulary underserves it) and characters per piece (compression).
+    vocabulary underserves it; the standalone </w> marker is excluded,
+    it is training bookkeeping, not a piece) and characters per piece
+    (compression).
     The oracle replays the SAME full training recursion as
     q_train_bpe (one `_bpe_ctes` definition now feeds THREE oracles)
     and folds every token occurrence through the final segmented word
@@ -92,8 +94,14 @@ def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             text.tokens(F.coalesce(F.col("text"), F.lit("")))
         ).alias("word"),
     ).filter(F.col("word").isNotNull())
+    # the STANDALONE end-of-word marker is training bookkeeping, not a
+    # subword piece — counting it would overstate fertility by ~+1 per
+    # word (a merged 'low</w>' IS a real piece and stays counted)
     pieces = words.select(
-        "word", F.size("syms").cast("long").alias("__np")
+        "word",
+        F.size(F.filter("syms", lambda s: s != text._BPE_EOW))
+        .cast("long")
+        .alias("__np"),
     )
     return (
         toks.join(pieces, "word")

@@ -105,7 +105,8 @@ def main() -> int:
     decon = (
         ruled.filter(
             (F.col("r_word_count") + F.col("r_mean_word_len")
-             + F.col("r_alpha_words") >= 3)
+             + F.col("r_symbol_ratio") + F.col("r_bullet_lines")
+             + F.col("r_ellipsis_lines") + F.col("r_alpha_words") >= 6)
             & (F.col("bl_kept") == 1)
         )
         .select("doc_id", "text")
