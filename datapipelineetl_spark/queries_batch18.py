@@ -17,6 +17,12 @@ from datapipelineetl_spark.operators import text
 from datapipelineetl_spark.queries import _t_spread
 from datapipelineetl_spark.queries import QUERIES as _GLOBAL_QUERIES
 from datapipelineetl_spark.queries import ORACLES as _GLOBAL_ORACLES
+from datapipelineetl_spark.queries_batch9 import (
+    _MH_BANDS,
+    _MH_CAP,
+    _MH_ROWS,
+    _minhash_capped_pairs_cte,
+)
 from datapipelineetl_spark.queries_batch14 import _BPE_N, _bpe_ctes
 from datapipelineetl_spark.queries_ext import _SQL_TOKENS
 
@@ -118,4 +124,90 @@ def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("chars_per_piece"),
         )
+    )
+
+
+# =============================================================================
+# MinHash estimator accuracy (sketch-accuracy pairing, q_ann_recall style)
+# =============================================================================
+
+_MH_HASHES = 16
+
+
+@query(
+    "q_minhash_estimate",
+    f"""WITH {_minhash_capped_pairs_cte(0.0, _MH_BANDS, _MH_ROWS, _MH_CAP)},
+    est AS (
+      SELECT p.id_a, p.id_b,
+             ROUND(len(list_filter(generate_series(1, {_MH_HASHES}),
+                                   i -> sa.s[i] = sb.s[i]))
+                   / {_MH_HASHES}.0, 6) AS est_jaccard,
+             p.jaccard AS exact_jaccard
+      FROM pairs p
+      JOIN sig sa ON p.id_a = sa.doc_id
+      JOIN sig sb ON p.id_b = sb.doc_id)
+    SELECT id_a, id_b, est_jaccard, exact_jaccard,
+           ROUND(ABS(est_jaccard - exact_jaccard), 6) AS abs_err
+    FROM est
+    """,
+)
+def q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash ESTIMATOR accuracy over every LSH candidate pair: the
+    sketch-side Jaccard estimate (share of agreeing signature
+    components, {0} hashes) next to the exact token-set Jaccard and
+    the absolute error — the sketch-accuracy pairing the count-min /
+    HLL / Bloom / ANN-recall queries established, applied to the
+    near-dup family's own estimator. The oracle replays the ENTIRE
+    ladder at threshold 0 (signature, banding, hot-bucket cap,
+    candidates, exact verify — batch-9's `_minhash_capped_pairs_cte`,
+    one shared definition) plus every per-component agreement count:
+    estimator, truth, and error all value-checked pair by pair.
+
+    Scale: the capped-candidate shape (O(n × bands) banding shuffle,
+    cap² pair bound per bucket); signatures computed ONCE and
+    materialized (the candidate join and both estimate sides reuse the
+    same narrow frame), estimates are per-pair array equality folds —
+    no extra corpus pass beyond the ladder itself.""".format(_MH_HASHES)
+    from datapipelineetl_spark.operators import dedup
+
+    docs = _t_spread(spark, sf_dir, "documents")
+    sigd = dedup.minhash_signature(
+        docs, "text", "minhash", _MH_HASHES
+    ).select(
+        "doc_id",
+        "minhash",
+        text.tokens("text", distinct=True).alias("__toks"),
+    ).localCheckpoint(eager=True)  # feeds banding + both pair sides
+    cand = dedup.lsh_candidate_pairs(
+        sigd, "doc_id", "minhash", _MH_BANDS, _MH_ROWS,
+        max_bucket_size=_MH_CAP, sig_len=_MH_HASHES,
+    )
+    side_a = sigd.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("minhash").alias("__sa"),
+        F.col("__toks").alias("__ta"),
+    )
+    side_b = sigd.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("minhash").alias("__sb"),
+        F.col("__toks").alias("__tb"),
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("__sa"), F.col("__sb"), lambda x, y: x == y),
+            lambda b: b,
+        )
+    )
+    est = F.round(agree / F.lit(float(_MH_HASHES)), 6)
+    exact = F.round(dedup.jaccard(F.col("__ta"), F.col("__tb")), 6)
+    return (
+        cand.join(side_a, "id_a")
+        .join(side_b, "id_b")
+        .withColumn("est_jaccard", est)
+        .withColumn("exact_jaccard", exact)
+        .withColumn(
+            "abs_err",
+            F.round(F.abs(F.col("est_jaccard") - F.col("exact_jaccard")), 6),
+        )
+        .select("id_a", "id_b", "est_jaccard", "exact_jaccard", "abs_err")
     )

@@ -92,7 +92,7 @@ def test_staged_registry_promoted():
     from datapipelineetl_spark import queries as q
 
     for b, size in ((b11, 10), (b12, 12), (b13, 7), (b14, 11),
-                    (b15, 9), (b16, 1), (b17, 6), (b18, 1)):
+                    (b15, 9), (b16, 1), (b17, 6), (b18, 2)):
         assert set(b.STAGED_ORACLES) == set(b.STAGED_QUERIES)
         assert len(b.STAGED_QUERIES) == size
     live = entrymod.queries()
