@@ -51,30 +51,50 @@ queries_batch15.register()  # promote the 9 staged batch-15 sketch queries (roun
 queries_batch16.register()  # promote q_zipf_fit (round 9 — the tiering
 # policy freed the slot the flat contract would have spent on batch-11)
 
+from datapipelineetl_spark import queries_batch17  # noqa: E402
+from datapipelineetl_spark import queries_batch18  # noqa: E402
 
-# Freshness tiers (VERDICT r8 item 2 — the rotation-capacity policy).
-# CORE = the SURVEY §2 reference-parity surface (relational battery,
-# cleaning chain, feeds, streaming envelopes): re-verified every 3
-# CORRECTNESS records, unchanged contract. EXTENSION = the LLM-pipeline
-# batteries promoted from the staged batches (corpus/text/dedup/
-# similarity/sketch): re-verified every 5 records. Capacity math at the
-# current census (99 core + 50 extension): 99/3 + 50/5 = 43 forced
-# slots per round on average against the 50-slot window — ~7 slots of
-# structural slack, room for ~35 more extension queries before the next
-# policy decision. The tier of a query is fixed at promotion time:
-# everything that entered through a staged batch is EXTENSION.
-EXTENSION_TIER: frozenset[str] = frozenset(
-    name
-    for mod in (
-        queries_batch11,
-        queries_batch12,
-        queries_batch13,
-        queries_batch14,
-        queries_batch15,
-        queries_batch16,
-    )
-    for name in mod.STAGED_QUERIES
-)
+queries_batch17.register()  # promote the 6 staged corpus-curation queries (round 10)
+queries_batch18.register()  # promote the 2 staged fertility/estimator queries (round 10)
+
+
+def _extension_tier() -> frozenset[str]:
+    """Names promoted from any staged battery — derived, not hand-kept.
+
+    Freshness tiers (VERDICT r8 item 2 — the rotation-capacity policy).
+    CORE = the SURVEY §2 reference-parity surface (relational battery,
+    cleaning chain, feeds, streaming envelopes): re-verified every 3
+    CORRECTNESS records. EXTENSION = the LLM-pipeline batteries promoted
+    from the staged batches (corpus/text/dedup/similarity/sketch):
+    re-verified every 5 records. Capacity math at the round-10 census
+    (99 core + 58 extension): 99/3 + 58/5 ≈ 45 forced slots per round
+    against the 50-slot window — ~5 slots of structural slack.
+
+    VERDICT r9 item 2 hardening: the tier auto-discovers every
+    ``queries_batch*`` module carrying a ``STAGED_QUERIES`` dict and
+    takes the keys that actually reached the live registry, so
+    promotion is ONE step (call ``register()``) and a forgotten tuple
+    entry can no longer silently mis-tier a battery. A staged-but-not-
+    registered battery contributes nothing (its names aren't in
+    ``_q.QUERIES`` yet), which is the correct tier for it.
+    """
+    import importlib
+    import pkgutil
+
+    import datapipelineetl_spark as _pkg
+
+    names: set[str] = set()
+    for info in pkgutil.iter_modules(_pkg.__path__):
+        if not info.name.startswith("queries_batch"):
+            continue
+        mod = importlib.import_module(f"datapipelineetl_spark.{info.name}")
+        staged = getattr(mod, "STAGED_QUERIES", None)
+        if staged:
+            names.update(n for n in staged if n in _q.QUERIES)
+    return frozenset(names)
+
+
+EXTENSION_TIER: frozenset[str] = _extension_tier()
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -83,66 +103,66 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver verifies the FIRST 50 entries of queries() in dict order.
-# Round-9 rotation (VERDICT r8 items 1+2): the tiering policy (below)
-# released the 10 batch-11 slots the flat 3-round contract would have
-# forced, so ALL 21 staged queries promote this round — slots 0-20 =
-# batch-16's q_zipf_fit + batch-14's 11 LM/BPE/DSIR/k-means queries +
-# batch-15's 9 sketch/corpus-statistics queries earning first driver
-# rows; then the 20 contract-forced core queries (r6-green aging past
-# the 3-record core horizon); the last 9 slots pad oldest-newest-green
-# -record first (batch-11, green r6 — refreshing them now defers their
-# extension-horizon forcing past r11).
+# Round-10 rotation (VERDICT r9 item 1): slots 0-7 = the batch-17
+# corpus-curation battery (SemDeDup, Gopher rules, linear quality,
+# source-KL, gram novelty, containment) + batch-18 (token fertility,
+# MinHash estimator accuracy) earning first driver rows; then the 38
+# contract-forced rows (37 core r7-greens aging past the 3-record core
+# horizon + q_retention_cohorts at its 5-record extension horizon);
+# the last 4 slots pad oldest-newest-green-record first (batch-11/12
+# extension queries green r7 — refreshing them now spreads their
+# r12 extension-horizon forcing).
 PRIORITY: list[str] = [
-    "q_zipf_fit",
-    "q_unigram_logprob",
-    "q_dsir_weights",
-    "q_quality_calibrated",
-    "q_vocab_growth",
-    "q_kmeans_clusters",
-    "q_dsir_resample",
-    "q_pack_best_fit",
-    "q_cluster_balanced_sample",
-    "q_perplexity_buckets",
-    "q_train_bpe",
-    "q_bpe_segment",
-    "q_countmin_counts",
-    "q_hll_distinct",
-    "q_bloom_decontam",
-    "q_bigram_logprob",
-    "q_pmi_bigrams",
-    "q_vocab_overlap",
-    "q_token_entropy",
-    "q_oov_rate",
-    "q_blocklist_filter",
-    "q_dedup_token_set",
-    "q_cosine_topk",
-    "q_cosine_near_pairs",
-    "q_tf_idf",
-    "q7_volume_shipping",
-    "q13_order_count_distribution",
-    "q17_small_quantity_revenue",
-    "q_profile_orders",
-    "q_kpi_pivot",
-    "q_session_window_events",
-    "q_grouping_sets",
-    "q_posexplode_embedding",
-    "q_array_lambda_battery",
-    "q_null_semantics",
-    "q_nullsafe_join",
-    "q8_market_share",
-    "q_fuzzy_name_pairs",
-    "q21_blamable_suppliers",
-    "q_price_histogram",
-    "q_regex_extract_ldn",
-    "q_sample_stratified",
-    "q_corpus_mix",
-    "q_pack_chunks",
-    "q_redact_pii",
-    "q_prepare_corpus",
-    "q_split_documents",
-    "q_contamination_pairs",
-    "q_ngram_counts",
-    "q_funnel_stages",
+    "q_semdedup",
+    "q_gopher_rules",
+    "q_quality_linear",
+    "q_source_kl",
+    "q_gram_novelty",
+    "q_doc_containment",
+    "q_token_fertility",
+    "q_minhash_estimate",
+    "q3_shipping_priority",
+    "q_top3_orders_per_customer",
+    "q_agg_stats",
+    "q_customers_without_orders",
+    "q_active_supplier_keys",
+    "q_priciest_lineitems",
+    "q_rollup_order_volume",
+    "q_clean_chain_events",
+    "q_sessionize",
+    "q_tumbling_window_events",
+    "q_unpivot_lineitem",
+    "q_asof_join_purchase",
+    "q_customers_with_orders_semi",
+    "q_full_outer_nation_activity",
+    "q_cross_join_matrix",
+    "q_orders_above_avg",
+    "q_string_funcs",
+    "q_date_funcs",
+    "q_having_filter",
+    "q6_revenue_delta",
+    "q4_priority_late_ship",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q_minhash_near_dups",
+    "q_simhash",
+    "q_dedup_clusters",
+    "q12_line_priority_split",
+    "q_winnowing_fingerprints",
+    "q_winnow_collisions",
+    "q_range_join_ship_windows",
+    "q_asof_join_next_purchase",
+    "q_salted_join_volume",
+    "q_hypertable_rollup",
+    "q_minhash_capped_near_dups",
+    "q_dedup_clusters_lsh",
+    "q_ivf_recall",
+    "q_lsh_cosine_near_pairs",
+    "q_retention_cohorts",
+    "q_pack_greedy",
+    "q_boilerplate_removal",
+    "q_repetition_stats",
 ]
 
 

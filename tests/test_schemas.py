@@ -111,6 +111,24 @@ def test_driver_check_window_contract():
     # the tier map must cover only registered queries (a typo'd or
     # unpromoted name in EXTENSION_TIER would silently relax nothing)
     assert entrymod.EXTENSION_TIER <= set(qs)
+    # VERDICT r9 item 2: every registered query that originated in a
+    # staged battery must be extension-tier — discovered here
+    # INDEPENDENTLY of __spark_entry__._extension_tier so a future
+    # revert to a hand-kept tuple that misses a battery goes red.
+    import importlib
+    import pkgutil
+
+    import datapipelineetl_spark as _pkg
+
+    staged_origin: set[str] = set()
+    for info in pkgutil.iter_modules(_pkg.__path__):
+        if info.name.startswith("queries_batch"):
+            mod = importlib.import_module(f"datapipelineetl_spark.{info.name}")
+            staged_origin |= set(getattr(mod, "STAGED_QUERIES", ()) or ())
+    assert staged_origin & set(qs) == entrymod.EXTENSION_TIER, (
+        "registered staged-battery queries mis-tiered: "
+        f"{sorted((staged_origin & set(qs)) ^ entrymod.EXTENSION_TIER)}"
+    )
     assert len(entrymod.PRIORITY) == 50
     assert len(set(entrymod.PRIORITY)) == 50
     assert qs[:50] == entrymod.PRIORITY
