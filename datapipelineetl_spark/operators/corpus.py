@@ -1639,7 +1639,14 @@ def flag_blocklisted_join(
 
     ``blocklist`` may be a single-column DataFrame (any column name —
     the 10^4+ case, read from a table, never a driver literal) or a
-    Python list, validated like ``flag_blocklisted``.
+    Python list. BOTH forms share ``flag_blocklisted``'s loud-failure
+    contract: a DataFrame with more than one column is rejected (no
+    silent ``columns[0]`` guess), and its terms are validated with one
+    small eager job — NULL, empty, padded, or whitespace-bearing terms
+    can never equal a whole token, so they raise instead of silently
+    letting dirty documents through. The validation job scans only the
+    term table (metadata-sized next to the corpus), mirroring the
+    plan-construction-time raise of the list form.
 
     PRECONDITION: ``id_col`` must uniquely identify rows (the corpus-
     ladder invariant every id-keyed operator here shares). The hit
@@ -1656,7 +1663,35 @@ def flag_blocklisted_join(
     term broadcast.
     """
     if isinstance(blocklist, DataFrame):
+        if len(blocklist.columns) != 1:
+            raise ValueError(
+                "blocklist DataFrame must have exactly one column "
+                f"(got {blocklist.columns!r}) — pass "
+                "blocklist.select('term') to name the term column "
+                "explicitly"
+            )
         term_col = blocklist.columns[0]
+        bad = (
+            blocklist.select(F.col(term_col).alias("__term"))
+            .where(
+                F.col("__term").isNull()
+                | (F.trim(F.col("__term")) != F.col("__term"))
+                | (F.col("__term") == "")
+                # Java \s == the tokenizer's TOKEN_SPLIT_RE class, so
+                # this rejects exactly the terms the split makes
+                # unmatchable (a U+00A0-bearing term survives both the
+                # split and this check — it is a legitimate token)
+                | F.col("__term").rlike(r"\s")
+            )
+            .limit(5)
+            .collect()
+        )
+        if bad:
+            raise ValueError(
+                "blocklist terms must be non-NULL single whitespace-"
+                "free tokens (whole-token matching can never match "
+                f"these): {[r['__term'] for r in bad]!r}"
+            )
         terms_df = blocklist.select(
             F.lower(F.col(term_col)).alias("__term")
         ).distinct()

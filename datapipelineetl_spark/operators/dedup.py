@@ -665,6 +665,19 @@ def containment_pairs(
     more than that many docs before pairing (the standard skew cap —
     exactly the grams whose pairs would be boilerplate matches, not
     containment evidence).
+
+    Denominator semantics under the cap (ADVICE r9): per-doc gram
+    sizes are computed from the FULL distinct-gram set, BEFORE the
+    ``max_bucket_size`` filter — containment stays "fraction of the
+    doc's actual grams found in the other doc", while the cap only
+    removes boilerplate grams from the EVIDENCE (``n_shared``). The
+    deliberate consequence: a short doc embedded in a long one but
+    sharing mostly capped boilerplate reports containment < 1.0 — the
+    cap is saying those shared grams are not meaningful overlap, and
+    the score agrees. Capped-relative containment (sizes over the
+    surviving grams) would instead report 1.0 for a pair sharing only
+    two rare grams out of a thousand boilerplate ones — a measure of
+    the cap, not the documents.
     """
     from datapipelineetl_spark.operators import corpus as _corpus  # noqa: PLC0415 — cycle guard
 

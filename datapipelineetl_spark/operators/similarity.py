@@ -603,6 +603,7 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 6,
+    cos_dp: int = 4,
     materialize: bool = False,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
@@ -630,6 +631,13 @@ def semdedup(
     larger k, not salting: the cap IS the cluster size). The k-means
     fit itself collects only k×dim centroid metadata
     (``similarity.kmeans``).
+
+    Precision knobs (ADVICE r9): ``round_dp`` governs ONLY the k-means
+    centroid trajectory (forwarded to ``kmeans`` — the cross-engine
+    ulp fence, NOTES.md); ``cos_dp`` governs the pairwise cosine that
+    feeds the threshold decision. They are separate because the
+    batch-17 oracle pins the cosine at 4 dp — changing ``round_dp``
+    must not silently move the similarity rounding.
     """
     if not 0.0 < threshold <= 1.0:
         # strictly positive: at 0.0 every zero-norm vector would pair
@@ -688,7 +696,7 @@ def semdedup(
         )
         .select(
             F.col(f"b.{id_col}").alias(id_col),
-            F.round(dot(F.col("a.__u"), F.col("b.__u")), 4).alias("__cos"),
+            F.round(dot(F.col("a.__u"), F.col("b.__u")), cos_dp).alias("__cos"),
         )
         .filter(F.col("__cos") >= threshold)
         .groupBy(id_col)

@@ -1704,6 +1704,7 @@ def source_kl(
     group_col: str = "source",
     text_col: str = "text",
     dp: int = 6,
+    materialize: bool = False,
 ) -> DataFrame:
     """Per-group KL divergence KL(P_group || P_corpus) between each
     group's unigram token distribution and the whole corpus's — the
@@ -1725,6 +1726,14 @@ def source_kl(
     the corpus-side counts derive from the SAME table by a second
     token-level aggregate (no second corpus pass) joined back
     broadcast-style (AQE: token vocabulary vs group-token table).
+
+    ``materialize=True`` localCheckpoints the (group, token) count
+    table so it feeds both the corpus side and the group side from one
+    executed pass — same knob and rationale as ``gram_novelty`` /
+    ``containment_pairs`` / ``semdedup`` (ADVICE r9: the lazy default
+    keeps the operator side-effect-free at plan-construction time and
+    usable on frames that cannot be checkpointed; query entry points
+    pass True).
     """
     gt = (
         df.select(
@@ -1734,8 +1743,9 @@ def source_kl(
         .filter(F.col("__t").isNotNull())
         .groupBy(group_col, "__t")
         .agg(F.count(F.lit(1)).cast("long").alias("__cgt"))
-        .localCheckpoint(eager=True)  # feeds BOTH sides below — one corpus pass
     )
+    if materialize:
+        gt = gt.localCheckpoint(eager=True)  # feeds BOTH sides below — one pass
     corpus_t = gt.groupBy("__t").agg(F.sum("__cgt").alias("__ct"))
     total = gt.agg(F.sum("__cgt").alias("__T"))
     joined = gt.join(corpus_t, "__t")

@@ -309,7 +309,7 @@ def q_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     derive from that same table (no second corpus pass); the totals
     row is the allowlisted 1-row crossJoin (text.source_kl)."""
     docs = _t(spark, sf_dir, "documents")
-    return text.source_kl(docs)
+    return text.source_kl(docs, materialize=True)
 
 
 # =============================================================================

@@ -555,6 +555,30 @@ def test_flag_blocklisted_join_parity(spark):
             corpus_ops.flag_blocklisted_join(df, bad)
 
 
+def test_flag_blocklisted_join_dataframe_validation(spark):
+    """ADVICE r9 (medium): the DataFrame blocklist form must share the
+    list form's loud-failure contract — multi-word, padded, empty, or
+    NULL terms raise instead of silently never matching whole tokens,
+    and a multi-column frame is rejected instead of guessing
+    columns[0]."""
+    from datapipelineetl_spark.operators import corpus as corpus_ops
+
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    for bad_terms in (
+        [("bad phrase",)],
+        [(" ass ",)],
+        [("",)],
+        [(None,)],
+        [("ok",), ("two words",)],
+    ):
+        tdf = spark.createDataFrame(bad_terms, "`term` string")
+        with pytest.raises(ValueError, match="whitespace-free"):
+            corpus_ops.flag_blocklisted_join(df, tdf)
+    two_col = spark.createDataFrame([("ass", 1)], ["term", "weight"])
+    with pytest.raises(ValueError, match="exactly one column"):
+        corpus_ops.flag_blocklisted_join(df, two_col)
+
+
 def test_zipf_fit_known_distribution(spark):
     """An exact power-law corpus (freq = 12/rank over 4 tokens) must
     recover slope -1 and intercept ln(12) almost exactly; a 1-type
