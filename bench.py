@@ -60,6 +60,12 @@ queries_batch14.register()  # LM/BPE/DSIR/k-means family, round 9
 queries_batch15.register()  # sketch + corpus-statistics family, round 9
 queries_batch16.register()  # Zipf fit, round 9
 
+from datapipelineetl_spark import queries_batch17  # noqa: E402
+from datapipelineetl_spark import queries_batch18  # noqa: E402
+
+queries_batch17.register()  # corpus-curation battery, round 10
+queries_batch18.register()  # fertility + estimator accuracy, round 10
+
 HEADLINE = [
     # scan + agg
     "q1_pricing_summary",
@@ -128,6 +134,18 @@ HEADLINE = [
     "q_dsir_weights",
     "q_kmeans_clusters",
     "q_bloom_decontam",
+    # batch-17/18 promotions (round 10): the four VERDICT-r9-named
+    # representatives — the cluster-fenced embedding dedup (the new
+    # heavy row), the two gram-table pair queries, and the BPE
+    # fertility diagnostic. The cheap narrow passes (gopher_rules,
+    # quality_linear, source_kl ≤ 0.7 s — single codegen passes whose
+    # shapes q_agg_stats-class rows already cover) and
+    # q_minhash_estimate (shares the capped ladder q_minhash_capped_
+    # near_dups times) ride the correctness gate.
+    "q_semdedup",
+    "q_gram_novelty",
+    "q_doc_containment",
+    "q_token_fertility",
 ]
 
 # Reference warm best-of-N seconds at sf0.1 / local[32], refreshed
@@ -187,6 +205,13 @@ EXPECTED_SEC = {
     "q_dsir_weights": 1.87,
     "q_kmeans_clusters": 3.48,
     "q_bloom_decontam": 2.13,
+    # batch-17/18 rows: re-measured same-day as the round-10 promotion
+    # (best-of-3, bench conditions — the SCALING.md "Staged batch-17/18"
+    # pre-measurements re-read within noise: 5.21/4.36/4.11/3.79)
+    "q_semdedup": 5.60,
+    "q_gram_novelty": 4.40,
+    "q_doc_containment": 4.08,
+    "q_token_fertility": 3.50,
 }
 
 
