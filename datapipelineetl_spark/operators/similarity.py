@@ -595,6 +595,72 @@ def kmeans(
     )
 
 
+def _semdedup_pairs_kernel(
+    v: DataFrame,
+    id_col: str,
+    threshold: float,
+    cos_dp: int,
+    block: int = 2048,
+) -> DataFrame:
+    """The giant-cluster pair stage for ``semdedup`` — one
+    ``applyInPandas`` group per cluster, counting for every member the
+    LOWER-id members whose rounded cosine reaches ``threshold``.
+
+    ``v`` is semdedup's normalized frame: (id_col, __u unit vector,
+    cluster). Cosine of unit vectors is a plain dot product, so the
+    whole cluster reduces to U @ Uᵀ — computed in ROW BLOCKS of
+    ``block`` so peak memory is block×m×8 bytes instead of m²×8 (a
+    10⁴-member cluster: 160 MB per block vs 800 MB for the full
+    matrix). Corrupt vectors (NULL elements → NaN after the float
+    cast) propagate NaN cosines whose comparisons are False — never
+    flagged, never counted as anyone's earlier dup, exactly the join
+    form's NULL-cosine semantics. Only ids with a positive count are
+    returned (the join form's sparse dup_counts contract).
+
+    Scale: the shuffle is the SAME cluster-keyed exchange the join
+    form pays (one partition per cluster group); what changes is the
+    per-pair cost — a BLAS fused multiply-add instead of O(dim)
+    interpreted lambda steps. Crossover vs the join form is measured
+    in SCALING.md ("Round 10: semdedup pair-stage crossover").
+    """
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, v.schema[id_col].dataType),
+            T.StructField("n_dups_earlier", T.IntegerType()),
+        ]
+    )
+
+    def _pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame({id_col: pdf[id_col].iloc[:0], "n_dups_earlier": []})
+        u = np.array(pdf["__u"].tolist(), dtype=np.float64)
+        counts = np.zeros(m, dtype=np.int64)
+        for start in range(0, m, block):
+            end = min(start + block, m)
+            sims = np.round(u[start:end] @ u.T, cos_dp)
+            earlier = np.arange(m)[None, :] < np.arange(start, end)[:, None]
+            counts[start:end] = ((sims >= threshold) & earlier).sum(axis=1)
+        hit = counts > 0
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].to_numpy()[hit],
+                "n_dups_earlier": counts[hit].astype(np.int32),
+            }
+        )
+
+    return (
+        v.select(id_col, "__u", "cluster")
+        .groupBy("cluster")
+        .applyInPandas(_pairs, out_schema)
+    )
+
+
 def semdedup(
     df: DataFrame,
     k: int = 8,
@@ -605,6 +671,7 @@ def semdedup(
     round_dp: int = 6,
     cos_dp: int = 4,
     materialize: bool = False,
+    pair_stage: str = "join",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     public method): k-means-cluster the embedding corpus, compare
@@ -638,7 +705,31 @@ def semdedup(
     feeds the threshold decision. They are separate because the
     batch-17 oracle pins the cosine at 4 dp — changing ``round_dp``
     must not silently move the similarity rounding.
+
+    ``pair_stage`` picks the physical plan for the within-cluster
+    pairing (VERDICT r9 item 4 — the last giant-cluster knob):
+
+    - ``"join"`` (default, the oracle path): self equi-join on cluster
+      id + one interpreted dot fold per pair. Per-pair cost is
+      O(dim) interpreted lambda steps, so a cluster of m members costs
+      m²·dim lambda steps — fine while production k keeps m ≈ 10³.
+    - ``"kernel"`` (the giant-cluster scale path): one
+      ``applyInPandas`` group per cluster computing the m×m cosine
+      matrix as BLOCKED BLAS matmuls (row blocks of 2048 bound peak
+      memory to block×m×8 bytes; U itself is m×dim). Crossover
+      measured in SCALING.md ("Round 10: semdedup pair-stage
+      crossover"). Same float caveat as ``assign_clusters_arrow``:
+      BLAS sums in a different order than the JVM fold, so a pair
+      sitting exactly on the ``cos_dp`` rounding boundary could flip —
+      the fixture parity test passes exactly, but the value-checked
+      oracle query keeps the fold form. Memory contract: one CLUSTER
+      (m×dim float64) must fit an executor task — with SemDeDup-scale
+      k that is by construction; a cluster that doesn't fit means k is
+      too small for the corpus, which the join form wouldn't survive
+      either (m² pairs).
     """
+    if pair_stage not in ("join", "kernel"):
+        raise ValueError(f"pair_stage must be 'join' or 'kernel', got {pair_stage!r}")
     if not 0.0 < threshold <= 1.0:
         # strictly positive: at 0.0 every zero-norm vector would pair
         # with its whole cluster through cos 0.0 >= 0.0 — similarity
@@ -687,21 +778,24 @@ def semdedup(
     )
     if materialize:
         v = v.localCheckpoint(eager=True)
-    a, b = v.alias("a"), v.alias("b")
-    dup_counts = (
-        a.join(
-            b,
-            (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    if pair_stage == "kernel":
+        dup_counts = _semdedup_pairs_kernel(v, id_col, threshold, cos_dp)
+    else:
+        a, b = v.alias("a"), v.alias("b")
+        dup_counts = (
+            a.join(
+                b,
+                (F.col("a.cluster") == F.col("b.cluster"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"b.{id_col}").alias(id_col),
+                F.round(dot(F.col("a.__u"), F.col("b.__u")), cos_dp).alias("__cos"),
+            )
+            .filter(F.col("__cos") >= threshold)
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("int").alias("n_dups_earlier"))
         )
-        .select(
-            F.col(f"b.{id_col}").alias(id_col),
-            F.round(dot(F.col("a.__u"), F.col("b.__u")), cos_dp).alias("__cos"),
-        )
-        .filter(F.col("__cos") >= threshold)
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).cast("int").alias("n_dups_earlier"))
-    )
     return (
         assign.join(dup_counts, id_col, "left")
         .select(

@@ -57,6 +57,83 @@ def test_semdedup_zero_vectors_defined(spark):
     assert got[4].n_dups_earlier == 0
 
 
+def test_semdedup_kernel_parity(spark):
+    """VERDICT r9 item 4: the per-cluster applyInPandas pair stage
+    (pair_stage='kernel') must return EXACTLY the join form's output —
+    same clusters, same n_dups_earlier, same keeps — on the edge
+    battery (exact dups, near-dups straddling the threshold, zero
+    vectors, NULL vector) and on the sf0.001 embeddings fixture."""
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.999, 0.01, 0.0]),
+        (5, None),
+        (6, [0.0, 0.0, 0.0, 0.0]),
+        (7, [0.70710678, 0.70710678, 0.0, 0.0]),
+        (8, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for kwargs in ({"k": 2, "iters": 2, "threshold": 0.95},
+                   {"k": 3, "iters": 1, "threshold": 0.5}):
+        want = sorted(map(tuple, similarity.semdedup(df, **kwargs).collect()))
+        got = sorted(map(tuple, similarity.semdedup(
+            df, pair_stage="kernel", **kwargs).collect()))
+        assert got == want
+    from datapipelineetl_spark import catalog
+
+    emb = catalog.load(spark, "/root/testdata/sf0.001", "embeddings")
+    want = sorted(map(tuple, similarity.semdedup(
+        emb, k=16, iters=1, threshold=0.45, materialize=True).collect()))
+    got = sorted(map(tuple, similarity.semdedup(
+        emb, k=16, iters=1, threshold=0.45, materialize=True,
+        pair_stage="kernel").collect()))
+    assert got == want
+    assert len(want) == emb.count()
+    with pytest.raises(ValueError, match="pair_stage"):
+        similarity.semdedup(df, pair_stage="arrow")
+
+
+def test_semdedup_kernel_blocking_and_nan(spark):
+    """The kernel's row-block loop must agree with itself at block=1
+    (every boundary exercised), and a corrupt vector (NULL element →
+    NaN) is never flagged and never counts as anyone's earlier dup."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, 8))
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    rows.append((40, [1.0, None, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]))
+    rows.append((41, rows[0][1]))  # exact dup of id 0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    base = {r.vec_id: (r.cluster, r.n_dups_earlier, r.kept) for r in
+            similarity.semdedup(df, k=1, iters=1, threshold=0.99,
+                                pair_stage="kernel").collect()}
+    assert base[41] == (base[0][0], 1, 0)  # the exact dup, one earlier
+    assert base[40][1] == 0 and base[40][2] == 1  # corrupt: kept, no dups
+    # block=1 forces a block boundary between every row pair
+    from datapipelineetl_spark.operators.similarity import _semdedup_pairs_kernel
+    from pyspark.sql import functions as F
+
+    norm_col = similarity.norm(F.col("embedding").cast("array<double>"))
+    v = (
+        df.withColumn("__n", norm_col)
+        .select(
+            "vec_id",
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: F.when(F.col("__n") > 0, x / F.col("__n"))
+                .when(F.col("__n") == 0, F.lit(0.0)),
+            ).alias("__u"),
+            F.lit(0).alias("cluster"),
+        )
+        .filter(F.col("__u").isNotNull())
+    )
+    full = sorted(map(tuple, _semdedup_pairs_kernel(v, "vec_id", 0.99, 4).collect()))
+    tiny = sorted(map(tuple, _semdedup_pairs_kernel(v, "vec_id", 0.99, 4, block=1).collect()))
+    assert full == tiny and full  # non-empty: the exact dup pair
+
+
 def test_gopher_rules_each_branch(spark):
     """Each Gopher flag flips on its own synthetic trigger: the flags
     the parquet fixture never exercises (bullets, ellipsis lines,
