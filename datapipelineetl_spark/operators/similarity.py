@@ -814,6 +814,7 @@ def assign_clusters_arrow(
     centroids: list[list[float]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    transport: str = "closure",
 ) -> DataFrame:
     """The Arrow-matmul cluster assignment — the production swap the
     ``kmeans`` docstring promises for k in the hundreds, where the
@@ -826,11 +827,20 @@ def assign_clusters_arrow(
     One batched matmul per Arrow batch: argmin_c |v−c|² = argmin_c
     (|c|² − 2·v·c) — |v|² is constant per row and drops out, so the
     kernel computes V @ Cᵀ once ((batch × dim) @ (dim × k)) plus a
-    k-vector of centroid norms. The centroid matrix rides the closure:
-    model metadata through k in the THOUSANDS (k=10³ × dim=10³ float64
-    = 8 MB); at SemDeDup-scale k (50k × 10³ = 400 MB) ship it as a
-    broadcast variable the kernel dereferences instead — closure
-    serialization per task is the wrong transport at that size.
+    k-vector of centroid norms.
+
+    ``transport`` picks how the centroid matrix reaches executors:
+    ``"closure"`` (default) rides the UDF closure — right for model
+    metadata through k in the THOUSANDS (k=10³ × dim=10³ float64 =
+    8 MB, re-serialized per task but trivially); ``"broadcast"`` ships
+    it ONCE per executor as a Spark broadcast variable the kernel
+    dereferences — the SemDeDup-scale transport (50k × 10³ = 400 MB:
+    closure serialization per task would dominate the job). The two
+    are bit-identical in output (same matrix, same argmin — parity
+    test); the knob is purely a data-movement choice. The broadcast
+    variable's executor-side copy lives until the returned plan (and
+    its UDF closure) is garbage-collected — the standard Spark
+    broadcast lifetime, fine for a model that outlives the query.
 
     Float caveat, why this is NOT the oracle path: BLAS dot products
     sum in a different order than the JVM fold, so a vector equidistant
@@ -842,21 +852,38 @@ def assign_clusters_arrow(
     import pandas as pd  # noqa: PLC0415
     from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
 
+    if transport not in ("closure", "broadcast"):
+        raise ValueError(
+            f"transport must be 'closure' or 'broadcast', got {transport!r}"
+        )
     cmat = np.asarray(centroids, dtype=np.float64)
     if cmat.ndim != 2 or cmat.shape[0] < 1:
         raise ValueError(f"need a non-empty k x dim centroid matrix, got {cmat.shape}")
     cnorm2 = (cmat * cmat).sum(axis=1)
     dim = cmat.shape[1]
-
     # the _ivf_assign_pandas idiom: scalar pandas_udf returning nullable
     # Int32 (pd.NA for null vectors) — no hand-built output schema, no
-    # NaN sentinel round-trip
-    def _assign(vecs):
+    # NaN sentinel round-trip. The two transports are SEPARATE closures:
+    # a shared body with a broadcast-or-matrix fallback would capture
+    # the matrix in the closure either way and defeat the broadcast.
+    def _kernel(vecs, c, n2):
         m, nullmask = _stack_nullable(vecs, dim)
-        scores = cnorm2[None, :] - 2.0 * (m @ cmat.T)
+        scores = n2[None, :] - 2.0 * (m @ c.T)
         best = pd.array(scores.argmin(axis=1).astype(np.int32), dtype="Int32")
         best[nullmask] = pd.NA
         return pd.Series(best)
+
+    if transport == "broadcast":
+        bc = df.sparkSession.sparkContext.broadcast((cmat, cnorm2))
+
+        def _assign(vecs):
+            c, n2 = bc.value
+            return _kernel(vecs, c, n2)
+
+    else:
+
+        def _assign(vecs):
+            return _kernel(vecs, cmat, cnorm2)
 
     assign = pandas_udf(_assign, "int")
     return df.select(

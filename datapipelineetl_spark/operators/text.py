@@ -844,6 +844,98 @@ def perplexity_buckets(
     return ranked.unionByName(unscorable)
 
 
+def perplexity_thresholds(
+    df: DataFrame,
+    group_col: str | None = "lang",
+    n_buckets: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lm_df: DataFrame | None = None,
+    lm_counts: DataFrame | None = None,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Calibrate FIXED perplexity-bucket cutoffs from a sample — the
+    CCNet production form (Wenzek et al. 2020 computed head/middle/tail
+    thresholds once on a held-out sample, then bucketed the whole crawl
+    by comparison; rank-based ``perplexity_buckets`` is the
+    calibration-time view, this is what ships). Returns one row per
+    group: (group_col, ppl_thresholds) where ``ppl_thresholds[b]`` is
+    the MINIMUM avg_logprob inside rank-bucket ``b`` of the
+    calibration frame, for b = 0..n_buckets-2 (descending). A new
+    document's bucket is the count of thresholds its score falls
+    strictly BELOW (``bucket_by_thresholds``) — on the calibration
+    frame itself this reproduces the rank buckets exactly when scores
+    are distinct at the boundaries; boundary TIES resolve to the
+    better bucket (rank splits ties arbitrarily by id, a fixed
+    threshold cannot — the deterministic choice is the generous one).
+    Pass ``group_col=None`` for one global threshold row.
+
+    Scale: ``perplexity_buckets``'s cost on the CALIBRATION sample
+    only (the point: the sample is small) + one k-row aggregate;
+    output is groups × (n_buckets-1) doubles — broadcast metadata.
+    """
+    if n_buckets < 2:
+        raise ValueError(
+            f"calibrating cutoffs needs n_buckets >= 2, got {n_buckets}"
+        )
+    bucketed = perplexity_buckets(
+        df, group_col=group_col, n_buckets=n_buckets, id_col=id_col,
+        text_col=text_col, lm_df=lm_df, lm_counts=lm_counts, alpha=alpha,
+    ).filter(F.col("ppl_bucket") < n_buckets - 1)
+    grp = [group_col] if group_col else []
+    per_bucket = bucketed.groupBy(*grp, "ppl_bucket").agg(
+        F.min("avg_logprob").alias("__lo")
+    )
+    return per_bucket.groupBy(*grp).agg(
+        # sort_array on (bucket, lo) structs → thresholds ordered by
+        # bucket 0..n-2; scores DESCEND with bucket so the array is
+        # descending in score
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("ppl_bucket", "__lo"))),
+            lambda s: s["__lo"],
+        ).alias("ppl_thresholds")
+    )
+
+
+def bucket_by_thresholds(
+    df: DataFrame,
+    thresholds: DataFrame,
+    group_col: str | None = "lang",
+    score_col: str = "avg_logprob",
+    out: str = "ppl_bucket",
+) -> DataFrame:
+    """Assign perplexity buckets from FIXED calibrated cutoffs
+    (``perplexity_thresholds``): bucket = number of thresholds the
+    score falls strictly below — 0 (head) for scores at or above every
+    cutoff, n_buckets-1 (tail) for scores below all of them. NULL
+    scores (tokenless docs) and groups ABSENT from the threshold frame
+    (a language calibration never saw) get a NULL bucket, never a
+    dropped row. The shared bucketing kernel of the batch and
+    streaming paths — one definition, so their parity is by
+    construction.
+
+    Scale: one broadcast join on the group (the threshold frame is
+    groups × (n_buckets-1) doubles — metadata-sized BY construction)
+    + one narrow array fold per row. Stream-safe: no shuffle, no
+    state — exactly what a per-micro-batch bucket annotation needs.
+    """
+    t = thresholds
+    if group_col:
+        joined = df.join(F.broadcast(t), group_col, "left")
+    else:
+        # 1-row global threshold frame (the decorrelated-scalar shape)
+        joined = df.crossJoin(F.broadcast(t))
+    bucket = F.when(
+        F.col(score_col).isNotNull() & F.col("ppl_thresholds").isNotNull(),
+        F.size(
+            F.filter(
+                F.col("ppl_thresholds"), lambda th: F.col(score_col) < th
+            )
+        ),
+    ).cast("int")
+    return joined.withColumn(out, bucket).drop("ppl_thresholds")
+
+
 _BPE_EOW = "</w>"
 
 

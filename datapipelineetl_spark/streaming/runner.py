@@ -1197,6 +1197,76 @@ def read_lm_counts(spark: SparkSession, store: str) -> DataFrame:
     )
 
 
+def streaming_perplexity_buckets(
+    stream: DataFrame,
+    lm_store: str,
+    thresholds: DataFrame,
+    output_dir: str,
+    checkpoint: str,
+    group_col: str | None = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming CCNet perplexity bucketing — the production
+    composition the batch pair ``perplexity_thresholds`` /
+    ``bucket_by_thresholds`` exists for: each micro-batch is scored
+    with ``text.unigram_logprob`` against the LM ACCUMULATED SO FAR in
+    a ``streaming_lm_counts`` store (re-folded at batch start, so the
+    model is "every token seen before this write"), bucketed against
+    the FIXED calibrated thresholds, and written annotated under its
+    ``__batch_id`` partition (dynamic partition overwrite — a replayed
+    batch REWRITES its partition, the exactly-once contract shared by
+    every store in this module). Rank-based bucketing is a GLOBAL
+    window and cannot stream; fixed thresholds are how CCNet itself
+    shipped — calibrate once on a sample (``perplexity_thresholds``),
+    annotate the crawl forever after.
+
+    The thresholds frame is collected ONCE at wire-up time (it is
+    groups × (n_buckets-1) doubles — broadcast metadata by
+    construction) and re-created per batch, so a caller mutating the
+    source frame mid-stream cannot tear a batch. Docs in groups the
+    calibration never saw, and tokenless docs, get NULL buckets —
+    never a dropped row (audit-friendly: filter downstream).
+
+    Scale: per batch, the LM fold (vocabulary-bounded partial agg over
+    the store) + one explode + one vocab join + one groupBy(doc) over
+    THAT batch + the broadcast threshold join. The LM re-fold each
+    batch is the price of always-current scoring; on a store with many
+    batch partitions run ``compact_state``-style maintenance, or
+    accept one-batch-stale scores by folding less often upstream.
+    """
+    from datapipelineetl_spark.operators import text as text_ops  # noqa: PLC0415
+    from datapipelineetl_spark.sinks import maintenance  # noqa: PLC0415
+
+    thr_schema = thresholds.schema
+    thr_rows = [tuple(r) for r in thresholds.collect()]
+
+    def handle(df: DataFrame, epoch_id: int) -> None:
+        spark = df.sparkSession
+        lm = read_lm_counts(spark, lm_store)
+        scored = text_ops.unigram_logprob(
+            df, id_col=id_col, text_col=text_col, alpha=alpha, lm_counts=lm,
+        )
+        annotated = df.join(
+            scored.select(id_col, "n_tokens", "avg_logprob"), id_col
+        )
+        thr = spark.createDataFrame(thr_rows, thr_schema)
+        bucketed = text_ops.bucket_by_thresholds(
+            annotated, thr, group_col=group_col
+        )
+        maintenance.overwrite_partitions(
+            bucketed.withColumn("__batch_id", F.lit(epoch_id)),
+            output_dir,
+            ["__batch_id"],
+        )
+
+    return run_foreach_batch(
+        stream, handle, checkpoint, available_now=available_now, skip_empty=True
+    )
+
+
 def streaming_sketch_state(
     stream: DataFrame,
     store: str,

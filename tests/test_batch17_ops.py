@@ -396,3 +396,13 @@ def test_assign_clusters_arrow_matches_fold(spark):
     assert got_n[900] is None and got_n[901] == 0
     with pytest.raises(ValueError, match="centroid matrix"):
         similarity.assign_clusters_arrow(nulls, [])
+
+    # the broadcast-variable transport (the SemDeDup-scale k data path)
+    # is bit-identical to the closure transport — same matrix, same
+    # argmin; only the movement changes
+    via_bc = {r.vec_id: r.cluster
+              for r in similarity.assign_clusters_arrow(
+                  emb, seeds, transport="broadcast").collect()}
+    assert via_bc == want
+    with pytest.raises(ValueError, match="transport"):
+        similarity.assign_clusters_arrow(emb, seeds, transport="rdd")

@@ -1159,3 +1159,82 @@ def test_streaming_lm_counts_incremental_fit(spark, tmp_path):
     with pytest.raises(ValueError, match="not both"):
         text_ops.unigram_logprob(docs, lm_df=docs,
                                  lm_counts=runner.read_lm_counts(spark, store))
+
+
+def test_streaming_perplexity_buckets_parity(spark, tmp_path):
+    """Streaming CCNet bucketing: each micro-batch scored against the
+    accumulated streaming_lm_counts store and bucketed by the FIXED
+    calibrated thresholds must match the batch path
+    (unigram_logprob + bucket_by_thresholds against the same folded
+    LM) doc for doc — scores AND buckets; every input row survives
+    (NULL buckets for unknown groups / tokenless docs); a
+    checkpoint-loss replay rewrites partitions, no duplicate rows."""
+    import shutil
+
+    from datapipelineetl_spark.operators import text as text_ops
+
+    common = "the common words appear here again and again and again"
+    cal_rows = [
+        (101, common + " " + common, "en"),
+        (102, common + " unusual", "en"),
+        (103, "rare zyx qwv tokens", "en"),
+        (104, common, "fr"),
+        (105, "un deux trois quatre", "fr"),
+    ]
+    stream_rows = [
+        (1, common, "en"),
+        (2, "zyx qwv", "en"),
+        (3, "un deux", "fr"),
+        (4, "  ", "fr"),          # tokenless -> NULL bucket
+        (5, common, "de"),        # uncalibrated group -> NULL bucket
+    ]
+    cal = spark.createDataFrame(cal_rows, ["doc_id", "text", "lang"])
+    docs = spark.createDataFrame(stream_rows, ["doc_id", "text", "lang"])
+    src = str(tmp_path / "src")
+    lm_store = str(tmp_path / "lm_store")
+    out = str(tmp_path / "out")
+    ck_lm = str(tmp_path / "ck_lm")
+    ck = str(tmp_path / "ck")
+    docs.repartition(3).write.parquet(src)
+
+    # fit the LM incrementally over the calibration corpus
+    cal_src = str(tmp_path / "cal_src")
+    cal.write.parquet(cal_src)
+    lm_stream = spark.readStream.schema("doc_id long, text string, lang string").parquet(cal_src)
+    runner.streaming_lm_counts(lm_stream, store=lm_store, checkpoint=ck_lm)
+    lm = runner.read_lm_counts(spark, lm_store)
+
+    thr = text_ops.perplexity_thresholds(
+        cal, group_col="lang", n_buckets=2, lm_counts=lm
+    )
+
+    def drain():
+        stream = (
+            spark.readStream.schema("doc_id long, text string, lang string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        runner.streaming_perplexity_buckets(
+            stream, lm_store, thr, out, ck, group_col="lang"
+        )
+
+    drain()
+    got = {r.doc_id: (r.avg_logprob, r.ppl_bucket)
+           for r in spark.read.parquet(out).collect()}
+
+    scored = text_ops.unigram_logprob(docs, lm_counts=lm).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    want = {r.doc_id: (r.avg_logprob, r.ppl_bucket)
+            for r in text_ops.bucket_by_thresholds(
+                scored, thr, group_col="lang").collect()}
+    assert got == want
+    assert len(got) == 5           # nothing dropped
+    assert got[4][1] is None and got[5][1] is None
+    assert got[2][1] == 1          # rare tokens -> tail of en
+    assert got[1][1] == 0          # in-distribution -> head
+
+    # replay after checkpoint loss: partitions rewritten, not appended
+    shutil.rmtree(ck)
+    drain()
+    assert spark.read.parquet(out).count() == 5

@@ -981,6 +981,62 @@ def test_perplexity_buckets_per_group_tiers(spark):
         text.perplexity_buckets(df, n_buckets=0)
 
 
+def test_perplexity_thresholds_replay_rank_buckets(spark):
+    """perplexity_thresholds + bucket_by_thresholds (the fixed-cutoff
+    CCNet production pair): applied back to the calibration frame with
+    distinct boundary scores it reproduces the rank buckets exactly;
+    unscorable docs and groups the calibration never saw get NULL
+    buckets, never dropped rows; n_buckets < 2 raises."""
+    common = "the common words appear here again and again and again"
+    rows = [
+        # scores must be DISTINCT at bucket boundaries: identical
+        # scores there are the documented rank-vs-threshold divergence
+        # (rank splits ties by id, a fixed cutoff cannot)
+        (1, common + " " + common, "en"),
+        (2, common + " unusual", "en"),
+        (3, "rare zyx qwv unusual tokens", "en"),
+        (4, common, "fr"),
+        (5, "  ", "fr"),
+        (6, "zz yy", "fr"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    thr = text.perplexity_thresholds(df, group_col="lang", n_buckets=3)
+    thr_rows = {r.lang: r.ppl_thresholds for r in thr.collect()}
+    assert set(thr_rows) == {"en", "fr"}
+    assert len(thr_rows["en"]) == 2  # 3 buckets -> 2 cutoffs
+    assert thr_rows["en"] == sorted(thr_rows["en"], reverse=True)
+
+    scored = text.unigram_logprob(df).join(
+        df.select("doc_id", "lang"), "doc_id"
+    )
+    via_thr = {r.doc_id: r.ppl_bucket for r in
+               text.bucket_by_thresholds(scored, thr, group_col="lang").collect()}
+    via_rank = {r.doc_id: r.ppl_bucket for r in
+                text.perplexity_buckets(df, group_col="lang", n_buckets=3).collect()}
+    assert via_thr == via_rank
+
+    # a group the calibration never saw -> NULL bucket, row survives
+    new_rows = spark.createDataFrame(
+        [(7, common, "de"), (8, None, "en")], ["doc_id", "text", "lang"]
+    )
+    new_scored = text.unigram_logprob(new_rows, lm_df=df).join(
+        new_rows.select("doc_id", "lang"), "doc_id"
+    )
+    got = {r.doc_id: r.ppl_bucket for r in
+           text.bucket_by_thresholds(new_scored, thr, group_col="lang").collect()}
+    assert got == {7: None, 8: None}
+
+    # global (group_col=None) calibration: 1-row threshold frame
+    gthr = text.perplexity_thresholds(df, group_col=None, n_buckets=2)
+    assert gthr.count() == 1
+    gl = {r.doc_id: r.ppl_bucket for r in
+          text.bucket_by_thresholds(
+              text.unigram_logprob(df), gthr, group_col=None).collect()}
+    assert set(gl.values()) <= {0, 1, None} and gl[5] is None
+    with pytest.raises(ValueError, match="n_buckets >= 2"):
+        text.perplexity_thresholds(df, n_buckets=1)
+
+
 def _ref_bpe(texts, n_merges):
     """Pure-Python reference BPE (Sennrich-style): same tokenization
     (lower + whitespace), same </w> marker, same (count desc, pair
