@@ -1838,6 +1838,35 @@ def source_kl(
     )
     if materialize:
         gt = gt.localCheckpoint(eager=True)  # feeds BOTH sides below — one pass
+    return kl_from_counts(gt, group_col=group_col, dp=dp)
+
+
+def kl_from_counts(
+    gt: DataFrame,
+    group_col: str = "source",
+    token_col: str = "__t",
+    count_col: str = "__cgt",
+    dp: int = 6,
+) -> DataFrame:
+    """The KL fold of ``source_kl``, exposed over an already-built
+    (group, token, count) table — ``source_kl`` minus the tokenize
+    pass. The streaming tie-in: ``streaming.runner.
+    read_source_token_counts`` folds an incrementally maintained count
+    store into exactly this shape, so a crawl's per-source divergence
+    advances batch-by-batch with no pass over history (and, because
+    counts fold exactly, it EQUALS the batch recompute — parity test).
+    Same output contract as ``source_kl``: (group_col, n_tokens,
+    kl_divergence).
+
+    Scale: every aggregate here is over the vocabulary-sized count
+    table, not the corpus — two partial-agg shuffles + the 1-row
+    totals crossJoin (BNLJ-allowlisted decorrelated-scalar shape).
+    """
+    gt = gt.select(
+        F.col(group_col),
+        F.col(token_col).alias("__t"),
+        F.col(count_col).cast("long").alias("__cgt"),
+    )
     corpus_t = gt.groupBy("__t").agg(F.sum("__cgt").alias("__ct"))
     total = gt.agg(F.sum("__cgt").alias("__T"))
     joined = gt.join(corpus_t, "__t")
