@@ -103,66 +103,66 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver verifies the FIRST 50 entries of queries() in dict order.
-# Round-10 rotation (VERDICT r9 item 1): slots 0-7 = the batch-17
-# corpus-curation battery (SemDeDup, Gopher rules, linear quality,
-# source-KL, gram novelty, containment) + batch-18 (token fertility,
-# MinHash estimator accuracy) earning first driver rows; then the 38
-# contract-forced rows (37 core r7-greens aging past the 3-record core
-# horizon + q_retention_cohorts at its 5-record extension horizon);
-# the last 4 slots pad oldest-newest-green-record first (batch-11/12
-# extension queries green r7 — refreshing them now spreads their
-# r12 extension-horizon forcing).
+# Round-11 rotation (VERDICT r10 item 4): no promotions pending — 41
+# contract-forced core rows (r8-newest-green hitting the 3-record core
+# horizon) fill slots 0-40; the 9 free slots early-refresh the seven
+# r7-green extension-tier queries (q_semantic_dupes,
+# q_prepare_corpus_quality, q_extract_keywords, q_user_hour_anomalies,
+# q_build_vocab, q_split_corpus, q_attrition_report — due r12
+# otherwise, where they would collide with the next 50-forced wave)
+# plus the two oldest remaining extension rows (q_encode_tokens,
+# q_pack_sequences), flattening the r12 forecast.
 PRIORITY: list[str] = [
-    "q_semdedup",
-    "q_gopher_rules",
-    "q_quality_linear",
-    "q_source_kl",
-    "q_gram_novelty",
-    "q_doc_containment",
-    "q_token_fertility",
-    "q_minhash_estimate",
-    "q3_shipping_priority",
-    "q_top3_orders_per_customer",
-    "q_agg_stats",
-    "q_customers_without_orders",
-    "q_active_supplier_keys",
-    "q_priciest_lineitems",
-    "q_rollup_order_volume",
-    "q_clean_chain_events",
-    "q_sessionize",
-    "q_tumbling_window_events",
-    "q_unpivot_lineitem",
-    "q_asof_join_purchase",
-    "q_customers_with_orders_semi",
-    "q_full_outer_nation_activity",
-    "q_cross_join_matrix",
-    "q_orders_above_avg",
-    "q_string_funcs",
-    "q_date_funcs",
-    "q_having_filter",
-    "q6_revenue_delta",
-    "q4_priority_late_ship",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q18_large_orders",
-    "q_minhash_near_dups",
-    "q_simhash",
-    "q_dedup_clusters",
-    "q12_line_priority_split",
-    "q_winnowing_fingerprints",
-    "q_winnow_collisions",
-    "q_range_join_ship_windows",
-    "q_asof_join_next_purchase",
-    "q_salted_join_volume",
-    "q_hypertable_rollup",
-    "q_minhash_capped_near_dups",
-    "q_dedup_clusters_lsh",
-    "q_ivf_recall",
-    "q_lsh_cosine_near_pairs",
-    "q_retention_cohorts",
-    "q_pack_greedy",
-    "q_boilerplate_removal",
-    "q_repetition_stats",
+    "q1_pricing_summary",
+    "q5_local_supplier_volume",
+    "q_events_pivot",
+    "q_envelope_roundtrip",
+    "q_meascollec_flatten",
+    "q_clean_cell_metrics",
+    "q_clean_kpi_int",
+    "q_cube_lineitem",
+    "q19_bracket_revenue",
+    "q_union_parties_by_nation",
+    "q_intersect_nations",
+    "q_parts_never_ordered",
+    "q_window_order_seq",
+    "q_window_trailing_revenue",
+    "q_percentiles_by_priority",
+    "q_json_props",
+    "q_ngram_jaccard_pairs",
+    "q_ann_lsh_topk",
+    "q_multimodal_features",
+    "q_frame_sample_plan",
+    "q_multimodal_meta",
+    "q15_top_suppliers",
+    "q2_cheapest_part_per_type",
+    "q22_idle_rich_customers",
+    "q_lineitems_above_order_avg",
+    "q_name_word_counts",
+    "q_order_quantity_profile",
+    "q_conditional_counts",
+    "q_weekly_order_volume",
+    "q_sql_regional_revenue",
+    "q_nation_lookup",
+    "q_text_token_stats",
+    "q_text_quality",
+    "q_lang_id",
+    "q_ann_recall",
+    "q_approx_sketches",
+    "q_range_join_event_windows",
+    "q9_product_type_profit",
+    "q11_important_parts",
+    "q16_supplier_part_counts",
+    "q20_top_part_shippers",
+    "q_semantic_dupes",
+    "q_prepare_corpus_quality",
+    "q_extract_keywords",
+    "q_user_hour_anomalies",
+    "q_build_vocab",
+    "q_split_corpus",
+    "q_attrition_report",
+    "q_encode_tokens",
+    "q_pack_sequences",
 ]
 
 

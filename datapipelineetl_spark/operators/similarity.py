@@ -615,7 +615,11 @@ def _semdedup_pairs_kernel(
     cast) propagate NaN cosines whose comparisons are False — never
     flagged, never counted as anyone's earlier dup, exactly the join
     form's NULL-cosine semantics. Only ids with a positive count are
-    returned (the join form's sparse dup_counts contract).
+    returned (the join form's sparse dup_counts contract). Rounding
+    matches Spark ``F.round`` (HALF_UP, half away from zero) rather
+    than numpy's default round-half-to-even, so exact half-way values
+    at ``cos_dp`` agree with the join form; the only remaining parity
+    caveat is BLAS summation ORDER inside the dot product itself.
 
     Scale: the shuffle is the SAME cluster-keyed exchange the join
     form pays (one partition per cluster group); what changes is the
@@ -641,9 +645,14 @@ def _semdedup_pairs_kernel(
             return pd.DataFrame({id_col: pdf[id_col].iloc[:0], "n_dups_earlier": []})
         u = np.array(pdf["__u"].tolist(), dtype=np.float64)
         counts = np.zeros(m, dtype=np.int64)
+        scale = 10.0 ** cos_dp
         for start in range(0, m, block):
             end = min(start + block, m)
-            sims = np.round(u[start:end] @ u.T, cos_dp)
+            dots = u[start:end] @ u.T
+            # HALF_UP (away from zero) to match Spark F.round, not
+            # numpy's banker's rounding; NaN propagates through both
+            # sign and floor, keeping corrupt-vector semantics.
+            sims = np.sign(dots) * np.floor(np.abs(dots) * scale + 0.5) / scale
             earlier = np.arange(m)[None, :] < np.arange(start, end)[:, None]
             counts[start:end] = ((sims >= threshold) & earlier).sum(axis=1)
         hit = counts > 0

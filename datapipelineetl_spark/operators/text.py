@@ -910,7 +910,11 @@ def bucket_by_thresholds(
     cutoff, n_buckets-1 (tail) for scores below all of them. NULL
     scores (tokenless docs) and groups ABSENT from the threshold frame
     (a language calibration never saw) get a NULL bucket, never a
-    dropped row. The shared bucketing kernel of the batch and
+    dropped row. The group join is NULL-SAFE: a threshold row
+    calibrated from a NULL-group partition (``perplexity_thresholds``
+    groups NULL like any other key) matches NULL-group docs, so the
+    fixed-cutoff path buckets exactly the population the rank path
+    ranks. The shared bucketing kernel of the batch and
     streaming paths — one definition, so their parity is by
     construction.
 
@@ -921,7 +925,14 @@ def bucket_by_thresholds(
     """
     t = thresholds
     if group_col:
-        joined = df.join(F.broadcast(t), group_col, "left")
+        # eqNullSafe so a NULL-group calibration row matches NULL-group
+        # docs (a plain equi-join would silently leave them uncalibrated)
+        t = t.withColumnRenamed(group_col, "__thr_grp")
+        joined = df.join(
+            F.broadcast(t),
+            df[group_col].eqNullSafe(t["__thr_grp"]),
+            "left",
+        ).drop("__thr_grp")
     else:
         # 1-row global threshold frame (the decorrelated-scalar shape)
         joined = df.crossJoin(F.broadcast(t))

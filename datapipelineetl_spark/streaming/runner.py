@@ -1230,6 +1230,20 @@ def streaming_perplexity_buckets(
     calibration never saw, and tokenless docs, get NULL buckets —
     never a dropped row (audit-friendly: filter downstream).
 
+    Replay semantics: exactly-once holds at ROW granularity (a
+    replayed batch rewrites its partition with the same rows), but a
+    batch replayed after CHECKPOINT LOSS is re-scored against the LM
+    store's CURRENT contents — which may include counts accumulated
+    after the original write — so its avg_logprob/bucket VALUES can
+    differ from the original run. Value-level replay determinism
+    requires a frozen LM store (stop the upstream
+    ``streaming_lm_counts`` writer, or snapshot the folded LM per
+    epoch and score against the snapshot).
+
+    The stream must not already carry ``n_tokens`` / ``avg_logprob``
+    columns — the scoring join would produce ambiguous duplicates —
+    so wire-up fails fast if it does.
+
     Scale: per batch, the LM fold (vocabulary-bounded partial agg over
     the store) + one explode + one vocab join + one groupBy(doc) over
     THAT batch + the broadcast threshold join. The LM re-fold each
@@ -1239,6 +1253,14 @@ def streaming_perplexity_buckets(
     """
     from datapipelineetl_spark.operators import text as text_ops  # noqa: PLC0415
     from datapipelineetl_spark.sinks import maintenance  # noqa: PLC0415
+
+    reserved = {"n_tokens", "avg_logprob"} & set(stream.columns)
+    if reserved:
+        raise ValueError(
+            "streaming_perplexity_buckets adds scoring columns "
+            f"{sorted(reserved)} via join; rename or drop them on the "
+            "input stream first (they would become ambiguous duplicates)"
+        )
 
     thr_schema = thresholds.schema
     thr_rows = [tuple(r) for r in thresholds.collect()]

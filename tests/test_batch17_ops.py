@@ -134,6 +134,32 @@ def test_semdedup_kernel_blocking_and_nan(spark):
     assert full == tiny and full  # non-empty: the exact dup pair
 
 
+def test_semdedup_kernel_half_up_rounding(spark):
+    """ADVICE r10: the kernel must round cosines HALF_UP (away from
+    zero, Spark F.round semantics), not numpy banker's rounding.
+    dot([1,0],[1/32,y]) = 0.03125 exactly (1/32 is an exact binary
+    float); ×10⁴ = 312.5, a true half-way point: banker's gives
+    0.0312 (< 0.0313, pair missed) while HALF_UP gives 0.0313 — the
+    value Spark's own F.round produces, which the join form uses."""
+    from pyspark.sql import functions as F
+
+    from datapipelineetl_spark.operators.similarity import _semdedup_pairs_kernel
+
+    # pin the join-form side of the parity claim: F.round is HALF_UP
+    spark_rounded = spark.range(1).select(
+        F.round(F.lit(0.03125), 4).alias("r")).collect()[0].r
+    assert spark_rounded == 0.0313
+
+    rows = [(1, [1.0, 0.0]), (2, [0.03125, 0.9995119]), (3, [-1.0, 0.0])]
+    v = spark.createDataFrame(rows, "vec_id long, __u array<double>") \
+        .withColumn("cluster", F.lit(0))
+    got = {r.vec_id: r.n_dups_earlier for r in
+           _semdedup_pairs_kernel(v, "vec_id", 0.0313, 4).collect()}
+    # id 2 vs id 1: cos rounds HALF_UP to 0.0313 >= 0.0313 -> flagged;
+    # id 3 vs id 1: cos -1.0 (negative branch exercised, not flagged)
+    assert got == {2: 1}
+
+
 def test_gopher_rules_each_branch(spark):
     """Each Gopher flag flips on its own synthetic trigger: the flags
     the parquet fixture never exercises (bullets, ellipsis lines,

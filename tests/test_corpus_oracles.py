@@ -83,8 +83,8 @@ def test_staged_query_matches_oracle(spark, sf_dir, duck, name):
 
 
 def test_staged_registry_promoted():
-    """Rounds 6-9 promoted the staged batches: __spark_entry__ calls
-    b11-b16.register(), so the live registry must contain every
+    """Rounds 6-10 promoted the staged batches: __spark_entry__ calls
+    b11-b18.register(), so the live registry must contain every
     promoted query with its oracle, and register() must be idempotent
     (the driver and the tests may both import the entry module)."""
     import __spark_entry__ as entrymod
@@ -96,12 +96,8 @@ def test_staged_registry_promoted():
         assert set(b.STAGED_ORACLES) == set(b.STAGED_QUERIES)
         assert len(b.STAGED_QUERIES) == size
     live = entrymod.queries()
-    # batches 17/18 stay staged (r10/r11 backlog): importing them must
-    # NOT have grown the live surface
-    assert not (set(b17.STAGED_QUERIES) & set(live))
-    assert not (set(b18.STAGED_QUERIES) & set(live))
     n = len(live)
-    for b in (b11, b12, b13, b14, b15, b16):
+    for b in (b11, b12, b13, b14, b15, b16, b17, b18):
         assert set(b.STAGED_QUERIES) <= set(live)
         assert set(b.STAGED_ORACLES) <= set(q.ORACLES)
         b.register()

@@ -1238,3 +1238,103 @@ def test_streaming_perplexity_buckets_parity(spark, tmp_path):
     shutil.rmtree(ck)
     drain()
     assert spark.read.parquet(out).count() == 5
+
+    # ADVICE r10: a stream already carrying the scoring columns must
+    # fail fast at wire-up (the join would make them ambiguous)
+    import pytest
+
+    bad = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, avg_logprob double")
+        .parquet(src)
+    )
+    with pytest.raises(ValueError, match="avg_logprob"):
+        runner.streaming_perplexity_buckets(
+            bad, lm_store, thr, out, ck, group_col="lang"
+        )
+
+
+def test_streaming_quality_then_perplexity_composition(spark, tmp_path):
+    """The production CCNet ingest shape on ONE readStream (VERDICT r10
+    item 6): gopher_rules + quality_linear (annotate=True — stateless
+    narrow projections applied directly to the stream) feed
+    streaming_perplexity_buckets, so each output row carries BOTH
+    quality flags and a perplexity bucket from a single pass over the
+    source. Parity: the drained output equals the batch composition of
+    the same operators over the same files, doc for doc — every source
+    column plus every annotation; replay after checkpoint loss rewrites
+    partitions (row count stable)."""
+    import shutil
+
+    from datapipelineetl_spark.operators import text as text_ops
+
+    common = "the common words appear here again and again and again"
+    good = "the quick brown fox and the lazy dog " * 8
+    cal_rows = [
+        (101, common + " " + common, "en"),
+        (102, common + " unusual", "en"),
+        (103, "rare zyx qwv tokens", "en"),
+        (104, good + " " + common, "en"),   # the stream's head vocabulary
+    ]
+    stream_rows = [
+        (1, good + " " + common, "en"),   # passes gopher, head bucket
+        (2, "zyx qwv", "en"),             # fails gopher, tail bucket
+        (3, None, "en"),                  # NULL text: kept=0 row, NULL bucket
+        (4, "a " * 60, "fr"),             # uncalibrated group: NULL bucket
+    ]
+    cal = spark.createDataFrame(cal_rows, ["doc_id", "text", "lang"])
+    docs = spark.createDataFrame(stream_rows, ["doc_id", "text", "lang"])
+    src = str(tmp_path / "src")
+    lm_store = str(tmp_path / "lm_store")
+    out = str(tmp_path / "out")
+    ck_lm = str(tmp_path / "ck_lm")
+    ck = str(tmp_path / "ck")
+    docs.repartition(2).write.parquet(src)
+
+    cal_src = str(tmp_path / "cal_src")
+    cal.write.parquet(cal_src)
+    lm_stream = spark.readStream.schema(
+        "doc_id long, text string, lang string").parquet(cal_src)
+    runner.streaming_lm_counts(lm_stream, store=lm_store, checkpoint=ck_lm)
+    lm = runner.read_lm_counts(spark, lm_store)
+    thr = text_ops.perplexity_thresholds(
+        cal, group_col="lang", n_buckets=2, lm_counts=lm)
+
+    def annotate(frame):
+        g = text_ops.gopher_rules(frame, stopwords=("the", "and"),
+                                  annotate=True)
+        return text_ops.quality_linear(g, n_buckets=64, annotate=True)
+
+    def drain():
+        stream = (
+            spark.readStream.schema("doc_id long, text string, lang string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        runner.streaming_perplexity_buckets(
+            annotate(stream), lm_store, thr, out, ck, group_col="lang")
+
+    drain()
+    got = {r.doc_id: r.asDict() for r in spark.read.parquet(out).collect()}
+
+    scored = text_ops.unigram_logprob(docs, lm_counts=lm)
+    batch = annotate(docs).join(
+        scored.select("doc_id", "n_tokens", "avg_logprob"), "doc_id")
+    want = {r.doc_id: r.asDict() for r in text_ops.bucket_by_thresholds(
+        batch, thr, group_col="lang").collect()}
+    for d in got.values():
+        d.pop("__batch_id")
+    assert got == want
+    assert len(got) == 4                      # nothing dropped anywhere
+    # both annotation families present on every row
+    assert {"kept", "quality_prob", "n_words", "n_tokens",
+            "avg_logprob", "ppl_bucket"} <= set(got[1])
+    assert got[1]["kept"] == 1 and got[1]["ppl_bucket"] == 0
+    assert got[2]["kept"] == 0 and got[2]["ppl_bucket"] == 1
+    assert got[3]["kept"] == 0 and got[3]["ppl_bucket"] is None
+    assert got[4]["ppl_bucket"] is None       # group the LM never saw
+
+    # checkpoint-loss replay: partitions rewritten, not appended
+    shutil.rmtree(ck)
+    drain()
+    assert spark.read.parquet(out).count() == 4

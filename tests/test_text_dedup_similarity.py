@@ -1037,6 +1037,34 @@ def test_perplexity_thresholds_replay_rank_buckets(spark):
         text.perplexity_thresholds(df, n_buckets=1)
 
 
+def test_bucket_by_thresholds_null_group(spark):
+    """ADVICE r10: the group join is null-safe — a threshold row
+    calibrated from a NULL-group partition (perplexity_thresholds
+    groups NULL like any key) must match NULL-group docs, so the
+    fixed-cutoff path buckets the same population the rank path
+    ranks. Named groups must still match only themselves."""
+    common = "the common words appear here again and again and again"
+    rows = [
+        (1, common + " " + common, None),
+        (2, common + " unusual", None),
+        (3, "rare zyx qwv tokens", None),
+        (4, common, "en"),
+        (5, common + " weird", "en"),
+        (6, "qq ww ee", "en"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    thr = text.perplexity_thresholds(df, group_col="lang", n_buckets=3)
+    assert {r.lang for r in thr.collect()} == {None, "en"}
+    scored = text.unigram_logprob(df).join(df.select("doc_id", "lang"), "doc_id")
+    via_thr = {r.doc_id: r.ppl_bucket for r in
+               text.bucket_by_thresholds(scored, thr, group_col="lang").collect()}
+    via_rank = {r.doc_id: r.ppl_bucket for r in
+                text.perplexity_buckets(df, group_col="lang",
+                                        n_buckets=3).collect()}
+    assert via_thr == via_rank
+    assert None not in via_thr.values()  # every doc calibrated, incl. NULL-group
+
+
 def _ref_bpe(texts, n_merges):
     """Pure-Python reference BPE (Sennrich-style): same tokenization
     (lower + whitespace), same </w> marker, same (count desc, pair

@@ -8,6 +8,15 @@ best-of-2 per (m, stage); results recorded in SCALING.md ("Round 10:
 semdedup pair-stage crossover").
 
     python tools/bench_semdedup.py [m ...]     # default 250 500 1000 2000
+
+``--skewed`` (VERDICT r10 item 6) measures the production shape the
+single-cluster grid can't: a corpus whose k-means partition is SKEWED —
+one giant cluster (the regime that dominates Σ|cluster|²) amid many
+small ones. Blobs are drawn around well-separated random centers so
+Lloyd recovers the designed membership; the tool prints the realized
+cluster-size histogram next to the timings so the skew is auditable.
+
+    python tools/bench_semdedup.py --skewed [giant small n_small ...]
 """
 
 from __future__ import annotations
@@ -26,7 +35,56 @@ from datapipelineetl_spark.session import get_session
 DIM = 64
 
 
+def skewed_main(args: list[str]) -> int:
+    """One giant blob + many small ones: time the FULL semdedup (fit +
+    pair stage) per pair_stage on the realized skewed partition."""
+    sizes = [int(a) for a in args] or [2000, 100, 12]
+    giant, small, n_small = sizes[0], sizes[1], sizes[2]
+    k = n_small + 1
+    spark = get_session("bench-semdedup")
+    rng = np.random.default_rng(42)
+    # centers far apart relative to the within-blob noise so the Lloyd
+    # fit recovers the designed (giant, small, ..., small) membership
+    centers = rng.normal(size=(k, DIM)) * 10.0
+    blobs = [giant] + [small] * n_small
+    vecs = np.concatenate(
+        [centers[j] + rng.normal(size=(n, DIM)) for j, n in enumerate(blobs)]
+    )
+    order = rng.permutation(len(vecs))  # ids uncorrelated with blob
+    rows = [(int(i), [float(x) for x in vecs[p]])
+            for i, p in enumerate(order)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).localCheckpoint(eager=True)
+
+    hist = (
+        similarity.kmeans(df, k=k, iters=2)
+        .groupBy("cluster").count().orderBy("count", ascending=False)
+    )
+    print("realized cluster sizes:",
+          [r["count"] for r in hist.collect()])
+    timings = {}
+    for stage in ("join", "kernel"):
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            similarity.semdedup(
+                df, k=k, iters=2, threshold=0.95, materialize=True,
+                pair_stage=stage,
+            ).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[stage] = best
+    print(
+        f"| {giant}+{n_small}x{small} | {timings['join']:.2f} "
+        f"| {timings['kernel']:.2f} "
+        f"| {timings['join'] / timings['kernel']:.1f}x |"
+    )
+    return 0
+
+
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "--skewed":
+        return skewed_main(sys.argv[2:])
     sizes = [int(a) for a in sys.argv[1:]] or [250, 500, 1000, 2000]
     spark = get_session("bench-semdedup")
     rng = np.random.default_rng(42)

@@ -37,29 +37,31 @@ PICK = {
     "q_pack_chunks": "Sequence packing (contiguous): ONE Exchange on the hash shard, per-shard window sort, pack-id arithmetic in codegen — parallelism = n_shards, never a global sort.",
     "q_contamination_pairs": "Train/test contamination: both sides shingle narrowly (explode_outer per the computed-array rule), equi-join on the 60-bit gram hash, partial+final count on the pair key — O(corpus × grams/doc) shuffle, never |train|×|test|.",
     "q_split_documents": "Document chunking: pure narrow array math (sequence + posexplode_outer + slice/join) — zero Exchange, zero Python; 1 row → ceil(n/step) rows inside WholeStageCodegen.",
-    "q_repetition_stats": "Gopher repetition metrics (staged): split/trim/distinct/aggregate higher-order functions, shared subtrees routed through columns — zero Exchange, zero Generate, zero Python.",
-    "q_select_budget": "Token-budget best-first selection (staged): the two-phase global cumsum — per-score partial agg, the ONLY Exchange SinglePartition sits over that score-cardinality aggregate, offsets broadcast back, row-level within-key windows stay hashpartitioned. No global ORDER BY anywhere.",
-    "q_dedup_spans": "Exact span dedup (staged): window hashes narrow (posexplode_outer per the computed-array rule), first-occurrence argmin as one partial-agg shuffle on the 60-bit hash, occurrence equi-join — O(total windows), never pairwise; rebuild is the in-aggregate ordered reassembly.",
-    "q_normalize_text": "Unicode normalization (staged): the whole repair chain is codegen replace/regexp except ONE ArrowEvalPython stage (NFC — no Spark built-in); zero shuffle beyond the fixture spread.",
+    "q_repetition_stats": "Gopher repetition metrics: split/trim/distinct/aggregate higher-order functions, shared subtrees routed through columns — zero Exchange, zero Generate, zero Python.",
+    "q_select_budget": "Token-budget best-first selection: the two-phase global cumsum — per-score partial agg, the ONLY Exchange SinglePartition sits over that score-cardinality aggregate, offsets broadcast back, row-level within-key windows stay hashpartitioned. No global ORDER BY anywhere.",
+    "q_dedup_spans": "Exact span dedup: window hashes narrow (posexplode_outer per the computed-array rule), first-occurrence argmin as one partial-agg shuffle on the 60-bit hash, occurrence equi-join — O(total windows), never pairwise; rebuild is the in-aggregate ordered reassembly.",
+    "q_normalize_text": "Unicode normalization: the whole repair chain is codegen replace/regexp except ONE ArrowEvalPython stage (NFC — no Spark built-in); zero shuffle beyond the fixture spread.",
     "q_shuffle_corpus": "Deterministic loader shuffle: hash + pmod narrow, ONE Exchange on the shard id, per-shard rank sorts independent — no global ordering materializes.",
-    "q_unigram_logprob": "Unigram-LM scoring (staged): one vocabulary-sized token-count aggregate (materialized once via checkpoint), the LM join broadcast, the totals row an allowlisted 1-row BroadcastNestedLoopJoin, one groupBy(doc) — the reference corpus is scanned once.",
-    "q_dsir_weights": "DSIR importance weights (staged): two fixed-size (n_buckets) distribution aggregates, bucket model broadcast into the scoring join, 1-row totals crossJoin, one groupBy(doc) — model size independent of corpus size.",
-    "q_vocab_growth": "Heaps-law curve (staged): one token min-id shuffle, narrow per-doc counts, and every window over the BUCKET-cardinality frame — the single-partition WindowExec is metadata-sized by construction (corpus_rows / bucket_width).",
-    "q_kmeans_clusters": "Deterministic k-means (staged): the final assignment pass is ONE narrow Project (JVM fold distances over literal centroid arrays → array_min struct argmin) — zero Exchange, zero Python; the Lloyd iterations ran as k-row partial aggs before this plan.",
-    "q_countmin_counts": "Count-min grid (staged): one explode + ONE partial-agg shuffle bounded by depth×width per partition; the 20-row probe side joins the broadcast 3×64 grid — no vocabulary-sized shuffle on the estimate path.",
-    "q_hll_distinct": "HyperLogLog two-grain (staged): per grain ONE partial-agg shuffle on (source, bucket) — at most m=64 partial registers per group per partition cross the exchange; the estimator fold is register-cardinality work; the exact BIGINT harmonic numerator keeps the plan partitioning-invariant.",
-    "q_bloom_decontam": "Bloom decontamination (staged): the bloom half is MAP-ONLY — narrow gram/position math into one Arrow-batched bit test against the broadcast bitset, zero corpus shuffle; the only Exchange serves the exact-join comparison column that production omits.",
-    "q_bigram_logprob": "Interpolated bigram LM (staged): (prev,tok) pairs from per-row array math — NO window Exchange; bigram/context/unigram fits are vocabulary-bounded partial aggs, broadcast back into the scoring join; 1-row totals crossJoin allowlisted.",
-    "q_pmi_bigrams": "PMI collocations (staged): two vocabulary-bounded partial aggs, unigram tables broadcast onto the bigram frame, 1-row totals crossJoin allowlisted, top-k as TakeOrderedAndProject — corpus scanned twice narrowly, never sorted.",
-    "q_vocab_overlap": "Vocabulary overlap (staged): ONE corpus distinct shuffle materialized once (localCheckpoint feeds sizes + pair join), token self-join over vocabulary-sized rows, pair-cardinality aggregate with broadcast size joins.",
-    "q_token_entropy": "Token entropy (staged): ONE (source, token) partial-agg Exchange, then a group-cardinality fold — the ln T - (sum c ln c)/T identity keeps everything in two aggregates, no per-token probability join.",
-    "q_zipf_fit": "Zipf OLS (staged): count Exchange → per-source rank Window over vocabulary-sized rows (hash-partitioned by source, never SinglePartition) → group-cardinality OLS fold.",
-    "q_semdedup": "SemDeDup (staged): the k-means assignment + unit vectors land as ONE materialized (id, cluster, unit) table; the pair stage is a cluster-keyed equi-join whose work is bounded by Σ|cluster|² with a single dot fold per pair; output is two id-keyed left joins — no O(n²) anywhere.",
-    "q_gopher_rules": "Gopher rule battery (staged): one narrow Project of integer inequalities over token/line array math — zero Exchange, zero Python, zero Generate.",
-    "q_quality_linear": "Hashed linear quality (staged): per-row aggregate fold over token milli-weights (inline formula, exact BIGINT) — zero Exchange, zero Python; the sigmoid is one scalar expression.",
-    "q_source_kl": "Per-source KL (staged): ONE (source, token) partial-agg Exchange materialized once (feeds corpus counts + the per-group folds), 1-row totals crossJoin allowlisted — corpus scanned once.",
-    "q_gram_novelty": "Gram novelty (staged): the drop_empty gram table materialized once; doc-frequency agg + gram join + doc fold — three Exchanges all bounded by the DISTINCT-gram table, never pairwise.",
-    "q_doc_containment": "Containment pairs (staged): materialized gram table self-joined on the 60-bit hash, pair counts partial-agg, lazy doc-size joins left to AQE (no forced broadcast of a corpus-cardinality table).",
+    "q_unigram_logprob": "Unigram-LM scoring: one vocabulary-sized token-count aggregate (materialized once via checkpoint), the LM join broadcast, the totals row an allowlisted 1-row BroadcastNestedLoopJoin, one groupBy(doc) — the reference corpus is scanned once.",
+    "q_dsir_weights": "DSIR importance weights: two fixed-size (n_buckets) distribution aggregates, bucket model broadcast into the scoring join, 1-row totals crossJoin, one groupBy(doc) — model size independent of corpus size.",
+    "q_vocab_growth": "Heaps-law curve: one token min-id shuffle, narrow per-doc counts, and every window over the BUCKET-cardinality frame — the single-partition WindowExec is metadata-sized by construction (corpus_rows / bucket_width).",
+    "q_kmeans_clusters": "Deterministic k-means: the final assignment pass is ONE narrow Project (JVM fold distances over literal centroid arrays → array_min struct argmin) — zero Exchange, zero Python; the Lloyd iterations ran as k-row partial aggs before this plan.",
+    "q_countmin_counts": "Count-min grid: one explode + ONE partial-agg shuffle bounded by depth×width per partition; the 20-row probe side joins the broadcast 3×64 grid — no vocabulary-sized shuffle on the estimate path.",
+    "q_hll_distinct": "HyperLogLog two-grain: per grain ONE partial-agg shuffle on (source, bucket) — at most m=64 partial registers per group per partition cross the exchange; the estimator fold is register-cardinality work; the exact BIGINT harmonic numerator keeps the plan partitioning-invariant.",
+    "q_bloom_decontam": "Bloom decontamination: the bloom half is MAP-ONLY — narrow gram/position math into one Arrow-batched bit test against the broadcast bitset, zero corpus shuffle; the only Exchange serves the exact-join comparison column that production omits.",
+    "q_bigram_logprob": "Interpolated bigram LM: (prev,tok) pairs from per-row array math — NO window Exchange; bigram/context/unigram fits are vocabulary-bounded partial aggs, broadcast back into the scoring join; 1-row totals crossJoin allowlisted.",
+    "q_pmi_bigrams": "PMI collocations: two vocabulary-bounded partial aggs, unigram tables broadcast onto the bigram frame, 1-row totals crossJoin allowlisted, top-k as TakeOrderedAndProject — corpus scanned twice narrowly, never sorted.",
+    "q_vocab_overlap": "Vocabulary overlap: ONE corpus distinct shuffle materialized once (localCheckpoint feeds sizes + pair join), token self-join over vocabulary-sized rows, pair-cardinality aggregate with broadcast size joins.",
+    "q_token_entropy": "Token entropy: ONE (source, token) partial-agg Exchange, then a group-cardinality fold — the ln T - (sum c ln c)/T identity keeps everything in two aggregates, no per-token probability join.",
+    "q_zipf_fit": "Zipf OLS: count Exchange → per-source rank Window over vocabulary-sized rows (hash-partitioned by source, never SinglePartition) → group-cardinality OLS fold.",
+    "q_semdedup": "SemDeDup: the k-means assignment + unit vectors land as ONE materialized (id, cluster, unit) table; the pair stage is a cluster-keyed equi-join whose work is bounded by Σ|cluster|² with a single dot fold per pair; output is two id-keyed left joins — no O(n²) anywhere.",
+    "q_gopher_rules": "Gopher rule battery: one narrow Project of integer inequalities over token/line array math — zero Exchange, zero Python, zero Generate.",
+    "q_quality_linear": "Hashed linear quality: per-row aggregate fold over token milli-weights (inline formula, exact BIGINT) — zero Exchange, zero Python; the sigmoid is one scalar expression.",
+    "q_source_kl": "Per-source KL: ONE (source, token) partial-agg Exchange materialized once (feeds corpus counts + the per-group folds), 1-row totals crossJoin allowlisted — corpus scanned once.",
+    "q_gram_novelty": "Gram novelty: the drop_empty gram table materialized once; doc-frequency agg + gram join + doc fold — three Exchanges all bounded by the DISTINCT-gram table, never pairwise.",
+    "q_doc_containment": "Containment pairs: materialized gram table self-joined on the 60-bit hash, pair counts partial-agg, lazy doc-size joins left to AQE (no forced broadcast of a corpus-cardinality table).",
+    "q_token_fertility": "Tokenizer fertility: piece segmentation replays off the TRAINING WORD TABLE (vocabulary-bounded, materialized once) — the corpus-side work is one words-explode + one broadcast join of the piece stats + per-language partial aggs; no per-document re-segmentation pass.",
+    "q_minhash_estimate": "MinHash estimator accuracy: signatures once per doc (narrow hash math), candidate pairs from the SAME banding equi-join the near-dup path uses, exact Jaccard replayed only on candidates — estimator-vs-exact error is a candidate-cardinality aggregate.",
 }
 
 
