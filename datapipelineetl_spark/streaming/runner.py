@@ -1208,20 +1208,34 @@ def streaming_perplexity_buckets(
     text_col: str = "text",
     alpha: float = 0.5,
     available_now: bool = True,
+    lm_mode: str = "accumulated",
 ) -> StreamingQuery:
     """Streaming CCNet perplexity bucketing — the production
     composition the batch pair ``perplexity_thresholds`` /
     ``bucket_by_thresholds`` exists for: each micro-batch is scored
-    with ``text.unigram_logprob`` against the LM ACCUMULATED SO FAR in
-    a ``streaming_lm_counts`` store (re-folded at batch start, so the
-    model is "every token seen before this write"), bucketed against
-    the FIXED calibrated thresholds, and written annotated under its
+    with ``text.unigram_logprob`` against the LM in a
+    ``streaming_lm_counts`` store, bucketed against the FIXED
+    calibrated thresholds, and written annotated under its
     ``__batch_id`` partition (dynamic partition overwrite — a replayed
     batch REWRITES its partition, the exactly-once contract shared by
     every store in this module). Rank-based bucketing is a GLOBAL
     window and cannot stream; fixed thresholds are how CCNet itself
     shipped — calibrate once on a sample (``perplexity_thresholds``),
     annotate the crawl forever after.
+
+    ``lm_mode`` picks which LM scores each batch:
+
+    - ``"accumulated"`` (default): the store re-folded at batch start,
+      so the model is "every token seen before this write" — freshest
+      scores, but see the replay caveat below.
+    - ``"frozen"``: the store folded ONCE at wire-up and snapshotted
+      to ``<output_dir>/_lm_snapshot`` (vocabulary-sized parquet,
+      written only if ABSENT — restarts and even checkpoint-loss
+      replays reuse the original snapshot; the underscore prefix hides
+      it from parquet reads of the output). Every batch scores against
+      the SAME model, making replay value-deterministic — the CCNet
+      production shape, where the scoring LM is a fixed artifact
+      shipped with the thresholds.
 
     The thresholds frame is collected ONCE at wire-up time (it is
     groups × (n_buckets-1) doubles — broadcast metadata by
@@ -1231,14 +1245,12 @@ def streaming_perplexity_buckets(
     never a dropped row (audit-friendly: filter downstream).
 
     Replay semantics: exactly-once holds at ROW granularity (a
-    replayed batch rewrites its partition with the same rows), but a
-    batch replayed after CHECKPOINT LOSS is re-scored against the LM
-    store's CURRENT contents — which may include counts accumulated
-    after the original write — so its avg_logprob/bucket VALUES can
-    differ from the original run. Value-level replay determinism
-    requires a frozen LM store (stop the upstream
-    ``streaming_lm_counts`` writer, or snapshot the folded LM per
-    epoch and score against the snapshot).
+    replayed batch rewrites its partition with the same rows), but
+    under ``lm_mode="accumulated"`` a batch replayed after CHECKPOINT
+    LOSS is re-scored against the LM store's CURRENT contents — which
+    may include counts accumulated after the original write — so its
+    avg_logprob/bucket VALUES can differ from the original run.
+    ``lm_mode="frozen"`` is the value-deterministic alternative.
 
     The stream must not already carry ``n_tokens`` / ``avg_logprob``
     columns — the scoring join would produce ambiguous duplicates —
@@ -1261,13 +1273,27 @@ def streaming_perplexity_buckets(
             f"{sorted(reserved)} via join; rename or drop them on the "
             "input stream first (they would become ambiguous duplicates)"
         )
+    if lm_mode not in ("accumulated", "frozen"):
+        raise ValueError(
+            f"lm_mode must be 'accumulated' or 'frozen', got {lm_mode!r}"
+        )
+
+    snapshot = os.path.join(output_dir, "_lm_snapshot")
+    if lm_mode == "frozen" and not os.path.exists(snapshot):
+        # fold once, persist: the snapshot is the scoring artifact —
+        # vocabulary-sized, written before the first batch so every
+        # batch (and every future replay) reads the same model
+        read_lm_counts(stream.sparkSession, lm_store).write.parquet(snapshot)
 
     thr_schema = thresholds.schema
     thr_rows = [tuple(r) for r in thresholds.collect()]
 
     def handle(df: DataFrame, epoch_id: int) -> None:
         spark = df.sparkSession
-        lm = read_lm_counts(spark, lm_store)
+        if lm_mode == "frozen":
+            lm = spark.read.parquet(snapshot)
+        else:
+            lm = read_lm_counts(spark, lm_store)
         scored = text_ops.unigram_logprob(
             df, id_col=id_col, text_col=text_col, alpha=alpha, lm_counts=lm,
         )

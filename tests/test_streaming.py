@@ -1338,3 +1338,80 @@ def test_streaming_quality_then_perplexity_composition(spark, tmp_path):
     shutil.rmtree(ck)
     drain()
     assert spark.read.parquet(out).count() == 4
+
+
+def test_streaming_perplexity_frozen_lm_replay_deterministic(spark, tmp_path):
+    """ADVICE r10: lm_mode='frozen' snapshots the folded LM at wire-up
+    (<output>/_lm_snapshot, hidden from parquet reads) so a
+    checkpoint-loss replay reproduces the ORIGINAL values even after
+    the live store accumulated more counts — where the default
+    accumulated mode only guarantees row idempotence. Also: invalid
+    lm_mode rejected; the snapshot is reused, not rewritten."""
+    import shutil
+
+    from datapipelineetl_spark.operators import text as text_ops
+
+    common = "the common words appear here again and again and again"
+    cal = spark.createDataFrame(
+        [(101, common + " " + common, "en"), (102, "rare zyx qwv", "en")],
+        ["doc_id", "text", "lang"])
+    docs = spark.createDataFrame(
+        [(1, common, "en"), (2, "zyx unusual", "en")],
+        ["doc_id", "text", "lang"])
+    src, lm_store, out = (str(tmp_path / d) for d in ("src", "lm", "out"))
+    ck_lm, ck = str(tmp_path / "ck_lm"), str(tmp_path / "ck")
+    docs.coalesce(1).write.parquet(src)
+    cal_src = str(tmp_path / "cal_src")
+    cal.write.parquet(cal_src)
+
+    def feed_lm():
+        s = spark.readStream.schema(
+            "doc_id long, text string, lang string").parquet(cal_src)
+        runner.streaming_lm_counts(s, store=lm_store, checkpoint=ck_lm)
+
+    feed_lm()
+    thr = text_ops.perplexity_thresholds(
+        cal, group_col="lang", n_buckets=2,
+        lm_counts=runner.read_lm_counts(spark, lm_store))
+
+    def drain():
+        s = spark.readStream.schema(
+            "doc_id long, text string, lang string").parquet(src)
+        runner.streaming_perplexity_buckets(
+            s, lm_store, thr, out, ck, group_col="lang", lm_mode="frozen")
+
+    drain()
+    first = {r.doc_id: (r.avg_logprob, r.ppl_bucket)
+             for r in spark.read.parquet(out).collect()}
+    assert len(first) == 2
+    # the snapshot is invisible to parquet reads of the output dir
+    assert "avg_logprob" in spark.read.parquet(out).columns
+
+    # grow the live store (new files into the LM source, same
+    # checkpoint), lose the BUCKETING checkpoint, replay: frozen
+    # scores must be IDENTICAL
+    spark.createDataFrame(
+        [(201, "zyx zyx zyx unusual unusual", "en")],
+        ["doc_id", "text", "lang"]).write.mode("append").parquet(cal_src)
+    feed_lm()
+    shutil.rmtree(ck)
+    drain()
+    replay = {r.doc_id: (r.avg_logprob, r.ppl_bucket)
+              for r in spark.read.parquet(out).collect()}
+    assert replay == first
+
+    # sanity: the accumulated model HAS moved — scoring doc 2 against
+    # the grown store gives a different avg_logprob than the snapshot
+    grown = text_ops.unigram_logprob(
+        docs, lm_counts=runner.read_lm_counts(spark, lm_store))
+    frozen_lm = spark.read.parquet(out + "/_lm_snapshot")
+    snap = text_ops.unigram_logprob(docs, lm_counts=frozen_lm)
+    g2 = {r.doc_id: r.avg_logprob for r in grown.collect()}
+    s2 = {r.doc_id: r.avg_logprob for r in snap.collect()}
+    assert s2[2] == first[2][0] and g2[2] != s2[2]
+
+    with pytest.raises(ValueError, match="lm_mode"):
+        runner.streaming_perplexity_buckets(
+            spark.readStream.schema(
+                "doc_id long, text string, lang string").parquet(src),
+            lm_store, thr, out, ck, lm_mode="live")

@@ -50,7 +50,13 @@ def skewed_main(args: list[str]) -> int:
     vecs = np.concatenate(
         [centers[j] + rng.normal(size=(n, DIM)) for j, n in enumerate(blobs)]
     )
-    order = rng.permutation(len(vecs))  # ids uncorrelated with blob
+    # kmeans seeds from the k LOWEST-id vectors: give ids 0..k-1 to one
+    # member per blob so Lloyd recovers the DESIGNED membership (random
+    # seeding would drop several seeds into the giant blob and split it
+    # — the realized histogram below audits that the skew held)
+    first_of_blob = np.cumsum([0] + blobs[:-1])
+    rest = np.setdiff1d(np.arange(len(vecs)), first_of_blob)
+    order = np.concatenate([first_of_blob, rng.permutation(rest)])
     rows = [(int(i), [float(x) for x in vecs[p]])
             for i, p in enumerate(order)]
     df = spark.createDataFrame(
