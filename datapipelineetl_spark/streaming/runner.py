@@ -1463,3 +1463,243 @@ def streaming_bloom_decontaminate(
     return run_foreach_batch(
         stream, handle, checkpoint, available_now=available_now, skip_empty=True
     )
+
+
+
+def streaming_semantic_dedup(
+    stream: DataFrame,
+    state_dir: str,
+    output_dir: str,
+    checkpoint: str,
+    dim: int,
+    threshold: float = 0.95,
+    num_planes: int = 8,
+    num_tables: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    cos_dp: int = 4,
+    max_bucket_size: int | None = None,
+    dropped_dir: str | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming EMBEDDING-space near-duplicate filter with incremental
+    state — the semantic twin of ``streaming_near_dup_filter``: each
+    micro-batch drops vectors whose rounded cosine to (a) anything
+    ACCEPTED in an earlier batch or (b) a surviving within-batch
+    representative reaches ``threshold``, then appends the survivors'
+    SRP signatures and unit vectors so later batches dedup against
+    them. This is SemDeDup's "semantic copies sharing no surface
+    n-grams" contract (translations, templated rewrites) for
+    continuous ingest — without re-running k-means over the whole
+    corpus per arrival: LSH buckets replace the cluster fence as the
+    pair bound, exactly the trade ``similarity.lsh_cosine_near_pairs``
+    makes against batch ``semdedup``.
+
+    ``dim`` is REQUIRED (a stream cannot be probed for the embedding
+    width at wire-up); the hyperplanes derive deterministically from
+    (num_planes, num_tables, dim, seed), so restarts and replays hash
+    into the SAME buckets — keep those four constant over a store's
+    lifetime, like the surface filter's token mode.
+
+    State = two parquet stores under ``state_dir``, both partitioned by
+    ``__batch_id``: ``sigs/`` holds accepted vectors' (id, __table,
+    __sig) rows, ``vecs/`` their UNIT vectors (zero-norm inputs map to
+    the zero vector; a corrupt vector — NULL element — gets a NULL unit
+    vector: NULL cosine, never flagged, never in state, exactly
+    ``semdedup``'s normalization contract). Replay safety: batch N
+    reads state strictly ``__batch_id < N`` (partition-pruned) and
+    every write is a batch-id partition OVERWRITE — the
+    ``streaming_near_dup_filter`` scheme, including its caveats: the
+    checkpoint and ``state_dir`` share fate, and ``compact_state``
+    folds old partitions (its duplicate-rows-are-harmless invariant
+    holds here: candidates and drop sets end in ``.distinct()``).
+
+    Semantics: survival depends on ARRIVAL order (an earlier accepted
+    vector wins), and a vector similar only to a DROPPED one survives —
+    the greedy representative contract of continuous ingest. Replaying
+    the whole corpus as ONE batch recovers the batch ladder exactly
+    (min-id representative per connected component of the verified
+    pair graph — parity-tested against ``lsh_cosine_near_pairs`` +
+    ``cluster_pairs``).
+
+    Scale: per batch, signatures are ONE Arrow matmul over the batch
+    (``_lsh_signatures_pandas``); the state join is a (__table, __sig)
+    equi-join against a partition-pruned scan (AQE broadcasts the
+    batch side while it is small); cosine verification — a JVM dot
+    fold over unit vectors, rounded HALF_UP like the batch operators —
+    touches candidates only. ``max_bucket_size`` caps hot PRIOR
+    buckets (near-constant embeddings). State grows O(accepted ×
+    tables) signature rows + O(accepted) unit vectors; the vecs store
+    dominates at dim×8 bytes per accepted vector — at 10⁹ accepted
+    768-dim vectors that is ~6 TB spread over the cluster FS, read
+    only via the candidate-id semi-join, never scanned whole.
+    """
+    from datapipelineetl_spark.operators import similarity as _sim  # noqa: PLC0415
+    from datapipelineetl_spark.sinks import maintenance  # noqa: PLC0415
+
+    if num_tables < 1:
+        raise ValueError(f"num_tables must be >= 1, got {num_tables}")
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    planes_t = [
+        _sim._hyperplanes(num_planes, dim, seed + 1000003 * t)
+        for t in range(num_tables)
+    ]
+    sigs_dir = os.path.join(state_dir, "sigs")
+    vecs_dir = os.path.join(state_dir, "vecs")
+
+    def handle(df: DataFrame, epoch_id: int) -> None:
+        spark = df.sparkSession
+        vec = F.col(vec_col).cast("array<double>")
+        # unit-normalize once (semdedup's contract — see its docstring
+        # for why the norm routes through its own column first)
+        unit = (
+            df.select(F.col(id_col), vec.alias("__v"))
+            .withColumn("__n", _sim.norm(F.col("__v")))
+            .select(
+                F.col(id_col),
+                F.transform(
+                    F.col("__v"),
+                    lambda x: F.when(F.col("__n") > 0, x / F.col("__n"))
+                    .when(F.col("__n") == 0, F.lit(0.0)),
+                ).alias("__u"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # a corrupt vector (NULL element) yields a unit array of NULLs:
+        # keep the ROW (accepted — nothing comparable) but exclude it
+        # from buckets and state, mirroring semdedup's NULL-cosine rule
+        clean = unit.filter(
+            F.col("__u").isNotNull()
+            & ~F.exists(F.col("__u"), lambda x: x.isNull())
+        )
+        sig_arr = _sim._lsh_signatures_pandas(planes_t)(F.col("__u"))
+        tabled = (
+            clean
+            .select(F.col(id_col), F.posexplode_outer(sig_arr).alias("__table", "__sig"))
+            .localCheckpoint(eager=True)
+        )
+
+        def read_state(path: str) -> DataFrame | None:
+            if not os.path.isdir(path):
+                return None
+            return spark.read.parquet(path).filter(F.col("__batch_id") < epoch_id)
+
+        def verified_pairs(cand: DataFrame, left_vecs, right_vecs) -> DataFrame:
+            return (
+                cand.join(left_vecs, "id_a")
+                .join(right_vecs, "id_b")
+                .withColumn(
+                    "__cos",
+                    F.round(
+                        F.aggregate(
+                            F.zip_with(
+                                F.col("__ua"), F.col("__ub"),
+                                lambda a, b: a * b,
+                            ),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        ),
+                        cos_dp,
+                    ),
+                )
+                .filter(F.col("__cos") >= threshold)
+            )
+
+        ua = unit.withColumnsRenamed({id_col: "id_a", "__u": "__ua"})
+        ub = unit.withColumnsRenamed({id_col: "id_b", "__u": "__ub"})
+
+        prior_sigs = read_state(sigs_dir)
+        prior_vecs = read_state(vecs_dir)
+        cross_dups = None
+        if prior_sigs is not None and prior_vecs is not None:
+            pb = prior_sigs
+            if max_bucket_size is not None:
+                sizes = pb.groupBy("__table", "__sig").agg(
+                    F.count(F.lit(1)).alias("__bsz")
+                )
+                pb = pb.join(
+                    sizes.filter(F.col("__bsz") <= max_bucket_size)
+                    .select("__table", "__sig"),
+                    ["__table", "__sig"],
+                )
+            cands = (
+                tabled.join(
+                    pb.select(
+                        F.col(id_col).alias("id_b"), "__table", "__sig"
+                    ),
+                    ["__table", "__sig"],
+                )
+                .select(F.col(id_col).alias("id_a"), "id_b")
+                .distinct()
+            )
+            cross_dups = (
+                verified_pairs(
+                    cands,
+                    ua,
+                    prior_vecs.select(
+                        F.col(id_col).alias("id_b"), F.col("__u").alias("__ub")
+                    ),
+                )
+                .select(F.col("id_a").alias(id_col))
+                .distinct()
+            )
+
+        a, b = tabled.alias("a"), tabled.alias("b")
+        intra_cand = (
+            a.join(
+                b,
+                (F.col("a.__table") == F.col("b.__table"))
+                & (F.col("a.__sig") == F.col("b.__sig"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .distinct()
+        )
+        intra_pairs = verified_pairs(intra_cand, ua, ub).select("id_a", "id_b")
+        from datapipelineetl_spark.operators import dedup as _dedup  # noqa: PLC0415
+
+        intra_losers = (
+            _dedup.cluster_pairs(intra_pairs)
+            .filter(F.col("doc_id") != F.col("cluster_id"))
+            .select(F.col("doc_id").alias(id_col))
+        )
+        dropped = intra_losers
+        if cross_dups is not None:
+            dropped = dropped.unionByName(cross_dups).distinct()
+        dropped = dropped.localCheckpoint(eager=True)
+
+        accepted = df.join(dropped, id_col, "anti")
+        maintenance.overwrite_partitions(
+            accepted.withColumn("__batch_id", F.lit(epoch_id)),
+            output_dir,
+            ["__batch_id"],
+        )
+        accepted_ids = accepted.select(id_col)
+        maintenance.overwrite_partitions(
+            tabled.join(accepted_ids, id_col, "semi")
+            .withColumn("__batch_id", F.lit(epoch_id)),
+            sigs_dir,
+            ["__batch_id"],
+        )
+        maintenance.overwrite_partitions(
+            clean.join(accepted_ids, id_col, "semi")
+            .withColumn("__batch_id", F.lit(epoch_id)),
+            vecs_dir,
+            ["__batch_id"],
+        )
+        if dropped_dir is not None:
+            maintenance.overwrite_partitions(
+                df.join(dropped, id_col, "semi")
+                .withColumn("__batch_id", F.lit(epoch_id)),
+                dropped_dir,
+                ["__batch_id"],
+            )
+
+    return run_foreach_batch(
+        stream, handle, checkpoint, available_now=available_now, skip_empty=True
+    )

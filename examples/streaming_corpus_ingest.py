@@ -14,6 +14,11 @@ is the crawl-while-ingesting form. Stages per micro-batch:
                                  partitioned → replays rewrite) and
                                  within-batch dups beyond the min-id
                                  representative
+  1b. streaming_semantic_dedup   (parallel tier) the embedding stream:
+                                 drop vectors cosine-≥-0.95 to anything
+                                 accepted earlier (SRP-LSH signature +
+                                 unit-vector state) — semantic copies
+                                 that share no surface n-grams
   2. streaming_decontaminate     drop docs sharing 8-grams with the
                                  held-out eval set (static precomputed
                                  n-gram store)
@@ -140,6 +145,42 @@ def main() -> int:
         f"(HLL), {token_mass} tokens ingested (CM row mass)"
     )
 
+    # --- stage 1b (parallel tier): streaming SEMANTIC dedup over the
+    # embedding table — the crawl's vector side arrives as its own
+    # stream and leaves as an accepted-vector registry (SRP-LSH state,
+    # batch-id partitioned like stage 1's). Semantic copies share no
+    # surface n-grams, so this catches what stage 1 cannot
+    # (translations, templated rewrites); production would anti-join
+    # the doc store on the dropped vec ids.
+    emb = catalog.load(spark, sf_dir, "embeddings")
+    emb_dim = emb.selectExpr("size(embedding) AS d").filter("d > 0").first()["d"]
+    emb_src = work / "emb_arrivals"
+    emb.select("vec_id", "embedding").repartition(3).write.mode(
+        "overwrite"
+    ).parquet(str(emb_src))
+    sem_dir = str(work / "sem_accepted")
+    stream_sem = (
+        spark.readStream.schema(emb.select("vec_id", "embedding").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(emb_src))
+    )
+    runner.streaming_semantic_dedup(
+        stream_sem,
+        state_dir=str(work / "sem_state"),
+        output_dir=sem_dir,
+        checkpoint=str(work / "ck_sem"),
+        dim=emb_dim,
+        threshold=0.95,
+        max_bucket_size=100,
+        dropped_dir=str(work / "sem_audit"),
+    )
+    n_vec = emb.count()
+    n_sem = spark.read.parquet(sem_dir).count()
+    print(
+        f"semantic tier: {n_vec} vectors arrived, {n_sem} accepted "
+        f"({n_vec - n_sem} semantic near-dups dropped)"
+    )
+
     # --- stage 2: streaming decontamination + redaction of the survivors
     clean_dir = str(work / "clean")
     stream2 = (
@@ -209,9 +250,10 @@ def main() -> int:
         f"arrived={n0} accepted_after_dedup={n1} clean={n2} "
         f"dup_pairs_audited={dups} contamination_pairs_audited={contam} "
         f"state_partitions_folded={folded} (of {parts_before}) "
-        f"drift_rows={n_drift}"
+        f"drift_rows={n_drift} semantic_accepted={n_sem}/{n_vec}"
     )
-    return 0 if n2 > 0 and n2 <= n1 <= n0 and n_drift > 0 else 1
+    ok = n2 > 0 and n2 <= n1 <= n0 and n_drift > 0 and 0 < n_sem <= n_vec
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":

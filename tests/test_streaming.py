@@ -1415,3 +1415,101 @@ def test_streaming_perplexity_frozen_lm_replay_deterministic(spark, tmp_path):
             spark.readStream.schema(
                 "doc_id long, text string, lang string").parquet(src),
             lm_store, thr, out, ck, lm_mode="live")
+
+
+
+
+def test_streaming_semantic_dedup_single_batch_matches_batch_ladder(spark, tmp_path):
+    """One batch through streaming_semantic_dedup must reproduce the
+    batch ladder exactly: lsh_cosine_near_pairs (same planes/tables/
+    seed/threshold) -> cluster_pairs -> keep each component's min id.
+    NULL and corrupt (NULL-element) vectors are kept, never flagged."""
+    import numpy as np
+
+    from datapipelineetl_spark.operators import dedup, similarity
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(6, 16))
+    rows = []
+    for i in range(6):
+        rows.append((i, [float(x) for x in base[i]]))
+    # 10/11: near-dups of 0 (tiny perturbation); 12: near-dup of 10
+    for j, src in ((10, 0), (11, 0), (12, 0)):
+        rows.append((j, [float(x) for x in base[src] + rng.normal(scale=1e-4, size=16)]))
+    rows.append((20, None))
+    rows.append((21, [1.0] + [None] * 15))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    src_dir, state, out, ck = (str(tmp_path / d) for d in
+                               ("src", "state", "out", "ck"))
+    df.coalesce(1).write.parquet(src_dir)
+    stream = spark.readStream.schema(df.schema).parquet(src_dir)
+    runner.streaming_semantic_dedup(
+        stream, state, out, ck, dim=16, threshold=0.95,
+        num_planes=8, num_tables=2,
+    )
+    got_ids = {r.vec_id for r in spark.read.parquet(out).collect()}
+
+    pairs = similarity.lsh_cosine_near_pairs(
+        df, threshold=0.95, num_planes=8, num_tables=2, dim=16)
+    losers = {
+        r.doc_id for r in dedup.cluster_pairs(pairs)
+        .filter("doc_id != cluster_id").collect()
+    }
+    want_ids = {r.vec_id for r in df.collect()} - losers
+    assert got_ids == want_ids
+    assert {20, 21} <= got_ids          # NULL/corrupt vectors kept
+    assert {10, 11, 12} & got_ids == set()  # all dups of 0 dropped
+    # state holds only accepted, comparable vectors
+    state_ids = {r.vec_id for r in spark.read.parquet(state + "/vecs").collect()}
+    assert state_ids == want_ids - {20, 21}
+
+
+def test_streaming_semantic_dedup_cross_batch_and_replay(spark, tmp_path):
+    """Batch 2 vectors near-duplicating batch-1 ACCEPTED vectors are
+    dropped; a vector similar only to a batch-1 DROPPED vector survives
+    (arrival-order contract — state keeps accepted only); replaying
+    with the same checkpoint after new files arrive never duplicates
+    rows (partition overwrite)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    a = rng.normal(size=16)
+    b = rng.normal(size=16)
+    perturb = lambda v, s: [float(x) for x in v + rng.normal(scale=s, size=16)]
+
+    src_dir, state, out, ck = (str(tmp_path / d) for d in
+                               ("src", "state", "out", "ck"))
+    schema = "vec_id long, embedding array<double>"
+    # batch 1: 0 (rep of A-cluster), 1 (dup of 0 -> dropped), 5 (B)
+    b1 = spark.createDataFrame(
+        [(0, [float(x) for x in a]), (1, perturb(a, 1e-4)),
+         (5, [float(x) for x in b])], schema)
+    b1.coalesce(1).write.parquet(src_dir)
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(src_dir)
+        )
+        runner.streaming_semantic_dedup(
+            stream, state, out, ck, dim=16, threshold=0.95,
+            num_planes=4, num_tables=4,
+        )
+
+    drain()
+    assert {r.vec_id for r in spark.read.parquet(out).collect()} == {0, 5}
+
+    # batch 2: 10 dups accepted 0 -> dropped; 11 dups accepted 5 ->
+    # dropped; 12 is a fresh vector -> accepted
+    c = rng.normal(size=16)
+    spark.createDataFrame(
+        [(10, perturb(a, 1e-4)), (11, perturb(b, 1e-4)),
+         (12, [float(x) for x in c])], schema
+    ).coalesce(1).write.mode("append").parquet(src_dir)
+    drain()
+    got = {r.vec_id for r in spark.read.parquet(out).collect()}
+    assert got == {0, 5, 12}
+
+    # idempotent re-drain: nothing new, nothing duplicated
+    drain()
+    assert spark.read.parquet(out).count() == 3
