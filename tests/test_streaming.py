@@ -1513,3 +1513,51 @@ def test_streaming_semantic_dedup_cross_batch_and_replay(spark, tmp_path):
     # idempotent re-drain: nothing new, nothing duplicated
     drain()
     assert spark.read.parquet(out).count() == 3
+
+
+def test_streaming_semantic_dedup_state_compaction(spark, tmp_path):
+    """compact_state folds the semantic store's old sigs/vecs batch
+    partitions (the docstring's duplicate-rows-are-harmless invariant
+    holds: candidates and drop sets end in .distinct()) — after the
+    fold, a later batch still drops dups of early-accepted vectors."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    vs = [rng.normal(size=16) for _ in range(3)]
+    as_list = lambda v: [float(x) for x in v]
+    src_dir, state, out, ck = (str(tmp_path / d) for d in
+                               ("src", "state", "out", "ck"))
+    schema = "vec_id long, embedding array<double>"
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(src_dir)
+        )
+        runner.streaming_semantic_dedup(
+            stream, state, out, ck, dim=16, threshold=0.95,
+            num_planes=4, num_tables=4,
+        )
+
+    # three 1-row arrival files -> three state partitions
+    spark.createDataFrame([(0, as_list(vs[0]))], schema).coalesce(1).write.parquet(src_dir)
+    drain()
+    for i in (1, 2):
+        spark.createDataFrame([(i, as_list(vs[i]))], schema).coalesce(1) \
+            .write.mode("append").parquet(src_dir)
+        drain()
+    import pathlib
+    sig_parts = list(pathlib.Path(state, "sigs").glob("__batch_id=*"))
+    assert len(sig_parts) == 3
+    folded = runner.compact_state(spark, state, keep_last=1)
+    assert folded >= 2  # sigs and vecs each folded 2 partitions -> 1
+    assert len(list(pathlib.Path(state, "sigs").glob("__batch_id=*"))) == 2
+
+    # batch 4: a dup of vector 0 (accepted in the FOLDED history) must
+    # still be dropped
+    dup = vs[0] + rng.normal(scale=1e-4, size=16)
+    spark.createDataFrame([(10, as_list(dup))], schema).coalesce(1) \
+        .write.mode("append").parquet(src_dir)
+    drain()
+    got = {r.vec_id for r in spark.read.parquet(out).collect()}
+    assert got == {0, 1, 2}
