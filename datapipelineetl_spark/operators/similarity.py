@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -517,6 +517,8 @@ def kmeans(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 6,
+    assignment: str = "fold",
+    transport: str = "closure",
 ) -> DataFrame:
     """Deterministic Euclidean k-means corpus clustering (plain Lloyd —
     the domain-discovery / cluster-balanced-mixing companion to the
@@ -535,15 +537,30 @@ def kmeans(
     Scale: centroids are driver metadata (k × dim floats — the only
     thing collected); each iteration is one narrow assignment pass +
     one groupBy(cluster) partial-agg of per-dimension means (k × dim
-    scalars shuffled). The assignment here is a JVM fold over literal
-    centroid arrays — bit-exact sequential sums, which the oracle
-    needs; for production k in the hundreds swap the Arrow matmul
-    assignment — ``assign_clusters_arrow`` below, parity-tested
-    against this fold on the fixture — trading oracle-grade tie
-    determinism for throughput, exactly as IVF does.
+    scalars shuffled).
+
+    ``assignment`` picks the physical plan of every assignment pass
+    (each Lloyd iteration AND the final labeling):
+
+    - ``"fold"`` (default, the oracle path): a JVM fold over LITERAL
+      centroid arrays — bit-exact sequential sums, which the
+      value-checked oracle needs. The k×dim-literal plan makes
+      ANALYSIS time the bottleneck as k grows (measured: the semdedup
+      geometry grid, SCALING.md).
+    - ``"arrow"``: the ``assign_clusters_arrow`` matmul kernel, one
+      fresh pandas_udf per iteration closing over that iteration's
+      centroid matrix; ``transport`` ("closure"/"broadcast") chooses
+      the data movement exactly as documented there. Production k in
+      the hundreds and beyond — trading oracle-grade tie determinism
+      (BLAS summation order) for throughput, exactly as IVF does;
+      parity-tested against the fold on the fixture.
     """
     if k < 1 or iters < 0:
         raise ValueError(f"need k >= 1 and iters >= 0, got {k}, {iters}")
+    if assignment not in ("fold", "arrow"):
+        raise ValueError(
+            f"assignment must be 'fold' or 'arrow', got {assignment!r}"
+        )
     vec = F.col(vec_col).cast("array<double>")
     seeds = (
         df.filter(vec.isNotNull())
@@ -558,6 +575,8 @@ def kmeans(
     dim = len(cents[0])
 
     def assign(cents: list[list[float]]) -> Column:
+        if assignment == "arrow":
+            return _arrow_assign_udf(df.sparkSession, cents, transport)(vec)
         # array of (dist, cid) structs → array_min compares
         # lexicographically: min distance, ties to the lower cid
         entries = [
@@ -681,6 +700,8 @@ def semdedup(
     cos_dp: int = 4,
     materialize: bool = False,
     pair_stage: str = "join",
+    assignment: str = "fold",
+    transport: str = "closure",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     public method): k-means-cluster the embedding corpus, compare
@@ -736,6 +757,13 @@ def semdedup(
       k that is by construction; a cluster that doesn't fit means k is
       too small for the corpus, which the join form wouldn't survive
       either (m² pairs).
+
+    ``assignment`` / ``transport`` forward to ``kmeans`` — the full
+    production configuration for SemDeDup-scale k (50k clusters) is
+    ``assignment="arrow", transport="broadcast", pair_stage="kernel"``:
+    matmul assignment passes, one broadcast of the centroid matrix per
+    executor, BLAS pair stage — while the default keeps every stage on
+    the oracle-deterministic JVM-fold path.
     """
     if pair_stage not in ("join", "kernel"):
         raise ValueError(f"pair_stage must be 'join' or 'kernel', got {pair_stage!r}")
@@ -746,7 +774,7 @@ def semdedup(
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     assign = kmeans(
         df, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
-        round_dp=round_dp,
+        round_dp=round_dp, assignment=assignment, transport=transport,
     )
     if materialize:
         # the assignment (a k×dim JVM argmin fold per row) feeds the
@@ -857,6 +885,20 @@ def assign_clusters_arrow(
     parity test passes exactly, but oracle-grade determinism keeps the
     fold form (``kmeans`` default) for value-checked queries.
     """
+    assign = _arrow_assign_udf(df.sparkSession, centroids, transport)
+    return df.select(
+        F.col(id_col),
+        assign(F.col(vec_col).cast("array<double>")).alias("cluster"),
+    )
+
+
+def _arrow_assign_udf(spark: SparkSession, centroids: list[list[float]],
+                      transport: str):
+    """The Arrow argmin-assignment kernel as a reusable scalar
+    pandas_udf — shared by ``assign_clusters_arrow`` (one-shot
+    assignment against fixed centroids) and ``kmeans(assignment=
+    "arrow")`` (one fresh UDF per Lloyd iteration, each closing over
+    that iteration's centroid matrix)."""
     import numpy as np  # noqa: PLC0415
     import pandas as pd  # noqa: PLC0415
     from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
@@ -870,6 +912,7 @@ def assign_clusters_arrow(
         raise ValueError(f"need a non-empty k x dim centroid matrix, got {cmat.shape}")
     cnorm2 = (cmat * cmat).sum(axis=1)
     dim = cmat.shape[1]
+
     # the _ivf_assign_pandas idiom: scalar pandas_udf returning nullable
     # Int32 (pd.NA for null vectors) — no hand-built output schema, no
     # NaN sentinel round-trip. The two transports are SEPARATE closures:
@@ -883,7 +926,7 @@ def assign_clusters_arrow(
         return pd.Series(best)
 
     if transport == "broadcast":
-        bc = df.sparkSession.sparkContext.broadcast((cmat, cnorm2))
+        bc = spark.sparkContext.broadcast((cmat, cnorm2))
 
         def _assign(vecs):
             c, n2 = bc.value
@@ -894,8 +937,4 @@ def assign_clusters_arrow(
         def _assign(vecs):
             return _kernel(vecs, cmat, cnorm2)
 
-    assign = pandas_udf(_assign, "int")
-    return df.select(
-        F.col(id_col),
-        assign(F.col(vec_col).cast("array<double>")).alias("cluster"),
-    )
+    return pandas_udf(_assign, "int")

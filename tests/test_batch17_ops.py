@@ -432,3 +432,42 @@ def test_assign_clusters_arrow_matches_fold(spark):
     assert via_bc == want
     with pytest.raises(ValueError, match="transport"):
         similarity.assign_clusters_arrow(emb, seeds, transport="rdd")
+
+
+def test_kmeans_arrow_assignment_matches_fold(spark):
+    """kmeans(assignment='arrow') runs every assignment pass (each
+    Lloyd iteration AND the final labeling) through the matmul kernel
+    and must reproduce the fold form on the fixture — same trajectory,
+    same final labels — under both transports; invalid knob rejected."""
+    from datapipelineetl_spark import catalog
+
+    emb = catalog.load(spark, "/root/testdata/sf0.001", "embeddings")
+    want = {r.vec_id: r.cluster
+            for r in similarity.kmeans(emb, k=8, iters=3).collect()}
+    for transport in ("closure", "broadcast"):
+        got = {r.vec_id: r.cluster
+               for r in similarity.kmeans(
+                   emb, k=8, iters=3, assignment="arrow",
+                   transport=transport).collect()}
+        assert got == want
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="assignment"):
+        similarity.kmeans(emb, k=2, assignment="blas")
+
+
+def test_semdedup_full_production_path_matches_oracle_path(spark):
+    """The full production configuration — assignment='arrow',
+    transport='broadcast', pair_stage='kernel' — must match the
+    all-fold oracle path exactly on the fixture: every stage swap is a
+    physical-plan choice, not a semantics choice."""
+    from datapipelineetl_spark import catalog
+
+    emb = catalog.load(spark, "/root/testdata/sf0.001", "embeddings")
+    want = sorted(map(tuple, similarity.semdedup(
+        emb, k=16, iters=2, threshold=0.45, materialize=True).collect()))
+    got = sorted(map(tuple, similarity.semdedup(
+        emb, k=16, iters=2, threshold=0.45, materialize=True,
+        assignment="arrow", transport="broadcast",
+        pair_stage="kernel").collect()))
+    assert got == want
