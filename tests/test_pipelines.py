@@ -166,3 +166,24 @@ def test_run_csv_feed_with_quarantine(spark, tmp_path):
     q = spark.read.parquet(str(tmp_path / "quarantine")).collect()
     assert len(q) == 1 and "NOT_AN_INT" in q[0]._corrupt_record
     assert q[0].input_file.endswith("r.csv")  # source-file lineage kept
+
+
+def test_ccnet_quality_stream_example_runs_end_to_end(spark, tmp_path):
+    """The CCNet streaming demo must stay runnable: calibration (LM +
+    fixed thresholds) -> one annotated, bucketed crawl stream with a
+    frozen scoring LM -> a non-empty training tier at sf0.001."""
+    import examples.ccnet_quality_stream as demo
+
+    work = str(tmp_path / "ccnet_demo")
+    import sys as _sys
+
+    argv, _sys.argv = _sys.argv, ["demo", "/root/testdata/sf0.001", work]
+    try:
+        assert demo.main() == 0
+    finally:
+        _sys.argv = argv
+    store = spark.read.parquet(work + "/annotated")
+    assert store.count() == 500  # every crawl row survives, annotated
+    assert {"kept", "quality_prob", "avg_logprob", "ppl_bucket"} <= set(store.columns)
+    train = spark.read.parquet(work + "/train_tier")
+    assert 0 < train.count() < 500
