@@ -1282,8 +1282,21 @@ def streaming_perplexity_buckets(
     if lm_mode == "frozen" and not os.path.exists(snapshot):
         # fold once, persist: the snapshot is the scoring artifact —
         # vocabulary-sized, written before the first batch so every
-        # batch (and every future replay) reads the same model
-        read_lm_counts(stream.sparkSession, lm_store).write.parquet(snapshot)
+        # batch (and every future replay) reads the same model. Written
+        # to an attempt-unique tmp dir + atomic rename (the NOTES.md
+        # discipline): a crash mid-write must not leave a partial dir
+        # that a restart would mistake for the committed snapshot.
+        import shutil  # noqa: PLC0415
+        import uuid  # noqa: PLC0415
+
+        tmp = f"{snapshot}.tmp-{uuid.uuid4().hex}"
+        read_lm_counts(stream.sparkSession, lm_store).write.parquet(tmp)
+        try:
+            os.rename(tmp, snapshot)
+        except OSError:
+            # lost a wire-up race: another writer committed first —
+            # ours is redundant, theirs is the frozen model
+            shutil.rmtree(tmp, ignore_errors=True)
 
     thr_schema = thresholds.schema
     thr_rows = [tuple(r) for r in thresholds.collect()]
@@ -1521,7 +1534,13 @@ def streaming_semantic_dedup(
     the whole corpus as ONE batch recovers the batch ladder exactly
     (min-id representative per connected component of the verified
     pair graph — parity-tested against ``lsh_cosine_near_pairs`` +
-    ``cluster_pairs``).
+    ``cluster_pairs``). Float discipline: the verify cosine is
+    ``semdedup``'s normalize-then-dot form (unit vectors stored once,
+    one dot fold per pair), not ``cosine()``'s dot-over-norms — the
+    two can differ in the last ulp, so a pair sitting exactly on the
+    ``cos_dp`` rounding boundary could decide differently from
+    ``lsh_cosine_near_pairs``; the parity test uses well-separated
+    cosines, and within THIS operator the decision is deterministic.
 
     Scale: per batch, signatures are ONE Arrow matmul over the batch
     (``_lsh_signatures_pandas``); the state join is a (__table, __sig)
