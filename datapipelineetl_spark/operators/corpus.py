@@ -1320,24 +1320,56 @@ def dsir_weights(
     table + one groupBy(doc). The totals row is a 1-row scalar
     crossJoin (plan-lint-allowlisted decorrelated-scalar shape).
     """
-    if n_buckets < 1:
-        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     if alpha <= 0:
         raise ValueError(f"alpha must be > 0, got {alpha}")
+    model = dsir_model(df, target, text_col=text_col, n_buckets=n_buckets)
+    return dsir_score(
+        df, model, id_col=id_col, text_col=text_col,
+        n_buckets=n_buckets, alpha=alpha, out=out,
+    )
 
-    def grams(col: Column) -> Column:
-        # unigrams + word bigrams; the degenerate shingles of sub-2-token
-        # docs (the lone token / the empty string) are filtered so a
-        # 1-token doc doesn't double-count itself
-        uni = text.tokens(col)
-        bi = F.filter(
-            text.shingles(col, 2), lambda g: (g != "") & ~g.rlike(r"^\S+$")
-        )
-        return F.concat(uni, bi)
+
+def _dsir_grams(col: Column) -> Column:
+    # unigrams + word bigrams; the degenerate shingles of sub-2-token
+    # docs (the lone token / the empty string) are filtered so a
+    # 1-token doc doesn't double-count itself
+    uni = text.tokens(col)
+    bi = F.filter(
+        text.shingles(col, 2), lambda g: (g != "") & ~g.rlike(r"^\S+$")
+    )
+    return F.concat(uni, bi)
+
+
+def dsir_model(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """The DSIR model as a standalone, PERSISTABLE artifact: the
+    (bucket, __raw, __tgt) hashed-n-gram count table both distributions
+    share — ``dsir_weights`` is exactly ``dsir_score(df,
+    dsir_model(df, target))``, split out so the model can be fit ONCE
+    (on the raw corpus sample + the target) and then score any frame —
+    a later crawl slice, a parquet store, a micro-batch stream
+    (``streaming.runner.streaming_dsir_weights``) — without refitting.
+    Write it with ``model.write.parquet(...)`` and reload with
+    ``spark.read.parquet``; record ``n_buckets`` with it — scoring
+    MUST use the same value (the bucket modulus and the smoothing
+    denominator both depend on it, and the table itself cannot reveal
+    it: buckets empty in both corpora carry no row).
+
+    Scale: one partial-agg shuffle per corpus, each collapsing to at
+    most ``n_buckets`` rows (metadata by construction — the hashing
+    trick's size story); localCheckpointed because the totals
+    aggregate and the scoring join both read it.
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
 
     def dist(frame: DataFrame, name: str) -> DataFrame:
         return (
-            frame.select(F.explode(grams(F.col(text_col))).alias("__g"))
+            frame.select(F.explode(_dsir_grams(F.col(text_col))).alias("__g"))
             .groupBy(
                 F.pmod(text.token_hash60(F.col("__g")), F.lit(n_buckets)).alias(
                     "__b"
@@ -1346,20 +1378,48 @@ def dsir_weights(
             .agg(F.count(F.lit(1)).alias(name))
         )
 
-    model = (
-        dist(df, "__raw")
+    return (
+        dist(raw, "__raw")
         .join(dist(target, "__tgt"), "__b", "full")
         .fillna({"__raw": 0, "__tgt": 0})
     ).localCheckpoint(eager=True)  # bucket-table-sized; read by totals + join
+
+
+def dsir_score(
+    df: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+    out: str = "dsir_weight",
+) -> DataFrame:
+    """Score a frame against a prebuilt ``dsir_model`` table: mean
+    add-``alpha``-smoothed log-likelihood ratio over the document's
+    hashed features. ``n_buckets`` must equal the value the model was
+    fit with (see ``dsir_model``). Same output contract as
+    ``dsir_weights``: (id_col, n_grams, out), gramless docs get
+    n_grams 0 and NULL weight, never a dropped row.
+
+    Scale: one explode + one broadcast join against the bucket table +
+    one groupBy(doc); the totals row is a 1-row scalar crossJoin
+    (plan-lint-allowlisted decorrelated-scalar shape). No corpus-sized
+    state — the model is the only cross-frame input, and it is
+    ``n_buckets`` rows.
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
     totals = model.agg(
         F.coalesce(F.sum("__raw"), F.lit(0)).alias("__raw_total"),
         F.coalesce(F.sum("__tgt"), F.lit(0)).alias("__tgt_total"),
     )
     doc_grams = df.select(
         F.col(id_col),
-        F.explode_outer(grams(F.coalesce(F.col(text_col), F.lit("")))).alias(
-            "__g"
-        ),
+        F.explode_outer(
+            _dsir_grams(F.coalesce(F.col(text_col), F.lit("")))
+        ).alias("__g"),
     ).withColumn(
         "__b",
         F.when(

@@ -1722,3 +1722,71 @@ def streaming_semantic_dedup(
     return run_foreach_batch(
         stream, handle, checkpoint, available_now=available_now, skip_empty=True
     )
+
+
+def streaming_dsir_weights(
+    stream: DataFrame,
+    model: DataFrame,
+    output_dir: str,
+    checkpoint: str,
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out: str = "dsir_weight",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming DSIR annotation — the importance-resampling twin of
+    ``streaming_perplexity_buckets``'s frozen mode: the
+    ``corpus.dsir_model`` bucket table is fit ONCE (raw sample +
+    target, both batch-side), collected at wire-up (at most
+    ``n_buckets`` rows of three integers — broadcast metadata by
+    construction, the hashing trick's size story), and every
+    micro-batch is scored against that FIXED model and written
+    annotated under its ``__batch_id`` partition (dynamic partition
+    overwrite — replay rewrites, value-deterministic because the model
+    never moves). Every input column survives; gramless docs carry
+    n_grams 0 and a NULL weight. Downstream, rank or
+    ``corpus.dsir_resample`` the accumulated store.
+
+    ``n_buckets`` must equal the model's fit value (``dsir_model``
+    docstring). The stream must not already carry ``n_grams`` / the
+    ``out`` column — wire-up fails fast (the scoring join would make
+    them ambiguous duplicates).
+
+    Scale: per batch, one explode + one broadcast model join + one
+    groupBy over THAT batch, then an id equi-join back onto the batch
+    rows — no state store at all: the model is immutable input, which
+    is exactly what makes replay value-deterministic with no
+    snapshot machinery.
+    """
+    from datapipelineetl_spark.operators import corpus as corpus_ops  # noqa: PLC0415
+    from datapipelineetl_spark.sinks import maintenance  # noqa: PLC0415
+
+    reserved = {"n_grams", out} & set(stream.columns)
+    if reserved:
+        raise ValueError(
+            "streaming_dsir_weights adds scoring columns "
+            f"{sorted(reserved)} via join; rename or drop them on the "
+            "input stream first (they would become ambiguous duplicates)"
+        )
+    model_schema = model.schema
+    model_rows = [tuple(r) for r in model.collect()]
+
+    def handle(df: DataFrame, epoch_id: int) -> None:
+        spark = df.sparkSession
+        m = spark.createDataFrame(model_rows, model_schema)
+        scored = corpus_ops.dsir_score(
+            df, m, id_col=id_col, text_col=text_col,
+            n_buckets=n_buckets, alpha=alpha, out=out,
+        )
+        annotated = df.join(scored, id_col)
+        maintenance.overwrite_partitions(
+            annotated.withColumn("__batch_id", F.lit(epoch_id)),
+            output_dir,
+            ["__batch_id"],
+        )
+
+    return run_foreach_batch(
+        stream, handle, checkpoint, available_now=available_now, skip_empty=True
+    )

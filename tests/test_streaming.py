@@ -1561,3 +1561,56 @@ def test_streaming_semantic_dedup_state_compaction(spark, tmp_path):
     drain()
     got = {r.vec_id for r in spark.read.parquet(out).collect()}
     assert got == {0, 1, 2}
+
+
+def test_streaming_dsir_weights_matches_batch(spark, tmp_path):
+    """streaming_dsir_weights scores every micro-batch against the
+    FIXED collected model and must match corpus.dsir_score over the
+    same docs value for value; every input column survives; gramless
+    docs carry NULL weight; checkpoint-loss replay rewrites partitions
+    with IDENTICAL values (no state, immutable model); reserved
+    columns fail fast."""
+    import shutil
+
+    from datapipelineetl_spark.operators import corpus as corpus_ops
+
+    raw_rows = [
+        (1, "alpha beta gamma delta alpha beta", "web"),
+        (2, "alpha beta gamma", "web"),
+        (3, "xxx yyy zzz www", "crawl"),
+        (4, "", "crawl"),
+    ]
+    docs = spark.createDataFrame(raw_rows, ["doc_id", "text", "source"])
+    target = docs.filter("doc_id = 1").select("doc_id", "text")
+    model = corpus_ops.dsir_model(
+        docs.select("doc_id", "text"), target, n_buckets=64)
+
+    src, out, ck = (str(tmp_path / d) for d in ("src", "out", "ck"))
+    docs.repartition(2).write.parquet(src)
+
+    def drain():
+        s = (
+            spark.readStream.schema("doc_id long, text string, source string")
+            .option("maxFilesPerTrigger", "1").parquet(src)
+        )
+        runner.streaming_dsir_weights(s, model, out, ck, n_buckets=64)
+
+    drain()
+    got = {r.doc_id: (r.n_grams, r.dsir_weight, r.source)
+           for r in spark.read.parquet(out).collect()}
+    want = {r.doc_id: (r.n_grams, r.dsir_weight)
+            for r in corpus_ops.dsir_score(docs, model, n_buckets=64).collect()}
+    assert {d: v[:2] for d, v in got.items()} == want
+    assert got[1][2] == "web"            # source column survived
+    assert got[4][0] == 0 and got[4][1] is None
+
+    shutil.rmtree(ck)
+    drain()
+    replay = {r.doc_id: (r.n_grams, r.dsir_weight, r.source)
+              for r in spark.read.parquet(out).collect()}
+    assert replay == got                  # value-deterministic, no dupes
+
+    bad = spark.readStream.schema(
+        "doc_id long, text string, dsir_weight double").parquet(src)
+    with pytest.raises(ValueError, match="dsir_weight"):
+        runner.streaming_dsir_weights(bad, model, out, ck, n_buckets=64)

@@ -1198,3 +1198,46 @@ def test_bpe_segment_kernel_parity(spark):
     got_big = {r.doc_id: r.pieces and list(r.pieces)
                for r in text.bpe_segment_kernel(df, big).collect()}
     assert got_big == got  # the synthetic tail can never match
+
+
+def test_dsir_model_score_split_equals_combined(spark):
+    """dsir_weights == dsir_score(df, dsir_model(df, target)) exactly —
+    the split exists so the model is a persistable artifact: a model
+    written to parquet and reloaded scores a DIFFERENT frame to the
+    same values as the in-memory model; n_buckets mismatch guards."""
+    import pytest as _pytest
+
+    from datapipelineetl_spark.operators import corpus as corpus_ops
+
+    rows = [
+        (1, "alpha beta gamma delta alpha beta"),
+        (2, "alpha beta gamma"), (3, "xxx yyy zzz www"), (4, ""),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    target = df.filter("doc_id = 1")
+    combined = {tuple(r) for r in
+                corpus_ops.dsir_weights(df, target, n_buckets=64).collect()}
+    model = corpus_ops.dsir_model(df, target, n_buckets=64)
+    split = {tuple(r) for r in
+             corpus_ops.dsir_score(df, model, n_buckets=64).collect()}
+    assert split == combined
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        model.write.parquet(d + "/m")
+        reloaded = spark.read.parquet(d + "/m")
+        new = spark.createDataFrame(
+            [(10, "alpha beta fresh"), (11, "qqq rrr")],
+            "doc_id int, text string")
+        a = {tuple(r) for r in
+             corpus_ops.dsir_score(new, reloaded, n_buckets=64).collect()}
+        b = {tuple(r) for r in
+             corpus_ops.dsir_score(new, model, n_buckets=64).collect()}
+        assert a == b and len(a) == 2
+
+    with _pytest.raises(ValueError, match="n_buckets"):
+        corpus_ops.dsir_score(df, model, n_buckets=0)
+    with _pytest.raises(ValueError, match="alpha"):
+        corpus_ops.dsir_score(df, model, alpha=0)
