@@ -24,7 +24,13 @@ Stages:
                                  checkpoint-loss replay) scores against
                                  the SAME snapshotted LM — value-
                                  deterministic replay
-  3. tiering                     head/middle bucket + kept=1 rows are
+  3. DSIR annotation             streaming_dsir_weights over the
+                                 annotated store as its own stream —
+                                 a second frozen-model annotator
+                                 (bucket LLR vs a target domain),
+                                 composing on the same pipeline the
+                                 way DSIR composes on CCNet
+  4. tiering                     head/middle bucket + kept=1 rows are
                                  the training tier; everything else
                                  stays in the annotated store for audit
 """
@@ -107,8 +113,47 @@ def main() -> int:
         lm_mode="frozen",
     )
 
-    # --- stage 3: tiering off the annotated store
-    store = spark.read.parquet(annotated_dir)
+    # --- stage 3: DSIR importance annotation, chained as its own
+    # stream over the annotated store (the two-drain topology of
+    # examples/streaming_corpus_ingest.py). The model — raw = the
+    # calibration sample, target = its head-perplexity half — is fit
+    # once and collected at wire-up; scoring is stateless, so replay is
+    # value-deterministic with no snapshot machinery.
+    from datapipelineetl_spark.operators import corpus
+
+    sample_scored = text.bucket_by_thresholds(
+        text.unigram_logprob(sample, lm_counts=lm).join(
+            sample.select("doc_id", "lang"), "doc_id"
+        ),
+        thresholds,
+        group_col="lang",
+    )
+    target = (
+        sample.join(
+            sample_scored.filter(F.col("ppl_bucket") == 0).select("doc_id"),
+            "doc_id",
+        )
+    )
+    dsir = corpus.dsir_model(
+        sample.select("doc_id", "text"), target.select("doc_id", "text"),
+        n_buckets=1024,
+    )
+    weighted_dir = str(work / "weighted")
+    annotated_schema = spark.read.parquet(annotated_dir).schema
+    runner.streaming_dsir_weights(
+        # drop the upstream drain's partition column: this stream's
+        # sink assigns its own __batch_id partitions
+        spark.readStream.schema(annotated_schema)
+        .parquet(annotated_dir)
+        .drop("__batch_id"),
+        dsir,
+        weighted_dir,
+        str(work / "ck_dsir"),
+        n_buckets=1024,
+    )
+
+    # --- stage 4: tiering off the weighted store
+    store = spark.read.parquet(weighted_dir)
     n_all = store.count()
     train = store.filter((F.col("kept") == 1) & (F.col("ppl_bucket") <= 1))
     n_train = train.count()
@@ -118,7 +163,11 @@ def main() -> int:
 
     by_bucket = (
         store.groupBy("lang", "ppl_bucket")
-        .agg(F.count(F.lit(1)).alias("n"), F.avg("quality_prob").alias("avg_q"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("quality_prob").alias("avg_q"),
+            F.round(F.avg("dsir_weight"), 4).alias("avg_dsir"),
+        )
         .orderBy("lang", "ppl_bucket")
     )
     by_bucket.show(truncate=False)

@@ -185,5 +185,9 @@ def test_ccnet_quality_stream_example_runs_end_to_end(spark, tmp_path):
     store = spark.read.parquet(work + "/annotated")
     assert store.count() == 500  # every crawl row survives, annotated
     assert {"kept", "quality_prob", "avg_logprob", "ppl_bucket"} <= set(store.columns)
+    weighted = spark.read.parquet(work + "/weighted")
+    assert weighted.count() == 500  # DSIR tier drops nothing either
+    assert {"dsir_weight", "n_grams"} <= set(weighted.columns)
+    assert weighted.filter("dsir_weight IS NOT NULL").count() > 0
     train = spark.read.parquet(work + "/train_tier")
     assert 0 < train.count() < 500

@@ -88,9 +88,48 @@ def skewed_main(args: list[str]) -> int:
     return 0
 
 
+def largek_main(args: list[str]) -> int:
+    """The composed large-k measurement: FULL semdedup on n random
+    vectors at production k, oracle path (all JVM folds) vs production
+    path (arrow assignment + broadcast transport + BLAS pair stage).
+    The fold path is linear in k twice over, so it runs ONCE (cold)
+    per k; the production path gets warm best-of-2."""
+    sizes = [int(a) for a in args] or [512]
+    n = 20_000
+    spark = get_session("bench-semdedup")
+    rng = np.random.default_rng(42)
+    vecs = rng.normal(size=(n, DIM))
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).localCheckpoint(eager=True)
+    print(f"| k (n={n}, dim={DIM}, iters=2) | oracle path (s, cold) "
+          f"| production path (s) | ratio |")
+    print("| --- | --- | --- | --- |")
+    for k in sizes:
+        t0 = time.perf_counter()
+        similarity.semdedup(
+            df, k=k, iters=2, threshold=0.95, materialize=True,
+        ).write.format("noop").mode("overwrite").save()
+        fold = time.perf_counter() - t0
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            similarity.semdedup(
+                df, k=k, iters=2, threshold=0.95, materialize=True,
+                assignment="arrow", transport="broadcast",
+                pair_stage="kernel",
+            ).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        print(f"| {k} | {fold:.2f} | {best:.2f} | {fold / best:.1f}x |")
+    return 0
+
+
 def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] == "--skewed":
         return skewed_main(sys.argv[2:])
+    if len(sys.argv) > 1 and sys.argv[1] == "--largek":
+        return largek_main(sys.argv[2:])
     sizes = [int(a) for a in sys.argv[1:]] or [250, 500, 1000, 2000]
     spark = get_session("bench-semdedup")
     rng = np.random.default_rng(42)
