@@ -450,9 +450,7 @@ def test_kmeans_arrow_assignment_matches_fold(spark):
                    emb, k=8, iters=3, assignment="arrow",
                    transport=transport).collect()}
         assert got == want
-    import pytest as _pytest
-
-    with _pytest.raises(ValueError, match="assignment"):
+    with pytest.raises(ValueError, match="assignment"):
         similarity.kmeans(emb, k=2, assignment="blas")
 
 

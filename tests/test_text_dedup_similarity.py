@@ -1205,8 +1205,6 @@ def test_dsir_model_score_split_equals_combined(spark):
     the split exists so the model is a persistable artifact: a model
     written to parquet and reloaded scores a DIFFERENT frame to the
     same values as the in-memory model; n_buckets mismatch guards."""
-    import pytest as _pytest
-
     from datapipelineetl_spark.operators import corpus as corpus_ops
 
     rows = [
@@ -1237,7 +1235,7 @@ def test_dsir_model_score_split_equals_combined(spark):
              corpus_ops.dsir_score(new, model, n_buckets=64).collect()}
         assert a == b and len(a) == 2
 
-    with _pytest.raises(ValueError, match="n_buckets"):
+    with pytest.raises(ValueError, match="n_buckets"):
         corpus_ops.dsir_score(df, model, n_buckets=0)
-    with _pytest.raises(ValueError, match="alpha"):
+    with pytest.raises(ValueError, match="alpha"):
         corpus_ops.dsir_score(df, model, alpha=0)
