@@ -1614,3 +1614,66 @@ def test_streaming_dsir_weights_matches_batch(spark, tmp_path):
         "doc_id long, text string, dsir_weight double").parquet(src)
     with pytest.raises(ValueError, match="dsir_weight"):
         runner.streaming_dsir_weights(bad, model, out, ck, n_buckets=64)
+
+
+def test_streaming_semantic_dedup_bucket_cap(spark, tmp_path):
+    """max_bucket_size caps HOT PRIOR buckets (boilerplate embeddings):
+    with a cap below the bucket's population the cross-batch candidate
+    join is suppressed for that bucket — the arriving dup of an
+    early-accepted vector survives (the documented recall trade) —
+    while an uncapped run drops it. The hot bucket is built
+    deterministically: five mutually near-orthogonal vectors all on
+    the positive side of the single hyperplane (num_planes=1,
+    num_tables=1), so they share the one-bit signature while their
+    pairwise cosines (~0.1) stay far below the threshold."""
+    import numpy as np
+
+    from datapipelineetl_spark.operators.similarity import _hyperplanes
+
+    plane = np.array(_hyperplanes(1, 16, seed=42)[0], dtype=np.float64)
+    p_unit = plane / np.linalg.norm(plane)
+    # Gram-Schmidt five basis vectors against the plane normal
+    es = []
+    for j in range(5):
+        e = np.zeros(16)
+        e[j] = 1.0
+        e = e - np.dot(e, p_unit) * p_unit
+        for prev in es:
+            e = e - np.dot(e, prev) * prev
+        es.append(e / np.linalg.norm(e))
+    vecs = [p_unit + 3.0 * e for e in es]   # same bucket, cos ~0.1 apart
+    as_list = lambda v: [float(x) for x in v]
+    schema = "vec_id long, embedding array<double>"
+    rng = np.random.default_rng(13)
+
+    def run(cap, sub):
+        src, state, out, ck = (str(tmp_path / sub / d) for d in
+                               ("src", "state", "out", "ck"))
+        spark.createDataFrame(
+            [(i, as_list(vecs[i])) for i in range(5)], schema
+        ).coalesce(1).write.parquet(src)
+
+        def drain():
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1").parquet(src)
+            )
+            runner.streaming_semantic_dedup(
+                stream, state, out, ck, dim=16, threshold=0.95,
+                num_planes=1, num_tables=1, max_bucket_size=cap,
+            )
+
+        drain()
+        # mutually non-dup: all five accepted, the ONE bucket is hot
+        assert spark.read.parquet(out).count() == 5
+        # batch 2: a near-dup of vector 0 arrives
+        dup = vecs[0] + rng.normal(scale=1e-4, size=16)
+        spark.createDataFrame([(10, as_list(dup))], schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+        drain()
+        return {r.vec_id for r in spark.read.parquet(out).collect()}
+
+    uncapped = run(None, "u")
+    assert 10 not in uncapped          # dup of accepted state -> dropped
+    capped = run(3, "c")
+    assert 10 in capped                # hot prior bucket suppressed
