@@ -546,7 +546,10 @@ def kmeans(
       centroid arrays — bit-exact sequential sums, which the
       value-checked oracle needs. The k×dim-literal plan makes
       ANALYSIS time the bottleneck as k grows (measured: the semdedup
-      geometry grid, SCALING.md).
+      geometry grid, SCALING.md) — and past k ≈ several hundred the
+      codegen'd expression tree OOMs the driver JVM outright
+      (measured at k=1024/dim=64, SCALING.md round-11 addendum):
+      the fold's k-ceiling is a cliff, not a slope.
     - ``"arrow"``: the ``assign_clusters_arrow`` matmul kernel, one
       fresh pandas_udf per iteration closing over that iteration's
       centroid matrix; ``transport`` ("closure"/"broadcast") chooses
