@@ -103,66 +103,63 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver verifies the FIRST 50 entries of queries() in dict order.
-# Round-11 rotation (VERDICT r10 item 4): no promotions pending — 41
-# contract-forced core rows (r8-newest-green hitting the 3-record core
-# horizon) fill slots 0-40; the 9 free slots early-refresh the seven
-# r7-green extension-tier queries (q_semantic_dupes,
-# q_prepare_corpus_quality, q_extract_keywords, q_user_hour_anomalies,
-# q_build_vocab, q_split_corpus, q_attrition_report — due r12
-# otherwise, where they would collide with the next 50-forced wave)
-# plus the two oldest remaining extension rows (q_encode_tokens,
-# q_pack_sequences), flattening the r12 forecast.
+# Round-12 rotation (VERDICT r11 item 2, tools/rotate_window.py): 20
+# contract-forced rows age out this round (core horizon 3 / extension
+# horizon 5 against the r8-r11 record set); the 30 free slots go to the
+# oldest remaining greens — the seven r8-green extension rows due at r13
+# refresh early here, flattening the r13 forecast exactly as the judge's
+# recomputation suggested. No staged backlog, no promotions pending.
 PRIORITY: list[str] = [
-    "q1_pricing_summary",
-    "q5_local_supplier_volume",
-    "q_events_pivot",
-    "q_envelope_roundtrip",
-    "q_meascollec_flatten",
-    "q_clean_cell_metrics",
-    "q_clean_kpi_int",
-    "q_cube_lineitem",
-    "q19_bracket_revenue",
-    "q_union_parties_by_nation",
-    "q_intersect_nations",
-    "q_parts_never_ordered",
-    "q_window_order_seq",
-    "q_window_trailing_revenue",
-    "q_percentiles_by_priority",
-    "q_json_props",
-    "q_ngram_jaccard_pairs",
-    "q_ann_lsh_topk",
-    "q_multimodal_features",
-    "q_frame_sample_plan",
-    "q_multimodal_meta",
-    "q15_top_suppliers",
-    "q2_cheapest_part_per_type",
-    "q22_idle_rich_customers",
-    "q_lineitems_above_order_avg",
-    "q_name_word_counts",
-    "q_order_quantity_profile",
-    "q_conditional_counts",
-    "q_weekly_order_volume",
-    "q_sql_regional_revenue",
-    "q_nation_lookup",
-    "q_text_token_stats",
-    "q_text_quality",
-    "q_lang_id",
-    "q_ann_recall",
-    "q_approx_sketches",
-    "q_range_join_event_windows",
-    "q9_product_type_profit",
-    "q11_important_parts",
-    "q16_supplier_part_counts",
-    "q20_top_part_shippers",
-    "q_semantic_dupes",
-    "q_prepare_corpus_quality",
-    "q_extract_keywords",
-    "q_user_hour_anomalies",
-    "q_build_vocab",
-    "q_split_corpus",
-    "q_attrition_report",
-    "q_encode_tokens",
-    "q_pack_sequences",
+    "q_dedup_token_set",
+    "q_cosine_topk",
+    "q_cosine_near_pairs",
+    "q_tf_idf",
+    "q7_volume_shipping",
+    "q13_order_count_distribution",
+    "q17_small_quantity_revenue",
+    "q_profile_orders",
+    "q_kpi_pivot",
+    "q_session_window_events",
+    "q_grouping_sets",
+    "q_posexplode_embedding",
+    "q_array_lambda_battery",
+    "q_null_semantics",
+    "q_nullsafe_join",
+    "q8_market_share",
+    "q_fuzzy_name_pairs",
+    "q21_blamable_suppliers",
+    "q_price_histogram",
+    "q_regex_extract_ldn",
+    "q_shuffle_corpus",
+    "q_sample_k_per_stratum",
+    "q_normalize_text",
+    "q_select_budget",
+    "q_corpus_report",
+    "q_corpus_drift",
+    "q_dedup_spans",
+    "q_sample_stratified",
+    "q_corpus_mix",
+    "q_pack_chunks",
+    "q_redact_pii",
+    "q_prepare_corpus",
+    "q_split_documents",
+    "q_contamination_pairs",
+    "q_ngram_counts",
+    "q_funnel_stages",
+    "q_unigram_logprob",
+    "q_dsir_weights",
+    "q_quality_calibrated",
+    "q_vocab_growth",
+    "q_kmeans_clusters",
+    "q_dsir_resample",
+    "q_pack_best_fit",
+    "q_cluster_balanced_sample",
+    "q_perplexity_buckets",
+    "q_train_bpe",
+    "q_bpe_segment",
+    "q_countmin_counts",
+    "q_hll_distinct",
+    "q_bloom_decontam",
 ]
 
 
