@@ -577,9 +577,13 @@ def kmeans(
     cents = [[round(float(x), round_dp) for x in r.v] for r in seeds]
     dim = len(cents[0])
 
-    def assign(cents: list[list[float]]) -> Column:
+    def assign(cents: list[list[float]]):
+        """(assignment Column, broadcast handle or None) for one pass."""
         if assignment == "arrow":
-            return _arrow_assign_udf(df.sparkSession, cents, transport)(vec)
+            udf, bc = _arrow_assign_udf(
+                df.sparkSession, cents, transport, return_handle=True
+            )
+            return udf(vec), bc
         # array of (dist, cid) structs → array_min compares
         # lexicographically: min distance, ties to the lower cid
         entries = [
@@ -597,11 +601,12 @@ def kmeans(
             )
             for cid, cvec in enumerate(cents)
         ]
-        return F.array_min(F.array(*entries))["c"].cast("int")
+        return F.array_min(F.array(*entries))["c"].cast("int"), None
 
     for _ in range(iters):
+        assign_col, iter_bc = assign(cents)
         members = df.filter(vec.isNotNull()).select(
-            assign(cents).alias("__c"), vec.alias("__v")
+            assign_col.alias("__c"), vec.alias("__v")
         )
         means = members.groupBy("__c").agg(
             *[
@@ -609,11 +614,19 @@ def kmeans(
                 for i in range(dim)
             ]
         ).collect()
+        if iter_bc is not None:
+            # this pass's centroid broadcast was consumed by the
+            # .collect() above — release the executor copies now
+            # instead of waiting on GC to reach the ContextCleaner
+            iter_bc.unpersist()
         updated = {r["__c"]: [float(r[f"c{i}"]) for i in range(dim)] for r in means}
         cents = [updated.get(cid, cvec) for cid, cvec in enumerate(cents)]
+    # the FINAL labeling's broadcast must stay alive: it ships with the
+    # returned (lazy) plan
+    final_col, _final_bc = assign(cents)
     return df.select(
         F.col(id_col),
-        F.when(vec.isNotNull(), assign(cents)).alias("cluster"),
+        F.when(vec.isNotNull(), final_col).alias("cluster"),
     )
 
 
@@ -896,12 +909,19 @@ def assign_clusters_arrow(
 
 
 def _arrow_assign_udf(spark: SparkSession, centroids: list[list[float]],
-                      transport: str):
+                      transport: str, return_handle: bool = False):
     """The Arrow argmin-assignment kernel as a reusable scalar
     pandas_udf — shared by ``assign_clusters_arrow`` (one-shot
     assignment against fixed centroids) and ``kmeans(assignment=
     "arrow")`` (one fresh UDF per Lloyd iteration, each closing over
-    that iteration's centroid matrix)."""
+    that iteration's centroid matrix).
+
+    ``return_handle=True`` returns ``(udf, broadcast-or-None)`` so the
+    caller can ``unpersist()`` a transport="broadcast" matrix once its
+    plan has executed — kmeans' Lloyd loop would otherwise accumulate
+    one live executor copy per iteration (at the SemDeDup scale the
+    docstrings target, ~400 MB each) until Python GC happens to reach
+    the ContextCleaner."""
     import numpy as np  # noqa: PLC0415
     import pandas as pd  # noqa: PLC0415
     from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
@@ -928,6 +948,7 @@ def _arrow_assign_udf(spark: SparkSession, centroids: list[list[float]],
         best[nullmask] = pd.NA
         return pd.Series(best)
 
+    bc = None
     if transport == "broadcast":
         bc = spark.sparkContext.broadcast((cmat, cnorm2))
 
@@ -940,4 +961,5 @@ def _arrow_assign_udf(spark: SparkSession, centroids: list[list[float]],
         def _assign(vecs):
             return _kernel(vecs, cmat, cnorm2)
 
-    return pandas_udf(_assign, "int")
+    udf = pandas_udf(_assign, "int")
+    return (udf, bc) if return_handle else udf

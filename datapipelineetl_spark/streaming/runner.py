@@ -1294,9 +1294,14 @@ def streaming_perplexity_buckets(
         try:
             os.rename(tmp, snapshot)
         except OSError:
-            # lost a wire-up race: another writer committed first —
-            # ours is redundant, theirs is the frozen model
             shutil.rmtree(tmp, ignore_errors=True)
+            # only a LOST WIRE-UP RACE is benign (another writer
+            # committed first; theirs is the frozen model). Any other
+            # rename failure (permissions, cross-device, read-only FS)
+            # would otherwise surface batches later as an opaque
+            # parquet-read error on a missing snapshot — fail here.
+            if not os.path.exists(snapshot):
+                raise
 
     thr_schema = thresholds.schema
     thr_rows = [tuple(r) for r in thresholds.collect()]
@@ -1310,9 +1315,14 @@ def streaming_perplexity_buckets(
         scored = text_ops.unigram_logprob(
             df, id_col=id_col, text_col=text_col, alpha=alpha, lm_counts=lm,
         )
-        annotated = df.join(
-            scored.select(id_col, "n_tokens", "avg_logprob"), id_col
+        # null-safe LEFT join back (the streaming_dsir_weights rule):
+        # NULL doc ids annotate instead of silently dropping
+        sc = scored.select(
+            F.col(id_col).alias("__score_id"), "n_tokens", "avg_logprob"
         )
+        annotated = df.join(
+            sc, F.col(id_col).eqNullSafe(F.col("__score_id")), "left"
+        ).drop("__score_id")
         thr = spark.createDataFrame(thr_rows, thr_schema)
         bucketed = text_ops.bucket_by_thresholds(
             annotated, thr, group_col=group_col
@@ -1529,11 +1539,18 @@ def streaming_semantic_dedup(
     holds here: candidates and drop sets end in ``.distinct()``).
 
     Semantics: survival depends on ARRIVAL order (an earlier accepted
-    vector wins), and a vector similar only to a DROPPED one survives —
-    the greedy representative contract of continuous ingest. Replaying
-    the whole corpus as ONE batch recovers the batch ladder exactly
-    (min-id representative per connected component of the verified
-    pair graph — parity-tested against ``lsh_cosine_near_pairs`` +
+    vector wins), and a vector similar only to DROPPED vectors
+    survives — the greedy representative contract of continuous
+    ingest. That holds across the batch boundary by construction:
+    cross-batch dups are anti-joined OUT of the intra-batch pair graph
+    before components form, so a batch-mate whose only near-dup was
+    itself cross-dropped is NOT transitively dropped through the
+    ghost. WITHIN one micro-batch the contract is coarser — min-id
+    representative per connected component of the verified pair graph,
+    so an in-batch chain a~b~c keeps only min(a,b,c) even where a and
+    c are not themselves similar; that component rule is exactly what
+    replaying the whole corpus as ONE batch needs to recover the batch
+    ladder (parity-tested against ``lsh_cosine_near_pairs`` +
     ``cluster_pairs``). Float discipline: the verify cosine is
     ``semdedup``'s normalize-then-dot form (unit vectors stored once,
     one dot fold per pair), not ``cosine()``'s dot-over-norms — the
@@ -1547,8 +1564,11 @@ def streaming_semantic_dedup(
     equi-join against a partition-pruned scan (AQE broadcasts the
     batch side while it is small); cosine verification — a JVM dot
     fold over unit vectors, rounded HALF_UP like the batch operators —
-    touches candidates only. ``max_bucket_size`` caps hot PRIOR
-    buckets (near-constant embeddings). State grows O(accepted ×
+    touches candidates only. ``max_bucket_size`` caps hot buckets on
+    BOTH sides (near-constant embeddings): prior-state buckets above
+    the cap are dropped from the cross-batch probe, and — mirroring
+    ``lsh_cosine_near_pairs`` — batch buckets above the cap are
+    dropped from the intra self-join input. State grows O(accepted ×
     tables) signature rows + O(accepted) unit vectors; the vecs store
     dominates at dim×8 bytes per accepted vector — at 10⁹ accepted
     768-dim vectors that is ~6 TB spread over the cluster FS, read
@@ -1665,7 +1685,30 @@ def streaming_semantic_dedup(
                 .distinct()
             )
 
-        a, b = tabled.alias("a"), tabled.alias("b")
+        # Intra-batch pair graph. Two pre-filters on the self-join input:
+        # (1) the SAME max_bucket_size cap lsh_cosine_near_pairs applies
+        # before ITS self-join — a hot bucket inside the batch
+        # (near-constant embeddings) would otherwise still generate
+        # O(m^2) candidates even though the prior-state side is capped;
+        # (2) cross-dropped vectors are anti-joined OUT before component
+        # formation, so an intra cluster-mate of a cross-dropped
+        # representative is judged only against the batch's SURVIVORS —
+        # the greedy contract (a vector similar only to dropped vectors
+        # survives) instead of a transitive drop through a ghost.
+        intra_src = tabled
+        if max_bucket_size is not None:
+            isz = tabled.groupBy("__table", "__sig").agg(
+                F.count(F.lit(1)).alias("__bsz")
+            )
+            intra_src = tabled.join(
+                isz.filter(F.col("__bsz") <= max_bucket_size)
+                .select("__table", "__sig"),
+                ["__table", "__sig"],
+            )
+        if cross_dups is not None:
+            cross_dups = cross_dups.localCheckpoint(eager=True)
+            intra_src = intra_src.join(cross_dups, id_col, "anti")
+        a, b = intra_src.alias("a"), intra_src.alias("b")
         intra_cand = (
             a.join(
                 b,
@@ -1746,8 +1789,12 @@ def streaming_dsir_weights(
     annotated under its ``__batch_id`` partition (dynamic partition
     overwrite — replay rewrites, value-deterministic because the model
     never moves). Every input column survives; gramless docs carry
-    n_grams 0 and a NULL weight. Downstream, rank or
-    ``corpus.dsir_resample`` the accumulated store.
+    n_grams 0 and a NULL weight. The join back onto the batch rows is
+    a NULL-SAFE LEFT join: a NULL doc id annotates (matching the
+    scorer's NULL-id group) rather than silently dropping, and
+    duplicate ids each carry their shared group score — never a
+    dropped row. Downstream, rank or ``corpus.dsir_resample`` the
+    accumulated store.
 
     ``n_buckets`` must equal the model's fit value (``dsir_model``
     docstring). The stream must not already carry ``n_grams`` / the
@@ -1755,8 +1802,9 @@ def streaming_dsir_weights(
     them ambiguous duplicates).
 
     Scale: per batch, one explode + one broadcast model join + one
-    groupBy over THAT batch, then an id equi-join back onto the batch
-    rows — no state store at all: the model is immutable input, which
+    groupBy over THAT batch, then the null-safe left join back onto
+    the batch rows — no state store at all: the model is immutable
+    input, which
     is exactly what makes replay value-deterministic with no
     snapshot machinery.
     """
@@ -1780,7 +1828,14 @@ def streaming_dsir_weights(
             df, m, id_col=id_col, text_col=text_col,
             n_buckets=n_buckets, alpha=alpha, out=out,
         )
-        annotated = df.join(scored, id_col)
+        # null-safe LEFT join back: a NULL doc id must not silently
+        # drop the row (the docstring's never-a-dropped-row contract) —
+        # NULL-id rows match the scorer's NULL-id group; duplicate ids
+        # each receive their shared group score
+        sc = scored.withColumnRenamed(id_col, "__score_id")
+        annotated = df.join(
+            sc, F.col(id_col).eqNullSafe(F.col("__score_id")), "left"
+        ).drop("__score_id")
         maintenance.overwrite_partitions(
             annotated.withColumn("__batch_id", F.lit(epoch_id)),
             output_dir,

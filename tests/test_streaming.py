@@ -1677,3 +1677,221 @@ def test_streaming_semantic_dedup_bucket_cap(spark, tmp_path):
     assert 10 not in uncapped          # dup of accepted state -> dropped
     capped = run(3, "c")
     assert 10 in capped                # hot prior bucket suppressed
+
+
+def test_streaming_semantic_dedup_transitive_drop_survivor(spark, tmp_path):
+    """Greedy contract across the batch boundary (VERDICT r11 item 1):
+    batch-2 vector B near-duplicates batch-1 ACCEPTED vector A
+    (cross-dropped), batch-2 vector C near-duplicates ONLY B. C must
+    SURVIVE — cross-dropped ids are anti-joined out of the intra-batch
+    pair graph before components form, so C is not transitively
+    dropped through the ghost. C then enters state and suppresses its
+    own later dups. Geometry: A/B/C are 0/18/36-degree rotations of
+    the (single) hyperplane normal within a fixed orthogonal plane —
+    cos(A,B)=cos(B,C)=cos18=0.9511 >= 0.95, cos(A,C)=cos36=0.8090 <
+    0.95, all on the plane's positive side so the one 1-bit bucket
+    (num_planes=1, num_tables=1) generates every candidate."""
+    import numpy as np
+
+    from datapipelineetl_spark.operators.similarity import _hyperplanes
+
+    plane = np.array(_hyperplanes(1, 16, seed=42)[0], dtype=np.float64)
+    p = plane / np.linalg.norm(plane)
+    e = np.zeros(16)
+    e[0] = 1.0
+    e = e - np.dot(e, p) * p
+    e = e / np.linalg.norm(e)
+
+    def rot(deg):
+        th = np.radians(deg)
+        return [float(x) for x in np.cos(th) * p + np.sin(th) * e]
+
+    schema = "vec_id long, embedding array<double>"
+    src, state, out, ck = (str(tmp_path / d) for d in
+                           ("src", "state", "out", "ck"))
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(src)
+        )
+        runner.streaming_semantic_dedup(
+            stream, state, out, ck, dim=16, threshold=0.95,
+            num_planes=1, num_tables=1,
+        )
+
+    # batch 1: A accepted
+    spark.createDataFrame([(0, rot(0))], schema).coalesce(1).write.parquet(src)
+    drain()
+    # batch 2: B (id 10) dups A -> cross-dropped; C (id 11) dups ONLY B
+    spark.createDataFrame([(10, rot(18)), (11, rot(36))], schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+    drain()
+    got = {r.vec_id for r in spark.read.parquet(out).collect()}
+    assert got == {0, 11}          # C survived the transitive-drop trap
+    state_ids = {r.vec_id for r in spark.read.parquet(state + "/vecs").collect()}
+    assert state_ids == {0, 11}    # and entered state
+    # batch 3: a dup of C is now suppressed BY C
+    import numpy.random as npr
+    dup_c = [float(x) for x in np.array(rot(36)) + npr.default_rng(5).normal(scale=1e-4, size=16)]
+    spark.createDataFrame([(20, dup_c)], schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    drain()
+    assert {r.vec_id for r in spark.read.parquet(out).collect()} == {0, 11}
+
+
+def test_streaming_semantic_dedup_intra_batch_bucket_cap(spark, tmp_path):
+    """max_bucket_size also caps hot buckets INSIDE the current batch
+    (ADVICE r11): a single batch whose one bucket holds six vectors —
+    five mutually near-orthogonal plus one true dup of vector 0 —
+    generates NO intra candidates under cap=5 (the documented recall
+    trade, mirroring lsh_cosine_near_pairs' pre-self-join cap), so all
+    six survive; uncapped, the dup is dropped. The single-batch run
+    must agree with the batch ladder under the SAME cap."""
+    import numpy as np
+
+    from datapipelineetl_spark.operators import dedup, similarity
+    from datapipelineetl_spark.operators.similarity import _hyperplanes
+
+    plane = np.array(_hyperplanes(1, 16, seed=42)[0], dtype=np.float64)
+    p_unit = plane / np.linalg.norm(plane)
+    es = []
+    for j in range(5):
+        e = np.zeros(16)
+        e[j] = 1.0
+        e = e - np.dot(e, p_unit) * p_unit
+        for prev in es:
+            e = e - np.dot(e, prev) * prev
+        es.append(e / np.linalg.norm(e))
+    vecs = [p_unit + 3.0 * e for e in es]
+    rng = np.random.default_rng(17)
+    dup0 = vecs[0] + rng.normal(scale=1e-4, size=16)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(5)]
+    rows.append((5, [float(x) for x in dup0]))
+    schema = "vec_id long, embedding array<double>"
+    df = spark.createDataFrame(rows, schema)
+
+    def run(cap, sub):
+        src, state, out, ck = (str(tmp_path / sub / d) for d in
+                               ("src", "state", "out", "ck"))
+        df.coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        runner.streaming_semantic_dedup(
+            stream, state, out, ck, dim=16, threshold=0.95,
+            num_planes=1, num_tables=1, max_bucket_size=cap,
+        )
+        return {r.vec_id for r in spark.read.parquet(out).collect()}
+
+    assert run(None, "u") == {0, 1, 2, 3, 4}      # dup dropped
+    assert run(5, "c") == {0, 1, 2, 3, 4, 5}      # hot bucket suppressed
+
+    # parity: batch ladder with the same cap keeps the dup too
+    pairs = similarity.lsh_cosine_near_pairs(
+        df, threshold=0.95, num_planes=1, num_tables=1, dim=16,
+        max_bucket_size=5)
+    losers = {r.doc_id for r in dedup.cluster_pairs(pairs)
+              .filter("doc_id != cluster_id").collect()}
+    assert losers == set()
+
+
+def test_frozen_lm_snapshot_rename_failure(spark, tmp_path, monkeypatch):
+    """ADVICE r11: the frozen-LM snapshot commit must distinguish a
+    LOST WIRE-UP RACE (another writer committed — swallow, score
+    against theirs) from a real rename failure (permissions,
+    read-only FS — re-raise at wire-up instead of surfacing batches
+    later as an opaque parquet-read error). Also pins the null-safe
+    join-back: a NULL-doc-id row survives annotation."""
+    import shutil
+
+    from datapipelineetl_spark.operators import text as text_ops
+
+    cal = spark.createDataFrame(
+        [(101, "alpha beta gamma alpha beta", "en"),
+         (102, "rare zyx tokens", "en")],
+        ["doc_id", "text", "lang"])
+    src, lm_store, ck_lm = (str(tmp_path / d) for d in
+                            ("src", "lm_store", "ck_lm"))
+    cal_src = str(tmp_path / "cal_src")
+    cal.write.parquet(cal_src)
+    runner.streaming_lm_counts(
+        spark.readStream.schema("doc_id long, text string, lang string")
+        .parquet(cal_src), store=lm_store, checkpoint=ck_lm)
+    lm = runner.read_lm_counts(spark, lm_store)
+    thr = text_ops.perplexity_thresholds(
+        cal, group_col="lang", n_buckets=2, lm_counts=lm)
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta", "en"), (None, "rare zyx", "en")],
+        "doc_id long, text string, lang string")
+    docs.coalesce(1).write.parquet(src)
+
+    def wire(out, ck):
+        s = spark.readStream.schema(
+            "doc_id long, text string, lang string").parquet(src)
+        runner.streaming_perplexity_buckets(
+            s, lm_store, thr, out, ck, group_col="lang", lm_mode="frozen")
+
+    real_rename = os.rename
+
+    # (1) hard failure: rename raises, nothing committed -> wire-up raises
+    def rename_denied(s, d):
+        raise OSError(13, "Permission denied", d)
+
+    monkeypatch.setattr(os, "rename", rename_denied)
+    with pytest.raises(OSError, match="Permission denied"):
+        wire(str(tmp_path / "out1"), str(tmp_path / "ck1"))
+
+    # (2) benign race: "another writer" commits between our write and
+    # rename -> swallowed, batches score against the committed snapshot
+    def rename_raced(s, d):
+        shutil.copytree(s, d)           # the other writer's commit
+        raise OSError(17, "File exists", d)
+
+    monkeypatch.setattr(os, "rename", rename_raced)
+    out2, ck2 = str(tmp_path / "out2"), str(tmp_path / "ck2")
+    wire(out2, ck2)
+    monkeypatch.setattr(os, "rename", real_rename)
+    rows = spark.read.parquet(out2).collect()
+    assert len(rows) == 2               # NULL-id row annotated, not dropped
+    by_id = {r.doc_id: r for r in rows}
+    assert by_id[None].avg_logprob is not None
+    assert by_id[1].ppl_bucket is not None
+
+
+def test_streaming_dsir_weights_null_and_duplicate_ids(spark, tmp_path):
+    """ADVICE r11: the join back onto the batch is a null-safe LEFT
+    join — a NULL-doc-id row is annotated (matching the scorer's
+    NULL-id group) instead of silently dropped, and duplicate ids each
+    carry the shared group score; row count is preserved exactly."""
+    from datapipelineetl_spark.operators import corpus as corpus_ops
+
+    rows = [
+        (None, "alpha beta gamma", "web"),
+        (7, "alpha beta", "web"),
+        (7, "gamma delta", "crawl"),
+        (8, "alpha alpha", "web"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string")
+    target = docs.filter("doc_id = 8").select("doc_id", "text")
+    model = corpus_ops.dsir_model(
+        docs.filter("doc_id is not null").select("doc_id", "text"),
+        target, n_buckets=64)
+
+    src, out, ck = (str(tmp_path / d) for d in ("src", "out", "ck"))
+    docs.coalesce(1).write.parquet(src)
+    s = spark.readStream.schema(
+        "doc_id long, text string, source string").parquet(src)
+    runner.streaming_dsir_weights(s, model, out, ck, n_buckets=64)
+
+    got = spark.read.parquet(out).collect()
+    assert len(got) == 4                          # never a dropped row
+    null_rows = [r for r in got if r.doc_id is None]
+    assert len(null_rows) == 1 and null_rows[0].dsir_weight is not None
+    sevens = [r for r in got if r.doc_id == 7]
+    assert len(sevens) == 2
+    assert sevens[0].dsir_weight == sevens[1].dsir_weight
+    # the shared score is the batch scorer's merged-group value
+    want = {r.doc_id: r.dsir_weight
+            for r in corpus_ops.dsir_score(docs, model, n_buckets=64).collect()}
+    assert sevens[0].dsir_weight == want[7]
