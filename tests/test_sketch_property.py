@@ -122,3 +122,37 @@ def test_bloom_bitset_matches_python_reference(spark, texts):
             hx = hashlib.md5(g.encode()).hexdigest()
             expect |= {int(hx[0:4], 16), int(hx[4:8], 16)}
     assert got == expect
+
+
+@settings(max_examples=8, deadline=None)
+@given(_corpus, st.lists(_word, min_size=1, max_size=6, unique=True))
+def test_countmin_estimate_matches_python_grid(spark, texts, probes):
+    """The ESTIMATE path (VERDICT r11 item 7b): for randomized corpora
+    and probe sets — including tokens absent from the corpus — Spark's
+    countmin_estimate must equal min-over-depth of the pure-Python
+    grid exactly, and never undershoot the true count (the count-min
+    upper-bound invariant)."""
+    depth, width = 3, 16
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    sk = sketch.countmin_sketch(df, depth=depth, width=width)
+    pdf = spark.createDataFrame([(p,) for p in probes], ["token"])
+    got = {
+        r["token"]: r["cm_count"]
+        for r in sketch.countmin_estimate(
+            sk, pdf, depth=depth, width=width).collect()
+    }
+
+    grid: dict = {}
+    true: dict = {}
+    for t in texts:
+        for tok in _tokens(t):
+            true[tok] = true.get(tok, 0) + 1
+            for i in range(depth):
+                cell = (i, _h60(f"{i}:{tok}") % width)
+                grid[cell] = grid.get(cell, 0) + 1
+    expect = {
+        p: min(grid.get((i, _h60(f"{i}:{p}") % width), 0) for i in range(depth))
+        for p in probes
+    }
+    assert got == expect
+    assert all(got[p] >= true.get(p, 0) for p in probes)
