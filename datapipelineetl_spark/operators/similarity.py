@@ -327,6 +327,7 @@ def ivf_fit_centroids(
     iters: int = 5,
     id_col: str = "vec_id",
     dim: int | None = None,
+    update: str = "agg",
 ) -> list[list[float]]:
     """Deterministic spherical k-means coarse quantizer for an IVF index
     (the k-means-partitioned ANN family next to SRP-LSH; cosine metric —
@@ -344,9 +345,21 @@ def ivf_fit_centroids(
     100 TB is to FIT on a sample (df.sample) and assign the full corpus
     once — the fit cost is bounded by the sample, the assignment pass by
     one scan.
+
+    ``update`` picks the mean-update plan: ``"agg"`` (default) is the
+    per-dimension ``F.avg`` aggregate above — dim aggregate
+    EXPRESSIONS, which stops scaling as dim grows (measured: OOMs the
+    1 GiB local JVM at dim=1024/n=20k — SCALING.md "Round 12");
+    ``"arrow"`` folds per-cell running sums in two Arrow passes
+    (``_mean_update_arrow``, same scheme as
+    ``kmeans(assignment="arrow")``) — the wide-dim production path,
+    trading last-ulp summation order exactly as the assignment kernel
+    already does.
     """
     if k_cells < 1 or iters < 1:
         raise ValueError(f"k_cells and iters must be >= 1, got {k_cells}, {iters}")
+    if update not in ("agg", "arrow"):
+        raise ValueError(f"update must be 'agg' or 'arrow', got {update!r}")
     import numpy as np  # noqa: PLC0415
 
     vec = F.col(vec_col).cast("array<double>")
@@ -373,18 +386,21 @@ def ivf_fit_centroids(
     centroids = _norm_rows(np.array([r.v for r in seeds], dtype=np.float64))
     for _ in range(iters):
         cell = _ivf_assign_pandas(centroids.tolist())(vec)
-        sums = (
-            # null vectors take no part in the fit (their cell is null);
-            # dropping them here keeps the centroid update well-defined
-            df.filter(vec.isNotNull())
-            .select(cell.alias("__cell"), vec.alias("__v"))
-            .groupBy("__cell")
-            .agg(*[F.avg(F.col("__v")[i]).alias(f"c{i}") for i in range(dim)])
-            .collect()
+        # null vectors take no part in the fit (their cell is null);
+        # dropping them here keeps the centroid update well-defined
+        members = df.filter(vec.isNotNull()).select(
+            cell.alias("__c"), vec.alias("__v")
         )
         new_c = centroids.copy()  # empty cells keep their old centroid
-        for r in sums:
-            new_c[r["__cell"]] = [r[f"c{i}"] for i in range(dim)]
+        if update == "arrow":
+            for c, (n, s) in _mean_update_arrow(members, dim).items():
+                new_c[c] = s / n
+        else:
+            sums = members.groupBy("__c").agg(
+                *[F.avg(F.col("__v")[i]).alias(f"c{i}") for i in range(dim)]
+            ).collect()
+            for r in sums:
+                new_c[r["__c"]] = [r[f"c{i}"] for i in range(dim)]
         centroids = _norm_rows(np.asarray(new_c, dtype=np.float64))
     return centroids.tolist()
 
@@ -556,7 +572,14 @@ def kmeans(
       the data movement exactly as documented there. Production k in
       the hundreds and beyond — trading oracle-grade tie determinism
       (BLAS summation order) for throughput, exactly as IVF does;
-      parity-tested against the fold on the fixture.
+      parity-tested against the fold on the fixture. Under this mode
+      the MEAN UPDATE also leaves the JVM: the default
+      ``groupBy(cell).agg(dim × F.avg(__v[i]))`` builds one aggregate
+      expression per DIMENSION and hits its own wall as dim grows
+      (measured: OOMs the 1 GiB local JVM at dim=1024/n=20k while the
+      Arrow path completes — SCALING.md "Round 12"), so each Lloyd
+      pass folds per-cell running sums via ``_mean_update_arrow``
+      (two Arrow passes, HALF_UP-rounded means) instead.
     """
     if k < 1 or iters < 0:
         raise ValueError(f"need k >= 1 and iters >= 0, got {k}, {iters}")
@@ -603,23 +626,42 @@ def kmeans(
         ]
         return F.array_min(F.array(*entries))["c"].cast("int"), None
 
+    import numpy as np  # noqa: PLC0415
+
+    def _half_up(arr, dp: int):
+        # Spark F.round semantics (HALF_UP, away from zero) — the
+        # _semdedup_pairs_kernel discipline, applied to the mean
+        scale = 10.0 ** dp
+        return (np.sign(arr) * np.floor(np.abs(arr) * scale + 0.5) / scale).tolist()
+
     for _ in range(iters):
         assign_col, iter_bc = assign(cents)
         members = df.filter(vec.isNotNull()).select(
             assign_col.alias("__c"), vec.alias("__v")
         )
-        means = members.groupBy("__c").agg(
-            *[
-                F.round(F.avg(F.col("__v")[i]), round_dp).alias(f"c{i}")
-                for i in range(dim)
-            ]
-        ).collect()
+        if assignment == "arrow":
+            # wide-dim escape hatch: the dim × F.avg agg's expression
+            # count stops scaling with dim (OOMs the 1 GiB local JVM at
+            # dim=1024 — SCALING.md); two Arrow passes replace it
+            upd = _mean_update_arrow(members, dim)
+            updated = {
+                c: _half_up(sums / n, round_dp) for c, (n, sums) in upd.items()
+            }
+        else:
+            means = members.groupBy("__c").agg(
+                *[
+                    F.round(F.avg(F.col("__v")[i]), round_dp).alias(f"c{i}")
+                    for i in range(dim)
+                ]
+            ).collect()
+            updated = {
+                r["__c"]: [float(r[f"c{i}"]) for i in range(dim)] for r in means
+            }
         if iter_bc is not None:
             # this pass's centroid broadcast was consumed by the
-            # .collect() above — release the executor copies now
-            # instead of waiting on GC to reach the ContextCleaner
+            # mean-update collect above — release the executor copies
+            # now instead of waiting on GC to reach the ContextCleaner
             iter_bc.unpersist()
-        updated = {r["__c"]: [float(r[f"c{i}"]) for i in range(dim)] for r in means}
         cents = [updated.get(cid, cvec) for cid, cvec in enumerate(cents)]
     # the FINAL labeling's broadcast must stay alive: it ships with the
     # returned (lazy) plan
@@ -628,6 +670,80 @@ def kmeans(
         F.col(id_col),
         F.when(vec.isNotNull(), final_col).alias("cluster"),
     )
+
+
+def _mean_update_arrow(members: DataFrame, dim: int) -> dict:
+    """Per-cell centroid mean update as TWO Arrow passes — the wide-dim
+    escape hatch for the ``groupBy(cell).agg(dim × F.avg(__v[i]))``
+    update, whose per-dimension aggregate EXPRESSIONS stop scaling as
+    dim grows (measured: at dim=1024/n=20k the agg form OOMs the 1 GiB
+    local JVM outright while this path completes — SCALING.md
+    "Round 12: wide-dim centroid update").
+
+    Stage 1 (``mapInPandas``): each Arrow batch reduces to at most k
+    partial rows (cell, count, dim-wide running sum) — one numpy
+    ``sum(axis=0)`` per cell present in the batch, so the shuffle
+    carries O(batches × k) dim-wide rows, never the corpus. Stage 2
+    (``applyInPandas`` per cell): fold the partials; exactly k rows —
+    the k × dim centroid matrix that reaches the driver anyway — are
+    collected. At extreme task counts a two-level combine (salted
+    pre-fold) would bound the per-cell group; document-scale fits hold
+    k groups of (#tasks) rows each.
+
+    Float caveat (same as the Arrow assignment kernel): partial sums
+    add in batch order, not the agg's shuffle order — last-ulp
+    differences vs the JVM agg are expected; a NULL ELEMENT inside a
+    vector becomes NaN and poisons its cell's mean for that dimension
+    (the agg form's per-dimension null-skip is the oracle behavior).
+
+    ``members`` must be (``__c`` int cell, ``__v`` array<double>) with
+    whole-NULL vectors already filtered (kmeans/IVF both do). Returns
+    {cell: (count, np.ndarray sums)} — empty cells simply absent.
+    """
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    part_schema = T.StructType(
+        [
+            T.StructField("__c", T.IntegerType()),
+            T.StructField("__cnt", T.LongType()),
+            T.StructField("__sums", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def _partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cells = pdf["__c"].to_numpy()
+            m, mask = _stack_nullable(pdf["__v"], dim)
+            keep = ~mask
+            out_c, out_n, out_s = [], [], []
+            for c in np.unique(cells[keep]):
+                sel = keep & (cells == c)
+                out_c.append(int(c))
+                out_n.append(int(sel.sum()))
+                out_s.append(m[sel].sum(axis=0).tolist())
+            yield pd.DataFrame({"__c": out_c, "__cnt": out_n, "__sums": out_s})
+
+    partials = members.mapInPandas(_partials, schema=part_schema)
+
+    def _combine(key, pdf):
+        s = np.array(pdf["__sums"].tolist(), dtype=np.float64).sum(axis=0)
+        return pd.DataFrame(
+            {
+                "__c": [int(key[0])],
+                "__cnt": [int(pdf["__cnt"].sum())],
+                "__sums": [s.tolist()],
+            }
+        )
+
+    combined = partials.groupBy("__c").applyInPandas(_combine, schema=part_schema)
+    return {
+        r["__c"]: (r["__cnt"], np.asarray(r["__sums"], dtype=np.float64))
+        for r in combined.collect()
+    }
 
 
 def _semdedup_pairs_kernel(

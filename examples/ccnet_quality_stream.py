@@ -38,6 +38,7 @@ Stages:
 from __future__ import annotations
 
 import sys
+import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -66,6 +67,7 @@ def main() -> int:
     # --- stage 0: calibration. The sample is a held-out hash band (the
     # split_corpus discipline); its token counts accrue through the
     # same streaming LM store production would maintain.
+    t_cal = time.perf_counter()
     sample = docs.filter(F.abs(F.hash("doc_id")) % 10 == 0)
     cal_src = work / "cal_arrivals"
     sample.coalesce(1).write.parquet(str(cal_src))
@@ -80,6 +82,7 @@ def main() -> int:
         sample, group_col="lang", n_buckets=3, lm_counts=lm
     )
     n_groups = thresholds.count()
+    t_cal = time.perf_counter() - t_cal
 
     # --- stages 1+2: the crawl as ONE stream. Quality annotation is a
     # narrow projection ON the stream frame; the bucketing sink scores
@@ -103,6 +106,7 @@ def main() -> int:
         ),
         annotate=True,
     )
+    t_crawl = time.perf_counter()
     runner.streaming_perplexity_buckets(
         annotated,
         lm_store,
@@ -112,6 +116,7 @@ def main() -> int:
         group_col="lang",
         lm_mode="frozen",
     )
+    t_crawl = time.perf_counter() - t_crawl
 
     # --- stage 3: DSIR importance annotation, chained as its own
     # stream over the annotated store (the two-drain topology of
@@ -140,6 +145,7 @@ def main() -> int:
     )
     weighted_dir = str(work / "weighted")
     annotated_schema = spark.read.parquet(annotated_dir).schema
+    t_dsir = time.perf_counter()
     runner.streaming_dsir_weights(
         # drop the upstream drain's partition column: this stream's
         # sink assigns its own __batch_id partitions
@@ -151,6 +157,7 @@ def main() -> int:
         str(work / "ck_dsir"),
         n_buckets=1024,
     )
+    t_dsir = time.perf_counter() - t_dsir
 
     # --- stage 4: tiering off the weighted store
     store = spark.read.parquet(weighted_dir)
@@ -174,6 +181,10 @@ def main() -> int:
     print(
         f"calibrated {n_groups} language threshold rows; crawl rows={n_all} "
         f"train_tier={n_train} tail={n_tail} unscored={n_unscored}"
+    )
+    print(
+        f"timings: calibrate={t_cal:.1f}s crawl_drain={t_crawl:.1f}s "
+        f"(3 micro-batches) dsir_drain={t_dsir:.1f}s"
     )
     ok = n_all == docs.count() and 0 < n_train < n_all and n_groups > 0
     return 0 if ok else 1

@@ -469,3 +469,22 @@ def test_semdedup_full_production_path_matches_oracle_path(spark):
         assignment="arrow", transport="broadcast",
         pair_stage="kernel").collect()))
     assert got == want
+
+
+def test_ivf_fit_update_arrow_matches_agg(spark):
+    """ivf_fit_centroids(update='arrow') — the wide-dim running-sum
+    mean update that replaces the dim x F.avg aggregate (which OOMs
+    the 1 GiB local JVM at dim=1024, SCALING.md r12) — reproduces the
+    agg form's centroids on the fixture to float tolerance (partial
+    sums add in batch order, so bit-equality is not the contract) and
+    null vectors still take no part; invalid knob rejected."""
+    import numpy as np
+
+    from datapipelineetl_spark import catalog
+
+    emb = catalog.load(spark, "/root/testdata/sf0.001", "embeddings")
+    want = similarity.ivf_fit_centroids(emb, k_cells=8, iters=3)
+    got = similarity.ivf_fit_centroids(emb, k_cells=8, iters=3, update="arrow")
+    assert np.allclose(np.asarray(got), np.asarray(want), atol=1e-9)
+    with pytest.raises(ValueError, match="update"):
+        similarity.ivf_fit_centroids(emb, k_cells=8, iters=1, update="avg")
