@@ -684,11 +684,15 @@ def _mean_update_arrow(members: DataFrame, dim: int) -> dict:
     partial rows (cell, count, dim-wide running sum) — one numpy
     ``sum(axis=0)`` per cell present in the batch, so the shuffle
     carries O(batches × k) dim-wide rows, never the corpus. Stage 2
-    (``applyInPandas`` per cell): fold the partials; exactly k rows —
-    the k × dim centroid matrix that reaches the driver anyway — are
-    collected. At extreme task counts a two-level combine (salted
-    pre-fold) would bound the per-cell group; document-scale fits hold
-    k groups of (#tasks) rows each.
+    folds per cell (``applyInPandas``); above 64 producing partitions a
+    SALTED pre-fold runs first — partials combine per
+    (cell, partition-id % 64) group, so the final per-cell group sees
+    at most 64 rows regardless of task count: a 10⁶-task fit feeds the
+    hot cell ~15k-row salted groups, then a 64-row final group, never a
+    million-row pandas frame. (Below the salt width the pre-fold is
+    pure stage latency — ~1.5 s measured — so it is skipped.) Exactly
+    k rows — the k × dim centroid matrix that reaches the driver
+    anyway — are collected.
 
     Float caveat (same as the Arrow assignment kernel): partial sums
     add in batch order, not the agg's shuffle order — last-ulp
@@ -739,6 +743,31 @@ def _mean_update_arrow(members: DataFrame, dim: int) -> dict:
             }
         )
 
+    def _combine_salted(key, pdf):
+        out = _combine((key[0],), pdf)
+        out["__salt"] = np.int32(key[1])
+        return out
+
+    # the salted pre-fold only pays for itself when MANY tasks feed the
+    # same cell; below the salt width each (cell, salt) group would hold
+    # ~1 row and the extra stage is pure latency (~1.5 s measured)
+    if partials.rdd.getNumPartitions() > 64:
+        partials = (
+            partials.withColumn(
+                "__salt", F.pmod(F.spark_partition_id(), F.lit(64))
+            )
+            .groupBy("__c", "__salt")
+            .applyInPandas(
+                _combine_salted,
+                # NOT part_schema.add(...): StructType.add mutates in
+                # place and would pollute the final combine's schema
+                schema=T.StructType(
+                    list(part_schema.fields)
+                    + [T.StructField("__salt", T.IntegerType())]
+                ),
+            )
+            .drop("__salt")
+        )
     combined = partials.groupBy("__c").applyInPandas(_combine, schema=part_schema)
     return {
         r["__c"]: (r["__cnt"], np.asarray(r["__sums"], dtype=np.float64))
