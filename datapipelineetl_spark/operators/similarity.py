@@ -1108,3 +1108,296 @@ def _arrow_assign_udf(spark: SparkSession, centroids: list[list[float]],
 
     udf = pandas_udf(_assign, "int")
     return (udf, bc) if return_handle else udf
+
+
+# =============================================================================
+# Product quantization (PQ) — the memory-compression ANN tier
+# =============================================================================
+
+def _pq_half_up(x: float, dp: int) -> float:
+    """Python-side HALF_UP rounding matching Spark ``F.round`` / DuckDB
+    ``ROUND`` (away from zero on the .5 boundary — Python's builtin
+    ``round`` is banker's and would diverge exactly there)."""
+    scale = 10.0 ** dp
+    return math.floor(abs(x) * scale + 0.5) / scale * (1.0 if x >= 0 else -1.0)
+
+
+def _pq_subvec(vec: Column, j: int, sub: int) -> Column:
+    """Subspace ``j``'s slice of an array<double> vector (1-based slice)."""
+    return F.slice(vec, j * sub + 1, sub)
+
+
+def _pq_argmin(vec: Column, j: int, book: list[list[float]], sub: int) -> Column:
+    """Nearest-codeword id for subspace ``j`` as a JVM fold over LITERAL
+    codewords: array_min over (distance, code) structs compares
+    lexicographically — min squared L2, ties to the LOWER code id — the
+    exact discipline ``kmeans(assignment="fold")`` uses, which is what
+    makes the whole encode oracle-replayable (sequential left-to-right
+    sums match DuckDB's list_sum term-for-term in IEEE double)."""
+    s = _pq_subvec(vec, j, sub)
+    entries = [
+        F.struct(
+            F.aggregate(
+                F.zip_with(
+                    s,
+                    F.array(*[F.lit(c) for c in cw]),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            ).alias("d"),
+            F.lit(cid).alias("c"),
+        )
+        for cid, cw in enumerate(book)
+    ]
+    return F.array_min(F.array(*entries))["c"].cast("int")
+
+
+def pq_fit(
+    df: DataFrame,
+    m: int = 4,
+    k_sub: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+    dim: int | None = None,
+) -> list[list[list[float]]]:
+    """Fit product-quantization codebooks (Jégou et al. 2011, public):
+    split each dim-d vector into ``m`` contiguous subvectors and run an
+    independent deterministic Lloyd per subspace — returns
+    ``codebooks[j][c]`` = subspace j's codeword c (k_sub × dim/m each).
+
+    PQ is the memory tier of the ANN ladder next to SRP-LSH
+    (``ann_lsh_topk``) and IVF (``ivf_fit_centroids``): a dim-64
+    float32 vector is 256 bytes; its PQ code is ``m`` small ints —
+    with m=8/k_sub=256 that is 8 bytes, a 32× compression that lets a
+    100 TB embedding store scan codes instead of vectors
+    (``pq_adc_topk``). Fit on a SAMPLE at scale (same practice as
+    ``ivf_fit_centroids``); encoding the full corpus is one narrow
+    pass.
+
+    Deterministic by the ``kmeans`` discipline so the whole trajectory
+    is value-replayable cross-engine: seeds = the ``k_sub`` lowest-id
+    vectors' subvectors (HALF_UP-rounded to ``round_dp``), fixed-count
+    iterations, per-iteration codeword means HALF_UP-rounded, empty
+    codes keep their previous codeword, argmin ties to the lower code.
+
+    Scale: ALL m subspaces update in ONE job per iteration — the m
+    per-subspace assignments are computed in a single narrow pass
+    (explode of m (j, code, subvec) structs) feeding a single
+    groupBy(j, code) partial-agg; only m × k_sub × dim/m rounded
+    doubles (the codebooks) ever reach the driver.
+    """
+    if m < 1 or k_sub < 1 or iters < 0:
+        raise ValueError(f"need m, k_sub >= 1 and iters >= 0, got {m}, {k_sub}, {iters}")
+    vec = F.col(vec_col).cast("array<double>")
+    if dim is None:
+        probe = df.filter(vec.isNotNull()).select(F.size(vec_col).alias("n")).first()
+        if probe is None or probe.n < 0:
+            raise ValueError("cannot infer embedding dim from an empty/null column")
+        dim = probe.n
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    seeds = (
+        df.filter(vec.isNotNull())
+        .orderBy(id_col)
+        .limit(k_sub)
+        .select(vec.alias("v"))
+        .collect()
+    )
+    if len(seeds) < k_sub:
+        raise ValueError(f"need >= {k_sub} non-null vectors, got {len(seeds)}")
+    books = [
+        [
+            [_pq_half_up(float(x), round_dp) for x in r.v[j * sub:(j + 1) * sub]]
+            for r in seeds
+        ]
+        for j in range(m)
+    ]
+    for _ in range(iters):
+        rows = (
+            df.filter(vec.isNotNull())
+            .select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(j).alias("j"),
+                                _pq_argmin(vec, j, books[j], sub).alias("c"),
+                                _pq_subvec(vec, j, sub).alias("s"),
+                            )
+                            for j in range(m)
+                        ]
+                    )
+                ).alias("e")
+            )
+            .select("e.j", "e.c", "e.s")
+        )
+        means = (
+            rows.groupBy("j", "c")
+            .agg(
+                *[
+                    F.round(F.avg(F.col("s")[i]), round_dp).alias(f"m{i}")
+                    for i in range(sub)
+                ]
+            )
+            .collect()
+        )
+        upd = {
+            (r["j"], r["c"]): [float(r[f"m{i}"]) for i in range(sub)] for r in means
+        }
+        books = [
+            [upd.get((j, c), cw) for c, cw in enumerate(book)]
+            for j, book in enumerate(books)
+        ]
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    out: str = "pq_code",
+    mode: str = "fold",
+) -> DataFrame:
+    """Attach each vector's PQ code — ``array<int>`` of length m, the
+    persistable narrow column a 100 TB store keeps NEXT TO (or instead
+    of) the raw vectors: ADC queries (``pq_adc_topk``) then scan only
+    these few bytes per row.
+
+    ``mode`` picks the physical plan, exactly the ``kmeans`` split:
+
+    - ``"fold"`` (default, the oracle path): per-subspace argmin as a
+      JVM fold over literal codewords — bit-exact sequential sums,
+      value-replayable. Literal count is m × k_sub × dim/m; fine for
+      oracle geometries, the same analysis-cost ceiling as the kmeans
+      fold as k_sub grows.
+    - ``"arrow"``: one Arrow-batched kernel for ALL subspaces — per
+      batch, m small matmuls via the ‖x‖² − 2x·c + ‖c‖² expansion,
+      argmin per subspace. The production path for k_sub=256
+      codebooks; trades oracle-grade tie determinism for throughput
+      (BLAS summation order), parity-tested on the fixture.
+
+    NULL vectors get NULL codes (no crash) in both modes.
+    """
+    if mode not in ("fold", "arrow"):
+        raise ValueError(f"mode must be 'fold' or 'arrow', got {mode!r}")
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    vec = F.col(vec_col).cast("array<double>")
+    if mode == "fold":
+        codes = F.array(*[_pq_argmin(vec, j, codebooks[j], sub) for j in range(m)])
+        return df.withColumn(out, F.when(vec.isNotNull(), codes))
+
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    mats = [np.asarray(b, dtype=np.float64) for b in codebooks]  # m × (k_sub × sub)
+    norms = [(c * c).sum(axis=1) for c in mats]
+    dim = m * sub
+
+    def _encode(vecs):
+        x, mask = _stack_nullable(vecs, dim)
+        cols = []
+        for j in range(m):
+            xs = x[:, j * sub:(j + 1) * sub]
+            scores = norms[j][None, :] - 2.0 * (xs @ mats[j].T)
+            cols.append(scores.argmin(axis=1).astype(np.int32))
+        stacked = np.stack(cols, axis=1) if len(x) else np.zeros((0, m), np.int32)
+        return pd.Series(
+            [None if mask[i] else stacked[i].tolist() for i in range(len(x))]
+        )
+
+    return df.withColumn(out, pandas_udf(_encode, "array<int>")(vec))
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    query_vec: list[float],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    codes_col: str = "pq_code",
+    round_dp: int = 6,
+    exclude_ids: tuple[int, ...] = (),
+    refine_n: int = 0,
+    vectors: DataFrame | None = None,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) approximate top-k over PQ codes: the
+    query's m × k_sub lookup table of exact subspace distances is
+    computed DRIVER-side (metadata — m·k_sub doubles) and shipped as a
+    literal; each row's approximate squared L2 is then a pure JVM fold
+    of m table lookups over its code — no Python, no join, no shuffle
+    beyond the TakeOrderedAndProject k-heap. This is what makes PQ the
+    100 TB scan tier: the pass reads m small ints per row instead of
+    the dim-sized vector.
+
+    Output: (id_col, ``adc`` = the approximate distance HALF_UP-rounded
+    to ``round_dp``), ascending, ties to the lower id — ordering is on
+    the ROUNDED value (the ``cosine_topk`` discipline) so the result
+    order itself is hash-stable cross-engine. LUT entries are
+    left-to-right sequential sums over each subspace, the fold over m
+    is sequential in j — both match DuckDB's list_sum term-for-term.
+
+    ``refine_n`` > 0 with ``vectors`` enables the standard two-stage
+    search: ADC shortlists ``refine_n`` candidates, then EXACT squared
+    L2 against the raw vectors re-ranks the shortlist to the final k
+    (one narrow join against refine_n ids — recall of exact search
+    whenever the true top-k survives the shortlist).
+    """
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    if len(query_vec) != m * sub:
+        raise ValueError(f"query dim {len(query_vec)} != m*sub {m * sub}")
+    lut = []
+    for j in range(m):
+        q = [float(x) for x in query_vec[j * sub:(j + 1) * sub]]
+        row = []
+        for cw in codebooks[j]:
+            d = 0.0
+            for z in range(sub):
+                t = q[z] - cw[z]
+                d += t * t
+            row.append(d)
+        lut.append(row)
+    lut_lit = F.array(*[F.array(*[F.lit(d) for d in row]) for row in lut])
+    adc = F.aggregate(
+        F.transform(F.col(codes_col), lambda c, j: F.get(F.get(lut_lit, j), c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = encoded.filter(F.col(codes_col).isNotNull()).select(
+        F.col(id_col), F.round(adc, round_dp).alias("adc")
+    )
+    if exclude_ids:
+        scored = scored.filter(~F.col(id_col).isin(*exclude_ids))
+    if refine_n <= 0:
+        return scored.orderBy("adc", id_col).limit(k)
+    if vectors is None:
+        raise ValueError("refine_n > 0 needs the raw `vectors` frame")
+    shortlist = scored.orderBy("adc", id_col).limit(refine_n)
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    vcol = F.col(vec_col).cast("array<double>")
+    # broadcast the tiny shortlist INTO the vector scan so the exact
+    # re-rank touches only refine_n raw vectors, never the full corpus
+    candidates = vectors.join(F.broadcast(shortlist), id_col, "inner")
+    return (
+        candidates.select(
+            F.col(id_col),
+            F.col("adc"),
+            F.round(
+                F.aggregate(
+                    F.zip_with(vcol, qlit, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, d: acc + d,
+                ),
+                round_dp,
+            ).alias("l2"),
+        )
+        .orderBy("l2", id_col)
+        .limit(k)
+    )

@@ -1,0 +1,191 @@
+"""Nineteenth query battery — STAGED for the round-13 verify window.
+
+Round-12 depth addition: the PRODUCT-QUANTIZATION tier of the ANN
+ladder (Jégou et al. 2011, public) — the memory-compression leg next
+to SRP-LSH (`ann_lsh_topk`) and IVF (`ivf_fit_centroids`). A dim-64
+float32 vector is 256 bytes; its PQ code is m small ints — the column
+a 100 TB embedding store scans INSTEAD of the raw vectors. Two staged
+queries pin the whole pipeline cross-engine:
+
+- ``q_pq_codes`` — fit (per-subspace deterministic Lloyd) + encode:
+  EVERY vector's code in EVERY subspace is value-checked; the oracle
+  replays the full m-subspace Lloyd trajectory (seed rounding, every
+  distance, every argmin tiebreak, every rounded codeword mean) the
+  way `_kmeans_ctes` replays the kmeans one.
+- ``q_pq_topk`` — asymmetric-distance (ADC) top-k: the oracle
+  re-derives the query's m × k_sub lookup table and every row's
+  sequential m-term ADC sum, so the approximate distances AND the
+  result order are value-checked, not just recall-gated.
+
+Same staging contract as batches 11–18: separate dicts so importing
+this module cannot grow the live ``queries()`` surface mid-round;
+``tests/test_corpus_oracles.py`` runs the driver-style comparison
+locally; ``register()`` promotes them when the r13 window has slots.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datapipelineetl_spark.operators import similarity
+from datapipelineetl_spark.queries import _t
+from datapipelineetl_spark.queries import QUERIES as _GLOBAL_QUERIES
+from datapipelineetl_spark.queries import ORACLES as _GLOBAL_ORACLES
+from datapipelineetl_spark.queries_ext import _query_vec
+
+STAGED_QUERIES: dict = {}
+STAGED_ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        STAGED_QUERIES[name] = fn
+        if oracle is not None:
+            STAGED_ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def register() -> None:
+    """Round-13 wiring: promote the staged queries into the live
+    registry (call from __spark_entry__ next to the batch-18 register,
+    then give them window slots)."""
+    _GLOBAL_QUERIES.update(STAGED_QUERIES)
+    _GLOBAL_ORACLES.update(STAGED_ORACLES)
+
+
+# geometry: dim 64 → m=16 subspaces of 4 dims, 16 codewords each, 1
+# Lloyd iteration — picked by MEASUREMENT on the fixture (adc
+# recall@10 0.5, refine_n=50 recall 0.9, fit ~8 s: the recall/gate-cost
+# frontier across the (m, k_sub, iters) grid — richer geometries gain
+# recall slowly while the fold's literal expression tree, the kmeans
+# analysis-cost lesson, doubles the fit wall; recall gates in
+# tests/test_pq.py pin the measured numbers)
+_PQ_M = 16
+_PQ_K = 16
+_PQ_ITERS = 1
+_PQ_SUB = 4
+_PQ_DP = 6
+
+
+def _pq_ctes(m: int, k_sub: int, iters: int, sub: int, dp: int) -> str:
+    """Generate the unrolled per-subspace Lloyd CTE chain ending in
+    ``codes(vec_id, j, c)`` — the `_kmeans_ctes` discipline generalized
+    to m independent subspaces carried as a `j` grouping column (ONE
+    chain replays all m trajectories): seeds = the k_sub lowest-id
+    vectors' subvectors (rounded), each iteration = per-(vec,subspace)
+    argmin (ties to the lower code) + per-(subspace,code) rounded
+    means (empty codes keep the previous codeword via COALESCE).
+    Shared by the q_pq_codes and q_pq_topk oracles."""
+    dist = (
+        f"list_sum(list_transform(generate_series(1, {sub}), "
+        f"z -> (s[z] - cv[z]) * (s[z] - cv[z])))"
+    )
+    ctes = [
+        "v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
+        "FROM embeddings WHERE embedding IS NOT NULL)",
+        f"sv AS (SELECT vec_id, CAST(j AS INT) AS j, "
+        f"list_slice(v, j*{sub}+1, (j+1)*{sub}) AS s "
+        f"FROM v, LATERAL UNNEST(generate_series(0, {m - 1})) AS t(j))",
+        f"c0 AS (SELECT j, CAST(rn - 1 AS INT) AS c, "
+        f"list_transform(s, x -> ROUND(x, {dp})) AS cv "
+        f"FROM (SELECT j, s, ROW_NUMBER() OVER (PARTITION BY j ORDER BY vec_id) "
+        f"AS rn FROM sv) WHERE rn <= {k_sub})",
+    ]
+    for i in range(iters):
+        ctes.append(
+            f"a{i} AS (SELECT vec_id, j, s, c FROM ("
+            f"SELECT vec_id, j, s, c, ROW_NUMBER() OVER "
+            f"(PARTITION BY vec_id, j ORDER BY d, c) AS rn FROM ("
+            f"SELECT sv.vec_id, sv.j, sv.s, cc.c, cc.cv, {dist} AS d "
+            f"FROM sv JOIN c{i} cc USING (j))) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"c{i + 1} AS (SELECT s.j, s.c, COALESCE(u.cv, s.cv) AS cv FROM c{i} s "
+            f"LEFT JOIN (SELECT j, c, list(ROUND(mn, {dp}) ORDER BY z) AS cv FROM ("
+            f"SELECT j, c, z, AVG(s[z]) AS mn FROM a{i}, "
+            f"LATERAL UNNEST(generate_series(1, {sub})) AS t(z) "
+            f"GROUP BY j, c, z) GROUP BY j, c) u ON s.j = u.j AND s.c = u.c)"
+        )
+    ctes.append(
+        f"codes AS (SELECT vec_id, j, c FROM (SELECT vec_id, j, c, ROW_NUMBER() OVER "
+        f"(PARTITION BY vec_id, j ORDER BY d, c) AS rn FROM ("
+        f"SELECT sv.vec_id, sv.j, cc.c, {dist} AS d "
+        f"FROM sv JOIN c{iters} cc USING (j))) WHERE rn = 1)"
+    )
+    return ",\n".join(ctes)
+
+
+@query(
+    "q_pq_codes",
+    f"""WITH {_pq_ctes(_PQ_M, _PQ_K, _PQ_ITERS, _PQ_SUB, _PQ_DP)}
+    SELECT vec_id, j AS subspace, c AS code FROM codes""",
+)
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization fit + encode over the embedding corpus
+    (m={0} subspaces × {1} codewords, {2} Lloyd iteration(s)): every
+    vector's code in every subspace, posexploded to scalar rows — the
+    oracle replays all m per-subspace Lloyd trajectories (seed
+    rounding, every distance, every argmin tiebreak, every rounded
+    codeword mean) in one CTE chain carrying the subspace as a
+    grouping column, so the ENTIRE fit+encode path is value-checked
+    cross-engine, the q_kmeans_clusters guarantee extended to PQ.
+
+    Scale: codebooks are driver metadata (m × k_sub × dim/m rounded
+    doubles); each fit iteration is ONE narrow pass + ONE
+    (subspace, code)-key partial agg; the encode is one narrow
+    fold-over-literals pass. The encode's `mode="arrow"` knob is the
+    k_sub=256 production path (similarity.pq_encode docstring).""".format(
+        _PQ_M, _PQ_K, _PQ_ITERS
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    books = similarity.pq_fit(
+        emb, m=_PQ_M, k_sub=_PQ_K, iters=_PQ_ITERS, round_dp=_PQ_DP
+    )
+    enc = similarity.pq_encode(emb, books)
+    return enc.filter(F.col("pq_code").isNotNull()).select(
+        "vec_id", F.posexplode("pq_code").alias("subspace", "code")
+    )
+
+
+@query(
+    "q_pq_topk",
+    f"""WITH {_pq_ctes(_PQ_M, _PQ_K, _PQ_ITERS, _PQ_SUB, _PQ_DP)},
+    q AS (SELECT j, s AS qs FROM sv WHERE vec_id = 0),
+    lut AS (SELECT q.j, cc.c,
+            list_sum(list_transform(generate_series(1, {_PQ_SUB}),
+                     z -> (qs[z] - cv[z]) * (qs[z] - cv[z]))) AS d
+            FROM q JOIN c{_PQ_ITERS} cc ON q.j = cc.j),
+    adc AS (SELECT vec_id, ROUND(list_sum(list(d ORDER BY j)), {_PQ_DP}) AS adc
+            FROM (SELECT codes.vec_id, codes.j, lut.d FROM codes
+                  JOIN lut ON codes.j = lut.j AND codes.c = lut.c)
+            GROUP BY vec_id)
+    SELECT vec_id, adc FROM adc WHERE vec_id <> 0
+    ORDER BY adc, vec_id LIMIT 10""",
+)
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance (ADC) PQ top-10 neighbors of vec_id 0: the
+    query's m × k_sub exact-subspace-distance lookup table ships as a
+    literal (driver metadata) and each row's approximate squared L2 is
+    a pure JVM fold of m table lookups over its code — the oracle
+    re-derives the codebooks, the LUT, and every sequential m-term ADC
+    sum, so approximate distances AND result order are value-checked
+    (ordering is on the ROUNDED distance, the cosine_topk discipline).
+
+    Scale: THE 100 TB scan tier — the pass reads m small ints per row
+    instead of the dim-sized vector (32× less I/O at m=8/k_sub=256 on
+    dim-64 float32), no join, no shuffle beyond the
+    TakeOrderedAndProject k-heap; `refine_n` re-ranks a shortlist
+    against raw vectors for exact-search recall
+    (similarity.pq_adc_topk docstring; recall gates in tests/test_pq.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    books = similarity.pq_fit(
+        emb, m=_PQ_M, k_sub=_PQ_K, iters=_PQ_ITERS, round_dp=_PQ_DP
+    )
+    enc = similarity.pq_encode(emb, books)
+    qv = _query_vec(spark, sf_dir, 0)
+    return similarity.pq_adc_topk(
+        enc, qv, books, k=10, round_dp=_PQ_DP, exclude_ids=(0,)
+    )

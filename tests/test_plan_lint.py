@@ -54,11 +54,13 @@ def frames(spark, sf_dir):
     from datapipelineetl_spark import queries_batch16 as b16
     from datapipelineetl_spark import queries_batch17 as b17
     from datapipelineetl_spark import queries_batch18 as b18
+    from datapipelineetl_spark import queries_batch19 as b19
 
     queries = {**entrymod.queries(), **b12.STAGED_QUERIES,
                **b13.STAGED_QUERIES, **b14.STAGED_QUERIES,
                **b15.STAGED_QUERIES, **b16.STAGED_QUERIES,
-               **b17.STAGED_QUERIES, **b18.STAGED_QUERIES}
+               **b17.STAGED_QUERIES, **b18.STAGED_QUERIES,
+               **b19.STAGED_QUERIES}
     return {name: fn(spark, sf_dir) for name, fn in queries.items()}
 
 

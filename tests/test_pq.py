@@ -1,0 +1,228 @@
+"""Product-quantization family (similarity.pq_fit / pq_encode /
+pq_adc_topk): pure-Python trajectory replay, fold↔arrow encode parity,
+measured recall gates, and the contract corners (nulls, exclusions,
+validation errors)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
+
+from datapipelineetl_spark import catalog
+from datapipelineetl_spark.operators import similarity
+
+_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(DoubleType())),
+    ]
+)
+
+
+def _half_up(x: float, dp: int) -> float:
+    scale = 10.0 ** dp
+    return math.floor(abs(x) * scale + 0.5) / scale * (1.0 if x >= 0 else -1.0)
+
+
+def _py_pq_fit(vecs: dict, m: int, k_sub: int, iters: int, dp: int):
+    """Operation-for-operation replay of pq_fit: seeds = k_sub lowest-id
+    subvectors (HALF_UP-rounded), sequential left-to-right distance
+    sums, argmin ties to the lower code, id-ordered means HALF_UP
+    rounded, empty codes keep the previous codeword."""
+    ids = sorted(i for i, v in vecs.items() if v is not None)
+    dim = len(vecs[ids[0]])
+    sub = dim // m
+    books = [
+        [
+            [_half_up(vecs[i][j * sub + z], dp) for z in range(sub)]
+            for i in ids[:k_sub]
+        ]
+        for j in range(m)
+    ]
+
+    def argmin(v, book):
+        best = None
+        for c, cw in enumerate(book):
+            d = 0.0
+            for z in range(sub):
+                t = v[z] - cw[z]
+                d += t * t
+            if best is None or d < best[0]:
+                best = (d, c)
+        return best[1]
+
+    for _ in range(iters):
+        sums: dict = {}
+        for i in ids:
+            for j in range(m):
+                s = vecs[i][j * sub:(j + 1) * sub]
+                c = argmin(s, books[j])
+                n, acc = sums.get((j, c), (0, [0.0] * sub))
+                sums[(j, c)] = (n + 1, [a + x for a, x in zip(acc, s)])
+        books = [
+            [
+                [_half_up(a / sums[(j, c)][0], dp) for a in sums[(j, c)][1]]
+                if (j, c) in sums
+                else cw
+                for c, cw in enumerate(book)
+            ]
+            for j, book in enumerate(books)
+        ]
+    codes = {
+        i: [argmin(vecs[i][j * sub:(j + 1) * sub], books[j]) for j in range(m)]
+        for i in ids
+    }
+    return books, codes
+
+
+# deterministic "random" fixture: an LCG so there is no RNG import and
+# the values exercise non-trivial geometry; ids 3/7 are exact
+# duplicates (argmin tie coverage), id 9 is a NULL vector
+def _fixture_vecs(n: int = 10, dim: int = 8) -> dict:
+    state = 12345
+    out = {}
+    for i in range(n):
+        v = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) % (2 ** 31)
+            v.append(round(state / 2 ** 31 - 0.5, 3))
+        out[i] = v
+    out[7] = list(out[3])
+    out[9] = None
+    return out
+
+
+_M, _KSUB, _ITERS, _DP = 2, 3, 2, 6
+
+
+@pytest.fixture(scope="module")
+def pq_frame(spark):
+    vecs = _fixture_vecs()
+    rows = [(i, v) for i, v in sorted(vecs.items())]
+    # ONE partition: the replay sums means in id order; a multi-partition
+    # partial-agg merge order would differ in the last ulp
+    return vecs, spark.createDataFrame(rows, _SCHEMA).coalesce(1)
+
+
+def test_pq_fit_encode_matches_python_replay(pq_frame):
+    vecs, df = pq_frame
+    books = similarity.pq_fit(df, m=_M, k_sub=_KSUB, iters=_ITERS, round_dp=_DP)
+    py_books, py_codes = _py_pq_fit(vecs, _M, _KSUB, _ITERS, _DP)
+    assert books == py_books
+    enc = similarity.pq_encode(df, books)
+    got = {r.vec_id: r.pq_code for r in enc.collect()}
+    assert got[9] is None  # NULL vector → NULL code, no crash
+    assert {i: c for i, c in got.items() if c is not None} == py_codes
+    # exact duplicates quantize identically (and the tie went the same way)
+    assert got[3] == got[7]
+
+
+def test_pq_adc_matches_python_replay(pq_frame):
+    vecs, df = pq_frame
+    books = similarity.pq_fit(df, m=_M, k_sub=_KSUB, iters=_ITERS, round_dp=_DP)
+    _, py_codes = _py_pq_fit(vecs, _M, _KSUB, _ITERS, _DP)
+    sub = len(books[0][0])
+    q = vecs[0]
+    lut = []
+    for j in range(_M):
+        row = []
+        for cw in books[j]:
+            d = 0.0
+            for z in range(sub):
+                t = q[j * sub + z] - cw[z]
+                d += t * t
+            row.append(d)
+        lut.append(row)
+    py = sorted(
+        (
+            _half_up(sum(lut[j][c] for j, c in enumerate(py_codes[i])), _DP),
+            i,
+        )
+        for i in py_codes
+        if i != 0
+    )
+    enc = similarity.pq_encode(df, books)
+    got = similarity.pq_adc_topk(
+        enc, q, books, k=len(py), round_dp=_DP, exclude_ids=(0,)
+    ).collect()
+    assert [(r.adc, r.vec_id) for r in got] == py
+    # null-coded rows are excluded, not crashed on
+    assert all(r.vec_id != 9 for r in got)
+
+
+def test_pq_encode_arrow_matches_fold(spark, sf_dir):
+    emb = catalog.load(spark, sf_dir, "embeddings")
+    with_null = emb.unionByName(
+        spark.createDataFrame([(10**9, None)], _SCHEMA).withColumn(
+            "label", F.lit(None).cast("int")
+        )
+    )
+    books = similarity.pq_fit(emb, m=16, k_sub=16, iters=1)
+    fold = {
+        r.vec_id: r.pq_code
+        for r in similarity.pq_encode(with_null, books, mode="fold").collect()
+    }
+    arrow = {
+        r.vec_id: r.pq_code
+        for r in similarity.pq_encode(with_null, books, mode="arrow").collect()
+    }
+    assert fold == arrow
+    assert fold[10**9] is None
+
+
+def test_pq_adc_recall_and_refine(spark, sf_dir):
+    """Pin the MEASURED fixture recall (geometry = the staged
+    q_pq_codes/q_pq_topk one): adc recall@10 was 0.5 and refine_n=50
+    re-rank 0.9 when this gate was written — floors one notch below so
+    legitimate float drift cannot flake the suite, while a broken
+    encode/LUT (recall ≈ 0.1 at m=4/k_sub=8 before the geometry
+    sweep) still fails loudly."""
+    import numpy as np
+
+    emb = catalog.load(spark, sf_dir, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    x = np.array([r.embedding for r in rows], dtype=np.float64)
+    q = x[ids == 0][0]
+    d2 = ((x - q) ** 2).sum(axis=1)
+    mask = ids != 0
+    exact10 = set(
+        int(i) for i in ids[mask][np.lexsort((ids[mask], d2[mask]))][:10]
+    )
+    books = similarity.pq_fit(emb, m=16, k_sub=16, iters=1)
+    enc = similarity.pq_encode(emb, books)
+    adc10 = set(
+        r.vec_id
+        for r in similarity.pq_adc_topk(
+            enc, list(q), books, k=10, exclude_ids=(0,)
+        ).collect()
+    )
+    assert len(adc10 & exact10) / 10 >= 0.4
+    refined = similarity.pq_adc_topk(
+        enc, list(q), books, k=10, exclude_ids=(0,), refine_n=50, vectors=emb
+    ).collect()
+    assert len(set(r.vec_id for r in refined) & exact10) / 10 >= 0.8
+    # the refine leg re-ranks by EXACT distance: l2 ascending, and every
+    # exact distance is <= the next one (ties broken by id)
+    l2s = [(r.l2, r.vec_id) for r in refined]
+    assert l2s == sorted(l2s)
+
+
+def test_pq_validation_errors(pq_frame):
+    _, df = pq_frame
+    with pytest.raises(ValueError, match="not divisible"):
+        similarity.pq_fit(df, m=3)
+    with pytest.raises(ValueError, match="non-null vectors"):
+        similarity.pq_fit(df, m=2, k_sub=100)
+    books = similarity.pq_fit(df, m=_M, k_sub=_KSUB, iters=_ITERS)
+    with pytest.raises(ValueError, match="mode"):
+        similarity.pq_encode(df, books, mode="nope")
+    with pytest.raises(ValueError, match="query dim"):
+        similarity.pq_adc_topk(df, [0.0] * 5, books)
+    with pytest.raises(ValueError, match="vectors"):
+        similarity.pq_adc_topk(
+            similarity.pq_encode(df, books), [0.0] * 8, books, refine_n=5
+        )

@@ -88,23 +88,20 @@ def main() -> int:
         )
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     if staged:
-        from datapipelineetl_spark import queries_batch11 as b11
-        from datapipelineetl_spark import queries_batch12 as b12
-        from datapipelineetl_spark import queries_batch13 as b13
-        from datapipelineetl_spark import queries_batch14 as b14
-        from datapipelineetl_spark import queries_batch15 as b15
-        from datapipelineetl_spark import queries_batch16 as b16
-        from datapipelineetl_spark import queries_batch17 as b17
-        from datapipelineetl_spark import queries_batch18 as b18
+        # discover every queries_batch* module (the __spark_entry__
+        # _extension_tier pattern) — a hand-kept import list silently
+        # skips a newly staged battery (the r12 b19 near-miss)
+        import importlib
+        import pkgutil
 
-        qs = {**qs, **b11.STAGED_QUERIES, **b12.STAGED_QUERIES,
-              **b13.STAGED_QUERIES, **b14.STAGED_QUERIES,
-              **b15.STAGED_QUERIES, **b16.STAGED_QUERIES,
-              **b17.STAGED_QUERIES, **b18.STAGED_QUERIES}
-        oracles = {**oracles, **b11.STAGED_ORACLES, **b12.STAGED_ORACLES,
-                   **b13.STAGED_ORACLES, **b14.STAGED_ORACLES,
-                   **b15.STAGED_ORACLES, **b16.STAGED_ORACLES,
-                   **b17.STAGED_ORACLES, **b18.STAGED_ORACLES}
+        import datapipelineetl_spark as _pkg
+
+        for info in pkgutil.iter_modules(_pkg.__path__):
+            if not info.name.startswith("queries_batch"):
+                continue
+            mod = importlib.import_module(f"datapipelineetl_spark.{info.name}")
+            qs = {**qs, **getattr(mod, "STAGED_QUERIES", {})}
+            oracles = {**oracles, **getattr(mod, "STAGED_ORACLES", {})}
     failed = []
     for name, fn in qs.items():
         if only and name not in only:
