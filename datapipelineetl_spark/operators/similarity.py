@@ -1162,6 +1162,7 @@ def pq_fit(
     vec_col: str = "embedding",
     round_dp: int = 6,
     dim: int | None = None,
+    assignment: str = "fold",
 ) -> list[list[list[float]]]:
     """Fit product-quantization codebooks (Jégou et al. 2011, public):
     split each dim-d vector into ``m`` contiguous subvectors and run an
@@ -1188,9 +1189,23 @@ def pq_fit(
     (explode of m (j, code, subvec) structs) feeding a single
     groupBy(j, code) partial-agg; only m × k_sub × dim/m rounded
     doubles (the codebooks) ever reach the driver.
+
+    ``assignment`` picks the physical plan of each iteration's argmin,
+    exactly the ``kmeans`` split: ``"fold"`` (default, the oracle path)
+    is the JVM fold over literal codewords — bit-exact, but its
+    m × k_sub × dim/m literal expression tree is a CLIFF, not a slope
+    (measured: executor OOM at m=8/k_sub=256/n=10k — SCALING.md round
+    12); ``"arrow"`` routes every assignment through the shared
+    ``_pq_arrow_codes_udf`` matmul kernel — the k_sub=256 production
+    path, trading oracle-grade tie determinism exactly as kmeans does
+    (parity-tested on the fixture; the mean agg is unchanged — sub
+    stays small in PQ, so the agg width never walls like wide-dim
+    kmeans).
     """
     if m < 1 or k_sub < 1 or iters < 0:
         raise ValueError(f"need m, k_sub >= 1 and iters >= 0, got {m}, {k_sub}, {iters}")
+    if assignment not in ("fold", "arrow"):
+        raise ValueError(f"assignment must be 'fold' or 'arrow', got {assignment!r}")
     vec = F.col(vec_col).cast("array<double>")
     if dim is None:
         probe = df.filter(vec.isNotNull()).select(F.size(vec_col).alias("n")).first()
@@ -1217,23 +1232,32 @@ def pq_fit(
         for j in range(m)
     ]
     for _ in range(iters):
-        rows = (
-            df.filter(vec.isNotNull())
-            .select(
-                F.explode(
-                    F.array(
-                        *[
-                            F.struct(
-                                F.lit(j).alias("j"),
-                                _pq_argmin(vec, j, books[j], sub).alias("c"),
-                                _pq_subvec(vec, j, sub).alias("s"),
-                            )
-                            for j in range(m)
-                        ]
-                    )
-                ).alias("e")
+        base = df.filter(vec.isNotNull())
+        if assignment == "arrow":
+            # materialize the kernel's codes as ONE column first so the
+            # m struct references below cannot re-evaluate the UDF
+            base = base.select(
+                vec.alias("__v"), _pq_arrow_codes_udf(books)(vec).alias("__codes")
             )
-            .select("e.j", "e.c", "e.s")
+            structs = [
+                F.struct(
+                    F.lit(j).alias("j"),
+                    F.get("__codes", j).alias("c"),
+                    F.slice("__v", j * sub + 1, sub).alias("s"),
+                )
+                for j in range(m)
+            ]
+        else:
+            structs = [
+                F.struct(
+                    F.lit(j).alias("j"),
+                    _pq_argmin(vec, j, books[j], sub).alias("c"),
+                    _pq_subvec(vec, j, sub).alias("s"),
+                )
+                for j in range(m)
+            ]
+        rows = base.select(F.explode(F.array(*structs)).alias("e")).select(
+            "e.j", "e.c", "e.s"
         )
         means = (
             rows.groupBy("j", "c")
@@ -1290,11 +1314,23 @@ def pq_encode(
     if mode == "fold":
         codes = F.array(*[_pq_argmin(vec, j, codebooks[j], sub) for j in range(m)])
         return df.withColumn(out, F.when(vec.isNotNull(), codes))
+    return df.withColumn(out, _pq_arrow_codes_udf(codebooks)(vec))
 
+
+def _pq_arrow_codes_udf(codebooks: list[list[list[float]]]):
+    """Arrow-batched all-subspace PQ codes: per batch, one small matmul
+    per subspace via the ‖x‖² − 2x·c + ‖c‖² expansion, argmin per
+    subspace → array<int>. Shared by ``pq_encode(mode="arrow")`` and
+    ``pq_fit(assignment="arrow")`` — the production kernel wherever the
+    fold's m × k_sub × dim/m literal expression tree stops scaling
+    (measured: executor OOM at m=8/k_sub=256 — SCALING.md round 12,
+    the kmeans fold k-cliff reproduced in PQ)."""
     import numpy as np  # noqa: PLC0415
     import pandas as pd  # noqa: PLC0415
     from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
 
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
     mats = [np.asarray(b, dtype=np.float64) for b in codebooks]  # m × (k_sub × sub)
     norms = [(c * c).sum(axis=1) for c in mats]
     dim = m * sub
@@ -1311,7 +1347,7 @@ def pq_encode(
             [None if mask[i] else stacked[i].tolist() for i in range(len(x))]
         )
 
-    return df.withColumn(out, pandas_udf(_encode, "array<int>")(vec))
+    return pandas_udf(_encode, "array<int>")
 
 
 def pq_adc_topk(
@@ -1364,12 +1400,18 @@ def pq_adc_topk(
                 d += t * t
             row.append(d)
         lut.append(row)
-    lut_lit = F.array(*[F.array(*[F.lit(d) for d in row]) for row in lut])
-    adc = F.aggregate(
-        F.transform(F.col(codes_col), lambda c, j: F.get(F.get(lut_lit, j), c)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    # ONE flat literal array + an unrolled m-term sum — constant-folds
+    # to a single Literal and stays inside whole-stage codegen; the
+    # higher-order-function spelling (aggregate over transform with
+    # nested F.get) evaluates interpreted and re-walks the literal per
+    # row — measured 14× slower at n=200k/m=8/k_sub=256 (SCALING.md).
+    # Left-to-right adds keep the sequential IEEE order the oracle
+    # replays (list_sum over the j-ordered lut terms).
+    flat_lit = F.array(*[F.lit(d) for row in lut for d in row])
+    adc = None
+    for j in range(m):
+        term = F.get(flat_lit, F.lit(j * len(lut[j])) + F.get(codes_col, j))
+        adc = term if adc is None else adc + term
     scored = encoded.filter(F.col(codes_col).isNotNull()).select(
         F.col(id_col), F.round(adc, round_dp).alias("adc")
     )

@@ -173,6 +173,20 @@ def test_pq_encode_arrow_matches_fold(spark, sf_dir):
     assert fold[10**9] is None
 
 
+def test_pq_fit_arrow_matches_fold(spark, sf_dir):
+    """pq_fit(assignment="arrow") routes each iteration's argmin through
+    the matmul kernel instead of the literal fold (whose expression
+    tree OOMs executors at m=8/k_sub=256 — SCALING.md round 12). On the
+    fixture the two must produce IDENTICAL codebooks (no distance ties
+    at fixture geometry, and the mean agg is shared)."""
+    emb = catalog.load(spark, sf_dir, "embeddings")
+    fold = similarity.pq_fit(emb, m=16, k_sub=16, iters=2, assignment="fold")
+    arrow = similarity.pq_fit(emb, m=16, k_sub=16, iters=2, assignment="arrow")
+    assert fold == arrow
+    with pytest.raises(ValueError, match="assignment"):
+        similarity.pq_fit(emb, m=16, assignment="nope")
+
+
 def test_pq_adc_recall_and_refine(spark, sf_dir):
     """Pin the MEASURED fixture recall (geometry = the staged
     q_pq_codes/q_pq_topk one): adc recall@10 was 0.5 and refine_n=50

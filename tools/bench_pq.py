@@ -16,13 +16,18 @@ Two claims to pin with numbers, not arguments:
 
 Fit is on a SAMPLE (the ivf_fit_centroids practice) — fit cost is
 excluded from the scan comparison on purpose; encode cost (one Arrow
-pass, mode="arrow") is reported once.
+pass, mode="arrow") is reported once. The fit runs
+``assignment="arrow"``: the fold's m × k_sub × dim/m literal tree is a
+measured CLIFF at this geometry (executor OOM at m=8/k_sub=256/n=10k —
+re-probe with SPARK_GRAFT_PQ_FOLD=1, single run, expect the JVM to die).
 
     python tools/bench_pq.py [n ...]    # default 50000 200000
+    SPARK_GRAFT_PQ_FOLD=1 python tools/bench_pq.py 50000   # fold-fit OOM probe
 """
 
 from __future__ import annotations
 
+import os
 import sys
 import tempfile
 import time
@@ -30,11 +35,10 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-import numpy as np
+from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from datapipelineetl_spark.operators import similarity
-from datapipelineetl_spark.session import get_session
 
 DIM, M, KSUB, ITERS, FIT_N = 64, 8, 256, 2, 10_000
 
@@ -49,9 +53,18 @@ def _timed(fn, reps: int = 2) -> float:
 
 
 def main() -> int:
-    ns = [int(a) for a in sys.argv[1:]] or [50_000, 200_000]
-    spark = get_session("bench-pq")
-    rng = np.random.default_rng(42)
+    ns = [int(a) for a in sys.argv[1:]] or [200_000, 1_000_000]
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("bench-pq")
+        .config("spark.sql.shuffle.partitions", "32")
+        # local mode = driver JVM hosts all executor threads; the
+        # default 1g heap cannot decode 32 concurrent 16 MiB vector
+        # splits at n=10^6 (the bench_dedup lesson)
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
     print(
         f"| n (dim={DIM}, m={M}, k_sub={KSUB}, arrow encode, fit on "
         f"{FIT_N}-row sample) | encode (s) | exact top-10 (s) "
@@ -59,44 +72,61 @@ def main() -> int:
     )
     print("| --- | --- | --- | --- | --- | --- |")
     for n in ns:
-        vecs = rng.normal(size=(n, DIM))
-        rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
-        df = (
-            spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-            .repartition(32)
-            .localCheckpoint(eager=True)
-        )
-        fit_sample = df.filter(F.col("vec_id") < FIT_N)
-        books = similarity.pq_fit(
-            fit_sample, m=M, k_sub=KSUB, iters=ITERS, dim=DIM
-        )
-        t0 = time.perf_counter()
-        enc = similarity.pq_encode(df, books, mode="arrow").localCheckpoint(
-            eager=True
-        )
-        t_enc = time.perf_counter() - t0
-        q = [float(x) for x in vecs[0]]
-        t_exact = _timed(
-            lambda: similarity.cosine_topk(enc, q, k=10, exclude_ids=(0,)).collect()
-        )
-        t_adc = _timed(
-            lambda: similarity.pq_adc_topk(
-                enc, q, books, k=10, exclude_ids=(0,)
-            ).collect()
-        )
+        # generate Spark-side (64 seeded rand columns) straight TO
+        # PARQUET — never cached: a driver-built row list or an
+        # in-heap checkpoint walls at n=10^6 long before the scans
+        # being measured do. Everything below reads the written store —
+        # the persisted shape the 100 TB claim is about: the exact pass
+        # decodes the dim-sized vector column, the ADC pass only the
+        # m-int code column.
         with tempfile.TemporaryDirectory() as td:
-            enc.select("vec_id", "embedding").write.parquet(f"{td}/vec")
-            enc.select("vec_id", "pq_code").write.parquet(f"{td}/code")
+            (
+                spark.range(n)
+                .select(
+                    F.col("id").alias("vec_id"),
+                    F.array(*[F.rand(42_000 + i) for i in range(DIM)]).alias(
+                        "embedding"
+                    ),
+                )
+                .repartition(32)
+                .write.parquet(f"{td}/vec")
+            )
+            vec_store = spark.read.parquet(f"{td}/vec")
+            fit_mode = (
+                "fold" if os.environ.get("SPARK_GRAFT_PQ_FOLD") == "1" else "arrow"
+            )
+            books = similarity.pq_fit(
+                vec_store.filter(F.col("vec_id") < FIT_N),
+                m=M, k_sub=KSUB, iters=ITERS, dim=DIM, assignment=fit_mode,
+            )
+            t0 = time.perf_counter()
+            similarity.pq_encode(vec_store, books, mode="arrow").select(
+                "vec_id", "pq_code"
+            ).write.parquet(f"{td}/code")
+            t_enc = time.perf_counter() - t0
+            code_store = spark.read.parquet(f"{td}/code")
+            q = [
+                float(x)
+                for x in vec_store.filter(F.col("vec_id") == 0).first().embedding
+            ]
             mib = lambda p: sum(
                 f.stat().st_size for f in Path(p).rglob("*.parquet")
             ) / 2**20
             v_mib, c_mib = mib(f"{td}/vec"), mib(f"{td}/code")
+            t_exact = _timed(
+                lambda: similarity.cosine_topk(
+                    vec_store, q, k=10, exclude_ids=(0,)
+                ).collect()
+            )
+            t_adc = _timed(
+                lambda: similarity.pq_adc_topk(
+                    code_store, q, books, k=10, exclude_ids=(0,)
+                ).collect()
+            )
         print(
             f"| {n} | {t_enc:.2f} | {t_exact:.2f} | {t_adc:.2f} "
             f"| {v_mib:.1f} | {c_mib:.1f} |"
         )
-        df.unpersist()
-        enc.unpersist()
     spark.stop()
     return 0
 
