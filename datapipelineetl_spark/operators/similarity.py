@@ -1443,3 +1443,72 @@ def pq_adc_topk(
         .orderBy("l2", id_col)
         .limit(k)
     )
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str | None = None,
+    codes_col: str | None = None,
+    round_dp: int = 6,
+    exclude_ids: tuple[int, ...] = (),
+    refine_n: int = 0,
+) -> DataFrame:
+    """IVF-PQ approximate top-k — the two index tiers COMPOSED the way a
+    100 TB store runs them (the public FAISS ``IVF,PQ`` architecture,
+    Jégou et al. 2011): the coarse quantizer prunes to the ``nprobe``
+    cells nearest the query (partition pruning when the store is laid
+    out by ``cell_col``), then the ADC pass scans only the PROBED
+    cells' m-int code column — pruning × compression, so a query
+    touches nprobe/k_cells of the corpus at ~dim·8/m of the bytes.
+
+    This is the NON-RESIDUAL variant: one GLOBAL codebook over raw
+    vectors, so the persisted code column is cell-independent — one
+    encode pass serves every query and re-clustering the coarse tier
+    never re-encodes. (Residual PQ — codes on x − centroid — buys
+    accuracy at the cost of per-cell LUTs and cell-coupled codes;
+    at the storage layout this engine targets, the global-codebook
+    trade is the operational one. ``refine_n`` recovers exactness
+    the same way either way.)
+
+    With precomputed ``cell_col``/``codes_col`` (the persisted-store
+    shape: `ivf_assign` + `pq_encode` written once) the query plan is a
+    narrow predicate + literal-LUT scan + k-heap — no Python, no
+    shuffle. Missing columns are attached on the fly (one Arrow pass
+    each) for ad-hoc use. ``refine_n`` re-ranks an ADC shortlist
+    against the raw vectors in ``df`` (exact squared L2, broadcast
+    shortlist join), the standard two-stage recipe.
+    """
+    import numpy as np  # noqa: PLC0415
+
+    c = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    order = np.argsort(-(c @ q), kind="stable")
+    probe_cells = [int(x) for x in order[: max(1, nprobe)]]
+    work = df
+    if cell_col is None:
+        work = ivf_assign(work, centroids, vec_col, "__ivfpq_cell")
+        cell_col = "__ivfpq_cell"
+    if codes_col is None:
+        work = pq_encode(work, codebooks, vec_col, "__ivfpq_code", mode="arrow")
+        codes_col = "__ivfpq_code"
+    probed = work.filter(F.col(cell_col).isin(probe_cells))
+    return pq_adc_topk(
+        probed,
+        query_vec,
+        codebooks,
+        k=k,
+        id_col=id_col,
+        codes_col=codes_col,
+        round_dp=round_dp,
+        exclude_ids=exclude_ids,
+        refine_n=refine_n,
+        vectors=df if refine_n > 0 else None,
+        vec_col=vec_col,
+    )
