@@ -154,6 +154,72 @@ def mix_corpora(
     return out
 
 
+def temperature_weights(
+    counts: Mapping[str, int], alpha: float = 0.3
+) -> dict[str, float]:
+    """Temperature-scaled source weights (the multilingual/pretraining
+    rebalance rule, public: Arivazhagan et al. 2019 §5, Conneau &
+    Lample 2019): ``w_s ∝ n_s^alpha``, normalized. ``alpha = 1``
+    reproduces the natural (proportional) mix; ``alpha → 0`` flattens
+    toward uniform — small sources get boosted RELATIVE share, big
+    ones get squashed, without anyone hand-tuning per-source weights.
+
+    Pure driver metadata math (counts is #sources-sized by
+    construction); the accumulation runs in sorted-key order so the
+    normalization is reproducible bit-for-bit. Feed the result to
+    ``mix_corpora`` (multi-frame shape) or use ``temperature_mix``
+    (single tagged-frame shape, one pass).
+    """
+    if not counts:
+        raise ValueError("need at least one source count")
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    for s, n in counts.items():
+        if n <= 0:
+            raise ValueError(f"count for {s!r} must be > 0, got {n}")
+    pw = {s: float(n) ** alpha for s, n in counts.items()}
+    z = 0.0
+    for s in sorted(pw, key=lambda x: (x is None, x)):
+        z += pw[s]
+    return {s: p / z for s, p in pw.items()}
+
+
+def temperature_mix(
+    df: DataFrame,
+    key_col: str,
+    source_col: str = "source",
+    alpha: float = 0.3,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-based corpus remix over ONE source-tagged frame:
+    counts per source → ``temperature_weights(alpha)`` → the
+    ``mix_corpora`` down-sample rule (limiting source kept whole,
+    never up-sample) → a single deterministic hash-gated filter. The
+    one-pass shape a 100 TB store actually has (a ``source`` column,
+    not N separate frames): one source-cardinality count aggregate,
+    then ONE narrow CASE-threshold filter — no join, no union, no
+    shuffle beyond the metadata count.
+
+    NULL sources are a group like any other (eqNullSafe threshold
+    dispatch + the samplers' null-key sentinel discipline) — silently
+    dropping untagged rows is the exact failure mode the cleaning
+    operators exist to prevent.
+    """
+    counts = {
+        r[source_col]: r["n"]
+        for r in df.groupBy(source_col).agg(F.count("*").alias("n")).collect()
+    }
+    weights = temperature_weights(counts, alpha)
+    total = min(counts[s] / weights[s] for s in counts)
+    thr: Column = F.lit(0)
+    for s in counts:
+        frac = min(1.0, weights[s] * total / counts[s])
+        thr = F.when(
+            F.col(source_col).eqNullSafe(F.lit(s)), F.lit(_gate_threshold(frac))
+        ).otherwise(thr)
+    return df.filter(_hash_gate(F.col(key_col), salt) < thr)
+
+
 def pack_chunks(
     df: DataFrame,
     token_col: str,

@@ -4,8 +4,9 @@ Round-12 depth addition: the PRODUCT-QUANTIZATION tier of the ANN
 ladder (Jégou et al. 2011, public) — the memory-compression leg next
 to SRP-LSH (`ann_lsh_topk`) and IVF (`ivf_fit_centroids`). A dim-64
 float32 vector is 256 bytes; its PQ code is m small ints — the column
-a 100 TB embedding store scans INSTEAD of the raw vectors. Two staged
-queries pin the whole pipeline cross-engine:
+a 100 TB embedding store scans INSTEAD of the raw vectors. Plus the
+computed-weight leg of corpus mixing (temperature/alpha scaling).
+Three staged queries pin the pipelines cross-engine:
 
 - ``q_pq_codes`` — fit (per-subspace deterministic Lloyd) + encode:
   EVERY vector's code in EVERY subspace is value-checked; the oracle
@@ -16,6 +17,10 @@ queries pin the whole pipeline cross-engine:
   re-derives the query's m × k_sub lookup table and every row's
   sequential m-term ADC sum, so the approximate distances AND the
   result order are value-checked, not just recall-gated.
+- ``q_temperature_mix`` — temperature weights w ∝ n^alpha over a
+  skewed pseudo-source tag, the limiting-source total, and every
+  hash-gate decision replayed (the q_corpus_mix guarantee extended
+  to COMPUTED weights).
 
 Same staging contract as batches 11–18: separate dicts so importing
 this module cannot grow the live ``queries()`` surface mid-round;
@@ -28,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from datapipelineetl_spark.operators import similarity
+from datapipelineetl_spark.operators import corpus, similarity
 from datapipelineetl_spark.queries import _t
 from datapipelineetl_spark.queries import QUERIES as _GLOBAL_QUERIES
 from datapipelineetl_spark.queries import ORACLES as _GLOBAL_ORACLES
@@ -189,3 +194,65 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_adc_topk(
         enc, qv, books, k=10, round_dp=_PQ_DP, exclude_ids=(0,)
     )
+
+
+# =============================================================================
+# Temperature-based corpus remix (UniMax / multilingual alpha-scaling)
+# =============================================================================
+
+_TM_ALPHA = 0.5
+_TM_SALT = "tm0"
+# the fixture's real `source` column is perfectly uniform (25 docs per
+# src*), which makes temperature weighting degenerate (every weight
+# equal, every fraction 1) — derive a SKEWED 4:2:1 pseudo-source so
+# the alpha actually moves the mix
+_TM_TAG = (
+    "CASE WHEN doc_id % 7 < 4 THEN 'head' "
+    "WHEN doc_id % 7 < 6 THEN 'mid' ELSE 'tail' END"
+)
+_SQL_GATE_TM = (
+    "(('0x' || substr(md5(COALESCE(doc_id::VARCHAR, '__null__') "
+    f"|| '{_TM_SALT}'), 1, 15))::BIGINT % 1000000)"
+)
+
+
+@query(
+    "q_temperature_mix",
+    f"""
+    WITH tagged AS (
+      SELECT doc_id, {_TM_TAG} AS mix_source FROM documents),
+    cnt AS (SELECT mix_source, CAST(COUNT(*) AS DOUBLE) AS n
+            FROM tagged GROUP BY mix_source),
+    z AS (SELECT SUM(POWER(n, {_TM_ALPHA})) AS z FROM cnt),
+    w AS (SELECT mix_source, POWER(n, {_TM_ALPHA}) / z.z AS w, n
+          FROM cnt CROSS JOIN z),
+    t AS (SELECT MIN(n / w) AS total FROM w),
+    fr AS (SELECT mix_source,
+                  CAST(ROUND(LEAST(1.0, w * t.total / n) * 1000000) AS BIGINT)
+                    AS thr
+           FROM w CROSS JOIN t)
+    SELECT g.doc_id, g.mix_source
+    FROM tagged g JOIN fr USING (mix_source)
+    WHERE {_SQL_GATE_TM} < fr.thr
+    """,
+)
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based corpus remix (alpha={0}): a skewed 4:2:1
+    pseudo-source tag, temperature weights w ∝ n^alpha, the
+    limiting-source total, per-source fractions, and every row's
+    hash-gate decision ALL replayed by the oracle — the full
+    `corpus.temperature_mix` derivation value-checked cross-engine
+    (the q_corpus_mix guarantee extended to computed-weight mixing;
+    fraction thresholds quantize to millionths, which absorbs any
+    cross-libm POWER last-ulp difference).
+
+    Scale: one source-cardinality count aggregate + ONE narrow
+    CASE-threshold filter — no join, no union
+    (corpus.temperature_mix docstring).""".format(_TM_ALPHA)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_TM_TAG).alias("mix_source")
+    )
+    return corpus.temperature_mix(
+        docs, key_col="doc_id", source_col="mix_source",
+        alpha=_TM_ALPHA, salt=_TM_SALT,
+    ).select("doc_id", "mix_source")

@@ -1089,3 +1089,47 @@ def test_cluster_balanced_sample_composition(spark):
         docs, emb, k_per_cluster=5, n_clusters=2, iters=2, salt="s"
     ).collect()}
     assert again == {(r.doc_id, r.cluster) for r in rows}
+
+
+def test_temperature_weights_and_mix(spark):
+    """temperature_weights: alpha=1 reproduces the natural mix (every
+    fraction 1 → temperature_mix keeps everything); alpha<1 flattens —
+    the BIG source downsamples while the LIMITING source is kept whole
+    (the mix_corpora never-up-sample rule); weights normalize to 1 and
+    preserve the size order; NULL sources are a group, not a drop."""
+    from datapipelineetl_spark.operators.corpus import (
+        temperature_mix,
+        temperature_weights,
+    )
+
+    counts = {"big": 400, "mid": 200, "tail": 100}
+    w1 = temperature_weights(counts, alpha=1.0)
+    assert abs(sum(w1.values()) - 1.0) < 1e-12
+    assert abs(w1["big"] - 4 / 7) < 1e-12
+    w = temperature_weights(counts, alpha=0.5)
+    assert abs(sum(w.values()) - 1.0) < 1e-12
+    # flattened but order-preserving: natural share of big is 4/7≈0.571,
+    # sqrt-share is 2/(2+sqrt(2)+1)≈0.453 — still the largest
+    assert w1["big"] > w["big"] > w["mid"] > w["tail"]
+
+    rows = [(i, "big" if i < 400 else "mid" if i < 600 else "tail" if i < 700
+             else None) for i in range(710)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    # alpha=1: natural mix — everything kept (all fractions exactly 1)
+    assert temperature_mix(df, "doc_id", alpha=1.0).count() == 710
+    # alpha=0.25: the NULL group (10 rows — smallest, so largest
+    # weight-to-size ratio after flattening) is the LIMITING source:
+    # kept whole, not dropped; every other source downsamples toward
+    # the flattened proportions (w_big/w_tail = 4^0.25 ≈ 1.41, vs the
+    # natural 4.0)
+    out = temperature_mix(df, "doc_id", alpha=0.25, salt="t1")
+    got = {r.source: r.n for r in
+           out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert got[None] == 10  # null source survives whole, never dropped
+    assert got["big"] < 400 and got["mid"] < 200 and got["tail"] < 100
+    assert got["big"] / got["tail"] < 4.0  # flatter than natural
+    # validation
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_weights(counts, alpha=0.0)
+    with pytest.raises(ValueError, match="count"):
+        temperature_weights({"a": 0})

@@ -108,12 +108,12 @@ def test_staged_registry_promoted():
 
 
 def test_batch19_staged_not_promoted():
-    """Batch 19 (the PQ pair) stages in round 12 and promotes in round
+    """Batch 19 (the PQ pair + temperature mix) stages in round 12 and promotes in round
     13: its dicts must be well-formed (every query carries an oracle)
     and its names must NOT be in the live registry yet — staging must
     not grow ``queries()`` mid-round (the module-docstring contract)."""
     import __spark_entry__ as entrymod
 
     assert set(b19.STAGED_ORACLES) == set(b19.STAGED_QUERIES)
-    assert len(b19.STAGED_QUERIES) == 2
+    assert len(b19.STAGED_QUERIES) == 3
     assert not set(b19.STAGED_QUERIES) & set(entrymod.queries())
