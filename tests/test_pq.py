@@ -309,3 +309,34 @@ def test_ivfpq_topk_composition(spark, sf_dir):
         exclude_ids=(0,), refine_n=50,
     ).collect()
     assert len(set(r.vec_id for r in refined) & exact10) / 10 >= 0.7
+
+
+def test_ivfpq_partition_pruning_plan(spark, sf_dir, tmp_path):
+    """The persisted-store contract (examples/ann_index_build.py): on a
+    store written partitionBy(ivf_cell), ivfpq_topk's cell predicate
+    must reach the scan as a PartitionFilter — directory pruning, the
+    100 TB claim — and return the same rows as the unpartitioned
+    path."""
+    emb = catalog.load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = similarity.ivf_fit_centroids(emb, k_cells=8, iters=2)
+    books = similarity.pq_fit(emb, m=16, k_sub=16, iters=1)
+    enc = similarity.pq_encode(similarity.ivf_assign(emb, cents), books,
+                               mode="arrow")
+    path = str(tmp_path / "store")
+    enc.write.partitionBy("ivf_cell").parquet(path)
+    store = spark.read.parquet(path)
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    pruned = similarity.ivfpq_topk(
+        store, q, cents, books, k=10, nprobe=3,
+        cell_col="ivf_cell", codes_col="pq_code", exclude_ids=(0,),
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "ivf_cell" in pf
+    flat = similarity.ivfpq_topk(
+        enc, q, cents, books, k=10, nprobe=3,
+        cell_col="ivf_cell", codes_col="pq_code", exclude_ids=(0,),
+    )
+    assert [(r.vec_id, r.adc) for r in pruned.collect()] == [
+        (r.vec_id, r.adc) for r in flat.collect()
+    ]
