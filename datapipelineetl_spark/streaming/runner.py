@@ -1845,3 +1845,59 @@ def streaming_dsir_weights(
     return run_foreach_batch(
         stream, handle, checkpoint, available_now=available_now, skip_empty=True
     )
+
+
+def streaming_ann_index(
+    stream: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    store: str,
+    checkpoint: str,
+    vec_col: str = "embedding",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming maintenance of the persisted IVF-PQ ANN store
+    (examples/ann_index_build.py's layout, kept fresh as embeddings
+    arrive): per micro-batch, ONE Arrow pass attaches the coarse cell
+    (`similarity.ivf_assign`) and the m-int PQ code
+    (`similarity.pq_encode(mode="arrow")`), then a dynamic
+    partition-overwrite lands the batch under
+    ``store/ivf_cell=*/__batch_id=*`` — exactly-once at partition
+    granularity (a replayed batch REWRITES its (cell, batch)
+    partitions; assignments are deterministic given the frozen models,
+    so the rewritten partitions are the originals), with ``ivf_cell``
+    kept as the TOP-level partition so `ivfpq_topk` queries still
+    prune directories.
+
+    The index models are FROZEN broadcast artifacts (fit once on a
+    sample, the `ivf_fit_centroids` practice) — the streaming-DSIR
+    pattern: no state store, no cross-batch coupling, value-
+    deterministic replay. Re-fitting the coarse tier is an OFFLINE
+    event (rewrite the store's layout); the GLOBAL, non-residual PQ
+    codebook is exactly what keeps arriving codes valid across that
+    event (similarity.ivfpq_topk docstring).
+
+    Scale: per batch = arrival-sized narrow work + one partitioned
+    write; the store grows by appendable partitions, never rewritten
+    corpus-wide. Query cost is unchanged as the store grows beyond
+    any single batch: pruning is on cell directories, not batch ids.
+    """
+    from datapipelineetl_spark.operators import similarity  # noqa: PLC0415
+    from datapipelineetl_spark.sinks import maintenance  # noqa: PLC0415
+
+    def handle(df: DataFrame, epoch_id: int) -> None:
+        enc = similarity.pq_encode(
+            similarity.ivf_assign(df, centroids, vec_col),
+            codebooks,
+            vec_col,
+            mode="arrow",
+        )
+        maintenance.overwrite_partitions(
+            enc.withColumn("__batch_id", F.lit(epoch_id)),
+            store,
+            ["ivf_cell", "__batch_id"],
+        )
+
+    return run_foreach_batch(
+        stream, handle, checkpoint, available_now=available_now, skip_empty=True
+    )

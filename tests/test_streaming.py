@@ -1895,3 +1895,69 @@ def test_streaming_dsir_weights_null_and_duplicate_ids(spark, tmp_path):
     want = {r.doc_id: r.dsir_weight
             for r in corpus_ops.dsir_score(docs, model, n_buckets=64).collect()}
     assert sevens[0].dsir_weight == want[7]
+
+
+def test_streaming_ann_index_matches_batch_and_replays(spark, tmp_path):
+    """ST8+ × ANN: the stream-maintained IVF-PQ store must equal the
+    batch-built index of the same rows (frozen models → deterministic
+    assignments), keep ivf_cell as a prunable top-level partition, and
+    survive checkpoint-loss replay without duplicating (the
+    idempotent_parquet_sink guarantee on (cell, batch) partitions)."""
+    import shutil
+
+    from datapipelineetl_spark.operators import similarity
+
+    src = str(tmp_path / "vecs")
+    store = str(tmp_path / "store")
+    ck = str(tmp_path / "ckpt")
+    dim = 8
+    rows = [
+        (i, [((i * 31 + z * 7) % 97) / 97.0 - 0.5 for z in range(dim)])
+        for i in range(40)
+    ]
+    schema = "vec_id long, embedding array<double>"
+    base = spark.createDataFrame(rows, schema)
+    base.filter(F.col("vec_id") < 20).coalesce(1).write.parquet(src)
+    base.filter(F.col("vec_id") >= 20).coalesce(1).write.mode("append").parquet(src)
+
+    cents = similarity.ivf_fit_centroids(base, k_cells=4, iters=2, dim=dim)
+    books = similarity.pq_fit(base, m=2, k_sub=4, iters=1, dim=dim)
+
+    def drain():
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+        runner.streaming_ann_index(stream, cents, books, store, ck)
+
+    drain()
+    got = spark.read.parquet(store)
+    # layout: both partition columns present, cell on top
+    assert {"ivf_cell", "__batch_id"} <= set(got.columns)
+    assert got.select("__batch_id").distinct().count() >= 2
+    expected = similarity.pq_encode(
+        similarity.ivf_assign(base, cents), books, mode="arrow"
+    )
+    canon = lambda df: sorted(
+        (r.vec_id, r.ivf_cell, tuple(r.pq_code)) for r in df.collect()
+    )
+    assert canon(got.select("vec_id", "ivf_cell", "pq_code")) == canon(expected)
+
+    # checkpoint loss → full replay: partitions rewritten, never appended
+    shutil.rmtree(ck)
+    drain()
+    again = spark.read.parquet(store)
+    assert canon(again.select("vec_id", "ivf_cell", "pq_code")) == canon(expected)
+
+    # and the store answers pruned ivfpq queries identically to flat
+    q = rows[0][1]
+    pruned = similarity.ivfpq_topk(
+        again, q, cents, books, k=5, nprobe=2,
+        cell_col="ivf_cell", codes_col="pq_code", exclude_ids=(0,),
+    )
+    flat = similarity.ivfpq_topk(
+        expected, q, cents, books, k=5, nprobe=2,
+        cell_col="ivf_cell", codes_col="pq_code", exclude_ids=(0,),
+    )
+    assert [(r.vec_id, r.adc) for r in pruned.collect()] == [
+        (r.vec_id, r.adc) for r in flat.collect()
+    ]
