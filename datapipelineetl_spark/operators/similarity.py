@@ -328,10 +328,16 @@ def ivf_fit_centroids(
     id_col: str = "vec_id",
     dim: int | None = None,
     update: str = "agg",
+    metric: str = "cosine",
 ) -> list[list[float]]:
-    """Deterministic spherical k-means coarse quantizer for an IVF index
-    (the k-means-partitioned ANN family next to SRP-LSH; cosine metric —
-    vectors and centroids are L2-normalized, so max-dot ≡ nearest).
+    """Deterministic k-means coarse quantizer for an IVF index (the
+    k-means-partitioned ANN family next to SRP-LSH). ``metric`` picks
+    the geometry: ``"cosine"`` (default, the original spherical form —
+    vectors and centroids L2-normalized, max-dot ≡ nearest) or
+    ``"l2"`` (plain Euclidean Lloyd, un-normalized centroids — the
+    FAISS-default coarse tier, and the REQUIRED one under residual
+    IVF-PQ: residuals against unit-normalized centroids barely shrink
+    the span, measured in the round-12 residual A/B).
 
     Deterministic by construction: centroids initialize from the
     ``k_cells`` smallest-id vectors (data-derived, no RNG) and Lloyd
@@ -360,6 +366,8 @@ def ivf_fit_centroids(
         raise ValueError(f"k_cells and iters must be >= 1, got {k_cells}, {iters}")
     if update not in ("agg", "arrow"):
         raise ValueError(f"update must be 'agg' or 'arrow', got {update!r}")
+    if metric not in ("cosine", "l2"):
+        raise ValueError(f"metric must be 'cosine' or 'l2', got {metric!r}")
     import numpy as np  # noqa: PLC0415
 
     vec = F.col(vec_col).cast("array<double>")
@@ -383,9 +391,11 @@ def ivf_fit_centroids(
         n[n == 0] = 1.0
         return m / n
 
-    centroids = _norm_rows(np.array([r.v for r in seeds], dtype=np.float64))
+    centroids = np.array([r.v for r in seeds], dtype=np.float64)
+    if metric == "cosine":
+        centroids = _norm_rows(centroids)
     for _ in range(iters):
-        cell = _ivf_assign_pandas(centroids.tolist())(vec)
+        cell = _cell_assigner(df.sparkSession, centroids.tolist(), metric)(vec)
         # null vectors take no part in the fit (their cell is null);
         # dropping them here keeps the centroid update well-defined
         members = df.filter(vec.isNotNull()).select(
@@ -401,8 +411,20 @@ def ivf_fit_centroids(
             ).collect()
             for r in sums:
                 new_c[r["__c"]] = [r[f"c{i}"] for i in range(dim)]
-        centroids = _norm_rows(np.asarray(new_c, dtype=np.float64))
+        centroids = np.asarray(new_c, dtype=np.float64)
+        if metric == "cosine":
+            centroids = _norm_rows(centroids)
     return centroids.tolist()
+
+
+def _cell_assigner(spark: SparkSession, centroids: list[list[float]], metric: str):
+    """Metric-dispatched Arrow cell assignment: max-dot for the
+    spherical tier (`_ivf_assign_pandas`), L2 argmin for the Euclidean
+    tier (the `_arrow_assign_udf` kernel — |v|² drops out of the
+    argmin). Both NULL-safe, ties to the lower cell id."""
+    if metric == "l2":
+        return _arrow_assign_udf(spark, centroids, "closure")
+    return _ivf_assign_pandas(centroids)
 
 
 def _ivf_assign_pandas(centroids: list[list[float]]):
@@ -430,13 +452,34 @@ def ivf_assign(
     centroids: list[list[float]],
     vec_col: str = "embedding",
     out: str = "ivf_cell",
+    metric: str = "cosine",
 ) -> DataFrame:
     """Attach each vector's IVF cell id — the persistable narrow column a
     100 TB embedding store would ``partitionBy`` (or bucket by), so a
-    probe becomes partition PRUNING instead of a scan."""
+    probe becomes partition PRUNING instead of a scan. ``metric`` must
+    match the fit (`ivf_fit_centroids`)."""
     return df.withColumn(
-        out, _ivf_assign_pandas(centroids)(F.col(vec_col).cast("array<double>"))
+        out,
+        _cell_assigner(df.sparkSession, centroids, metric)(
+            F.col(vec_col).cast("array<double>")
+        ),
     )
+
+
+def _probe_cells(
+    centroids: list[list[float]], query_vec: list[float], nprobe: int, metric: str
+) -> list[int]:
+    """Driver-side probe-cell selection (k×dim metadata, no data
+    touched): nearest-by-metric, stable order."""
+    import numpy as np  # noqa: PLC0415
+
+    c = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    if metric == "l2":
+        order = np.argsort(((c - q) ** 2).sum(axis=1), kind="stable")
+    else:
+        order = np.argsort(-(c @ q), kind="stable")
+    return [int(x) for x in order[: max(1, nprobe)]]
 
 
 def ivf_topk(
@@ -449,6 +492,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     cell_col: str | None = None,
     exclude_ids: tuple[int, ...] = (),
+    metric: str = "cosine",
 ) -> DataFrame:
     """IVF approximate top-k: score only vectors whose cell is among the
     ``nprobe`` centroids nearest the query (computed driver-side from the
@@ -461,14 +505,9 @@ def ivf_topk(
     tables/planes; measured against the exact baseline by
     ``q_ivf_recall`` and tests.
     """
-    import numpy as np  # noqa: PLC0415
-
-    c = np.asarray(centroids, dtype=np.float64)
-    q = np.asarray(query_vec, dtype=np.float64)
-    order = np.argsort(-(c @ q), kind="stable")
-    probe_cells = [int(x) for x in order[: max(1, nprobe)]]
+    probe_cells = _probe_cells(centroids, query_vec, nprobe, metric)
     if cell_col is None:
-        df = ivf_assign(df, centroids, vec_col, "__ivf_cell")
+        df = ivf_assign(df, centroids, vec_col, "__ivf_cell", metric)
         cell_col = "__ivf_cell"
     probed = df.filter(F.col(cell_col).isin(probe_cells)).drop("__ivf_cell")
     return cosine_topk(probed, query_vec, k, id_col, vec_col, exclude_ids)
@@ -1459,6 +1498,7 @@ def ivfpq_topk(
     round_dp: int = 6,
     exclude_ids: tuple[int, ...] = (),
     refine_n: int = 0,
+    coarse_metric: str = "cosine",
 ) -> DataFrame:
     """IVF-PQ approximate top-k — the two index tiers COMPOSED the way a
     100 TB store runs them (the public FAISS ``IVF,PQ`` architecture,
@@ -1485,15 +1525,10 @@ def ivfpq_topk(
     against the raw vectors in ``df`` (exact squared L2, broadcast
     shortlist join), the standard two-stage recipe.
     """
-    import numpy as np  # noqa: PLC0415
-
-    c = np.asarray(centroids, dtype=np.float64)
-    q = np.asarray(query_vec, dtype=np.float64)
-    order = np.argsort(-(c @ q), kind="stable")
-    probe_cells = [int(x) for x in order[: max(1, nprobe)]]
+    probe_cells = _probe_cells(centroids, query_vec, nprobe, coarse_metric)
     work = df
     if cell_col is None:
-        work = ivf_assign(work, centroids, vec_col, "__ivfpq_cell")
+        work = ivf_assign(work, centroids, vec_col, "__ivfpq_cell", coarse_metric)
         cell_col = "__ivfpq_cell"
     if codes_col is None:
         work = pq_encode(work, codebooks, vec_col, "__ivfpq_code", mode="arrow")
@@ -1511,4 +1546,133 @@ def ivfpq_topk(
         refine_n=refine_n,
         vectors=df if refine_n > 0 else None,
         vec_col=vec_col,
+    )
+
+
+def residualize(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    cell_col: str | None = None,
+    out: str = "residual",
+    metric: str = "l2",
+) -> DataFrame:
+    """Attach each vector's coarse-quantization RESIDUAL
+    (x − centroid[cell]) — the preprocessing step of residual IVF-PQ
+    (the FAISS ``IVF,PQ`` default): PQ codebooks fit on residuals see
+    the small within-cell displacements instead of the whole embedding
+    span, which is where the accuracy of that variant comes from.
+
+    The centroid lookup is a BROADCAST JOIN against a k_cells-row frame
+    (not a literal array-of-arrays indexed by cell): literal trees are
+    the measured fold cliff as k grows, while the coarse tier at real
+    scale runs k_cells in the thousands — a tiny broadcast dim stays
+    flat there. The subtraction is JVM ``zip_with``. NULL vectors pass
+    through with NULL residuals (their cell is NULL → join miss → NULL
+    centroid).
+    """
+    work = df
+    if cell_col is None:
+        work = ivf_assign(work, centroids, vec_col, "__res_cell", metric)
+        cell_col = "__res_cell"
+    cents = df.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "__res_cell_key int, __res_cent array<double>",
+    )
+    vec = F.col(vec_col).cast("array<double>")
+    joined = work.join(
+        F.broadcast(cents), F.col(cell_col) == F.col("__res_cell_key"), "left"
+    )
+    return joined.withColumn(
+        out, F.zip_with(vec, F.col("__res_cent"), lambda x, y: x - y)
+    ).drop("__res_cell_key", "__res_cent")
+
+
+def ivfpq_residual_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str | None = None,
+    codes_col: str | None = None,
+    round_dp: int = 6,
+    exclude_ids: tuple[int, ...] = (),
+    refine_n: int = 0,
+    coarse_metric: str = "l2",
+) -> DataFrame:
+    """Residual IVF-PQ top-k (the FAISS-default accuracy variant):
+    ``codebooks`` must have been fit on RESIDUALS
+    (``pq_fit(residualize(df, centroids), vec_col="residual")``), and
+    each probed cell gets ITS OWN lookup table computed from
+    (query − that cell's centroid) — ADC distances then approximate
+    ‖(q − c_cell) − code‖², the within-cell geometry.
+
+    Cost shape vs the global-codebook ``ivfpq_topk``: the scan is the
+    SAME (nprobe pruned partitions × m-int codes; per-cell branches are
+    unioned TakeOrderedAndProject scans, nprobe of them), the storage
+    trade is NOT — residual codes are coupled to the coarse tier, so
+    re-clustering means re-encoding the corpus. Accuracy is measured
+    against the global variant in SCALING.md ("Round 12: residual vs
+    global PQ"). ``refine_n`` re-ranks against raw vectors exactly as
+    everywhere else.
+    """
+    import numpy as np  # noqa: PLC0415
+
+    c = np.asarray(centroids, dtype=np.float64)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    probe_cells = _probe_cells(centroids, query_vec, nprobe, coarse_metric)
+    work = df
+    if cell_col is None or codes_col is None:
+        if cell_col is None:
+            work = ivf_assign(work, centroids, vec_col, "__ivfpq_cell", coarse_metric)
+            cell_col = "__ivfpq_cell"
+        if codes_col is None:
+            work = pq_encode(
+                residualize(work, centroids, vec_col, cell_col, "__ivfpq_res"),
+                codebooks,
+                "__ivfpq_res",
+                "__ivfpq_code",
+                mode="arrow",
+            )
+            codes_col = "__ivfpq_code"
+    branches = None
+    for cell in probe_cells:
+        q_res = [float(x) for x in (qv - c[cell])]
+        branch = pq_adc_topk(
+            work.filter(F.col(cell_col) == cell),
+            q_res,
+            codebooks,
+            k=k,
+            id_col=id_col,
+            codes_col=codes_col,
+            round_dp=round_dp,
+            exclude_ids=exclude_ids,
+        )
+        branches = branch if branches is None else branches.unionByName(branch)
+    merged = branches.orderBy("adc", id_col).limit(k)
+    if refine_n <= 0:
+        return merged
+    shortlist = branches.orderBy("adc", id_col).limit(refine_n)
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    vcol = F.col(vec_col).cast("array<double>")
+    candidates = df.join(F.broadcast(shortlist), id_col, "inner")
+    return (
+        candidates.select(
+            F.col(id_col),
+            F.col("adc"),
+            F.round(
+                F.aggregate(
+                    F.zip_with(vcol, qlit, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, d: acc + d,
+                ),
+                round_dp,
+            ).alias("l2"),
+        )
+        .orderBy("l2", id_col)
+        .limit(k)
     )

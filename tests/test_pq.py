@@ -340,3 +340,109 @@ def test_ivfpq_partition_pruning_plan(spark, sf_dir, tmp_path):
     assert [(r.vec_id, r.adc) for r in pruned.collect()] == [
         (r.vec_id, r.adc) for r in flat.collect()
     ]
+
+
+def _blob_frame(spark, k=4, per=200, dim=16, seed=11):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(k, dim)) * 2.0
+    x = np.concatenate(
+        [centers[i] + 0.15 * rng.normal(size=(per, dim)) for i in range(k)]
+    )
+    # interleave blob membership so the lowest-id seeds span blobs
+    order = np.argsort(np.tile(np.arange(per), k) * k + np.repeat(np.arange(k), per))
+    x = x[order]
+    rows = [(int(i), [float(v) for v in x[i]]) for i in range(len(x))]
+    return x, spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(4).localCheckpoint(eager=True)
+
+
+def test_ivf_l2_metric_and_residualize_roundtrip(spark):
+    """The Euclidean coarse tier: metric="l2" fits UN-normalized
+    centroids with L2-argmin assignment (numpy-replayed), and
+    residualize satisfies residual + centroid[cell] == original
+    exactly; NULL vectors get NULL residuals."""
+    import numpy as np
+
+    x, emb = _blob_frame(spark)
+    cents = similarity.ivf_fit_centroids(emb, k_cells=4, iters=2, metric="l2")
+    c = np.asarray(cents)
+    # un-normalized (blob centers live at radius ~2*sqrt(dim), not 1)
+    assert (np.abs(np.linalg.norm(c, axis=1) - 1.0) > 0.1).all()
+    got = {
+        r.vec_id: r.ivf_cell
+        for r in similarity.ivf_assign(emb, cents, metric="l2").collect()
+    }
+    expect = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    assert all(got[i] == int(expect[i]) for i in range(len(x)))
+
+    res = similarity.residualize(emb, cents, metric="l2")
+    row = res.filter(F.col("vec_id") == 7).first()
+    back = [a + b for a, b in zip(row.residual, cents[got[7]])]
+    assert all(abs(a - b) < 1e-12 for a, b in zip(back, row.embedding))
+    with_null = emb.unionByName(
+        spark.createDataFrame([(10**9, None)], _SCHEMA)
+    )
+    nrow = (
+        similarity.residualize(with_null, cents, metric="l2")
+        .filter(F.col("vec_id") == 10**9)
+        .first()
+    )
+    assert nrow.residual is None
+    with pytest.raises(ValueError, match="metric"):
+        similarity.ivf_fit_centroids(emb, k_cells=4, metric="dot")
+
+
+def test_ivfpq_residual_beats_global_at_low_code_budget(spark):
+    """The measured characterization (SCALING.md round 12): on CLUSTERED
+    data with an L2 coarse tier and a LOW code budget (m=4, k_sub=8 —
+    4 bytes/vector), residual codes see the small within-cell
+    displacements the global codebook wastes its codewords spanning:
+    measured recall@10 0.30 vs 0.12 at this exact geometry (floors a
+    notch below; both paths share every other knob)."""
+    import numpy as np
+
+    x, emb = _blob_frame(spark)
+    ids = np.arange(len(x))
+    cents = similarity.ivf_fit_centroids(emb, k_cells=4, iters=3, metric="l2")
+    books_g = similarity.pq_fit(emb, m=4, k_sub=8, iters=1)
+    books_r = similarity.pq_fit(
+        similarity.residualize(emb, cents), m=4, k_sub=8, iters=1,
+        vec_col="residual",
+    )
+    stored = similarity.ivf_assign(emb, cents, metric="l2")
+    sg = similarity.pq_encode(stored, books_g, mode="arrow")
+    sr = similarity.pq_encode(
+        similarity.residualize(stored, cents, cell_col="ivf_cell"),
+        books_r, "residual", "pq_code", mode="arrow",
+    )
+    rg = rr = 0.0
+    qids = [0, 3, 250, 500, 701]
+    for qid in qids:
+        q = [float(v) for v in x[qid]]
+        d2 = ((x - x[qid]) ** 2).sum(axis=1)
+        mask = ids != qid
+        ex = set(int(i) for i in ids[mask][np.lexsort((ids[mask], d2[mask]))][:10])
+        g = set(
+            r.vec_id
+            for r in similarity.ivfpq_topk(
+                sg, q, cents, books_g, k=10, nprobe=1,
+                cell_col="ivf_cell", codes_col="pq_code",
+                exclude_ids=(qid,), coarse_metric="l2",
+            ).collect()
+        )
+        r_ = set(
+            r.vec_id
+            for r in similarity.ivfpq_residual_topk(
+                sr, q, cents, books_r, k=10, nprobe=1,
+                cell_col="ivf_cell", codes_col="pq_code",
+                exclude_ids=(qid,), coarse_metric="l2",
+            ).collect()
+        )
+        rg += len(g & ex) / 10
+        rr += len(r_ & ex) / 10
+    rg, rr = rg / len(qids), rr / len(qids)
+    assert rr >= rg + 0.1
+    assert rr >= 0.2
