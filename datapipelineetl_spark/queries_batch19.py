@@ -6,7 +6,7 @@ to SRP-LSH (`ann_lsh_topk`) and IVF (`ivf_fit_centroids`). A dim-64
 float32 vector is 256 bytes; its PQ code is m small ints — the column
 a 100 TB embedding store scans INSTEAD of the raw vectors. Plus the
 computed-weight leg of corpus mixing (temperature/alpha scaling).
-Three staged queries pin the pipelines cross-engine:
+Four staged queries pin the pipelines cross-engine:
 
 - ``q_pq_codes`` — fit (per-subspace deterministic Lloyd) + encode:
   EVERY vector's code in EVERY subspace is value-checked; the oracle
@@ -21,6 +21,9 @@ Three staged queries pin the pipelines cross-engine:
   skewed pseudo-source tag, the limiting-source total, and every
   hash-gate decision replayed (the q_corpus_mix guarantee extended
   to COMPUTED weights).
+- ``q_pq_refine_recall`` — the two-stage search's recall@10 as a
+  boolean gate (the q_ann_recall pattern): ADC shortlist → exact
+  re-rank must recover ≥ 0.7 of the brute-force top-10.
 
 Same staging contract as batches 11–18: separate dicts so importing
 this module cannot grow the live ``queries()`` surface mid-round;
@@ -256,3 +259,57 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, key_col="doc_id", source_col="mix_source",
         alpha=_TM_ALPHA, salt=_TM_SALT,
     ).select("doc_id", "mix_source")
+
+
+@query(
+    "q_pq_refine_recall",
+    """
+    SELECT 10 AS k, TRUE AS recall_ge_070
+    """,
+)
+def q_pq_refine_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 gate for the PQ two-stage search (ADC shortlist of 100
+    → exact squared-L2 re-rank): |refined top-10 ∩ exact top-10| / 10
+    emitted as a boolean threshold check (≥ 0.7) so DuckDB verifies it
+    as a constant — the q_ann_recall pattern applied to the PQ tier.
+    Measured across fixtures when staged: 0.9 / 1.0 / 0.8 at
+    sf0.001/0.01/0.1 (refine_n held at 100 while the corpus grows 4× —
+    the floor leaves one-hit headroom below the worst measured point).
+
+    Deterministic: the codebooks are the same replayed-trajectory fit
+    as q_pq_codes, the baseline is brute force, the re-rank is exact.
+
+    Scale: the ADC leg is the compressed scan (q_pq_topk); the refine
+    leg touches refine_n raw vectors via a broadcast-shortlist join;
+    the intersection is a 10×10 broadcast semi-join. Nothing is O(n²)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    books = similarity.pq_fit(
+        emb, m=_PQ_M, k_sub=_PQ_K, iters=_PQ_ITERS, round_dp=_PQ_DP
+    )
+    enc = similarity.pq_encode(emb, books)
+    qv = _query_vec(spark, sf_dir, 0)
+    vec = F.col("embedding").cast("array<double>")
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    exact = (
+        emb.filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            F.aggregate(
+                F.zip_with(vec, qlit, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            ).alias("d2"),
+        )
+        .orderBy("d2", "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+    refined = similarity.pq_adc_topk(
+        enc, qv, books, k=10, round_dp=_PQ_DP, exclude_ids=(0,),
+        refine_n=100, vectors=emb,
+    ).select("vec_id")
+    hits = refined.join(F.broadcast(exact), "vec_id", "semi")
+    return hits.agg(
+        F.lit(10).alias("k"),
+        (F.count(F.lit(1)) >= F.lit(7)).alias("recall_ge_070"),
+    )
