@@ -65,6 +65,37 @@ def cosine_topk(
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
 
 
+def l2_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_ids: tuple[int, ...] = (),
+) -> DataFrame:
+    """Exact top-k by SQUARED L2 distance against a constant query
+    vector — the Euclidean twin of ``cosine_topk`` (same plan shape:
+    literal query, narrow fold scoring, TakeOrderedAndProject k-heap;
+    ordering on the ROUNDED distance, ties to the lower id, so the
+    result order is hash-stable cross-engine)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    vec = F.col(vec_col).cast("array<double>")
+    scored = df.select(
+        F.col(id_col),
+        F.round(
+            F.aggregate(
+                F.zip_with(vec, q, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            ),
+            6,
+        ).alias("l2"),
+    )
+    if exclude_ids:
+        scored = scored.filter(~F.col(id_col).isin(*exclude_ids))
+    return scored.orderBy("l2", id_col).limit(k)
+
+
 def cosine_pairs(
     df: DataFrame,
     threshold: float,
@@ -503,13 +534,19 @@ def ivf_topk(
 
     Recall/latency trades via nprobe/k_cells exactly like LSH's
     tables/planes; measured against the exact baseline by
-    ``q_ivf_recall`` and tests.
+    ``q_ivf_recall`` and tests. Final scoring follows ``metric``:
+    cosine (descending similarity) for the spherical tier, squared L2
+    (ascending, ``l2_topk``) for the Euclidean one — a mixed pair
+    would rank candidates by a different geometry than the one that
+    probed them.
     """
     probe_cells = _probe_cells(centroids, query_vec, nprobe, metric)
     if cell_col is None:
         df = ivf_assign(df, centroids, vec_col, "__ivf_cell", metric)
         cell_col = "__ivf_cell"
     probed = df.filter(F.col(cell_col).isin(probe_cells)).drop("__ivf_cell")
+    if metric == "l2":
+        return l2_topk(probed, query_vec, k, id_col, vec_col, exclude_ids)
     return cosine_topk(probed, query_vec, k, id_col, vec_col, exclude_ids)
 
 

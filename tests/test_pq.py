@@ -446,3 +446,25 @@ def test_ivfpq_residual_beats_global_at_low_code_budget(spark):
     rg, rr = rg / len(qids), rr / len(qids)
     assert rr >= rg + 0.1
     assert rr >= 0.2
+
+
+def test_ivf_topk_l2_metric_scores_by_l2(spark):
+    """ivf_topk(metric="l2") must rank by squared L2 (the geometry that
+    probed), matching the numpy exact ranking within the probed cells —
+    not by cosine (a vector can be cosine-close yet L2-far)."""
+    import numpy as np
+
+    x, emb = _blob_frame(spark)
+    ids = np.arange(len(x))
+    cents = similarity.ivf_fit_centroids(emb, k_cells=4, iters=3, metric="l2")
+    qid = 42
+    q = [float(v) for v in x[qid]]
+    got = similarity.ivf_topk(
+        emb, q, cents, k=10, nprobe=4, exclude_ids=(qid,), metric="l2"
+    ).collect()
+    assert got[0].l2 <= got[-1].l2  # ascending distance
+    d2 = ((x - x[qid]) ** 2).sum(axis=1)
+    mask = ids != qid
+    exact = [int(i) for i in ids[mask][np.lexsort((ids[mask], d2[mask]))][:10]]
+    # nprobe=4 of 4 cells == exhaustive: must equal the exact ranking
+    assert [r.vec_id for r in got] == exact
