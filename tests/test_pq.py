@@ -468,3 +468,46 @@ def test_ivf_topk_l2_metric_scores_by_l2(spark):
     exact = [int(i) for i in ids[mask][np.lexsort((ids[mask], d2[mask]))][:10]]
     # nprobe=4 of 4 cells == exhaustive: must equal the exact ranking
     assert [r.vec_id for r in got] == exact
+
+
+def test_ivfpq_residual_onthefly_and_partition_pruning(spark, tmp_path):
+    """The residual variant's remaining contracts: (a) the on-the-fly
+    path (no precomputed cell/code columns) equals the persisted-store
+    path; (b) on a store written partitionBy(ivf_cell), every probed
+    branch's scan carries a PartitionFilter on ivf_cell (directory
+    pruning survives the per-cell LUT union)."""
+    x, emb = _blob_frame(spark)
+    cents = similarity.ivf_fit_centroids(emb, k_cells=4, iters=3, metric="l2")
+    books = similarity.pq_fit(
+        similarity.residualize(emb, cents), m=4, k_sub=8, iters=1,
+        vec_col="residual",
+    )
+    q = [float(v) for v in x[5]]
+    fly = similarity.ivfpq_residual_topk(
+        emb, q, cents, books, k=10, nprobe=2, exclude_ids=(5,)
+    ).collect()
+
+    stored = similarity.pq_encode(
+        similarity.residualize(
+            similarity.ivf_assign(emb, cents, metric="l2"), cents,
+            cell_col="ivf_cell",
+        ),
+        books, "residual", "pq_code", mode="arrow",
+    ).drop("residual")
+    path = str(tmp_path / "res_store")
+    stored.write.partitionBy("ivf_cell").parquet(path)
+    store = spark.read.parquet(path)
+    pruned = similarity.ivfpq_residual_topk(
+        store, q, cents, books, k=10, nprobe=2,
+        cell_col="ivf_cell", codes_col="pq_code", exclude_ids=(5,),
+    )
+    assert [(r.vec_id, r.adc) for r in pruned.collect()] == [
+        (r.vec_id, r.adc) for r in fly
+    ]
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    scans = plan.count("PartitionFilters: [")
+    pruned_scans = sum(
+        "ivf_cell" in part.split("]")[0]
+        for part in plan.split("PartitionFilters:")[1:]
+    )
+    assert scans >= 2 and pruned_scans == scans  # every branch prunes
