@@ -6,7 +6,7 @@ to SRP-LSH (`ann_lsh_topk`) and IVF (`ivf_fit_centroids`). A dim-64
 float32 vector is 256 bytes; its PQ code is m small ints — the column
 a 100 TB embedding store scans INSTEAD of the raw vectors. Plus the
 computed-weight leg of corpus mixing (temperature/alpha scaling).
-Four staged queries pin the pipelines cross-engine:
+Five staged queries pin the pipelines cross-engine:
 
 - ``q_pq_codes`` — fit (per-subspace deterministic Lloyd) + encode:
   EVERY vector's code in EVERY subspace is value-checked; the oracle
@@ -313,3 +313,32 @@ def q_pq_refine_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(10).alias("k"),
         (F.count(F.lit(1)) >= F.lit(7)).alias("recall_ge_070"),
     )
+
+
+@query(
+    "q_l2_topk",
+    """
+    WITH ex AS (SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings),
+    q AS (SELECT v AS qv FROM ex WHERE vec_id = 0)
+    SELECT vec_id,
+           ROUND(list_sum(list_transform(generate_series(1, 64),
+                 z -> (v[z] - qv[z]) * (v[z] - qv[z]))), 6) AS l2
+    FROM ex, q WHERE vec_id <> 0
+    ORDER BY l2, vec_id LIMIT 10
+    """,
+)
+def q_l2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 by squared L2 distance from vec_id 0 — the
+    Euclidean twin of q_cosine_topk and the exact baseline every
+    L2-metric ANN tier (IVF l2, PQ ADC, residual IVF-PQ) is measured
+    against. Every distance is a sequential fold both engines replay
+    term-for-term; ordering is on the ROUNDED distance (hash-stable).
+
+    Scale: narrow literal-query scoring + TakeOrderedAndProject
+    (per-partition k-heap), no shuffle beyond the heap merge
+    (similarity.l2_topk docstring)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    return similarity.l2_topk(emb, qv, k=10, exclude_ids=(0,))

@@ -115,5 +115,5 @@ def test_batch19_staged_not_promoted():
     import __spark_entry__ as entrymod
 
     assert set(b19.STAGED_ORACLES) == set(b19.STAGED_QUERIES)
-    assert len(b19.STAGED_QUERIES) == 4
+    assert len(b19.STAGED_QUERIES) == 5
     assert not set(b19.STAGED_QUERIES) & set(entrymod.queries())
