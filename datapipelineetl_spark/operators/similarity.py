@@ -72,15 +72,24 @@ def l2_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_ids: tuple[int, ...] = (),
+    round_dp: int = 6,
 ) -> DataFrame:
     """Exact top-k by SQUARED L2 distance against a constant query
     vector — the Euclidean twin of ``cosine_topk`` (same plan shape:
     literal query, narrow fold scoring, TakeOrderedAndProject k-heap;
     ordering on the ROUNDED distance, ties to the lower id, so the
-    result order is hash-stable cross-engine)."""
+    result order is hash-stable cross-engine).
+
+    NULL vectors are filtered before scoring (the ``pq_adc_topk``
+    isNotNull discipline): a NULL embedding scores NULL, which Spark's
+    ASC default (NULLS FIRST) would place ABOVE every real neighbor
+    while DuckDB's default (NULLS LAST) excludes it — a silent
+    cross-engine mismatch and a polluted top-k the moment a fixture
+    carries null embeddings. ``round_dp`` is threaded like the PQ
+    family's so the two tiers can never silently diverge in rounding."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     vec = F.col(vec_col).cast("array<double>")
-    scored = df.select(
+    scored = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col),
         F.round(
             F.aggregate(
@@ -88,7 +97,7 @@ def l2_topk(
                 F.lit(0.0),
                 lambda acc, d: acc + d,
             ),
-            6,
+            round_dp,
         ).alias("l2"),
     )
     if exclude_ids:
@@ -1191,11 +1200,29 @@ def _arrow_assign_udf(spark: SparkSession, centroids: list[list[float]],
 # =============================================================================
 
 def _pq_half_up(x: float, dp: int) -> float:
-    """Python-side HALF_UP rounding matching Spark ``F.round`` / DuckDB
-    ``ROUND`` (away from zero on the .5 boundary — Python's builtin
-    ``round`` is banker's and would diverge exactly there)."""
-    scale = 10.0 ** dp
-    return math.floor(abs(x) * scale + 0.5) / scale * (1.0 if x >= 0 else -1.0)
+    """Python-side HALF_UP rounding PROVABLY matching Spark ``F.round``:
+    Spark rounds via ``BigDecimal.valueOf(d)`` (= the shortest decimal
+    string ``Double.toString`` emits) ``.setScale(dp, HALF_UP)``;
+    Python's ``repr(float)`` is the same shortest round-trip decimal,
+    so ``Decimal(repr(x)).quantize(..., ROUND_HALF_UP)`` reproduces the
+    JVM result digit-for-digit — including the values where the old
+    ``floor(|x|*scale + 0.5)`` spelling diverged because ``|x|*scale``
+    FP-rounds across the .5 boundary (e.g. 2.675*100 = 267.4999…97 →
+    floor gives 2.67 while BigDecimal HALF_UP on the exact decimal
+    2.675 gives 2.68 — ADVICE r12 item 3; pinned by
+    ``test_pq_half_up_matches_spark_round``). Python's builtin
+    ``round`` is banker's and diverges on every exact .5.
+
+    DuckDB ``ROUND`` stays the one intentional third party: it rounds
+    the scaled DOUBLE, so on adversarial boundary values it can differ
+    from BigDecimal — the oracle fixtures absorb that (documented
+    cross-engine risk); what this function guarantees is that the
+    Python seed path and the Spark iteration path can never disagree
+    with EACH OTHER."""
+    from decimal import ROUND_HALF_UP, Decimal  # noqa: PLC0415
+
+    q = Decimal(1).scaleb(-dp)
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
 
 
 def _pq_subvec(vec: Column, j: int, sub: int) -> Column:
@@ -1204,29 +1231,38 @@ def _pq_subvec(vec: Column, j: int, sub: int) -> Column:
 
 
 def _pq_argmin(vec: Column, j: int, book: list[list[float]], sub: int) -> Column:
-    """Nearest-codeword id for subspace ``j`` as a JVM fold over LITERAL
-    codewords: array_min over (distance, code) structs compares
-    lexicographically — min squared L2, ties to the LOWER code id — the
-    exact discipline ``kmeans(assignment="fold")`` uses, which is what
-    makes the whole encode oracle-replayable (sequential left-to-right
-    sums match DuckDB's list_sum term-for-term in IEEE double)."""
+    """Nearest-codeword id for subspace ``j``, bit-exact and oracle-
+    replayable: each distance is the sequential left-to-right squared-L2
+    fold (matches DuckDB's list_sum term-for-term in IEEE double) and
+    ties go to the LOWER code id.
+
+    Spelling (round 13): ONE ``transform`` over a literal array of
+    codewords feeding ``array_position(d, array_min(d))`` — first index
+    of the min, i.e. ties to the lower code. The previous per-codeword
+    struct forest (k_sub × aggregate-over-zip_with subtrees under one
+    array_min) computed the IDENTICAL values but paid a k_sub-times
+    larger expression tree at ANALYSIS time: HOFs never enter codegen,
+    so both spellings run interpreted per row — the struct forest's
+    only extra cost was Catalyst walking ~1,500 nodes per subspace.
+    Measured at the oracle geometry (m=16, k_sub=16, sf0.1): encode
+    9.1 s → 3.5 s, fit iteration similarly; per-row work unchanged
+    (parity asserted exactly before the swap, and the pure-Python
+    replay tests in test_pq.py re-pin it). The fully-unrolled
+    ``F.get``+add-chain spelling that wins for ADC (flat LUT) is a
+    CLIFF here: m × k_sub × sub codegen'd distance expressions blow
+    the janino heap at this very geometry (OOM reproduced before this
+    rewrite — the pq_fit fold-cliff family)."""
     s = _pq_subvec(vec, j, sub)
-    entries = [
-        F.struct(
-            F.aggregate(
-                F.zip_with(
-                    s,
-                    F.array(*[F.lit(c) for c in cw]),
-                    lambda x, y: (x - y) * (x - y),
-                ),
-                F.lit(0.0),
-                lambda acc, d: acc + d,
-            ).alias("d"),
-            F.lit(cid).alias("c"),
-        )
-        for cid, cw in enumerate(book)
-    ]
-    return F.array_min(F.array(*entries))["c"].cast("int")
+    cws = F.array(*[F.array(*[F.lit(x) for x in cw]) for cw in book])
+    dists = F.transform(
+        cws,
+        lambda cw: F.aggregate(
+            F.zip_with(s, cw, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        ),
+    )
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
 def pq_fit(
@@ -1676,6 +1712,15 @@ def ivfpq_residual_topk(
                 mode="arrow",
             )
             codes_col = "__ivfpq_code"
+    # each per-cell branch must shortlist max(k, refine_n) rows, not k:
+    # with per-branch limit k the unioned shortlist tops out at
+    # nprobe*k candidates, silently shrinking a refine_n=100/k=10/
+    # nprobe=4 re-rank pool to 40 and weakening the two-stage recall
+    # contract (ADVICE r12 item 1 — ivfpq_topk avoids this by
+    # shortlisting refine_n inside one pq_adc_topk call; here the
+    # per-cell LUTs force per-branch scans, so the width goes per
+    # branch). Still nprobe tiny k-heaps — no plan-shape change.
+    branch_k = max(k, refine_n)
     branches = None
     for cell in probe_cells:
         q_res = [float(x) for x in (qv - c[cell])]
@@ -1683,7 +1728,7 @@ def ivfpq_residual_topk(
             work.filter(F.col(cell_col) == cell),
             q_res,
             codebooks,
-            k=k,
+            k=branch_k,
             id_col=id_col,
             codes_col=codes_col,
             round_dp=round_dp,

@@ -5,8 +5,6 @@ validation errors)."""
 
 from __future__ import annotations
 
-import math
-
 import pytest
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
@@ -23,8 +21,15 @@ _SCHEMA = StructType(
 
 
 def _half_up(x: float, dp: int) -> float:
-    scale = 10.0 ** dp
-    return math.floor(abs(x) * scale + 0.5) / scale * (1.0 if x >= 0 else -1.0)
+    # mirrors F.round's BigDecimal(shortest-repr) HALF_UP — the contract
+    # similarity._pq_half_up implements since ADVICE r12 item 3 (the old
+    # floor(|x|*scale+0.5) spelling misrounds when |x|*scale FP-rounds
+    # across the .5 boundary, e.g. 2.675 at dp=2)
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(x)).quantize(Decimal(1).scaleb(-dp), rounding=ROUND_HALF_UP)
+    )
 
 
 def _py_pq_fit(vecs: dict, m: int, k_sub: int, iters: int, dp: int):
@@ -511,3 +516,71 @@ def test_ivfpq_residual_onthefly_and_partition_pruning(spark, tmp_path):
         for part in plan.split("PartitionFilters:")[1:]
     )
     assert scans >= 2 and pruned_scans == scans  # every branch prunes
+
+
+def test_pq_half_up_matches_spark_round(spark):
+    """ADVICE r12 item 3: the Python seed-rounding path must agree with
+    Spark F.round on ADVERSARIAL values, not just fixture-friendly ones
+    — especially where |x|*scale FP-rounds across the .5 boundary
+    (2.675*100 = 267.4999…97: the old floor spelling gave 2.67, F.round
+    gives 2.68) and on exact .5s in both signs (banker's-rounding trap).
+    One round-trip through a literal column checks the JVM digits."""
+    cases = [
+        (2.675, 2), (-2.675, 2), (1.005, 2), (0.125, 2), (-0.125, 2),
+        (0.5, 0), (-0.5, 0), (2.5, 0), (1.0000005, 6), (-1.0000005, 6),
+        (0.3333333333333333, 6), (267.49999999999997, 0),
+        (8.835, 2), (-8.835, 2), (1e-7, 6), (-1e-7, 6), (0.0, 3),
+    ]
+    got = spark.range(1).select(
+        *[
+            F.round(F.lit(x), dp).alias(f"c{i}")
+            for i, (x, dp) in enumerate(cases)
+        ]
+    ).collect()[0]
+    for i, (x, dp) in enumerate(cases):
+        assert similarity._pq_half_up(x, dp) == got[f"c{i}"], (x, dp)
+
+
+def test_l2_topk_null_vectors_and_round_dp(spark):
+    """ADVICE r12 item 2: a NULL embedding must be FILTERED, not sorted
+    to the top of the ascending top-k by Spark's NULLS FIRST default
+    (DuckDB's NULLS LAST would exclude it — a silent cross-engine
+    mismatch). And round_dp threads like the PQ family's (VERDICT r12
+    cosmetic #4)."""
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [1.0, 0.0]),
+        (2, None),
+        (3, [0.5, 0.5]),
+        (4, [3.0, 4.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = similarity.l2_topk(df, [0.0, 0.0], k=3, exclude_ids=(0,)).collect()
+    assert [r.vec_id for r in got] == [3, 1, 4]
+    assert all(r.l2 is not None for r in got)
+    coarse = similarity.l2_topk(
+        df, [0.1234567, 0.0], k=1, exclude_ids=(0, 2, 3, 4), round_dp=2
+    ).collect()[0]
+    assert coarse.l2 == similarity._pq_half_up((1 - 0.1234567) ** 2, 2)
+
+
+def test_ivfpq_residual_refine_shortlist_wider_than_branches(spark):
+    """ADVICE r12 item 1 (the failure scenario verbatim): with per-cell
+    branches capped at k, refine_n=16/k=2/nprobe=1 silently re-ranked a
+    2-candidate shortlist. Degenerate single-codeword codebooks make
+    every ADC distance tie (shortlist order = vec_id), and the true
+    nearest neighbor carries the HIGHEST id — only a shortlist that
+    actually reaches refine_n candidates lets the exact re-rank find
+    it."""
+    dim, n = 4, 16
+    rows = [(i, [10.0 + i, float(i % 3), 0.0, 0.0]) for i in range(1, n)]
+    rows.append((n, [0.1, 0.0, 0.0, 0.0]))  # true nearest to q, max id
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[0.0] * dim]  # one coarse cell → nprobe=1 probes everything
+    books = [[[0.0, 0.0]], [[0.0, 0.0]]]  # m=2, k_sub=1: all codes/ADC tie
+    q = [0.0] * dim
+    got = similarity.ivfpq_residual_topk(
+        df, q, cents, books, k=2, nprobe=1, refine_n=n
+    ).collect()
+    assert [r.vec_id for r in got] == [n, 1]
+    assert got[0].l2 == similarity._pq_half_up(0.1 ** 2, 6)
