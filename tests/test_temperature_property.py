@@ -53,3 +53,30 @@ def test_alpha_one_is_the_natural_mix(counts):
     w = temperature_weights(counts, 1.0)
     total = sum(counts.values())
     assert all(abs(w[s] - counts[s] / total) < 1e-9 for s in counts)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    counts=st.dictionaries(
+        st.text(min_size=1, max_size=8),
+        st.integers(min_value=1, max_value=10**12),
+        min_size=2,
+        max_size=20,
+    ),
+    alpha=st.floats(min_value=0.01, max_value=1.0),
+    seed=st.randoms(use_true_random=False),
+)
+def test_weights_invariant_under_dict_order(counts, alpha, seed):
+    """VERDICT r12 item 7c: the docstring claims bit-for-bit
+    reproducible normalization because the accumulation runs in
+    SORTED-key order — so a permuted input dict (different insertion
+    order, same histogram) must produce IDENTICAL floats, not merely
+    close ones. This is what makes the downstream integer gate
+    thresholds (and therefore every kept row) independent of how the
+    caller happened to build the counts mapping."""
+    items = list(counts.items())
+    seed.shuffle(items)
+    permuted = dict(items)
+    w1 = temperature_weights(counts, alpha)
+    w2 = temperature_weights(permuted, alpha)
+    assert w1 == w2  # exact float equality, not approx
