@@ -1869,6 +1869,20 @@ def streaming_ann_index(
     kept as the TOP-level partition so `ivfpq_topk` queries still
     prune directories.
 
+    **Replay constraint (ADVICE r12 item 4)**: the exactly-once claim
+    requires a replay to reproduce the same file→batch GROUPING. With
+    the checkpoint intact, Structured Streaming's offset log guarantees
+    exactly that. After CHECKPOINT LOSS, a re-run with a different
+    ``maxFilesPerTrigger`` grouping (or a grown source) lands rows
+    under NEW ``__batch_id`` values while the stale (cell, old-batch)
+    partitions survive the dynamic overwrite — duplicate vec_ids in
+    the store. Recovery from checkpoint loss is therefore: start the
+    re-run against an EMPTY store directory (cheap — the store is a
+    derived index, rebuilt by one pass over the source), or run
+    ``sinks.maintenance.compact_ann_store`` afterwards, whose
+    keep-newest-``__batch_id`` dedup by vec_id collapses exactly this
+    duplication for the compacted range.
+
     The index models are FROZEN broadcast artifacts (fit once on a
     sample, the `ivf_fit_centroids` practice) — the streaming-DSIR
     pattern: no state store, no cross-batch coupling, value-

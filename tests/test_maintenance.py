@@ -207,3 +207,105 @@ def test_merge_upsert_unpartitioned_swap_never_leaves_store_absent(spark, tmp_pa
     assert got == {1: 10, 2: 99, 3: 30}
     siblings = {p.name for p in (tmp_path).iterdir()}
     assert siblings == {"flat"}  # no __merging / __old left behind
+
+
+def test_compact_ann_store_collapses_batches_preserving_content(spark, tmp_path):
+    """VERDICT r12 item 3: compaction must collapse historical
+    __batch_id subpartitions into ONE per cell, leave newer batches and
+    query answers untouched, keep ivf_cell the top-level (prunable)
+    partition, and be idempotent on re-run (the crash-rerun contract)."""
+    from pyspark.sql import functions as F
+
+    from datapipelineetl_spark.operators import similarity
+
+    store = str(tmp_path / "store")
+    dim = 8
+    rows = [
+        (i, [((i * 29 + z * 11) % 89) / 89.0 - 0.5 for z in range(dim)])
+        for i in range(48)
+    ]
+    base = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = similarity.ivf_fit_centroids(base, k_cells=3, iters=2, dim=dim)
+    books = similarity.pq_fit(base, m=2, k_sub=4, iters=1, dim=dim)
+    enc = similarity.pq_encode(similarity.ivf_assign(base, cents), books)
+    for b in range(4):  # 4 "micro-batches" of 12 rows each
+        maintenance.overwrite_partitions(
+            enc.filter((F.col("vec_id") >= b * 12) & (F.col("vec_id") < (b + 1) * 12))
+            .withColumn("__batch_id", F.lit(b)),
+            store,
+            ["ivf_cell", "__batch_id"],
+        )
+
+    def canon():
+        return sorted(
+            (r.vec_id, r.ivf_cell, tuple(r.pq_code))
+            for r in spark.read.parquet(store).collect()
+        )
+
+    def batch_dirs():
+        return sorted(
+            (c, b)
+            for (c, b) in maintenance._parse_partition_dirs(
+                store, ["ivf_cell", "__batch_id"]
+            )
+        )
+
+    before = canon()
+    q = rows[5][1]
+    query = lambda: [
+        (r.vec_id, r.adc)
+        for r in similarity.ivfpq_topk(
+            spark.read.parquet(store), q, cents, books, k=5, nprobe=2,
+            cell_col="ivf_cell", codes_col="pq_code", exclude_ids=(5,),
+        ).collect()
+    ]
+    answers = query()
+    assert len({b for (_, b) in batch_dirs()}) == 4
+
+    removed = maintenance.compact_ann_store(spark, store, upto_batch_id=2)
+    assert removed > 0
+    assert canon() == before  # content unchanged, only layout
+    assert query() == answers
+    remaining = {b for (_, b) in batch_dirs()}
+    assert remaining == {"-1", "3"}  # 0..2 collapsed, 3 untouched
+    # idempotent re-run: nothing left to collapse, content stable
+    assert maintenance.compact_ann_store(spark, store, upto_batch_id=2) == 0
+    assert canon() == before
+
+
+def test_compact_ann_store_dedupes_checkpoint_loss_duplicates(spark, tmp_path):
+    """ADVICE r12 item 4's recovery path: after checkpoint loss a
+    re-grouped replay lands the SAME vec_ids under NEW batch ids next
+    to the stale partitions; compaction's keep-newest-__batch_id dedup
+    by vec_id must collapse them back to one row per vector."""
+    from pyspark.sql import functions as F
+
+    from datapipelineetl_spark.operators import similarity
+
+    store = str(tmp_path / "store")
+    dim = 4
+    rows = [(i, [float(i), float(i % 5), 0.0, 0.0]) for i in range(20)]
+    base = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = similarity.ivf_fit_centroids(base, k_cells=2, iters=1, dim=dim)
+    books = similarity.pq_fit(base, m=2, k_sub=2, iters=1, dim=dim)
+    enc = similarity.pq_encode(similarity.ivf_assign(base, cents), books)
+    # original run: batches 0,1 of 10 rows; replay after checkpoint
+    # loss: ONE batch 2 carrying all 20 rows (different file grouping)
+    for b in range(2):
+        maintenance.overwrite_partitions(
+            enc.filter((F.col("vec_id") >= b * 10) & (F.col("vec_id") < (b + 1) * 10))
+            .withColumn("__batch_id", F.lit(b)),
+            store,
+            ["ivf_cell", "__batch_id"],
+        )
+    maintenance.overwrite_partitions(
+        enc.withColumn("__batch_id", F.lit(2)), store, ["ivf_cell", "__batch_id"]
+    )
+    dup = spark.read.parquet(store)
+    assert dup.count() == 40  # the documented duplication
+    maintenance.compact_ann_store(spark, store, upto_batch_id=2)
+    got = spark.read.parquet(store)
+    assert got.count() == 20
+    expected = sorted((r.vec_id, r.ivf_cell, tuple(r.pq_code)) for r in enc.collect())
+    assert sorted((r.vec_id, r.ivf_cell, tuple(r.pq_code)) for r in got.collect()) \
+        == expected
