@@ -57,6 +57,10 @@ from datapipelineetl_spark import queries_batch18  # noqa: E402
 queries_batch17.register()  # promote the 6 staged corpus-curation queries (round 10)
 queries_batch18.register()  # promote the 2 staged fertility/estimator queries (round 10)
 
+from datapipelineetl_spark import queries_batch19  # noqa: E402
+
+queries_batch19.register()  # promote the 5 staged PQ/temperature/L2 queries (round 13)
+
 
 def _extension_tier() -> frozenset[str]:
     """Names promoted from any staged battery — derived, not hand-kept.
@@ -103,63 +107,63 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver verifies the FIRST 50 entries of queries() in dict order.
-# Round-12 rotation (VERDICT r11 item 2, tools/rotate_window.py): 20
-# contract-forced rows age out this round (core horizon 3 / extension
-# horizon 5 against the r8-r11 record set); the 30 free slots go to the
-# oldest remaining greens — the seven r8-green extension rows due at r13
-# refresh early here, flattening the r13 forecast exactly as the judge's
-# recomputation suggested. No staged backlog, no promotions pending.
+# Round-13 rotation (VERDICT r12 item 2, tools/rotate_window.py): the 5
+# batch-19 promotions take the front slots (first driver rows for the
+# PQ/temperature/L2 tier), then the 38 contract-forced refreshes (the
+# r10-newest-green cohort hitting the core 3-record horizon — the
+# fuller forced wave r12 forecast), then the oldest remaining greens
+# fill the 7 free slots.
 PRIORITY: list[str] = [
-    "q_dedup_token_set",
-    "q_cosine_topk",
-    "q_cosine_near_pairs",
-    "q_tf_idf",
-    "q7_volume_shipping",
-    "q13_order_count_distribution",
-    "q17_small_quantity_revenue",
-    "q_profile_orders",
-    "q_kpi_pivot",
-    "q_session_window_events",
-    "q_grouping_sets",
-    "q_posexplode_embedding",
-    "q_array_lambda_battery",
-    "q_null_semantics",
-    "q_nullsafe_join",
-    "q8_market_share",
-    "q_fuzzy_name_pairs",
-    "q21_blamable_suppliers",
-    "q_price_histogram",
-    "q_regex_extract_ldn",
-    "q_shuffle_corpus",
-    "q_sample_k_per_stratum",
-    "q_normalize_text",
-    "q_select_budget",
-    "q_corpus_report",
-    "q_corpus_drift",
-    "q_dedup_spans",
-    "q_sample_stratified",
-    "q_corpus_mix",
-    "q_pack_chunks",
-    "q_redact_pii",
-    "q_prepare_corpus",
-    "q_split_documents",
-    "q_contamination_pairs",
-    "q_ngram_counts",
-    "q_funnel_stages",
-    "q_unigram_logprob",
-    "q_dsir_weights",
-    "q_quality_calibrated",
-    "q_vocab_growth",
-    "q_kmeans_clusters",
-    "q_dsir_resample",
-    "q_pack_best_fit",
-    "q_cluster_balanced_sample",
-    "q_perplexity_buckets",
-    "q_train_bpe",
-    "q_bpe_segment",
-    "q_countmin_counts",
-    "q_hll_distinct",
-    "q_bloom_decontam",
+    "q_pq_codes",
+    "q_pq_topk",
+    "q_temperature_mix",
+    "q_pq_refine_recall",
+    "q_l2_topk",
+    "q3_shipping_priority",
+    "q_top3_orders_per_customer",
+    "q_agg_stats",
+    "q_customers_without_orders",
+    "q_active_supplier_keys",
+    "q_priciest_lineitems",
+    "q_rollup_order_volume",
+    "q_clean_chain_events",
+    "q_sessionize",
+    "q_tumbling_window_events",
+    "q_unpivot_lineitem",
+    "q_asof_join_purchase",
+    "q_customers_with_orders_semi",
+    "q_full_outer_nation_activity",
+    "q_cross_join_matrix",
+    "q_orders_above_avg",
+    "q_string_funcs",
+    "q_date_funcs",
+    "q_having_filter",
+    "q6_revenue_delta",
+    "q4_priority_late_ship",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q_minhash_near_dups",
+    "q_simhash",
+    "q_dedup_clusters",
+    "q12_line_priority_split",
+    "q_winnowing_fingerprints",
+    "q_winnow_collisions",
+    "q_range_join_ship_windows",
+    "q_asof_join_next_purchase",
+    "q_salted_join_volume",
+    "q_hypertable_rollup",
+    "q_minhash_capped_near_dups",
+    "q_dedup_clusters_lsh",
+    "q_ivf_recall",
+    "q_lsh_cosine_near_pairs",
+    "q_bigram_logprob",
+    "q_pmi_bigrams",
+    "q_vocab_overlap",
+    "q_token_entropy",
+    "q_oov_rate",
+    "q_blocklist_filter",
+    "q_zipf_fit",
 ]
 
 

@@ -66,6 +66,10 @@ from datapipelineetl_spark import queries_batch18  # noqa: E402
 queries_batch17.register()  # corpus-curation battery, round 10
 queries_batch18.register()  # fertility + estimator accuracy, round 10
 
+from datapipelineetl_spark import queries_batch19  # noqa: E402
+
+queries_batch19.register()  # PQ / temperature-mix / L2 tier, round 13
+
 HEADLINE = [
     # scan + agg
     "q1_pricing_summary",
@@ -146,6 +150,15 @@ HEADLINE = [
     "q_gram_novelty",
     "q_doc_containment",
     "q_token_fertility",
+    # batch-19 promotions (round 13): the PQ tier's two VERDICT-named
+    # representatives — the full fit+encode trajectory (the heavy row:
+    # m-subspace Lloyd over the embedding corpus) and the literal-LUT
+    # ADC top-k scan. q_l2_topk / q_temperature_mix are single narrow
+    # codegen passes (shapes covered by q_cosine_topk / q_corpus_mix
+    # rows) and q_pq_refine_recall shares q_pq_codes' fit cost — they
+    # ride the correctness gate.
+    "q_pq_codes",
+    "q_pq_topk",
 ]
 
 # Reference warm best-of-N seconds at sf0.1 / local[32], refreshed
@@ -212,6 +225,17 @@ EXPECTED_SEC = {
     "q_gram_novelty": 4.40,
     "q_doc_containment": 4.08,
     "q_token_fertility": 3.50,
+    # batch-19 rows: measured same-day as the round-13 promotion from
+    # the full 47-query bench run itself (the gate context these rows
+    # gate; a standalone warm best-of-3 read 8.00/6.22 — recorded the
+    # in-context numbers so the 1.35× gate has honest headroom), AFTER
+    # the _pq_argmin nested-HOF rewrite (the struct-forest spelling
+    # read 19.0/~19 s — SCALING.md "Round 13: PQ argmin spelling"; the
+    # remaining cost is the fixed analysis of the oracle geometry's
+    # literal codebooks plus the 2-job sample fit; the production
+    # encode is the Arrow kernel, 1.9 s on the same data)
+    "q_pq_codes": 9.50,
+    "q_pq_topk": 7.80,
 }
 
 

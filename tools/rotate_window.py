@@ -24,14 +24,30 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import __spark_entry__ as entrymod
-from datapipelineetl_spark import queries_batch11 as b11
-from datapipelineetl_spark import queries_batch12 as b12
-from datapipelineetl_spark import queries_batch13 as b13
-from datapipelineetl_spark import queries_batch14 as b14
-from datapipelineetl_spark import queries_batch15 as b15
-from datapipelineetl_spark import queries_batch16 as b16
-from datapipelineetl_spark import queries_batch17 as b17
-from datapipelineetl_spark import queries_batch18 as b18
+
+
+def _staged_batches() -> dict:
+    """Every ``queries_batch*`` module's STAGED dicts, pkgutil-discovered
+    (the check_correctness r12 fix applied here too: a hand-kept import
+    list silently skips the newest batch — which is exactly the batch
+    whose promotion this tool exists to schedule)."""
+    import importlib
+    import pkgutil
+
+    import datapipelineetl_spark as _pkg
+
+    queries: dict = {}
+    oracles: dict = {}
+    for info in sorted(
+        pkgutil.iter_modules(_pkg.__path__), key=lambda i: i.name
+    ):
+        if not info.name.startswith("queries_batch"):
+            continue
+        mod = importlib.import_module(f"datapipelineetl_spark.{info.name}")
+        queries.update(getattr(mod, "STAGED_QUERIES", {}))
+        oracles.update(getattr(mod, "STAGED_ORACLES", {}))
+    return queries
+
 
 WINDOW = 50
 
@@ -71,14 +87,8 @@ def main() -> int:
 
     aged = [q for q in registered if q not in green_by_n[horizon_records(q)]]
     red = [q for q in rec if q in registered and q not in latest_green]
-    staged = [
-        q
-        for q in {**b11.STAGED_QUERIES, **b12.STAGED_QUERIES,
-                  **b13.STAGED_QUERIES, **b14.STAGED_QUERIES,
-                  **b15.STAGED_QUERIES, **b16.STAGED_QUERIES,
-                  **b17.STAGED_QUERIES, **b18.STAGED_QUERIES}
-        if q not in registered
-    ]
+    all_staged = _staged_batches()
+    staged = [q for q in all_staged if q not in registered]
     n_core = sum(1 for q in registered if q not in entrymod.EXTENSION_TIER)
     print(
         f"latest records: {[p.name for p in recent]} "
@@ -138,11 +148,7 @@ def main() -> int:
         from datapipelineetl_spark.session import get_session
 
         spark = get_session("rotate-window-schema-check")
-        all_q = {**entrymod.queries(), **b11.STAGED_QUERIES,
-                 **b12.STAGED_QUERIES, **b13.STAGED_QUERIES,
-                 **b14.STAGED_QUERIES, **b15.STAGED_QUERIES,
-                 **b16.STAGED_QUERIES, **b17.STAGED_QUERIES,
-                 **b18.STAGED_QUERIES}
+        all_q = {**entrymod.queries(), **all_staged}
         sf_dir = "/root/testdata/sf0.001"
         unsafe = {}
         for q in window:
