@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -504,6 +504,48 @@ def ivf_assign(
             F.col(vec_col).cast("array<double>")
         ),
     )
+
+
+def ivf_assign_fold(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out: str = "ivf_cell",
+) -> DataFrame:
+    """``ivf_assign``'s ORACLE-REPLAYABLE twin (L2 metric only): the
+    cell id as a pure JVM expression — one ``transform`` over the
+    literal centroid array computing each squared-L2 distance as the
+    sequential left-to-right fold DuckDB's ``list_sum`` replays
+    term-for-term, ties to the LOWER cell via first-index-of-min
+    (the ``_pq_argmin`` spelling at full dim).
+
+    Why it exists: ``ivf_fit_centroids``/``ivf_assign`` run the
+    assignment through the Arrow matmul kernel — the right production
+    plan, but its BLAS summation order is not value-replayable
+    cross-engine, which is why the IVF family's driver oracles were
+    recall BOOLEANS (q_ivf_recall) rather than value checks. With
+    FIXED centroids (seeds, or a frozen fit artifact) this fold makes
+    the whole composed IVF-PQ query value-checkable — the batch-20
+    q_ivfpq_topk oracle replays cell assignment, probe selection, and
+    the ADC scan end to end.
+
+    Scale: k_cells × dim literal tree evaluated interpreted per row —
+    fine for oracle geometries (k_cells in the tens); a production
+    store assigns with the Arrow kernel and PERSISTS the column, so
+    this fold is never in a hot path. NULL vectors get NULL cells.
+    """
+    vec = F.col(vec_col).cast("array<double>")
+    cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    dists = F.transform(
+        cents,
+        lambda c: F.aggregate(
+            F.zip_with(vec, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        ),
+    )
+    cell = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    return df.withColumn(out, F.when(vec.isNotNull(), cell))
 
 
 def _probe_cells(
@@ -1498,20 +1540,7 @@ def pq_adc_topk(
     whenever the true top-k survives the shortlist).
     """
     m = len(codebooks)
-    sub = len(codebooks[0][0])
-    if len(query_vec) != m * sub:
-        raise ValueError(f"query dim {len(query_vec)} != m*sub {m * sub}")
-    lut = []
-    for j in range(m):
-        q = [float(x) for x in query_vec[j * sub:(j + 1) * sub]]
-        row = []
-        for cw in codebooks[j]:
-            d = 0.0
-            for z in range(sub):
-                t = q[z] - cw[z]
-                d += t * t
-            row.append(d)
-        lut.append(row)
+    lut = _pq_lut(query_vec, codebooks)
     # ONE flat literal array + an unrolled m-term sum — constant-folds
     # to a single Literal and stays inside whole-stage codegen; the
     # higher-order-function spelling (aggregate over transform with
@@ -1554,6 +1583,150 @@ def pq_adc_topk(
         )
         .orderBy("l2", id_col)
         .limit(k)
+    )
+
+
+def _pq_lut(query_vec: list[float], codebooks: list[list[list[float]]]):
+    """The m × k_sub exact-subspace-distance lookup table for one query
+    (driver metadata), sequential left-to-right sums — shared by the
+    single- and multi-query ADC paths."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    if len(query_vec) != m * sub:
+        raise ValueError(f"query dim {len(query_vec)} != m*sub {m * sub}")
+    lut = []
+    for j in range(m):
+        q = [float(x) for x in query_vec[j * sub:(j + 1) * sub]]
+        row = []
+        for cw in codebooks[j]:
+            d = 0.0
+            for z in range(sub):
+                t = q[z] - cw[z]
+                d += t * t
+            row.append(d)
+        lut.append(row)
+    return lut
+
+
+def pq_adc_topk_multi(
+    encoded: DataFrame,
+    queries: dict[int, list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    codes_col: str = "pq_code",
+    round_dp: int = 6,
+    exclude_query_ids: bool = True,
+    mode: str = "fold",
+) -> DataFrame:
+    """ADC top-k for a BATCH of queries in one operator — the shape a
+    100 TB serving layer actually runs (requests arrive in batches; the
+    expensive thing is touching the code column, so touch it ONCE for
+    all of them). Output: (query_id, id_col, adc), each query's top-k
+    ascending, ties to the lower id — per-query rows identical to
+    ``pq_adc_topk`` (parity-tested).
+
+    ``queries`` maps query_id → vector. ``exclude_query_ids=True``
+    drops each query's OWN id from its result (the self-neighbor, for
+    queries drawn from the corpus — ids must share the id_col space;
+    pass False for external queries).
+
+    ``mode`` picks the physical plan, the established split:
+
+    - ``"fold"`` (oracle path): per query, the same flat-literal-LUT
+      unrolled-add projection and k-heap as ``pq_adc_topk``, unioned
+      under a query_id column. Q branches over the same narrow code
+      scan — the engine serves them from one cached/columnar read; the
+      per-branch plan stays inside whole-stage codegen, and every adc
+      value is the j-ordered sequential sum the batch-20 oracle
+      replays.
+    - ``"arrow"``: ONE mapInPandas pass — per Arrow batch the Q × m ×
+      k_sub LUT tensor gathers all Q distances from the codes matrix
+      in vectorized numpy, and each task emits only its LOCAL top-k
+      per query, so the global re-rank shuffles ≤ partitions × Q × k
+      rows (never n × Q). The true single-scan form; rounding is the
+      vectorized HALF_UP kernel, trading the last-ulp rounding
+      boundary exactly as every Arrow kernel here does
+      (parity-tested on the fixture).
+    """
+    if not queries:
+        raise ValueError("need at least one query")
+    if mode not in ("fold", "arrow"):
+        raise ValueError(f"mode must be 'fold' or 'arrow', got {mode!r}")
+    qids = sorted(queries)
+    if mode == "fold":
+        out = None
+        for qid in qids:
+            branch = pq_adc_topk(
+                encoded,
+                queries[qid],
+                codebooks,
+                k=k,
+                id_col=id_col,
+                codes_col=codes_col,
+                round_dp=round_dp,
+                exclude_ids=(qid,) if exclude_query_ids else (),
+            ).select(
+                F.lit(int(qid)).cast("int").alias("query_id"),
+                F.col(id_col),
+                F.col("adc"),
+            )
+            out = branch if out is None else out.unionByName(branch)
+        return out
+
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    m = len(codebooks)
+    luts = np.asarray(
+        [_pq_lut(queries[qid], codebooks) for qid in qids], dtype=np.float64
+    )  # Q × m × k_sub
+    qid_arr = np.asarray(qids, dtype=np.int64)
+    scale = 10.0 ** round_dp
+
+    def gen(batches):
+        for pdf in batches:
+            mask = pdf[codes_col].notna()
+            ids = pdf.loc[mask, id_col].to_numpy(dtype=np.int64)
+            if not len(ids):
+                continue
+            codes = np.stack(pdf.loc[mask, codes_col].to_numpy()).astype(
+                np.int64
+            )  # n × m
+            # adc[n, Q]: sequential j-ordered adds — 0 + t_0 + t_1 + …
+            # matches the fold's left-to-right IEEE order term for term
+            adc = np.zeros((len(ids), len(qids)), dtype=np.float64)
+            for j in range(m):
+                adc += luts[:, j, :][:, codes[:, j]].T
+            r = np.floor(np.abs(adc) * scale + 0.5) / scale * np.sign(adc)
+            r[adc == 0.0] = 0.0
+            parts = []
+            for qi, qid in enumerate(qid_arr):
+                col = r[:, qi]
+                keep = np.ones(len(ids), dtype=bool)
+                if exclude_query_ids:
+                    keep = ids != qid
+                order = np.lexsort((ids[keep], col[keep]))[:k]
+                sel_ids, sel_adc = ids[keep][order], col[keep][order]
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(len(sel_ids), qid, dtype=np.int32),
+                            id_col: sel_ids,
+                            "adc": sel_adc,
+                        }
+                    )
+                )
+            yield pd.concat(parts, ignore_index=True)
+
+    local = encoded.mapInPandas(
+        gen, schema=f"query_id int, {id_col} long, adc double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col(id_col))
+    return (
+        local.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
     )
 
 

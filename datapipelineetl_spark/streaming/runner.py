@@ -1855,6 +1855,7 @@ def streaming_ann_index(
     checkpoint: str,
     vec_col: str = "embedding",
     available_now: bool = True,
+    residual: bool = False,
 ) -> StreamingQuery:
     """Streaming maintenance of the persisted IVF-PQ ANN store
     (examples/ann_index_build.py's layout, kept fresh as embeddings
@@ -1891,6 +1892,18 @@ def streaming_ann_index(
     codebook is exactly what keeps arriving codes valid across that
     event (similarity.ivfpq_topk docstring).
 
+    ``residual=True`` maintains the FAISS-default accuracy variant
+    instead: ``codebooks`` must have been fit on residuals
+    (``pq_fit(residualize(sample, centroids), vec_col="residual")``,
+    with an L2-metric coarse fit — the round-12 A/B), and each
+    arriving vector's code is computed from x − centroid[cell]. Same
+    layout, same exactly-once discipline; query the store with
+    ``ivfpq_residual_topk(cell_col="ivf_cell", codes_col="pq_code")``.
+    The accuracy/operational trade (residual codes are COUPLED to the
+    coarse tier — re-clustering re-encodes the corpus) is measured in
+    SCALING.md "Round 12: residual vs global PQ"; choose this variant
+    when that measurement's tight-cluster regime applies.
+
     Scale: per batch = arrival-sized narrow work + one partitioned
     write; the store grows by appendable partitions, never rewritten
     corpus-wide. Query cost is unchanged as the store grows beyond
@@ -1900,12 +1913,25 @@ def streaming_ann_index(
     from datapipelineetl_spark.sinks import maintenance  # noqa: PLC0415
 
     def handle(df: DataFrame, epoch_id: int) -> None:
-        enc = similarity.pq_encode(
-            similarity.ivf_assign(df, centroids, vec_col),
-            codebooks,
-            vec_col,
-            mode="arrow",
-        )
+        if residual:
+            assigned = similarity.residualize(
+                similarity.ivf_assign(df, centroids, vec_col, metric="l2"),
+                centroids,
+                vec_col,
+                cell_col="ivf_cell",
+                out="__res",
+                metric="l2",
+            )
+            enc = similarity.pq_encode(
+                assigned, codebooks, "__res", mode="arrow"
+            ).drop("__res")
+        else:
+            enc = similarity.pq_encode(
+                similarity.ivf_assign(df, centroids, vec_col),
+                codebooks,
+                vec_col,
+                mode="arrow",
+            )
         maintenance.overwrite_partitions(
             enc.withColumn("__batch_id", F.lit(epoch_id)),
             store,

@@ -22,20 +22,21 @@ from datapipelineetl_spark import queries_batch16 as b16
 from datapipelineetl_spark import queries_batch17 as b17
 from datapipelineetl_spark import queries_batch18 as b18
 from datapipelineetl_spark import queries_batch19 as b19
+from datapipelineetl_spark import queries_batch20 as b20
 
-# batches 11/12/13 were promoted (rounds 6/7/8); batch14 is the live
-# staged set awaiting r9 window slots — all run the driver-style
+# batches 11-19 were promoted (rounds 6-13); batch20 is the live
+# staged set awaiting r14 window slots — all run the driver-style
 # compare here
 _STAGED_QUERIES = {**b11.STAGED_QUERIES, **b12.STAGED_QUERIES,
                    **b13.STAGED_QUERIES, **b14.STAGED_QUERIES,
                    **b15.STAGED_QUERIES, **b16.STAGED_QUERIES,
                    **b17.STAGED_QUERIES, **b18.STAGED_QUERIES,
-                   **b19.STAGED_QUERIES}
+                   **b19.STAGED_QUERIES, **b20.STAGED_QUERIES}
 _STAGED_ORACLES = {**b11.STAGED_ORACLES, **b12.STAGED_ORACLES,
                    **b13.STAGED_ORACLES, **b14.STAGED_ORACLES,
                    **b15.STAGED_ORACLES, **b16.STAGED_ORACLES,
                    **b17.STAGED_ORACLES, **b18.STAGED_ORACLES,
-                   **b19.STAGED_ORACLES}
+                   **b19.STAGED_ORACLES, **b20.STAGED_ORACLES}
 
 
 @pytest.fixture(scope="module")
@@ -105,3 +106,16 @@ def test_staged_registry_promoted():
         assert set(b.STAGED_ORACLES) <= set(q.ORACLES)
         b.register()
     assert len(entrymod.queries()) == n
+
+
+def test_batch20_staged_not_promoted():
+    """Batch 20 (the composed IVF-PQ replay + multi-query ADC) stages
+    in round 13 and promotes in round 14: its dicts must be well-formed
+    (every query carries an oracle) and its names must NOT be in the
+    live registry yet — staging must not grow ``queries()`` mid-round
+    (the module-docstring contract)."""
+    import __spark_entry__ as entrymod
+
+    assert set(b20.STAGED_ORACLES) == set(b20.STAGED_QUERIES)
+    assert len(b20.STAGED_QUERIES) == 2
+    assert not set(b20.STAGED_QUERIES) & set(entrymod.queries())

@@ -584,3 +584,62 @@ def test_ivfpq_residual_refine_shortlist_wider_than_branches(spark):
     ).collect()
     assert [r.vec_id for r in got] == [n, 1]
     assert got[0].l2 == similarity._pq_half_up(0.1 ** 2, 6)
+
+
+def test_ivf_assign_fold_matches_arrow_and_handles_nulls(spark):
+    """ivf_assign_fold is the oracle-replayable L2 assigner: same cells
+    as the Arrow kernel on tie-free geometry, NULL vectors → NULL cell,
+    and ties go to the LOWER cell id (first-index-of-min) — pinned with
+    two equidistant centroids."""
+    rows = [
+        (0, [0.0, 0.0]), (1, [10.0, 0.0]), (2, [0.1, 0.2]),
+        (3, [9.8, 0.4]), (4, None), (5, [5.0, 0.0]),  # 5 ties 0 vs 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[0.0, 0.0], [10.0, 0.0]]
+    fold = {r.vec_id: r.ivf_cell
+            for r in similarity.ivf_assign_fold(df, cents).collect()}
+    assert fold == {0: 0, 1: 1, 2: 0, 3: 1, 4: None, 5: 0}
+    arrow = {r.vec_id: r.ivf_cell
+             for r in similarity.ivf_assign(df, cents, metric="l2").collect()}
+    # tie row 5 excluded: the kernels agree there too (np.argmin is
+    # also first-min) but that is implementation luck, not contract
+    assert {i: c for i, c in fold.items() if i != 5} == \
+        {i: c for i, c in arrow.items() if i != 5}
+
+
+def test_pq_adc_topk_multi_modes_match_single(spark, sf_dir):
+    """pq_adc_topk_multi must reproduce pq_adc_topk per query in BOTH
+    modes (fold = unioned literal-LUT branches; arrow = one mapInPandas
+    pass with partition-local top-k), including the self-exclusion."""
+    emb = catalog.load(spark, sf_dir, "embeddings")
+    books = similarity.pq_fit(emb, m=16, k_sub=16, iters=1)
+    enc = similarity.pq_encode(emb, books).repartition(4)
+    vecs = {r.vec_id: r.embedding
+            for r in emb.filter(F.col("vec_id") < 3).collect()}
+    queries = {int(i): [float(x) for x in v] for i, v in vecs.items()}
+    expected = []
+    for qid in sorted(queries):
+        expected += [
+            (qid, r.vec_id, r.adc)
+            for r in similarity.pq_adc_topk(
+                enc, queries[qid], books, k=7, exclude_ids=(qid,)
+            ).collect()
+        ]
+    for mode in ("fold", "arrow"):
+        got = [
+            (r.query_id, r.vec_id, r.adc)
+            for r in similarity.pq_adc_topk_multi(
+                enc, queries, books, k=7, mode=mode
+            ).orderBy("query_id", "adc", "vec_id").collect()
+        ]
+        assert got == sorted(expected, key=lambda t: (t[0], t[2], t[1])), mode
+    # no self-exclusion: each query's own vector is its 0-distance top hit
+    inc = similarity.pq_adc_topk_multi(
+        enc, queries, books, k=1, mode="arrow", exclude_query_ids=False
+    ).collect()
+    assert {(r.query_id, r.vec_id) for r in inc} == {(q, q) for q in queries}
+    with pytest.raises(ValueError, match="mode"):
+        similarity.pq_adc_topk_multi(enc, queries, books, mode="nope")
+    with pytest.raises(ValueError, match="query"):
+        similarity.pq_adc_topk_multi(enc, {}, books)

@@ -1961,3 +1961,63 @@ def test_streaming_ann_index_matches_batch_and_replays(spark, tmp_path):
     assert [(r.vec_id, r.adc) for r in pruned.collect()] == [
         (r.vec_id, r.adc) for r in flat.collect()
     ]
+
+
+def test_streaming_ann_index_residual_matches_batch(spark, tmp_path):
+    """ST8+ × residual IVF-PQ (round 13): with residual=True the
+    stream-maintained store must equal the batch-built residual index
+    (frozen L2 coarse tier + residual-fit codebooks → deterministic
+    codes) and answer pruned ivfpq_residual_topk queries identically to
+    the flat frame."""
+    from datapipelineetl_spark.operators import similarity
+
+    src = str(tmp_path / "vecs")
+    store = str(tmp_path / "store")
+    ck = str(tmp_path / "ckpt")
+    dim = 8
+    rows = [
+        (i, [((i * 37 + z * 11) % 101) / 101.0 - 0.5 for z in range(dim)])
+        for i in range(40)
+    ]
+    schema = "vec_id long, embedding array<double>"
+    base = spark.createDataFrame(rows, schema)
+    base.filter(F.col("vec_id") < 20).coalesce(1).write.parquet(src)
+    base.filter(F.col("vec_id") >= 20).coalesce(1).write.mode("append").parquet(src)
+
+    cents = similarity.ivf_fit_centroids(
+        base, k_cells=4, iters=2, dim=dim, metric="l2"
+    )
+    books = similarity.pq_fit(
+        similarity.residualize(base, cents, metric="l2"),
+        m=2, k_sub=4, iters=1, vec_col="residual", dim=dim,
+    )
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    runner.streaming_ann_index(stream, cents, books, store, ck, residual=True)
+
+    got = spark.read.parquet(store)
+    expected = similarity.pq_encode(
+        similarity.residualize(
+            similarity.ivf_assign(base, cents, metric="l2"),
+            cents, cell_col="ivf_cell", out="__res", metric="l2",
+        ),
+        books, "__res", mode="arrow",
+    ).drop("__res")
+    canon = lambda df: sorted(
+        (r.vec_id, r.ivf_cell, tuple(r.pq_code)) for r in df.collect()
+    )
+    assert canon(got.select("vec_id", "ivf_cell", "pq_code")) == canon(expected)
+
+    q = rows[3][1]
+    pruned = similarity.ivfpq_residual_topk(
+        got, q, cents, books, k=5, nprobe=2,
+        cell_col="ivf_cell", codes_col="pq_code", exclude_ids=(3,),
+    )
+    flat = similarity.ivfpq_residual_topk(
+        expected, q, cents, books, k=5, nprobe=2,
+        cell_col="ivf_cell", codes_col="pq_code", exclude_ids=(3,),
+    )
+    assert [(r.vec_id, r.adc) for r in pruned.collect()] == [
+        (r.vec_id, r.adc) for r in flat.collect()
+    ]

@@ -1,0 +1,101 @@
+"""Measure multi-query ADC amortization (round-13 depth: VERDICT r12
+item 8b — "the per-query fixed overhead dominates below ~0.5M rows").
+
+A serving layer answers ANN requests in BATCHES; the expensive thing at
+100 TB is touching the code column, so the question is: what does
+answering Q queries cost as ONE `pq_adc_topk_multi(mode="arrow")` pass
+(Q×m×k_sub LUT tensor gathered per Arrow batch, partition-local top-k,
+≤ partitions×Q×k rows shuffled) vs Q sequential `pq_adc_topk` scans?
+
+    python tools/bench_pq_multi.py [n ...] [--q Q]
+    # default n = 500000 2000000, Q = 16, k = 10, m=8/k_sub=256 codes
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import SparkSession
+
+from datapipelineetl_spark.operators import similarity
+
+DIM, M, KSUB, FIT_N, K = 64, 8, 256, 10_000, 10
+
+
+def _timed(fn, reps: int = 2) -> float:
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    ns = [int(a) for a in args] or [500_000, 2_000_000]
+    q_n = 16
+    if "--q" in sys.argv:
+        q_n = int(sys.argv[sys.argv.index("--q") + 1])
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("bench-pq-multi")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def vec_expr(seed: int) -> str:
+        return (
+            "transform(sequence(0, {d}), z -> "
+            "cast(pmod(id * 31 + z * {s}, 997) as double) / 997.0 - 0.5)"
+        ).format(d=DIM - 1, s=seed)
+
+    for n in ns:
+        base = spark.range(n).selectExpr(
+            "id as vec_id", f"{vec_expr(7)} as embedding"
+        )
+        books = similarity.pq_fit(
+            base.limit(FIT_N), m=M, k_sub=KSUB, iters=1, dim=DIM,
+            assignment="arrow",
+        )
+        tmp = tempfile.mkdtemp(prefix="pqmulti_")
+        enc_path = str(Path(tmp) / "codes")
+        similarity.pq_encode(base, books, mode="arrow").select(
+            "vec_id", "pq_code"
+        ).write.parquet(enc_path)
+        enc = spark.read.parquet(enc_path)
+        queries = {
+            int(i): [((i * 31 + z * 7) % 997) / 997.0 - 0.5 for z in range(DIM)]
+            for i in range(q_n)
+        }
+
+        def loop_single():
+            for qid, qv in queries.items():
+                similarity.pq_adc_topk(
+                    enc, qv, books, k=K, exclude_ids=(qid,)
+                ).collect()
+
+        def multi_arrow():
+            similarity.pq_adc_topk_multi(
+                enc, queries, books, k=K, mode="arrow"
+            ).collect()
+
+        t_single = _timed(loop_single)
+        t_multi = _timed(multi_arrow)
+        print(
+            f"n={n:>9,} Q={q_n}: {q_n} sequential scans {t_single:6.2f}s  "
+            f"one arrow pass {t_multi:6.2f}s  "
+            f"amortization {t_single / t_multi:5.2f}x"
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -62,24 +62,32 @@ PICK = {
     "q_doc_containment": "Containment pairs: materialized gram table self-joined on the 60-bit hash, pair counts partial-agg, lazy doc-size joins left to AQE (no forced broadcast of a corpus-cardinality table).",
     "q_token_fertility": "Tokenizer fertility: piece segmentation replays off the TRAINING WORD TABLE (vocabulary-bounded, materialized once) — the corpus-side work is one words-explode + one broadcast join of the piece stats + per-language partial aggs; no per-document re-segmentation pass.",
     "q_minhash_estimate": "MinHash estimator accuracy: signatures once per doc (narrow hash math), candidate pairs from the SAME banding equi-join the near-dup path uses, exact Jaccard replayed only on candidates — estimator-vs-exact error is a candidate-cardinality aggregate.",
+    "q_pq_codes": "PQ fit+encode: the encode is ONE narrow Project — per subspace a single transform over the literal codebook + first-index-of-min (the r13 nested-HOF argmin; HOFs never codegen, so the small tree is pure analysis savings) — zero Exchange beyond the posexplode reshape, zero Python; the Lloyd iteration ran as an m-struct explode + ONE (subspace, code) partial agg before this plan.",
+    "q_pq_topk": "ADC top-k: the LUT is one constant-folded literal array; each row's distance is an unrolled m-term add chain inside WholeStageCodegen over the m-int code column; top-10 is TakeOrderedAndProject — no join, no Exchange beyond the heap merge.",
+    "q_l2_topk": "Exact L2 top-k: NULL vectors filtered, one sequential fold per row against the literal query, ordering on the ROUNDED distance — TakeOrderedAndProject, zero Exchange beyond the heap merge.",
+    "q_temperature_mix": "Temperature remix: the per-source thresholds ride as ONE nested-CASE expression over the hash gate (3 sources — the measured CASE regime; the >64-source broadcast-join dispatch is tools/bench_temperature_dispatch.py territory) — zero joins, the only Exchange is the source-count metadata aggregate that ran before this plan.",
+    "q_ivfpq_topk": "Composed IVF-PQ (staged): fold cell assignment + literal-LUT ADC are narrow Projects; the probe filter is a 3-value IN predicate on the cell column (directory pruning once the store persists it); top-10 TakeOrderedAndProject; the trailing cell join rides broadcast.",
+    "q_pq_topk_multi": "Batched ADC (staged, fold form): Q unioned literal-LUT branches over the SAME narrow code scan, each a TakeOrderedAndProject heap; the arrow form is one mapInPandas pass with partition-local top-k (≤ partitions×Q×k rows shuffled).",
 }
 
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_session("plans")
-    from datapipelineetl_spark import queries_batch12 as b12
-    from datapipelineetl_spark import queries_batch13 as b13
-    from datapipelineetl_spark import queries_batch14 as b14
-    from datapipelineetl_spark import queries_batch15 as b15
-    from datapipelineetl_spark import queries_batch16 as b16
-    from datapipelineetl_spark import queries_batch17 as b17
-    from datapipelineetl_spark import queries_batch18 as b18
+    # pkgutil-discover every staged battery (the check_correctness r12
+    # fix): a hand-kept import list silently drops the newest batch's
+    # plans from this file
+    import importlib
+    import pkgutil
 
-    qs = {**entrymod.queries(), **b12.STAGED_QUERIES,
-          **b13.STAGED_QUERIES, **b14.STAGED_QUERIES,
-          **b15.STAGED_QUERIES, **b16.STAGED_QUERIES,
-          **b17.STAGED_QUERIES, **b18.STAGED_QUERIES}
+    import datapipelineetl_spark as _pkg
+
+    qs = dict(entrymod.queries())
+    for info in sorted(pkgutil.iter_modules(_pkg.__path__), key=lambda i: i.name):
+        if info.name.startswith("queries_batch"):
+            mod = importlib.import_module(f"datapipelineetl_spark.{info.name}")
+            for name, fn in (getattr(mod, "STAGED_QUERIES", {}) or {}).items():
+                qs.setdefault(name, fn)
     lines = [
         "# PLANS — physical plans of representative queries (sf0.1, AQE on)",
         "",
