@@ -304,3 +304,129 @@ def decode_headers(
     id_type = df.schema[id_col].dataType.simpleString()
     schema = f"{id_col} {id_type}, {_HEADER_FIELDS}"
     return df.select(id_col, payload_col).mapInPandas(kernel, schema)
+
+
+_RESIZE_SCHEMA = (
+    "media_id long, payload binary, width int, height int, "
+    "src_format string, resized boolean"
+)
+
+
+def _resize_ppm(b: bytes, width: int, height: int) -> bytes | None:
+    """REAL nearest-neighbor resize for binary PPM (P6, maxval ≤ 255) —
+    pure header parse + one numpy fancy-index, no codec library. Returns
+    the resized P6 bytes, or None when the payload is not a resizable
+    P6 (wrong magic, 2-byte maxval, truncated pixel data)."""
+    import numpy as np  # noqa: PLC0415
+
+    if not b or b[:2] != b"P6":
+        return None
+    # header: magic, whitespace-separated width height maxval ('#'
+    # comments allowed), ONE whitespace byte, then raw RGB
+    tokens: list[bytes] = []
+    pos = 2
+    while len(tokens) < 3 and pos < len(b):
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        if b[pos : pos + 1] == b"#":
+            while pos < len(b) and b[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(b[start:pos])
+    if len(tokens) < 3:
+        return None
+    try:
+        w, h, maxval = (int(t) for t in tokens)
+    except ValueError:
+        return None
+    if maxval > 255 or w < 1 or h < 1:
+        return None  # 2-byte samples / degenerate dims: not this kernel
+    pos += 1  # the single whitespace after maxval
+    need = w * h * 3
+    if len(b) - pos < need:
+        return None
+    px = np.frombuffer(b, dtype=np.uint8, count=need, offset=pos).reshape(h, w, 3)
+    # nearest-neighbor index map — the deterministic floor((i+0.5)*src/dst)
+    # pixel-center rule, replayed exactly by the tests
+    ys = np.minimum(((np.arange(height) + 0.5) * h / height).astype(np.int64), h - 1)
+    xs = np.minimum(((np.arange(width) + 0.5) * w / width).astype(np.int64), w - 1)
+    out = px[ys][:, xs]
+    header = f"P6\n{width} {height}\n{maxval}\n".encode()
+    return header + out.tobytes()
+
+
+def resize_media(
+    df: DataFrame,
+    width: int,
+    height: int,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    fake: bool = False,
+) -> DataFrame:
+    """Resize image payloads via ``mapInPandas`` — the resize leg of the
+    multimodal surface, same two-tier contract as the decode side:
+
+    - **P6 PPM is resized FOR REAL** (stdlib header walk + one numpy
+      nearest-neighbor fancy-index — `_resize_ppm`): actual pixels
+      through the actual Arrow kernel, round-trippable by
+      ``decode_headers`` (the output header re-parses to the target
+      dimensions) and pinned pixel-for-pixel by the tests.
+    - Codec formats (jpeg/png/…) are library-gated: NotImplementedError
+      unless ``fake=True``, in which case a deterministic synthetic P6
+      of the target dimensions (pixels derived from the payload's
+      rolling checksum — `_fake_decode`'s discipline) exercises the
+      plumbing. Swap a PIL kernel in at deployment; dataflow identical.
+
+    Output: (media_id, payload=resized P6 bytes, width, height,
+    src_format, resized). NULL / unparseable payloads yield
+    ``resized=false`` with NULL payload — corrupt media is data at
+    100 TB, not an exception.
+
+    Scale: Arrow-batched; peak memory is one record batch of payloads
+    (size ``spark.sql.execution.arrow.maxRecordsPerBatch`` for multi-MB
+    images); resized bytes leave the executor, originals don't.
+    """
+    if width < 1 or height < 1:
+        raise ValueError(f"target dims must be >= 1, got {width}x{height}")
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            ids, payloads, fmts, flags = [], [], [], []
+            for mid, b in zip(pdf[id_col], pdf[payload_col]):
+                ids.append(mid)
+                hdr = _parse_media_header(b)
+                fmt = hdr["detected_format"]
+                fmts.append(fmt)
+                resized = _resize_ppm(b, width, height) if fmt == "ppm" else None
+                if resized is None and fmt not in (None, "ppm"):
+                    if not fake:
+                        raise NotImplementedError(
+                            f"resize for {fmt!r} requires an image library not "
+                            "present in this environment; pass fake=True for "
+                            "the deterministic stub"
+                        )
+                    rng = np.asarray(
+                        _fake_decode(b or b"", width * height * 3), dtype=np.float64
+                    )
+                    px = (rng * 255).astype(np.uint8).tobytes()
+                    resized = f"P6\n{width} {height}\n255\n".encode() + px
+                payloads.append(resized)
+                flags.append(resized is not None)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": payloads,
+                    "width": [width if f else None for f in flags],
+                    "height": [height if f else None for f in flags],
+                    "src_format": fmts,
+                    "resized": flags,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, _RESIZE_SCHEMA)

@@ -643,3 +643,52 @@ def test_pq_adc_topk_multi_modes_match_single(spark, sf_dir):
         similarity.pq_adc_topk_multi(enc, queries, books, mode="nope")
     with pytest.raises(ValueError, match="query"):
         similarity.pq_adc_topk_multi(enc, {}, books)
+
+
+def test_pq_adc_topk_multi_matches_python_replay(pq_frame):
+    """Pure-Python replay of the multi-query fold path (the batch-20
+    oracle's guarantee, pinned locally the way the single-query path
+    is): every (query, vector) ADC is the j-ordered sequential sum of
+    LUT lookups over the replayed codes, HALF_UP-rounded; per-query
+    rank ascending, ties to the lower id, self excluded."""
+    vecs, df = pq_frame
+    books = similarity.pq_fit(df, m=_M, k_sub=_KSUB, iters=_ITERS, round_dp=_DP)
+    _, py_codes = _py_pq_fit(vecs, _M, _KSUB, _ITERS, _DP)
+    sub = len(books[0][0])
+    queries = {i: vecs[i] for i in (0, 3, 5)}
+
+    def lut(q):
+        out = []
+        for j in range(_M):
+            row = []
+            for cw in books[j]:
+                d = 0.0
+                for z in range(sub):
+                    t = q[j * sub + z] - cw[z]
+                    d += t * t
+                row.append(d)
+            out.append(row)
+        return out
+
+    expected = []
+    for qid, q in sorted(queries.items()):
+        tbl = lut(q)
+        scored = sorted(
+            (
+                _half_up(sum(tbl[j][c] for j, c in enumerate(py_codes[i])), _DP),
+                i,
+            )
+            for i in py_codes
+            if i != qid
+        )[:4]
+        expected += [(qid, i, adc) for adc, i in scored]
+    enc = similarity.pq_encode(df, books)
+    got = [
+        (r.query_id, r.vec_id, r.adc)
+        for r in similarity.pq_adc_topk_multi(enc, queries, books, k=4)
+        .orderBy("query_id", "adc", "vec_id")
+        .collect()
+    ]
+    assert got == expected
+    # and vec 9 (NULL code) appears nowhere
+    assert all(v != 9 for _, v, _ in got)

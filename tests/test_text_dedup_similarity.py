@@ -1239,3 +1239,67 @@ def test_dsir_model_score_split_equals_combined(spark):
         corpus_ops.dsir_score(df, model, n_buckets=0)
     with pytest.raises(ValueError, match="alpha"):
         corpus_ops.dsir_score(df, model, alpha=0)
+
+
+def test_resize_media_real_ppm_pixels(spark):
+    """resize_media's P6 path is REAL: a 4x2 image downsizes to 2x1 by
+    the floor((i+0.5)*src/dst) pixel-center rule — expected pixels
+    computed by hand; the output re-parses through decode_headers to
+    the target dimensions (round-trip through the real header walk);
+    NULL and non-image payloads come back resized=false, not as task
+    failures."""
+    # 4x2 P6, rows: (R0 G0 B0)(R1..)(R2..)(R3..) with value = 10*x + y
+    px = bytes(
+        v for y in range(2) for x in range(4) for v in (10 * x + y,) * 3
+    )
+    ppm = b"P6\n4 2\n255\n" + px
+    df = spark.createDataFrame(
+        [(1, ppm), (2, None), (3, b"\x00garbage")],
+        "media_id long, payload binary",
+    )
+    got = {
+        r.media_id: r
+        for r in multimodal.resize_media(df, width=2, height=1).collect()
+    }
+    assert got[1].resized and got[1].src_format == "ppm"
+    # pixel-center map: ys=[1], xs=[1,3] → values 11 and 31
+    assert bytes(got[1].payload) == b"P6\n2 1\n255\n" + bytes(
+        v for val in (11, 31) for v in (val,) * 3
+    )
+    hdr = {
+        r.media_id: r
+        for r in multimodal.decode_headers(
+            spark.createDataFrame(
+                [(1, bytes(got[1].payload))], "media_id long, payload binary"
+            )
+        ).collect()
+    }
+    assert (hdr[1].detected_format, hdr[1].width, hdr[1].height) == ("ppm", 2, 1)
+    assert not got[2].resized and got[2].payload is None
+    assert not got[3].resized and got[3].src_format is None
+    # upscale uses the same rule (no interpolation — nearest neighbor)
+    up = multimodal.resize_media(df.filter("media_id = 1"), 8, 2).collect()[0]
+    assert (up.width, up.height, up.resized) == (8, 2, True)
+
+
+def test_resize_media_codec_gate_and_fake(spark):
+    """Codec formats go through the library gate: NotImplementedError
+    without fake=True; with it, a deterministic synthetic P6 of the
+    target dims exercises the plumbing (and round-trips through the
+    header decode)."""
+    import struct
+
+    png = (
+        b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">II", 5, 4) + bytes([8, 6, 0, 0, 0]) + b"\x00" * 4
+    )
+    df = spark.createDataFrame([(7, png)], "media_id long, payload binary")
+    with pytest.raises(Exception, match="NotImplementedError|image library"):
+        multimodal.resize_media(df, 2, 2).collect()
+    got = multimodal.resize_media(df, 2, 2, fake=True).collect()[0]
+    assert got.resized and got.src_format == "png"
+    assert bytes(got.payload)[:10] == b"P6\n2 2\n255"
+    again = multimodal.resize_media(df, 2, 2, fake=True).collect()[0]
+    assert bytes(again.payload) == bytes(got.payload)  # deterministic
+    with pytest.raises(ValueError, match="dims"):
+        multimodal.resize_media(df, 0, 2)
