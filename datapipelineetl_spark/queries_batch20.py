@@ -19,6 +19,12 @@ full DuckDB value oracles —
   re-derives all Q LUTs and every (query, vector) sequential sum, and
   ranks per query — the q_pq_topk guarantee extended to the batch
   shape a serving layer actually runs.
+- ``q_resize_media`` — the REAL nearest-neighbor resize kernel
+  (``multimodal.resize_media``'s numpy pixel gather) with its OUTPUT
+  BYTES hash-checked: the oracle reconstructs the resized P6 payload
+  from the literal offsets the pixel-center rule selects, compared as
+  hex — the multimodal surface's first pixels-not-just-metadata
+  value check.
 
 Same staging contract as batches 11–19: separate dicts so importing
 this module cannot grow the live ``queries()`` surface mid-round;
@@ -228,4 +234,73 @@ def q_pq_topk_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     return similarity.pq_adc_topk_multi(
         enc, queries, books, k=_MULTI_K, round_dp=_PQ_DP, mode="fold"
+    )
+
+
+# 4x3 source → 2x2 target: the pixel-center rule picks rows {0,2} and
+# cols {1,3}; pixel (y,x)'s 3 bytes start at byte offset (y*4+x)*3 in
+# the raw P6 pixel block (1-based substring offset +1) — the literal
+# offsets below ARE the oracle's replay of the numpy fancy-index
+_RS_W, _RS_H = 2, 2
+_RS_SRC_W, _RS_SRC_H = 4, 3
+_RS_PX = _RS_SRC_W * _RS_SRC_H * 3  # 36 raw bytes
+_RS_OFFS = [
+    (y * _RS_SRC_W + x) * 3 + 1
+    for y in (0, 2)
+    for x in (1, 3)
+]
+
+
+@query(
+    "q_resize_media",
+    f"""
+    WITH src AS (
+      SELECT doc_id AS media_id, hex(encode(text)) AS hx
+      FROM documents
+      WHERE octet_length(encode(text)) >= {_RS_PX}),
+    hdr AS (SELECT hex(encode('P6' || chr(10) || '2 2' || chr(10)
+                              || '255' || chr(10))) AS h)
+    SELECT media_id,
+           {_RS_W} AS width, {_RS_H} AS height,
+           'ppm' AS src_format, TRUE AS resized,
+           h || {" || ".join(f"substring(hx, {2 * (o - 1) + 1}, 6)" for o in _RS_OFFS)}
+             AS payload_hex
+    FROM src CROSS JOIN hdr
+    """,
+)
+def q_resize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL media-resize kernel value-checked cross-engine: each
+    document's first {0} text bytes become a {1}×{2} P6 PPM payload
+    (header + raw RGB), `multimodal.resize_media` runs the actual
+    numpy nearest-neighbor gather (the floor((i+0.5)·src/dst)
+    pixel-center rule) to {3}×{4}, and the oracle reconstructs the
+    EXACT resized bytes — header plus the four 3-byte pixels at the
+    literal offsets the index rule selects — compared as hex. This is
+    a mapInPandas kernel whose OUTPUT BYTES are hash-checked, the
+    q_multimodal_features guarantee upgraded from metadata to pixels.
+
+    Scale: Arrow-batched; payload bytes never leave the executor
+    except as the (tiny) resized artifact; corrupt/short payloads are
+    filtered symmetrically on both sides (the kernel itself yields
+    resized=false rows for them — pinned by the multimodal tests).""".format(
+        _RS_PX, _RS_SRC_W, _RS_SRC_H, _RS_W, _RS_H
+    )
+    from datapipelineetl_spark.operators import multimodal  # noqa: PLC0415
+
+    payload = F.encode("text", "UTF-8")
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length(payload) >= _RS_PX)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.concat(
+                F.encode(F.lit(f"P6\n{_RS_SRC_W} {_RS_SRC_H}\n255\n"), "UTF-8"),
+                F.substring(payload, 1, _RS_PX),
+            ).alias("payload"),
+        )
+    )
+    out = multimodal.resize_media(docs, width=_RS_W, height=_RS_H)
+    return out.select(
+        "media_id", "width", "height", "src_format", "resized",
+        F.hex("payload").alias("payload_hex"),
     )

@@ -109,7 +109,7 @@ def test_staged_registry_promoted():
 
 
 def test_batch20_staged_not_promoted():
-    """Batch 20 (the composed IVF-PQ replay + multi-query ADC) stages
+    """Batch 20 (the composed IVF-PQ replay, multi-query ADC, and the real-pixel resize replay) stages
     in round 13 and promotes in round 14: its dicts must be well-formed
     (every query carries an oracle) and its names must NOT be in the
     live registry yet — staging must not grow ``queries()`` mid-round
@@ -117,5 +117,5 @@ def test_batch20_staged_not_promoted():
     import __spark_entry__ as entrymod
 
     assert set(b20.STAGED_ORACLES) == set(b20.STAGED_QUERIES)
-    assert len(b20.STAGED_QUERIES) == 2
+    assert len(b20.STAGED_QUERIES) == 3
     assert not set(b20.STAGED_QUERIES) & set(entrymod.queries())
