@@ -692,3 +692,47 @@ def test_pq_adc_topk_multi_matches_python_replay(pq_frame):
     assert got == expected
     # and vec 9 (NULL code) appears nowhere
     assert all(v != 9 for _, v, _ in got)
+
+
+def test_ivfpq_topk_multi_modes_match_single(spark, sf_dir, tmp_path):
+    """ivfpq_topk_multi must reproduce ivfpq_topk per query in BOTH
+    modes over a PERSISTED cell-partitioned store, each query scoring
+    only its own probed cells, and the shared scan must prune to the
+    UNION of probed cells (PartitionFilters in the plan)."""
+    emb = catalog.load(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    cents = similarity.ivf_fit_centroids(emb, k_cells=8, iters=2, dim=dim)
+    books = similarity.pq_fit(emb, m=16, k_sub=16, iters=1)
+    path = str(tmp_path / "store")
+    similarity.pq_encode(
+        similarity.ivf_assign(emb, cents), books, mode="arrow"
+    ).write.partitionBy("ivf_cell").parquet(path)
+    store = spark.read.parquet(path)
+    vecs = {r.vec_id: [float(x) for x in r.embedding]
+            for r in emb.filter(F.col("vec_id") < 3).collect()}
+    expected = []
+    for qid in sorted(vecs):
+        expected += [
+            (qid, r.vec_id, r.adc)
+            for r in similarity.ivfpq_topk(
+                store, vecs[qid], cents, books, k=5, nprobe=3,
+                cell_col="ivf_cell", codes_col="pq_code", exclude_ids=(qid,),
+            ).collect()
+        ]
+    expected.sort(key=lambda t: (t[0], t[2], t[1]))
+    for mode in ("fold", "arrow"):
+        multi = similarity.ivfpq_topk_multi(
+            store, vecs, cents, books, k=5, nprobe=3,
+            cell_col="ivf_cell", codes_col="pq_code", mode=mode,
+        )
+        got = [
+            (r.query_id, r.vec_id, r.adc)
+            for r in multi.orderBy("query_id", "adc", "vec_id").collect()
+        ]
+        assert got == expected, mode
+        plan = multi._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan and "ivf_cell" in plan.split(
+            "PartitionFilters:"
+        )[1].split("]")[0]
+    with pytest.raises(ValueError, match="query"):
+        similarity.ivfpq_topk_multi(store, {}, cents, books)
