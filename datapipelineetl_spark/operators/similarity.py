@@ -411,11 +411,6 @@ def ivf_fit_centroids(
     import numpy as np  # noqa: PLC0415
 
     vec = F.col(vec_col).cast("array<double>")
-    if dim is None:
-        probe = df.filter(vec.isNotNull()).select(F.size(vec_col).alias("n")).first()
-        if probe is None or probe.n < 0:
-            raise ValueError("cannot infer embedding dim from an empty/null column")
-        dim = probe.n
     seeds = (
         df.filter(vec.isNotNull())
         .orderBy(id_col)
@@ -423,8 +418,14 @@ def ivf_fit_centroids(
         .select(vec.alias("v"))
         .collect()
     )
+    if not seeds:
+        raise ValueError("cannot infer embedding dim from an empty/null column")
     if len(seeds) < k_cells:
         raise ValueError(f"need >= {k_cells} vectors to fit {k_cells} cells")
+    if dim is None:
+        # infer from the seeds collect instead of a separate .first()
+        # probe — one fewer fixed-latency Spark job per fit (round 13)
+        dim = len(seeds[0].v)
 
     def _norm_rows(m):
         n = np.linalg.norm(m, axis=1, keepdims=True)
@@ -1361,14 +1362,6 @@ def pq_fit(
     if assignment not in ("fold", "arrow"):
         raise ValueError(f"assignment must be 'fold' or 'arrow', got {assignment!r}")
     vec = F.col(vec_col).cast("array<double>")
-    if dim is None:
-        probe = df.filter(vec.isNotNull()).select(F.size(vec_col).alias("n")).first()
-        if probe is None or probe.n < 0:
-            raise ValueError("cannot infer embedding dim from an empty/null column")
-        dim = probe.n
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m {m}")
-    sub = dim // m
     seeds = (
         df.filter(vec.isNotNull())
         .orderBy(id_col)
@@ -1376,8 +1369,19 @@ def pq_fit(
         .select(vec.alias("v"))
         .collect()
     )
+    if not seeds:
+        raise ValueError("cannot infer embedding dim from an empty/null column")
+    if dim is None:
+        # the seeds collect already carries the width — a separate
+        # .first() probe job was one whole Spark round-trip of pure
+        # fixed latency per fit (round 13). Geometry validation stays
+        # AHEAD of the seed-count check (its historical order).
+        dim = len(seeds[0].v)
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
     if len(seeds) < k_sub:
         raise ValueError(f"need >= {k_sub} non-null vectors, got {len(seeds)}")
+    sub = dim // m
     books = [
         [
             [_pq_half_up(float(x), round_dp) for x in r.v[j * sub:(j + 1) * sub]]

@@ -309,3 +309,58 @@ def test_compact_ann_store_dedupes_checkpoint_loss_duplicates(spark, tmp_path):
     expected = sorted((r.vec_id, r.ivf_cell, tuple(r.pq_code)) for r in enc.collect())
     assert sorted((r.vec_id, r.ivf_cell, tuple(r.pq_code)) for r in got.collect()) \
         == expected
+
+
+def test_compact_ann_store_residual_layout(spark, tmp_path):
+    """compact_ann_store is layout-agnostic: a RESIDUAL-code store
+    (streaming_ann_index(residual=True)'s layout — codes coupled to the
+    frozen L2 coarse tier) compacts with content and pruned
+    ivfpq_residual_topk answers unchanged."""
+    from pyspark.sql import functions as F
+
+    from datapipelineetl_spark.operators import similarity
+
+    store = str(tmp_path / "store")
+    dim = 8
+    rows = [
+        (i, [((i * 41 + z * 13) % 83) / 83.0 - 0.5 for z in range(dim)])
+        for i in range(36)
+    ]
+    base = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = similarity.ivf_fit_centroids(
+        base, k_cells=3, iters=2, dim=dim, metric="l2"
+    )
+    books = similarity.pq_fit(
+        similarity.residualize(base, cents, metric="l2"),
+        m=2, k_sub=4, iters=1, vec_col="residual", dim=dim,
+    )
+    enc = similarity.pq_encode(
+        similarity.residualize(
+            similarity.ivf_assign(base, cents, metric="l2"),
+            cents, cell_col="ivf_cell", out="__res", metric="l2",
+        ),
+        books, "__res",
+    ).drop("__res")
+    for b in range(3):
+        maintenance.overwrite_partitions(
+            enc.filter((F.col("vec_id") >= b * 12) & (F.col("vec_id") < (b + 1) * 12))
+            .withColumn("__batch_id", F.lit(b)),
+            store,
+            ["ivf_cell", "__batch_id"],
+        )
+    q = rows[7][1]
+
+    def answers():
+        return [
+            (r.vec_id, r.adc)
+            for r in similarity.ivfpq_residual_topk(
+                spark.read.parquet(store), q, cents, books, k=5, nprobe=2,
+                cell_col="ivf_cell", codes_col="pq_code", exclude_ids=(7,),
+            ).collect()
+        ]
+
+    before = answers()
+    removed = maintenance.compact_ann_store(spark, store, upto_batch_id=2)
+    assert removed > 0
+    assert answers() == before
+    assert spark.read.parquet(store).count() == 36
