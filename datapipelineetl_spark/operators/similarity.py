@@ -1799,6 +1799,52 @@ def ivfpq_topk(
     )
 
 
+def _exact_rerank_multi(
+    shortlist: DataFrame,
+    vectors: DataFrame,
+    queries: dict[int, list[float]],
+    k: int,
+    id_col: str,
+    vec_col: str,
+    round_dp: int,
+) -> DataFrame:
+    """Shared two-stage tail for the batched ANN paths: broadcast the
+    (query_id, id) shortlist INTO the raw-vector scan, attach each
+    query's vector via a broadcast Q-row frame, exact squared-L2
+    re-rank per query (ascending rounded l2, ties to the lower id).
+    Touches |shortlist| raw vectors total — never the corpus."""
+    spark = vectors.sparkSession
+    qdf = spark.createDataFrame(
+        [(int(qid), [float(x) for x in v]) for qid, v in queries.items()],
+        "query_id int, __qv array<double>",
+    )
+    vcol = F.col(vec_col).cast("array<double>")
+    cand = (
+        vectors.select(id_col, vec_col)
+        .join(F.broadcast(shortlist), id_col)
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.col("adc"),
+            F.round(
+                F.aggregate(
+                    F.zip_with(vcol, F.col("__qv"), lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, d: acc + d,
+                ),
+                round_dp,
+            ).alias("l2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("l2").asc(), F.col(id_col))
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def ivfpq_topk_multi(
     df: DataFrame,
     queries: dict[int, list[float]],
@@ -1814,6 +1860,8 @@ def ivfpq_topk_multi(
     exclude_query_ids: bool = True,
     mode: str = "fold",
     coarse_metric: str = "cosine",
+    refine_n: int = 0,
+    vectors: DataFrame | None = None,
 ) -> DataFrame:
     """The full serving architecture in one operator: pruning ×
     compression × BATCHING. For a batch of queries, probe cells are
@@ -1837,11 +1885,20 @@ def ivfpq_topk_multi(
     top-k per (task, query), so the global re-rank shuffles
     ≤ partitions × Q × k rows. ``exclude_query_ids`` drops each
     query's own id (corpus-drawn queries).
+
+    ``refine_n`` > 0 enables the standard two-stage search per query
+    (output gains the exact ``l2`` column, ordering switches to it):
+    each query shortlists refine_n ADC candidates — per-branch width
+    is max(k, refine_n), the r12 ADVICE lesson — and ONE broadcast
+    join re-ranks all Q shortlists against the raw vectors together
+    (``vectors`` defaults to ``df``, the single-query convention;
+    pass the raw table when the store is codes-only).
     """
     if not queries:
         raise ValueError("need at least one query")
     if mode not in ("fold", "arrow"):
         raise ValueError(f"mode must be 'fold' or 'arrow', got {mode!r}")
+    shortlist_k = max(k, refine_n)
     probes = {
         qid: _probe_cells(centroids, q, nprobe, coarse_metric)
         for qid, q in queries.items()
@@ -1855,6 +1912,7 @@ def ivfpq_topk_multi(
         codes_col = "__ivfpq_code"
     union_cells = sorted({c for p in probes.values() for c in p})
     scoped = work.filter(F.col(cell_col).isin(union_cells))
+    branch_k = shortlist_k if refine_n > 0 else k
     if mode == "fold":
         out = None
         for qid in sorted(queries):
@@ -1862,7 +1920,7 @@ def ivfpq_topk_multi(
                 scoped.filter(F.col(cell_col).isin(probes[qid])),
                 queries[qid],
                 codebooks,
-                k=k,
+                k=branch_k,
                 id_col=id_col,
                 codes_col=codes_col,
                 round_dp=round_dp,
@@ -1873,7 +1931,12 @@ def ivfpq_topk_multi(
                 F.col("adc"),
             )
             out = branch if out is None else out.unionByName(branch)
-        return out
+        if refine_n <= 0:
+            return out
+        return _exact_rerank_multi(
+            out, vectors if vectors is not None else df,
+            queries, k, id_col, vec_col, round_dp,
+        )
 
     import numpy as np  # noqa: PLC0415
     import pandas as pd  # noqa: PLC0415
@@ -1905,7 +1968,7 @@ def ivfpq_topk_multi(
                 if exclude_query_ids:
                     keep &= ids != qid
                 col = r[keep, qi]
-                order = np.lexsort((ids[keep], col))[:k]
+                order = np.lexsort((ids[keep], col))[:branch_k]
                 parts.append(
                     pd.DataFrame(
                         {
@@ -1921,10 +1984,16 @@ def ivfpq_topk_multi(
 
     local = scoped.mapInPandas(gen, schema=f"query_id int, {id_col} long, adc double")
     w = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col(id_col))
-    return (
+    ranked = (
         local.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
+        .filter(F.col("__rn") <= branch_k)
         .drop("__rn")
+    )
+    if refine_n <= 0:
+        return ranked
+    return _exact_rerank_multi(
+        ranked, vectors if vectors is not None else df,
+        queries, k, id_col, vec_col, round_dp,
     )
 
 

@@ -736,3 +736,40 @@ def test_ivfpq_topk_multi_modes_match_single(spark, sf_dir, tmp_path):
         )[1].split("]")[0]
     with pytest.raises(ValueError, match="query"):
         similarity.ivfpq_topk_multi(store, {}, cents, books)
+
+
+def test_ivfpq_topk_multi_refine_matches_single(spark, sf_dir):
+    """The batched two-stage search: ivfpq_topk_multi(refine_n) must
+    equal per-query ivfpq_topk(refine_n) in BOTH modes — same exact-l2
+    re-rank, same output columns — with one broadcast join re-ranking
+    ALL queries' shortlists together."""
+    emb = catalog.load(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    cents = similarity.ivf_fit_centroids(emb, k_cells=8, iters=2, dim=dim)
+    books = similarity.pq_fit(emb, m=16, k_sub=16, iters=1)
+    work = similarity.pq_encode(
+        similarity.ivf_assign(emb, cents), books, mode="arrow"
+    )
+    vecs = {r.vec_id: [float(x) for x in r.embedding]
+            for r in emb.filter(F.col("vec_id") < 2).collect()}
+    expected = []
+    for qid in sorted(vecs):
+        expected += [
+            (qid, r.vec_id, r.adc, r.l2)
+            for r in similarity.ivfpq_topk(
+                work, vecs[qid], cents, books, k=5, nprobe=3,
+                cell_col="ivf_cell", codes_col="pq_code",
+                exclude_ids=(qid,), refine_n=25,
+            ).collect()
+        ]
+    expected.sort(key=lambda t: (t[0], t[3], t[1]))
+    for mode in ("fold", "arrow"):
+        got = [
+            (r.query_id, r.vec_id, r.adc, r.l2)
+            for r in similarity.ivfpq_topk_multi(
+                work, vecs, cents, books, k=5, nprobe=3,
+                cell_col="ivf_cell", codes_col="pq_code",
+                mode=mode, refine_n=25,
+            ).orderBy("query_id", "l2", "vec_id").collect()
+        ]
+        assert got == expected, mode
