@@ -773,3 +773,49 @@ def test_ivfpq_topk_multi_refine_matches_single(spark, sf_dir):
             ).orderBy("query_id", "l2", "vec_id").collect()
         ]
         assert got == expected, mode
+
+
+def test_ivf_assign_fold_matches_python_replay_random(spark):
+    """Property replay of the oracle-grade coarse assigner (the
+    primitive q_ivfpq_topk's full value replay stands on): random
+    small-grid vectors and centroids — including exact duplicates, so
+    distance TIES occur — assigned by pure Python using the same
+    sequential left-to-right squared-sum order and the same
+    first-minimum (ties to the lower cell) rule. Exact equality, not
+    approx: both sides run identical IEEE double operations in
+    identical order."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    dim = 4
+    grid = st.integers(min_value=-3, max_value=3)
+    vec = st.lists(grid.map(lambda g: g / 4.0), min_size=dim, max_size=dim)
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        vecs=st.lists(vec, min_size=1, max_size=8),
+        cents=st.lists(vec, min_size=1, max_size=4),
+    )
+    def prop(vecs, cents):
+        rows = [(i, v) for i, v in enumerate(vecs)] + [(len(vecs), None)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = {
+            r.vec_id: r.ivf_cell
+            for r in similarity.ivf_assign_fold(df, cents).collect()
+        }
+
+        def py_assign(v):
+            best = None
+            for c, cw in enumerate(cents):
+                d = 0.0
+                for x, y in zip(v, cw):
+                    d += (x - y) * (x - y)
+                if best is None or d < best[0]:
+                    best = (d, c)
+            return best[1]
+
+        expected = {i: py_assign(v) for i, v in enumerate(vecs)}
+        expected[len(vecs)] = None
+        assert got == expected
+
+    prop()
