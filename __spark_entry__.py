@@ -61,6 +61,10 @@ from datapipelineetl_spark import queries_batch19  # noqa: E402
 
 queries_batch19.register()  # promote the 5 staged PQ/temperature/L2 queries (round 13)
 
+from datapipelineetl_spark import queries_batch20  # noqa: E402
+
+queries_batch20.register()  # promote the 3 staged IVF-PQ/batched-ADC/resize queries (round 14)
+
 
 def _extension_tier() -> frozenset[str]:
     """Names promoted from any staged battery — derived, not hand-kept.
@@ -107,63 +111,64 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver verifies the FIRST 50 entries of queries() in dict order.
-# Round-13 rotation (VERDICT r12 item 2, tools/rotate_window.py): the 5
-# batch-19 promotions take the front slots (first driver rows for the
-# PQ/temperature/L2 tier), then the 38 contract-forced refreshes (the
-# r10-newest-green cohort hitting the core 3-record horizon — the
-# fuller forced wave r12 forecast), then the oldest remaining greens
-# fill the 7 free slots.
+# Round-14 rotation (VERDICT r13 item 1+3, tools/rotate_window.py): the
+# 3 batch-20 promotions take the front slots (first driver rows for the
+# composed IVF-PQ query, the batched ADC server, and the pixel-level
+# resize check), then the 44 contract-forced refreshes (incl. the
+# twelve r10-newest-green extension rows hitting their 5-record horizon
+# at r15 — q_semdedup, q_gopher_rules, q_repetition_stats, …), then the
+# oldest remaining greens fill the 3 free slots.
 PRIORITY: list[str] = [
-    "q_pq_codes",
-    "q_pq_topk",
-    "q_temperature_mix",
-    "q_pq_refine_recall",
-    "q_l2_topk",
-    "q3_shipping_priority",
-    "q_top3_orders_per_customer",
-    "q_agg_stats",
-    "q_customers_without_orders",
-    "q_active_supplier_keys",
-    "q_priciest_lineitems",
-    "q_rollup_order_volume",
-    "q_clean_chain_events",
-    "q_sessionize",
-    "q_tumbling_window_events",
-    "q_unpivot_lineitem",
-    "q_asof_join_purchase",
-    "q_customers_with_orders_semi",
-    "q_full_outer_nation_activity",
-    "q_cross_join_matrix",
-    "q_orders_above_avg",
-    "q_string_funcs",
-    "q_date_funcs",
-    "q_having_filter",
-    "q6_revenue_delta",
-    "q4_priority_late_ship",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q18_large_orders",
-    "q_minhash_near_dups",
-    "q_simhash",
-    "q_dedup_clusters",
-    "q12_line_priority_split",
-    "q_winnowing_fingerprints",
-    "q_winnow_collisions",
-    "q_range_join_ship_windows",
-    "q_asof_join_next_purchase",
-    "q_salted_join_volume",
-    "q_hypertable_rollup",
-    "q_minhash_capped_near_dups",
-    "q_dedup_clusters_lsh",
-    "q_ivf_recall",
-    "q_lsh_cosine_near_pairs",
-    "q_bigram_logprob",
-    "q_pmi_bigrams",
-    "q_vocab_overlap",
-    "q_token_entropy",
-    "q_oov_rate",
-    "q_blocklist_filter",
-    "q_zipf_fit",
+    "q_ivfpq_topk",
+    "q_pq_topk_multi",
+    "q_resize_media",
+    "q1_pricing_summary",
+    "q5_local_supplier_volume",
+    "q_events_pivot",
+    "q_envelope_roundtrip",
+    "q_meascollec_flatten",
+    "q_clean_cell_metrics",
+    "q_clean_kpi_int",
+    "q_cube_lineitem",
+    "q19_bracket_revenue",
+    "q_union_parties_by_nation",
+    "q_intersect_nations",
+    "q_parts_never_ordered",
+    "q_window_order_seq",
+    "q_window_trailing_revenue",
+    "q_percentiles_by_priority",
+    "q_json_props",
+    "q_ngram_jaccard_pairs",
+    "q_ann_lsh_topk",
+    "q_multimodal_features",
+    "q_frame_sample_plan",
+    "q_multimodal_meta",
+    "q15_top_suppliers",
+    "q2_cheapest_part_per_type",
+    "q22_idle_rich_customers",
+    "q_lineitems_above_order_avg",
+    "q_name_word_counts",
+    "q_order_quantity_profile",
+    "q_conditional_counts",
+    "q_weekly_order_volume",
+    "q_sql_regional_revenue",
+    "q_nation_lookup",
+    "q_text_token_stats",
+    "q_text_quality",
+    "q_lang_id",
+    "q_ann_recall",
+    "q_approx_sketches",
+    "q_range_join_event_windows",
+    "q9_product_type_profit",
+    "q11_important_parts",
+    "q16_supplier_part_counts",
+    "q20_top_part_shippers",
+    "q_retention_cohorts",
+    "q_pack_greedy",
+    "q_boilerplate_removal",
+    "q_repetition_stats",
+    "q_semdedup",
+    "q_gopher_rules",
 ]
 
 

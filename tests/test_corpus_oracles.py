@@ -87,8 +87,8 @@ def test_staged_query_matches_oracle(spark, sf_dir, duck, name):
 
 
 def test_staged_registry_promoted():
-    """Rounds 6-13 promoted the staged batches: __spark_entry__ calls
-    b11-b19.register(), so the live registry must contain every
+    """Rounds 6-14 promoted the staged batches: __spark_entry__ calls
+    b11-b20.register(), so the live registry must contain every
     promoted query with its oracle, and register() must be idempotent
     (the driver and the tests may both import the entry module)."""
     import __spark_entry__ as entrymod
@@ -96,26 +96,14 @@ def test_staged_registry_promoted():
     from datapipelineetl_spark import queries as q
 
     for b, size in ((b11, 10), (b12, 12), (b13, 7), (b14, 11),
-                    (b15, 9), (b16, 1), (b17, 6), (b18, 2), (b19, 5)):
+                    (b15, 9), (b16, 1), (b17, 6), (b18, 2), (b19, 5),
+                    (b20, 3)):
         assert set(b.STAGED_ORACLES) == set(b.STAGED_QUERIES)
         assert len(b.STAGED_QUERIES) == size
     live = entrymod.queries()
     n = len(live)
-    for b in (b11, b12, b13, b14, b15, b16, b17, b18, b19):
+    for b in (b11, b12, b13, b14, b15, b16, b17, b18, b19, b20):
         assert set(b.STAGED_QUERIES) <= set(live)
         assert set(b.STAGED_ORACLES) <= set(q.ORACLES)
         b.register()
     assert len(entrymod.queries()) == n
-
-
-def test_batch20_staged_not_promoted():
-    """Batch 20 (the composed IVF-PQ replay, multi-query ADC, and the real-pixel resize replay) stages
-    in round 13 and promotes in round 14: its dicts must be well-formed
-    (every query carries an oracle) and its names must NOT be in the
-    live registry yet — staging must not grow ``queries()`` mid-round
-    (the module-docstring contract)."""
-    import __spark_entry__ as entrymod
-
-    assert set(b20.STAGED_ORACLES) == set(b20.STAGED_QUERIES)
-    assert len(b20.STAGED_QUERIES) == 3
-    assert not set(b20.STAGED_QUERIES) & set(entrymod.queries())

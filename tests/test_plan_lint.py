@@ -46,21 +46,24 @@ NESTED_LOOP_ALLOWED = {
 @pytest.fixture(scope="module")
 def frames(spark, sf_dir):
     # live registry + the STAGED batteries: a staged query gets linted
-    # BEFORE promotion, not discovered dirty when it enters the window
-    from datapipelineetl_spark import queries_batch12 as b12
-    from datapipelineetl_spark import queries_batch13 as b13
-    from datapipelineetl_spark import queries_batch14 as b14
-    from datapipelineetl_spark import queries_batch15 as b15
-    from datapipelineetl_spark import queries_batch16 as b16
-    from datapipelineetl_spark import queries_batch17 as b17
-    from datapipelineetl_spark import queries_batch18 as b18
-    from datapipelineetl_spark import queries_batch19 as b19
+    # BEFORE promotion, not discovered dirty when it enters the window.
+    # pkgutil discovery, not a hand-kept import list — the r13 VERDICT
+    # caught this lint silently skipping batch20 because the list below
+    # stopped at b19, the exact failure mode check_correctness (r12) and
+    # rotate_window were already fixed for. Same loop as
+    # ``__spark_entry__._extension_tier()``: any future battery is
+    # collected with no edit here.
+    import importlib
+    import pkgutil
 
-    queries = {**entrymod.queries(), **b12.STAGED_QUERIES,
-               **b13.STAGED_QUERIES, **b14.STAGED_QUERIES,
-               **b15.STAGED_QUERIES, **b16.STAGED_QUERIES,
-               **b17.STAGED_QUERIES, **b18.STAGED_QUERIES,
-               **b19.STAGED_QUERIES}
+    import datapipelineetl_spark as _pkg
+
+    queries = dict(entrymod.queries())
+    for info in sorted(pkgutil.iter_modules(_pkg.__path__), key=lambda i: i.name):
+        if not info.name.startswith("queries_batch"):
+            continue
+        mod = importlib.import_module(f"datapipelineetl_spark.{info.name}")
+        queries.update(getattr(mod, "STAGED_QUERIES", {}))
     return {name: fn(spark, sf_dir) for name, fn in queries.items()}
 
 
