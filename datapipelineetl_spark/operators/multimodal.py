@@ -306,9 +306,8 @@ def decode_headers(
     return df.select(id_col, payload_col).mapInPandas(kernel, schema)
 
 
-_RESIZE_SCHEMA = (
-    "media_id long, payload binary, width int, height int, "
-    "src_format string, resized boolean"
+_RESIZE_FIELDS = (
+    "payload binary, width int, height int, src_format string, resized boolean"
 )
 
 
@@ -380,10 +379,13 @@ def resize_media(
       rolling checksum — `_fake_decode`'s discipline) exercises the
       plumbing. Swap a PIL kernel in at deployment; dataflow identical.
 
-    Output: (media_id, payload=resized P6 bytes, width, height,
-    src_format, resized). NULL / unparseable payloads yield
-    ``resized=false`` with NULL payload — corrupt media is data at
-    100 TB, not an exception.
+    Output: (``id_col``, payload=resized P6 bytes, width, height,
+    src_format, resized) — the id column keeps its OWN name and type,
+    the ``decode_headers`` discipline (ADVICE r13: the old hardcoded
+    ``media_id long`` silently renamed a non-default ``id_col`` and
+    broke the Arrow conversion for non-long id types). NULL /
+    unparseable payloads yield ``resized=false`` with NULL payload —
+    corrupt media is data at 100 TB, not an exception.
 
     Scale: Arrow-batched; peak memory is one record batch of payloads
     (size ``spark.sql.execution.arrow.maxRecordsPerBatch`` for multi-MB
@@ -420,7 +422,7 @@ def resize_media(
                 flags.append(resized is not None)
             yield pd.DataFrame(
                 {
-                    "media_id": ids,
+                    id_col: ids,
                     "payload": payloads,
                     "width": [width if f else None for f in flags],
                     "height": [height if f else None for f in flags],
@@ -429,4 +431,6 @@ def resize_media(
                 }
             )
 
-    return df.select(id_col, payload_col).mapInPandas(kernel, _RESIZE_SCHEMA)
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, {_RESIZE_FIELDS}"
+    return df.select(id_col, payload_col).mapInPandas(kernel, schema)

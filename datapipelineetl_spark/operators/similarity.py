@@ -553,16 +553,28 @@ def _probe_cells(
     centroids: list[list[float]], query_vec: list[float], nprobe: int, metric: str
 ) -> list[int]:
     """Driver-side probe-cell selection (k×dim metadata, no data
-    touched): nearest-by-metric, stable order."""
-    import numpy as np  # noqa: PLC0415
+    touched): nearest-by-metric, stable order.
 
-    c = np.asarray(centroids, dtype=np.float64)
-    q = np.asarray(query_vec, dtype=np.float64)
-    if metric == "l2":
-        order = np.argsort(((c - q) ** 2).sum(axis=1), kind="stable")
-    else:
-        order = np.argsort(-(c @ q), kind="stable")
-    return [int(x) for x in order[: max(1, nprobe)]]
+    Distances are SEQUENTIAL left-to-right folds in IEEE double — the
+    ``ivf_assign_fold`` order DuckDB's ``list_sum`` replays — not
+    numpy's pairwise summation (ADVICE r13: near-tied centroid
+    distances could rank probes differently cross-engine and flake the
+    batch-20 value oracle, whose docstring promises "same fold order").
+    The matrix is k_cells×dim driver metadata, so the Python loop costs
+    microseconds and buys bit-exact oracle replay."""
+    dists = []
+    for cw in centroids:
+        d = 0.0
+        if metric == "l2":
+            for x, y in zip(query_vec, cw):
+                t = float(x) - float(y)
+                d += t * t
+        else:
+            for x, y in zip(query_vec, cw):
+                d -= float(x) * float(y)  # negated dot → ascending sort
+        dists.append(d)
+    order = sorted(range(len(dists)), key=lambda i: (dists[i], i))
+    return order[: max(1, nprobe)]
 
 
 def ivf_topk(
@@ -1250,10 +1262,12 @@ def _pq_half_up(x: float, dp: int) -> float:
     so ``Decimal(repr(x)).quantize(..., ROUND_HALF_UP)`` reproduces the
     JVM result digit-for-digit — including the values where the old
     ``floor(|x|*scale + 0.5)`` spelling diverged because ``|x|*scale``
-    FP-rounds across the .5 boundary (e.g. 2.675*100 = 267.4999…97 →
-    floor gives 2.67 while BigDecimal HALF_UP on the exact decimal
-    2.675 gives 2.68 — ADVICE r12 item 3; pinned by
-    ``test_pq_half_up_matches_spark_round``). Python's builtin
+    FP-rounds across the .5 boundary (e.g. 80.585*100 = 8058.4999…9 →
+    floor gives 80.58 while BigDecimal HALF_UP on the shortest decimal
+    80.585 gives 80.59 — ADVICE r12 item 3; pinned by
+    ``test_pq_half_up_matches_spark_round``. NOT the folklore 2.675:
+    ITS product rounds to exactly 267.5, so the spellings agree there —
+    measured r14). Python's builtin
     ``round`` is banker's and diverges on every exact .5.
 
     DuckDB ``ROUND`` stays the one intentional third party: it rounds
@@ -1266,6 +1280,29 @@ def _pq_half_up(x: float, dp: int) -> float:
 
     q = Decimal(1).scaleb(-dp)
     return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+
+def _round_half_up_np(arr, dp: int):
+    """ONE vectorized HALF_UP kernel shared by every Arrow serving path
+    (``pq_adc_topk_multi``/``ivfpq_topk_multi`` arrow modes — ADVICE
+    r13: the two private copies had already drifted on sign handling).
+
+    Rounds the scaled DOUBLE: ``floor(|x|·10^dp + 0.5)·sign(x)/10^dp``,
+    with exact zeros forced to +0.0. This is deliberately NOT
+    bit-identical to ``_pq_half_up``/Spark ``F.round`` on the
+    measure-zero boundary set where ``|x|·10^dp`` FP-rounds across the
+    .5 boundary (80.585·100 = 8058.4999…9 → this kernel 80.58,
+    BigDecimal HALF_UP on the shortest decimal 80.585 gives
+    80.59): the arrow modes trade that last-ulp boundary for the
+    single-scan vectorized plan. The divergence is pinned by
+    ``test_round_half_up_np_boundary_divergence``; oracle-grade paths
+    use the fold modes, which round with ``F.round`` exactly."""
+    import numpy as np  # noqa: PLC0415
+
+    scale = 10.0 ** dp
+    out = np.floor(np.abs(arr) * scale + 0.5) / scale * np.sign(arr)
+    out[arr == 0.0] = 0.0
+    return out
 
 
 def _pq_subvec(vec: Column, j: int, sub: int) -> Column:
@@ -1570,8 +1607,14 @@ def pq_adc_topk(
     qlit = F.array(*[F.lit(float(x)) for x in query_vec])
     vcol = F.col(vec_col).cast("array<double>")
     # broadcast the tiny shortlist INTO the vector scan so the exact
-    # re-rank touches only refine_n raw vectors, never the full corpus
-    candidates = vectors.join(F.broadcast(shortlist), id_col, "inner")
+    # re-rank touches only refine_n raw vectors, never the full corpus.
+    # NULL raw vectors are dropped BEFORE scoring (the l2_topk
+    # isNotNull discipline — ADVICE r13): a codes-only store joined to
+    # a raw table carrying null embeddings would otherwise yield NULL
+    # l2, which ASC NULLS FIRST ranks above every real candidate.
+    candidates = vectors.filter(F.col(vec_col).isNotNull()).join(
+        F.broadcast(shortlist), id_col, "inner"
+    )
     return (
         candidates.select(
             F.col(id_col),
@@ -1686,7 +1729,6 @@ def pq_adc_topk_multi(
         [_pq_lut(queries[qid], codebooks) for qid in qids], dtype=np.float64
     )  # Q × m × k_sub
     qid_arr = np.asarray(qids, dtype=np.int64)
-    scale = 10.0 ** round_dp
 
     def gen(batches):
         for pdf in batches:
@@ -1702,8 +1744,7 @@ def pq_adc_topk_multi(
             adc = np.zeros((len(ids), len(qids)), dtype=np.float64)
             for j in range(m):
                 adc += luts[:, j, :][:, codes[:, j]].T
-            r = np.floor(np.abs(adc) * scale + 0.5) / scale * np.sign(adc)
-            r[adc == 0.0] = 0.0
+            r = _round_half_up_np(adc, round_dp)
             parts = []
             for qi, qid in enumerate(qid_arr):
                 col = r[:, qi]
@@ -1812,7 +1853,12 @@ def _exact_rerank_multi(
     (query_id, id) shortlist INTO the raw-vector scan, attach each
     query's vector via a broadcast Q-row frame, exact squared-L2
     re-rank per query (ascending rounded l2, ties to the lower id).
-    Touches |shortlist| raw vectors total — never the corpus."""
+    Touches |shortlist| raw vectors total — never the corpus.
+
+    NULL raw vectors are filtered BEFORE scoring (the l2_topk /
+    pq_adc_topk isNotNull discipline — ADVICE r13): a NULL ``vec_col``
+    in a separate ``vectors`` table would produce NULL l2, which
+    Spark's ASC NULLS FIRST would rank ABOVE every real candidate."""
     spark = vectors.sparkSession
     qdf = spark.createDataFrame(
         [(int(qid), [float(x) for x in v]) for qid, v in queries.items()],
@@ -1821,6 +1867,7 @@ def _exact_rerank_multi(
     vcol = F.col(vec_col).cast("array<double>")
     cand = (
         vectors.select(id_col, vec_col)
+        .filter(F.col(vec_col).isNotNull())
         .join(F.broadcast(shortlist), id_col)
         .join(F.broadcast(qdf), "query_id")
         .select(
@@ -1948,7 +1995,6 @@ def ivfpq_topk_multi(
     )
     probe_sets = [frozenset(probes[qid]) for qid in qids]
     qid_arr = np.asarray(qids, dtype=np.int64)
-    scale = 10.0 ** round_dp
 
     def gen(batches):
         for pdf in batches:
@@ -1961,7 +2007,7 @@ def ivfpq_topk_multi(
             adc = np.zeros((len(ids), len(qids)), dtype=np.float64)
             for j in range(m):
                 adc += luts[:, j, :][:, codes[:, j]].T
-            r = np.floor(np.abs(adc) * scale + 0.5) / scale
+            r = _round_half_up_np(adc, round_dp)
             parts = []
             for qi, qid in enumerate(qid_arr):
                 keep = np.isin(cells, list(probe_sets[qi]))

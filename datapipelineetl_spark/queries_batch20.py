@@ -157,7 +157,7 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan`); the scan reads m small ints per row in nprobe/k_cells of
     the corpus; the heap is TakeOrderedAndProject. The fold assigner is
     the oracle-grade path — a production store assigns once with the
-    Arrow kernel and persists the column.""".format(_IVFPQ_CELLS, _IVFPQ_NPROBE)
+    Arrow kernel and persists the column."""
     emb = _t(spark, sf_dir, "embeddings")
     cents = _fetch_seed_centroids(spark, sf_dir, _IVFPQ_CELLS)
     books = similarity.pq_fit(
@@ -222,7 +222,7 @@ def q_pq_topk_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-pass form — one mapInPandas over the code column, Q × m ×
     k_sub LUT tensor, partition-local top-k, ≤ partitions × Q × k rows
     shuffled (parity-tested; SCALING.md "Round 13: multi-query
-    ADC").""".format(len(_MULTI_QIDS), _MULTI_K)
+    ADC")."""
     emb = _t(spark, sf_dir, "embeddings")
     books = similarity.pq_fit(
         emb, m=_PQ_M, k_sub=_PQ_K, iters=_PQ_ITERS, round_dp=_PQ_DP
@@ -282,9 +282,7 @@ def q_resize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: Arrow-batched; payload bytes never leave the executor
     except as the (tiny) resized artifact; corrupt/short payloads are
     filtered symmetrically on both sides (the kernel itself yields
-    resized=false rows for them — pinned by the multimodal tests).""".format(
-        _RS_PX, _RS_SRC_W, _RS_SRC_H, _RS_W, _RS_H
-    )
+    resized=false rows for them — pinned by the multimodal tests)."""
     from datapipelineetl_spark.operators import multimodal  # noqa: PLC0415
 
     payload = F.encode("text", "UTF-8")
@@ -304,3 +302,15 @@ def q_resize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "width", "height", "src_format", "resized",
         F.hex("payload").alias("payload_hex"),
     )
+
+# ADVICE r13: a `"""...""".format(...)` first statement is an expression, not
+# a string literal, so __doc__ was None for these three queries. The
+# docstrings above are plain literals with {} placeholders; interpolate the
+# geometry constants here, after definition.
+q_ivfpq_topk.__doc__ = q_ivfpq_topk.__doc__.format(_IVFPQ_CELLS, _IVFPQ_NPROBE)
+q_pq_topk_multi.__doc__ = q_pq_topk_multi.__doc__.format(
+    len(_MULTI_QIDS), _MULTI_K
+)
+q_resize_media.__doc__ = q_resize_media.__doc__.format(
+    _RS_PX, _RS_SRC_W, _RS_SRC_H, _RS_W, _RS_H
+)

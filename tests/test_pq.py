@@ -819,3 +819,104 @@ def test_ivf_assign_fold_matches_python_replay_random(spark):
         assert got == expected
 
     prop()
+
+
+def test_round_half_up_np_boundary_divergence():
+    """ADVICE r13 item 3: the Arrow serving kernels share ONE vectorized
+    HALF_UP helper, and its divergence from F.round/_pq_half_up on the
+    FP .5 boundary is an explicit, pinned trade — not a bug to
+    rediscover. 80.585*100 = 8058.4999…9 in IEEE double, so the scaled-
+    double kernel floors to 80.58 while BigDecimal HALF_UP on the
+    shortest decimal gives 80.59. (The folklore 2.675 does NOT diverge:
+    its product rounds to exactly 267.5 — both give 2.68.) Off-boundary
+    values, negatives, and signed zeros agree exactly."""
+    import numpy as np
+
+    assert similarity._round_half_up_np(np.array([80.585]), 2)[0] == 80.58
+    assert similarity._pq_half_up(80.585, 2) == 80.59  # the documented gap
+    assert similarity._round_half_up_np(np.array([2.675]), 2)[0] == 2.68
+    assert similarity._pq_half_up(2.675, 2) == 2.68  # folklore case agrees
+    arr = np.array([1.2345675, -1.2345675, 0.0, -0.0, 2.5, -2.5, 8.835])
+    got = similarity._round_half_up_np(arr.copy(), 6)
+    assert got[2] == 0.0 and got[3] == 0.0
+    assert not np.signbit(got[2]) and not np.signbit(got[3])
+    assert got[4] == 2.5 and got[5] == -2.5
+    # sign symmetry everywhere (the drift the two private copies had)
+    assert np.array_equal(
+        similarity._round_half_up_np(-arr.copy(), 6),
+        -similarity._round_half_up_np(arr.copy(), 6) + 0.0,
+    )
+    off = np.array([0.1234564, -0.1234564, 267.4999, 1e-7, -1e-7])
+    for x, g in zip(off, similarity._round_half_up_np(off.copy(), 6)):
+        assert g == similarity._pq_half_up(float(x), 6), x
+
+
+def test_refine_paths_filter_null_vectors(spark):
+    """ADVICE r13 item 1: a codes-only store refined against a raw
+    table that carries NULL embeddings must FILTER them before the
+    exact re-rank — NULL l2 sorts ASC NULLS FIRST in Spark, ranking a
+    vectorless id ABOVE every real candidate (DuckDB's NULLS LAST would
+    silently diverge). Covers BOTH refine legs: pq_adc_topk's
+    single-query join and _exact_rerank_multi (via ivfpq_topk_multi)."""
+    dim = 4
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, None),  # the poisoned raw row
+        (3, [3.0, 0.0, 0.0, 0.0]),
+        (4, [2.0, 0.0, 0.0, 0.0]),
+    ]
+    vectors = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # degenerate single-codeword books: every ADC ties → the whole
+    # corpus (incl. the NULL-embedding id) reaches the shortlist
+    books = [[[0.0, 0.0]], [[0.0, 0.0]]]
+    enc = vectors.select(
+        "vec_id", F.array(F.lit(0), F.lit(0)).cast("array<int>").alias("pq_code")
+    )
+    q = [0.0] * dim
+    got = similarity.pq_adc_topk(
+        enc, q, books, k=3, refine_n=4, vectors=vectors
+    ).collect()
+    assert [r.vec_id for r in got] == [1, 4, 3]
+    assert all(r.l2 is not None for r in got)
+
+    cents = [[0.0] * dim]
+    store = enc.select("vec_id", "pq_code", F.lit(0).alias("ivf_cell"))
+    multi = similarity.ivfpq_topk_multi(
+        store, {9: q}, cents, books, k=3, nprobe=1, cell_col="ivf_cell",
+        codes_col="pq_code", refine_n=4, vectors=vectors,
+        exclude_query_ids=False,
+    ).collect()
+    assert [r.vec_id for r in multi] == [1, 4, 3]
+    assert all(r.l2 is not None for r in multi)
+
+
+def test_probe_cells_sequential_fold_order():
+    """ADVICE r13 item 2: _probe_cells ranks probes by the SAME
+    sequential left-to-right IEEE fold the oracle's list_sum replays —
+    pinned against a pure-Python fold on a near-tie grid (quarter-step
+    doubles, the ivf_assign_fold property geometry) for both metrics,
+    with exact ties going to the lower cell id."""
+    import itertools
+    import random
+
+    rng = random.Random(14)
+    dim = 3
+    for _ in range(50):
+        q = [rng.randrange(-8, 9) / 4.0 for _ in range(dim)]
+        cents = [
+            [rng.randrange(-8, 9) / 4.0 for _ in range(dim)] for _ in range(6)
+        ]
+        for metric in ("l2", "cosine"):
+            dists = []
+            for cw in cents:
+                d = 0.0
+                for x, y in zip(q, cw):
+                    d += (x - y) * (x - y) if metric == "l2" else -(x * y)
+                dists.append(d)
+            expected = sorted(range(len(cents)), key=lambda i: (dists[i], i))[:3]
+            assert similarity._probe_cells(cents, q, 3, metric) == expected
+    # exact tie: two identical centroids → lower id probes first
+    tie = [[1.0, 0.0, 0.0], [1.0, 0.0, 0.0], [9.0, 9.0, 9.0]]
+    assert similarity._probe_cells(tie, [1.0, 0.0, 0.0], 2, "l2") == [0, 1]
+    # cosine ranks by DESCENDING dot: [9,9,9] wins, then the 0<1 tie
+    assert similarity._probe_cells(tie, [1.0, 0.0, 0.0], 3, "cosine") == [2, 0, 1]

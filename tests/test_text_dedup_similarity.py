@@ -1282,6 +1282,24 @@ def test_resize_media_real_ppm_pixels(spark):
     assert (up.width, up.height, up.resized) == (8, 2, True)
 
 
+def test_resize_media_custom_id_col(spark):
+    """ADVICE r13 item 5: the output schema derives the id field's name
+    AND type from the input frame (the decode_headers discipline) — a
+    string id_col used to be silently renamed to media_id and its type
+    hardcoded to long, breaking the Arrow conversion."""
+    px = bytes(v for y in range(2) for x in range(4) for v in (10 * x + y,) * 3)
+    ppm = b"P6\n4 2\n255\n" + px
+    df = spark.createDataFrame(
+        [("doc-a", ppm), ("doc-b", None)], "uri string, payload binary"
+    )
+    out = multimodal.resize_media(df, 2, 1, id_col="uri")
+    assert out.columns[0] == "uri"
+    assert dict(out.dtypes)["uri"] == "string"
+    got = {r.uri: r for r in out.collect()}
+    assert got["doc-a"].resized and bytes(got["doc-a"].payload).startswith(b"P6")
+    assert not got["doc-b"].resized
+
+
 def test_resize_media_codec_gate_and_fake(spark):
     """Codec formats go through the library gate: NotImplementedError
     without fake=True; with it, a deterministic synthetic P6 of the
