@@ -920,3 +920,113 @@ def test_probe_cells_sequential_fold_order():
     assert similarity._probe_cells(tie, [1.0, 0.0, 0.0], 2, "l2") == [0, 1]
     # cosine ranks by DESCENDING dot: [9,9,9] wins, then the 0<1 tie
     assert similarity._probe_cells(tie, [1.0, 0.0, 0.0], 3, "cosine") == [2, 0, 1]
+
+
+def test_pq_adc_topk_multi_refine_matches_single(spark, sf_dir):
+    """VERDICT r13 item 7a: the flat-scan batched server's two-stage
+    leg. pq_adc_topk_multi(refine_n) must equal per-query
+    pq_adc_topk(refine_n) in BOTH modes — same exact-l2 re-rank via the
+    shared _exact_rerank_multi broadcast join, same output columns,
+    shortlists max(k, refine_n) wide (the r12 width lesson)."""
+    emb = catalog.load(spark, sf_dir, "embeddings")
+    books = similarity.pq_fit(emb, m=16, k_sub=16, iters=1)
+    enc = similarity.pq_encode(emb, books).repartition(4)
+    vecs = {r.vec_id: [float(x) for x in r.embedding]
+            for r in emb.filter(F.col("vec_id") < 2).collect()}
+    expected = []
+    for qid in sorted(vecs):
+        expected += [
+            (qid, r.vec_id, r.adc, r.l2)
+            for r in similarity.pq_adc_topk(
+                enc, vecs[qid], books, k=5, exclude_ids=(qid,),
+                refine_n=25, vectors=emb,
+            ).collect()
+        ]
+    expected.sort(key=lambda t: (t[0], t[3], t[1]))
+    for mode in ("fold", "arrow"):
+        got = [
+            (r.query_id, r.vec_id, r.adc, r.l2)
+            for r in similarity.pq_adc_topk_multi(
+                enc, vecs, books, k=5, mode=mode, refine_n=25, vectors=emb,
+            ).orderBy("query_id", "l2", "vec_id").collect()
+        ]
+        assert got == expected, mode
+
+
+def test_ivfpq_residual_topk_multi_modes_match_single(spark, sf_dir, tmp_path):
+    """VERDICT r13 item 7b: batched serving over a RESIDUAL store.
+    ivfpq_residual_topk_multi must reproduce per-query
+    ivfpq_residual_topk in BOTH modes over a persisted cell-partitioned
+    residual store — per-(query,cell) LUTs, union-pruned shared scan
+    (PartitionFilters asserted) — and the refine leg must match the
+    single-query exact re-rank."""
+    emb = catalog.load(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    cents = similarity.ivf_fit_centroids(
+        emb, k_cells=8, iters=2, dim=dim, metric="l2"
+    )
+    assigned = similarity.ivf_assign(emb, cents, metric="l2")
+    res = similarity.residualize(assigned, cents, cell_col="ivf_cell")
+    books = similarity.pq_fit(res, m=16, k_sub=16, iters=1, vec_col="residual")
+    path = str(tmp_path / "res_store")
+    similarity.pq_encode(res, books, "residual", mode="arrow").drop(
+        "residual"
+    ).write.partitionBy("ivf_cell").parquet(path)
+    store = spark.read.parquet(path)
+    vecs = {r.vec_id: [float(x) for x in r.embedding]
+            for r in emb.filter(F.col("vec_id") < 3).collect()}
+    expected = []
+    for qid in sorted(vecs):
+        expected += [
+            (qid, r.vec_id, r.adc)
+            for r in similarity.ivfpq_residual_topk(
+                store, vecs[qid], cents, books, k=5, nprobe=3,
+                cell_col="ivf_cell", codes_col="pq_code",
+                exclude_ids=(qid,),
+            ).collect()
+        ]
+    expected.sort(key=lambda t: (t[0], t[2], t[1]))
+    for mode in ("fold", "arrow"):
+        multi = similarity.ivfpq_residual_topk_multi(
+            store, vecs, cents, books, k=5, nprobe=3,
+            cell_col="ivf_cell", codes_col="pq_code", mode=mode,
+        )
+        got = [
+            (r.query_id, r.vec_id, r.adc)
+            for r in multi.orderBy("query_id", "adc", "vec_id").collect()
+        ]
+        assert got == expected, mode
+        plan = multi._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan and "ivf_cell" in plan.split(
+            "PartitionFilters:"
+        )[1].split("]")[0]
+    # refine leg: exact-l2 re-rank parity against the single-query path
+    # (the store kept the raw embedding column; the multi call passes
+    # the raw table explicitly — the codes-only-store convention)
+    exp_ref = []
+    for qid in sorted(vecs):
+        exp_ref += [
+            (qid, r.vec_id, r.adc, r.l2)
+            for r in similarity.ivfpq_residual_topk(
+                store, vecs[qid], cents, books, k=5, nprobe=3,
+                cell_col="ivf_cell", codes_col="pq_code",
+                exclude_ids=(qid,), refine_n=20,
+            ).collect()
+        ]
+    exp_ref.sort(key=lambda t: (t[0], t[3], t[1]))
+    for mode in ("fold", "arrow"):
+        got = [
+            (r.query_id, r.vec_id, r.adc, r.l2)
+            for r in similarity.ivfpq_residual_topk_multi(
+                store, vecs, cents, books, k=5, nprobe=3,
+                cell_col="ivf_cell", codes_col="pq_code", mode=mode,
+                refine_n=20, vectors=emb,
+            ).orderBy("query_id", "l2", "vec_id").collect()
+        ]
+        assert got == exp_ref, mode
+    with pytest.raises(ValueError, match="query"):
+        similarity.ivfpq_residual_topk_multi(store, {}, cents, books)
+    with pytest.raises(ValueError, match="mode"):
+        similarity.ivfpq_residual_topk_multi(
+            store, vecs, cents, books, mode="nope"
+        )
