@@ -129,6 +129,47 @@ def main() -> int:
             f"{t_ls:6.2f}s  one union-pruned arrow pass {t_ms:6.2f}s  "
             f"amortization {t_ls / t_ms:5.2f}x"
         )
+
+        if "--residual" not in sys.argv:
+            continue
+        # the RESIDUAL store (round-14 depth: per-(query,cell) LUTs):
+        # Q sequential ivfpq_residual_topk pruned scans vs one
+        # union-pruned batch with Q×nprobe LUTs
+        res = similarity.residualize(
+            similarity.ivf_assign(base, cents, metric="l2"),
+            cents, cell_col="ivf_cell",
+        )
+        res_books = similarity.pq_fit(
+            res.limit(FIT_N), m=M, k_sub=KSUB, iters=1, dim=DIM,
+            vec_col="residual", assignment="arrow",
+        )
+        res_path = str(Path(tmp) / "res_store")
+        similarity.pq_encode(res, res_books, "residual", mode="arrow").select(
+            "vec_id", "ivf_cell", "pq_code"
+        ).write.partitionBy("ivf_cell").parquet(res_path)
+        res_store = spark.read.parquet(res_path)
+
+        def loop_res():
+            for qid, qv in queries.items():
+                similarity.ivfpq_residual_topk(
+                    res_store, qv, cents, res_books, k=K, nprobe=4,
+                    cell_col="ivf_cell", codes_col="pq_code",
+                    exclude_ids=(qid,),
+                ).collect()
+
+        def multi_res():
+            similarity.ivfpq_residual_topk_multi(
+                res_store, queries, cents, res_books, k=K, nprobe=4,
+                cell_col="ivf_cell", codes_col="pq_code", mode="arrow",
+            ).collect()
+
+        t_lr = _timed(loop_res)
+        t_mr = _timed(multi_res)
+        print(
+            f"n={n:>9,} Q={q_n} RESIDUAL store: {q_n} sequential residual "
+            f"{t_lr:6.2f}s  one union-pruned arrow pass {t_mr:6.2f}s  "
+            f"amortization {t_lr / t_mr:5.2f}x"
+        )
     return 0
 
 
