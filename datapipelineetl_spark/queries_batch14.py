@@ -172,9 +172,7 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the model is two {0}-bucket metadata frames (fixed size
     regardless of corpus); scoring is one explode + broadcast bucket
-    join + one groupBy(doc) (corpus.dsir_weights docstring).""".format(
-        _DSIR_BUCKETS
-    )
+    join + one groupBy(doc) (corpus.dsir_weights docstring)."""
     docs = _t_spread(spark, sf_dir, "documents")
     target = docs.filter(F.col("source") == "src0")
     return corpus.dsir_weights(docs, target, n_buckets=_DSIR_BUCKETS)
@@ -271,9 +269,7 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-checked.
 
     Scale: one token min-id shuffle; every window runs over the
-    bucket-cardinality frame (text.vocab_growth docstring).""".format(
-        _VG_WIDTH
-    )
+    bucket-cardinality frame (text.vocab_growth docstring)."""
     docs = _t_spread(spark, sf_dir, "documents")
     return text.vocab_growth(docs, bucket_width=_VG_WIDTH)
 
@@ -347,7 +343,7 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     parity exact (similarity.kmeans docstring).
 
     Scale: centroids are driver metadata; per iteration one narrow
-    argmin pass + one k-row partial agg.""".format(_KM_K, _KM_ITERS, _KM_DP)
+    argmin pass + one k-row partial agg."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.kmeans(emb, k=_KM_K, iters=_KM_ITERS)
 
@@ -386,7 +382,7 @@ def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     every selection key are value-checked.
 
     Scale: the weights pass (corpus.dsir_weights) + a narrow key
-    computation + ONE top-k (corpus.dsir_resample docstring).""".format(_RS_K)
+    computation + ONE top-k (corpus.dsir_resample docstring)."""
     docs = _t_spread(spark, sf_dir, "documents")
     target = docs.filter(F.col("source") == "src0")
     w = corpus.dsir_weights(docs, target, n_buckets=_DSIR_BUCKETS)
@@ -464,7 +460,7 @@ def q_pack_best_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment is value-checked.
 
     Scale: one shard shuffle + per-shard sequential Arrow pass
-    (corpus.pack_best_fit docstring).""".format(_BF_BUDGET, _BF_SHARDS)
+    (corpus.pack_best_fit docstring)."""
     docs = _t(spark, sf_dir, "documents")
     lens = docs.select(
         "doc_id",
@@ -510,7 +506,7 @@ def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: k-means driver metadata loop + one narrow assignment join +
     one shuffle on the cluster id (corpus.cluster_balanced_sample
-    docstring).""".format(_KM_K, _CBS_K)
+    docstring)."""
     docs = _t(spark, sf_dir, "documents")
     emb = _t(spark, sf_dir, "embeddings")
     return corpus.cluster_balanced_sample(
@@ -654,7 +650,7 @@ def q_train_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge iterations runs on the vocabulary-sized word table only
     (text.train_bpe docstring). The merge list itself is metadata
     ({0} rows) — building the result frame from the driver-held list is
-    the attrition_report pattern.""".format(_BPE_N)
+    the attrition_report pattern."""
     docs = _t_spread(spark, sf_dir, "documents")
     merges, _ = text.train_bpe(docs, n_merges=_BPE_N)
     rows = [(i + 1, a, b, cnt) for i, (a, b, cnt) in enumerate(merges)]
@@ -748,3 +744,16 @@ def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# A '"""...""".format(...)' first statement is an expression, not a
+# string literal, so __doc__ was None (ADVICE r13, fixed repo-wide r14).
+# The docstrings above are plain literals; interpolate their geometry
+# constants here, after definition.
+q_dsir_weights.__doc__ = q_dsir_weights.__doc__.format(_DSIR_BUCKETS)
+q_vocab_growth.__doc__ = q_vocab_growth.__doc__.format(_VG_WIDTH)
+q_kmeans_clusters.__doc__ = q_kmeans_clusters.__doc__.format(_KM_K, _KM_ITERS, _KM_DP)
+q_dsir_resample.__doc__ = q_dsir_resample.__doc__.format(_RS_K)
+q_pack_best_fit.__doc__ = q_pack_best_fit.__doc__.format(_BF_BUDGET, _BF_SHARDS)
+q_cluster_balanced_sample.__doc__ = q_cluster_balanced_sample.__doc__.format(_KM_K, _CBS_K)
+q_train_bpe.__doc__ = q_train_bpe.__doc__.format(_BPE_N)

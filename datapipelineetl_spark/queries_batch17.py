@@ -135,7 +135,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: pairwise work bounded by Σ|cluster|² (production raises k
     to keep clusters small — SemDeDup used 50k); one cluster-keyed
     equi-join; the k-means fit collects k×dim centroid metadata only
-    (similarity.semdedup docstring).""".format(_SD_K, _SD_ITERS, _SD_THRESHOLD)
+    (similarity.semdedup docstring)."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.semdedup(
         emb, k=_SD_K, iters=_SD_ITERS, threshold=_SD_THRESHOLD,
@@ -218,7 +218,7 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator's default is the published 8-word list.
 
     Scale: ONE narrow codegen pass, zero shuffle, zero joins
-    (text.gopher_rules docstring).""".format(_GOPHER_MIN_WORDS, _GOPHER_STOPS)
+    (text.gopher_rules docstring)."""
     docs = _t(spark, sf_dir, "documents")
     return text.gopher_rules(
         docs, min_words=_GOPHER_MIN_WORDS, stopwords=_GOPHER_STOPS
@@ -266,7 +266,7 @@ def q_quality_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: per-row array math against an inline weight formula (a
     trained model rides as one constant-folded array literal); zero
-    shuffle, zero Python, no explode.""".format(_QL_BUCKETS)
+    shuffle, zero Python, no explode."""
     docs = _t(spark, sf_dir, "documents")
     return text.quality_linear(docs, n_buckets=_QL_BUCKETS)
 
@@ -356,7 +356,7 @@ def q_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: three shuffles all bounded by the DISTINCT-gram table
     (frequency agg, gram join, doc fold) — never pairwise
-    (dedup.gram_novelty).""".format(_NOV_N)
+    (dedup.gram_novelty)."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.gram_novelty(docs, n=_NOV_N, materialize=True)
 
@@ -405,8 +405,19 @@ def q_doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams/doc), never |corpus|²); doc-size joins stay un-forced so AQE
     broadcasts only when the size table actually fits
     (dedup.containment_pairs; boilerplate grams capped via
-    max_bucket_size in production).""".format(_NOV_N, _CT_THRESHOLD)
+    max_bucket_size in production)."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.containment_pairs(
         docs, threshold=_CT_THRESHOLD, n=_NOV_N, materialize=True
     )
+
+
+# A '"""...""".format(...)' first statement is an expression, not a
+# string literal, so __doc__ was None (ADVICE r13, fixed repo-wide r14).
+# The docstrings above are plain literals; interpolate their geometry
+# constants here, after definition.
+q_semdedup.__doc__ = q_semdedup.__doc__.format(_SD_K, _SD_ITERS, _SD_THRESHOLD)
+q_gopher_rules.__doc__ = q_gopher_rules.__doc__.format(_GOPHER_MIN_WORDS, _GOPHER_STOPS)
+q_quality_linear.__doc__ = q_quality_linear.__doc__.format(_QL_BUCKETS)
+q_gram_novelty.__doc__ = q_gram_novelty.__doc__.format(_NOV_N)
+q_doc_containment.__doc__ = q_doc_containment.__doc__.format(_NOV_N, _CT_THRESHOLD)

@@ -91,7 +91,7 @@ def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     the broadcastable word table (piece counts are vocabulary
     metadata, not corpus data) + one partial-agg groupBy(lang) — no
     re-segmentation pass: the training word state already holds every
-    word's piece count.""".format(_BPE_N)
+    word's piece count."""
     docs = _t_spread(spark, sf_dir, "documents")
     _, words = text.train_bpe(docs, n_merges=_BPE_N)
     toks = docs.select(
@@ -167,7 +167,7 @@ def q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap² pair bound per bucket); signatures computed ONCE and
     materialized (the candidate join and both estimate sides reuse the
     same narrow frame), estimates are per-pair array equality folds —
-    no extra corpus pass beyond the ladder itself.""".format(_MH_HASHES)
+    no extra corpus pass beyond the ladder itself."""
     from datapipelineetl_spark.operators import dedup
 
     docs = _t_spread(spark, sf_dir, "documents")
@@ -211,3 +211,11 @@ def q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("id_a", "id_b", "est_jaccard", "exact_jaccard", "abs_err")
     )
+
+
+# A '"""...""".format(...)' first statement is an expression, not a
+# string literal, so __doc__ was None (ADVICE r13, fixed repo-wide r14).
+# The docstrings above are plain literals; interpolate their geometry
+# constants here, after definition.
+q_token_fertility.__doc__ = q_token_fertility.__doc__.format(_BPE_N)
+q_minhash_estimate.__doc__ = q_minhash_estimate.__doc__.format(_MH_HASHES)

@@ -151,9 +151,7 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles); each fit iteration is ONE narrow pass + ONE
     (subspace, code)-key partial agg; the encode is one narrow
     fold-over-literals pass. The encode's `mode="arrow"` knob is the
-    k_sub=256 production path (similarity.pq_encode docstring).""".format(
-        _PQ_M, _PQ_K, _PQ_ITERS
-    )
+    k_sub=256 production path (similarity.pq_encode docstring)."""
     emb = _t(spark, sf_dir, "embeddings")
     books = similarity.pq_fit(
         emb, m=_PQ_M, k_sub=_PQ_K, iters=_PQ_ITERS, round_dp=_PQ_DP
@@ -257,7 +255,7 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one source-cardinality count aggregate + ONE narrow
     CASE-threshold filter — no join, no union
-    (corpus.temperature_mix docstring).""".format(_TM_ALPHA)
+    (corpus.temperature_mix docstring)."""
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.expr(_TM_TAG).alias("mix_source")
     )
@@ -361,3 +359,11 @@ def q_l2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     qv = _query_vec(spark, sf_dir, 0)
     return similarity.l2_topk(emb, qv, k=10, exclude_ids=(0,))
+
+
+# A '"""...""".format(...)' first statement is an expression, not a
+# string literal, so __doc__ was None (ADVICE r13, fixed repo-wide r14).
+# The docstrings above are plain literals; interpolate their geometry
+# constants here, after definition.
+q_pq_codes.__doc__ = q_pq_codes.__doc__.format(_PQ_M, _PQ_K, _PQ_ITERS)
+q_temperature_mix.__doc__ = q_temperature_mix.__doc__.format(_TM_ALPHA)
