@@ -84,7 +84,10 @@ _PQ_SUB = 4
 _PQ_DP = 6
 
 
-def _pq_ctes(m: int, k_sub: int, iters: int, sub: int, dp: int) -> str:
+def _pq_ctes(
+    m: int, k_sub: int, iters: int, sub: int, dp: int,
+    v_chain: str | None = None,
+) -> str:
     """Generate the unrolled per-subspace Lloyd CTE chain ending in
     ``codes(vec_id, j, c)`` — the `_kmeans_ctes` discipline generalized
     to m independent subspaces carried as a `j` grouping column (ONE
@@ -92,12 +95,19 @@ def _pq_ctes(m: int, k_sub: int, iters: int, sub: int, dp: int) -> str:
     vectors' subvectors (rounded), each iteration = per-(vec,subspace)
     argmin (ties to the lower code) + per-(subspace,code) rounded
     means (empty codes keep the previous codeword via COALESCE).
-    Shared by the q_pq_codes and q_pq_topk oracles."""
+    Shared by the q_pq_codes and q_pq_topk oracles.
+
+    ``v_chain`` (round 14, for the staged residual battery) replaces
+    the default leading ``v`` CTE with a caller-supplied CTE chunk that
+    must end by defining ``v(vec_id, v)`` — e.g. raw + frozen coarse
+    centroids + fold assignment + residual subtraction — so the SAME
+    Lloyd replay runs over residuals instead of raw embeddings."""
     dist = (
         f"list_sum(list_transform(generate_series(1, {sub}), "
         f"z -> (s[z] - cv[z]) * (s[z] - cv[z])))"
     )
     ctes = [
+        v_chain if v_chain is not None else
         "v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
         "FROM embeddings WHERE embedding IS NOT NULL)",
         f"sv AS (SELECT vec_id, CAST(j AS INT) AS j, "

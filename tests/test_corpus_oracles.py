@@ -23,20 +23,31 @@ from datapipelineetl_spark import queries_batch17 as b17
 from datapipelineetl_spark import queries_batch18 as b18
 from datapipelineetl_spark import queries_batch19 as b19
 from datapipelineetl_spark import queries_batch20 as b20
+from datapipelineetl_spark import queries_batch21 as b21
 
-# batches 11-19 were promoted (rounds 6-13); batch20 is the live
-# staged set awaiting r14 window slots — all run the driver-style
-# compare here
-_STAGED_QUERIES = {**b11.STAGED_QUERIES, **b12.STAGED_QUERIES,
-                   **b13.STAGED_QUERIES, **b14.STAGED_QUERIES,
-                   **b15.STAGED_QUERIES, **b16.STAGED_QUERIES,
-                   **b17.STAGED_QUERIES, **b18.STAGED_QUERIES,
-                   **b19.STAGED_QUERIES, **b20.STAGED_QUERIES}
-_STAGED_ORACLES = {**b11.STAGED_ORACLES, **b12.STAGED_ORACLES,
-                   **b13.STAGED_ORACLES, **b14.STAGED_ORACLES,
-                   **b15.STAGED_ORACLES, **b16.STAGED_ORACLES,
-                   **b17.STAGED_ORACLES, **b18.STAGED_ORACLES,
-                   **b19.STAGED_ORACLES, **b20.STAGED_ORACLES}
+
+def _discover_staged():
+    """pkgutil discovery, not a hand-kept merge (the r13 VERDICT lesson,
+    applied here in r14 alongside the plan lint): every queries_batch*
+    module's STAGED dicts run the driver-style compare — a new battery
+    is covered with no edit here."""
+    import importlib
+    import pkgutil
+
+    import datapipelineetl_spark as _pkg
+
+    queries: dict = {}
+    oracles: dict = {}
+    for info in sorted(pkgutil.iter_modules(_pkg.__path__), key=lambda i: i.name):
+        if not info.name.startswith("queries_batch"):
+            continue
+        mod = importlib.import_module(f"datapipelineetl_spark.{info.name}")
+        queries.update(getattr(mod, "STAGED_QUERIES", {}))
+        oracles.update(getattr(mod, "STAGED_ORACLES", {}))
+    return queries, oracles
+
+
+_STAGED_QUERIES, _STAGED_ORACLES = _discover_staged()
 
 
 @pytest.fixture(scope="module")
@@ -107,3 +118,16 @@ def test_staged_registry_promoted():
         assert set(b.STAGED_ORACLES) <= set(q.ORACLES)
         b.register()
     assert len(entrymod.queries()) == n
+
+
+def test_batch21_staged_not_promoted():
+    """Batch 21 (the refine-stage and residual-tier value replays)
+    stages in round 14 and promotes in round 15: its dicts must be
+    well-formed (every query carries an oracle) and its names must NOT
+    be in the live registry yet — staging must not grow ``queries()``
+    mid-round (the module-docstring contract)."""
+    import __spark_entry__ as entrymod
+
+    assert set(b21.STAGED_ORACLES) == set(b21.STAGED_QUERIES)
+    assert len(b21.STAGED_QUERIES) == 3
+    assert not set(b21.STAGED_QUERIES) & set(entrymod.queries())
