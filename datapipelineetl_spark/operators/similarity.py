@@ -105,6 +105,169 @@ def l2_topk(
     return scored.orderBy("l2", id_col).limit(k)
 
 
+def l2_topk_multi(
+    df: DataFrame,
+    queries: dict[int, list[float]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_query_ids: bool = True,
+    round_dp: int = 6,
+    mode: str = "fold",
+) -> DataFrame:
+    """Exact squared-L2 top-k for a BATCH of queries in one operator —
+    the brute-force serving shape (the expensive thing is scanning the
+    raw vectors, so scan them ONCE for all Q requests). Output
+    (query_id, id_col, l2), each query's top-k ascending rounded l2,
+    ties to the lower id — per-query rows identical to ``l2_topk``
+    (parity-tested). NULL vectors are filtered (the ``l2_topk``
+    isNotNull discipline).
+
+    ``mode`` is the ``pq_adc_topk_multi`` split:
+
+    - ``"fold"`` (oracle path): Q ``l2_topk`` branches — literal query,
+      sequential zip_with fold, TakeOrderedAndProject heap — over the
+      same scan, unioned under a query_id column.
+    - ``"arrow"``: ONE mapInPandas pass — per Arrow batch the kernel
+      stacks the vectors once and computes ALL Q distance columns via
+      the ‖x‖² − 2·X@Qᵀ + ‖q‖² expansion (one matmul instead of Q
+      folds), emits local top-k per query, so the global re-rank
+      shuffles ≤ partitions × Q × k rows. Rounding is the shared
+      vectorized HALF_UP kernel and the matmul re-associates the sum —
+      the same last-ulp trade every Arrow kernel here makes
+      (parity-tested on the fixture).
+    """
+    return _exact_topk_multi(
+        df, queries, k, id_col, vec_col, exclude_query_ids, round_dp,
+        mode, metric="l2",
+    )
+
+
+def cosine_topk_multi(
+    df: DataFrame,
+    queries: dict[int, list[float]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_query_ids: bool = True,
+    mode: str = "fold",
+) -> DataFrame:
+    """Batched ``cosine_topk``: output (query_id, id_col, cos_sim),
+    each query's top-k DESCENDING rounded similarity (4 dp, the
+    ``cosine_topk`` contract), ties to the lower id. Same mode split
+    and cost shape as ``l2_topk_multi`` — arrow mode's matmul computes
+    all Q similarity columns from one stacked batch. NULL vectors are
+    filtered in both modes (``cosine_topk`` leaves them to DESC
+    NULLS LAST, which never reaches a top-k; the batched kernel drops
+    them explicitly)."""
+    return _exact_topk_multi(
+        df, queries, k, id_col, vec_col, exclude_query_ids, 4,
+        mode, metric="cosine",
+    )
+
+
+def _exact_topk_multi(
+    df: DataFrame,
+    queries: dict[int, list[float]],
+    k: int,
+    id_col: str,
+    vec_col: str,
+    exclude_query_ids: bool,
+    round_dp: int,
+    mode: str,
+    metric: str,
+) -> DataFrame:
+    """Shared engine for the batched exact top-k pair — fold = unioned
+    single-query branches (oracle-grade), arrow = one stacked-matmul
+    mapInPandas pass with partition-local per-query heaps."""
+    if not queries:
+        raise ValueError("need at least one query")
+    if mode not in ("fold", "arrow"):
+        raise ValueError(f"mode must be 'fold' or 'arrow', got {mode!r}")
+    qids = sorted(queries)
+    score_col = "l2" if metric == "l2" else "cos_sim"
+    if mode == "fold":
+        out = None
+        for qid in qids:
+            excl = (qid,) if exclude_query_ids else ()
+            if metric == "l2":
+                branch = l2_topk(
+                    df, queries[qid], k, id_col, vec_col, excl, round_dp
+                )
+            else:
+                branch = cosine_topk(
+                    df.filter(F.col(vec_col).isNotNull()),
+                    queries[qid], k, id_col, vec_col, excl,
+                )
+            branch = branch.select(
+                F.lit(int(qid)).cast("int").alias("query_id"),
+                F.col(id_col),
+                F.col(score_col),
+            )
+            out = branch if out is None else out.unionByName(branch)
+        return out
+
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    dim = len(queries[qids[0]])
+    qm = np.asarray([queries[qid] for qid in qids], dtype=np.float64)  # Q×dim
+    qid_arr = np.asarray(qids, dtype=np.int64)
+    q_norm = np.sqrt((qm * qm).sum(axis=1))
+    q_sq = (qm * qm).sum(axis=1)
+    asc = metric == "l2"
+
+    def gen(batches):
+        for pdf in batches:
+            x, null_mask = _stack_nullable(pdf[vec_col].to_numpy(), dim)
+            keep0 = ~null_mask
+            if not keep0.any():
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)[keep0]
+            x = x[keep0]
+            if metric == "l2":
+                scores = (
+                    (x * x).sum(axis=1)[:, None]
+                    - 2.0 * (x @ qm.T)
+                    + q_sq[None, :]
+                )
+            else:
+                scores = (x @ qm.T) / (
+                    np.sqrt((x * x).sum(axis=1))[:, None] * q_norm[None, :]
+                )
+            r = _round_half_up_np(scores, round_dp)
+            parts = []
+            for qi, qid in enumerate(qid_arr):
+                keep = np.ones(len(ids), dtype=bool)
+                if exclude_query_ids:
+                    keep = ids != qid
+                col = r[keep, qi]
+                order = np.lexsort((ids[keep], col if asc else -col))[:k]
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(
+                                int(order.size), qid, dtype=np.int32
+                            ),
+                            id_col: ids[keep][order],
+                            score_col: col[order],
+                        }
+                    )
+                )
+            yield pd.concat(parts, ignore_index=True)
+
+    local = df.select(id_col, vec_col).mapInPandas(
+        gen, schema=f"query_id int, {id_col} long, {score_col} double"
+    )
+    order_col = F.col(score_col).asc() if asc else F.col(score_col).desc()
+    w = Window.partitionBy("query_id").orderBy(order_col, F.col(id_col))
+    return (
+        local.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def cosine_pairs(
     df: DataFrame,
     threshold: float,

@@ -1321,3 +1321,63 @@ def test_resize_media_codec_gate_and_fake(spark):
     assert bytes(again.payload) == bytes(got.payload)  # deterministic
     with pytest.raises(ValueError, match="dims"):
         multimodal.resize_media(df, 0, 2)
+
+
+def test_exact_topk_multi_modes_match_single(spark, sf_dir):
+    """Round-14 batched EXACT serving: l2_topk_multi / cosine_topk_multi
+    must reproduce per-query l2_topk / cosine_topk in BOTH modes (fold =
+    unioned single-query branches; arrow = one stacked-matmul
+    mapInPandas pass), including self-exclusion, NULL-vector filtering,
+    and the per-metric rounding/ordering contracts (l2 asc @ round_dp,
+    cosine desc @ 4dp, ties to the lower id)."""
+    from datapipelineetl_spark import catalog
+
+    emb = catalog.load(spark, sf_dir, "embeddings").unionByName(
+        spark.createDataFrame(
+            [(10**9, None)], "vec_id long, embedding array<double>"
+        ).withColumn("label", F.lit(None).cast("int"))
+    )
+    vecs = {r.vec_id: [float(x) for x in r.embedding]
+            for r in emb.filter(F.col("vec_id") < 3).collect()}
+    for metric, single, multi, score in (
+        ("l2", similarity.l2_topk, similarity.l2_topk_multi, "l2"),
+        ("cosine", similarity.cosine_topk, similarity.cosine_topk_multi,
+         "cos_sim"),
+    ):
+        expected = []
+        for qid in sorted(vecs):
+            expected += [
+                (qid, r.vec_id, r[score])
+                for r in single(
+                    emb, vecs[qid], 7, exclude_ids=(qid,)
+                ).collect()
+            ]
+        key = (lambda t: (t[0], t[2], t[1])) if metric == "l2" else (
+            lambda t: (t[0], -t[2], t[1]))
+        expected.sort(key=key)
+        for mode in ("fold", "arrow"):
+            got = [
+                (r.query_id, r.vec_id, r[score])
+                for r in multi(emb, vecs, k=7, mode=mode)
+                .orderBy(
+                    "query_id",
+                    F.col(score).asc() if metric == "l2"
+                    else F.col(score).desc(),
+                    "vec_id",
+                ).collect()
+            ]
+            assert got == expected, (metric, mode)
+            assert all(v != 10**9 for _, v, _ in got), (metric, mode)
+    # no self-exclusion: each query's own vector is its own top hit
+    inc = similarity.l2_topk_multi(
+        emb, vecs, k=1, mode="arrow", exclude_query_ids=False
+    ).collect()
+    assert {(r.query_id, r.vec_id) for r in inc} == {(q, q) for q in vecs}
+    inc_c = similarity.cosine_topk_multi(
+        emb, vecs, k=1, mode="arrow", exclude_query_ids=False
+    ).collect()
+    assert {(r.query_id, r.vec_id) for r in inc_c} == {(q, q) for q in vecs}
+    with pytest.raises(ValueError, match="mode"):
+        similarity.l2_topk_multi(emb, vecs, mode="nope")
+    with pytest.raises(ValueError, match="query"):
+        similarity.cosine_topk_multi(emb, {})

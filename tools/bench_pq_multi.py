@@ -130,6 +130,32 @@ def main() -> int:
             f"amortization {t_ls / t_ms:5.2f}x"
         )
 
+        if "--exact" in sys.argv:
+            # the EXACT brute-force tier (round 14): Q sequential l2_topk
+            # fold scans of the raw vectors vs one stacked-matmul pass
+            raw_path = str(Path(tmp) / "raw")
+            base.write.parquet(raw_path)
+            raw = spark.read.parquet(raw_path)
+
+            def loop_exact():
+                for qid, qv in queries.items():
+                    similarity.l2_topk(
+                        raw, qv, k=K, exclude_ids=(qid,)
+                    ).collect()
+
+            def multi_exact():
+                similarity.l2_topk_multi(
+                    raw, queries, k=K, mode="arrow"
+                ).collect()
+
+            t_le = _timed(loop_exact)
+            t_me = _timed(multi_exact)
+            print(
+                f"n={n:>9,} Q={q_n} EXACT raw vectors: {q_n} sequential "
+                f"l2_topk {t_le:6.2f}s  one matmul arrow pass {t_me:6.2f}s  "
+                f"amortization {t_le / t_me:5.2f}x"
+            )
+
         if "--residual" not in sys.argv:
             continue
         # the RESIDUAL store (round-14 depth: per-(query,cell) LUTs):
