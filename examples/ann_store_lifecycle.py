@@ -144,7 +144,28 @@ def main() -> int:
         f"5. batched serve (16 queries, one arrow pass over the code "
         f"column): {batch_ans} result rows, {time.perf_counter() - t0:.2f}s"
     )
-    print("lifecycle complete — answers stable across compaction")
+
+    # round 14: the batched PRUNED serve over the same compacted store —
+    # one union-pruned scan answers the whole request batch, and query 17
+    # (the single-query serve above) must get the IDENTICAL answer from
+    # the batch path
+    t0 = time.perf_counter()
+    multi = similarity.ivfpq_topk_multi(
+        enc, {**queries, 17: q}, cents, books, k=10, nprobe=NPROBE,
+        cell_col="ivf_cell", codes_col="pq_code", mode="arrow",
+        exclude_query_ids=False,
+    )
+    plan = multi._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "ivf_cell" in plan
+    rows = multi.collect()
+    from_batch = [(r.vec_id, r.adc) for r in rows if r.query_id == 17]
+    assert from_batch == after, "batched pruned serve diverged from single-query"
+    print(
+        f"6. batched PRUNED serve (17 queries, one union-pruned arrow "
+        f"pass): {len(rows)} result rows, query 17 identical to the "
+        f"single-query answer, {time.perf_counter() - t0:.2f}s"
+    )
+    print("lifecycle complete — answers stable across compaction and batching")
     return 0
 
 
