@@ -777,6 +777,140 @@ def ivf_topk(
     return cosine_topk(probed, query_vec, k, id_col, vec_col, exclude_ids)
 
 
+def ivf_topk_multi(
+    df: DataFrame,
+    queries: dict[int, list[float]],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str | None = None,
+    exclude_query_ids: bool = True,
+    metric: str = "cosine",
+    round_dp: int = 6,
+    mode: str = "fold",
+) -> DataFrame:
+    """Batched ``ivf_topk`` — the raw-vector IVF tier's serving form
+    (round 14 completes the batched family: every ANN tier now has a
+    multi-query path). Per-query probe cells are selected driver-side;
+    the store is scanned ONCE over the UNION of all probed cells
+    (directory pruning when ``cell_col`` is the partition column); each
+    query scores only ITS OWN probed rows. Output (query_id, id_col,
+    l2|cos_sim), per-query rows identical to ``ivf_topk``
+    (parity-tested).
+
+    ``mode``: ``"fold"`` = per-query exact-scoring branches over the
+    shared pruned scan (oracle-grade sequential folds); ``"arrow"`` =
+    ONE mapInPandas pass — the kernel stacks each Arrow batch once,
+    computes all Q score columns by matmul, masks each query to its
+    probed cells, and emits local top-k per (task, query), so the
+    global re-rank shuffles ≤ partitions × Q × k rows.
+    """
+    if not queries:
+        raise ValueError("need at least one query")
+    if mode not in ("fold", "arrow"):
+        raise ValueError(f"mode must be 'fold' or 'arrow', got {mode!r}")
+    probes = {
+        qid: _probe_cells(centroids, q, nprobe, metric)
+        for qid, q in queries.items()
+    }
+    work = df
+    if cell_col is None:
+        work = ivf_assign(work, centroids, vec_col, "__ivf_cell", metric)
+        cell_col = "__ivf_cell"
+    union_cells = sorted({c for p in probes.values() for c in p})
+    scoped = work.filter(F.col(cell_col).isin(union_cells))
+    qids = sorted(queries)
+    score_col = "l2" if metric == "l2" else "cos_sim"
+    if mode == "fold":
+        out = None
+        for qid in qids:
+            probed = scoped.filter(F.col(cell_col).isin(probes[qid]))
+            excl = (qid,) if exclude_query_ids else ()
+            if metric == "l2":
+                branch = l2_topk(
+                    probed, queries[qid], k, id_col, vec_col, excl, round_dp
+                )
+            else:
+                branch = cosine_topk(
+                    probed.filter(F.col(vec_col).isNotNull()),
+                    queries[qid], k, id_col, vec_col, excl,
+                )
+            out_branch = branch.select(
+                F.lit(int(qid)).cast("int").alias("query_id"),
+                F.col(id_col),
+                F.col(score_col),
+            )
+            out = out_branch if out is None else out.unionByName(out_branch)
+        return out
+
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    dim = len(queries[qids[0]])
+    qm = np.asarray([queries[qid] for qid in qids], dtype=np.float64)
+    qid_arr = np.asarray(qids, dtype=np.int64)
+    q_sq = (qm * qm).sum(axis=1)
+    q_norm = np.sqrt(q_sq)
+    probe_sets = [frozenset(probes[qid]) for qid in qids]
+    dp = round_dp if metric == "l2" else 4
+    asc = metric == "l2"
+
+    def gen(batches):
+        for pdf in batches:
+            x, null_mask = _stack_nullable(pdf[vec_col].to_numpy(), dim)
+            keep0 = ~null_mask & pdf[cell_col].notna().to_numpy()
+            if not keep0.any():
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)[keep0]
+            cells = pdf[cell_col].to_numpy()[keep0].astype(np.int64)
+            x = x[keep0]
+            if metric == "l2":
+                scores = (
+                    (x * x).sum(axis=1)[:, None] - 2.0 * (x @ qm.T)
+                    + q_sq[None, :]
+                )
+            else:
+                scores = (x @ qm.T) / (
+                    np.sqrt((x * x).sum(axis=1))[:, None] * q_norm[None, :]
+                )
+            r = _round_half_up_np(scores, dp)
+            parts = []
+            for qi, qid in enumerate(qid_arr):
+                keep = np.isin(cells, list(probe_sets[qi]))
+                if exclude_query_ids:
+                    keep &= ids != qid
+                if not keep.any():
+                    continue
+                col = r[keep, qi]
+                order = np.lexsort((ids[keep], col if asc else -col))[:k]
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(
+                                int(order.size), qid, dtype=np.int32
+                            ),
+                            id_col: ids[keep][order],
+                            score_col: col[order],
+                        }
+                    )
+                )
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+
+    local = scoped.select(id_col, vec_col, cell_col).mapInPandas(
+        gen, schema=f"query_id int, {id_col} long, {score_col} double"
+    )
+    order_col = F.col(score_col).asc() if asc else F.col(score_col).desc()
+    w = Window.partitionBy("query_id").orderBy(order_col, F.col(id_col))
+    return (
+        local.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def ann_lsh_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -827,6 +961,176 @@ def ann_lsh_topk(
         )
     probe = sigs.filter(probe_any).drop(*sig_cols)
     return cosine_topk(probe, query_vec, k, id_col, vec_col, exclude_ids)
+
+
+def _lsh_query_sig(query_vec: list[float], planes: list[list[float]]) -> int:
+    """The query's SRP signature under one table's hyperplanes —
+    driver-side ints, the same sign rule ``lsh_signature`` compiles."""
+    qsig = 0
+    for p, plane in enumerate(planes):
+        if sum(q * x for q, x in zip(query_vec, plane)) >= 0:
+            qsig |= 1 << p
+    return qsig
+
+
+def _hamming_ball(sig: int, num_planes: int, radius: int) -> list[int]:
+    """Every signature within Hamming distance ≤ radius of ``sig`` —
+    Σ_{i≤r} C(planes, i) driver-side ints (9 at planes=8/radius=1),
+    so a probe set is an ``isin`` literal list, never a scan-side
+    popcount."""
+    from itertools import combinations  # noqa: PLC0415
+
+    ball = [sig]
+    for r in range(1, radius + 1):
+        for bits in combinations(range(num_planes), r):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            ball.append(sig ^ m)
+    return ball
+
+
+def ann_lsh_topk_multi(
+    df: DataFrame,
+    queries: dict[int, list[float]],
+    k: int = 10,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    num_tables: int = 1,
+    radius: int = 1,
+    exclude_query_ids: bool = True,
+    mode: str = "fold",
+) -> DataFrame:
+    """Batched ``ann_lsh_topk`` — the SRP-LSH tier's serving form. The
+    L signature columns are computed ONCE for the whole frame (the
+    expensive pass at 100 TB — or already persisted as bucket columns),
+    the scan is filtered to the UNION of every query's probed buckets,
+    and each query scores only ITS OWN Hamming-ball rows. Output
+    (query_id, id_col, cos_sim), per-query rows identical to
+    ``ann_lsh_topk`` (parity-tested).
+
+    ``mode``: ``"fold"`` = per-query cosine branches over the shared
+    bucket-pruned scan; ``"arrow"`` = ONE mapInPandas pass — per Arrow
+    batch one matmul scores all Q columns and each query's mask is an
+    ``isin`` against its driver-enumerated Hamming ball
+    (Σ_{i≤r} C(planes, i) ints per table — probe-set literals, never a
+    scan-side popcount), local top-k per (task, query).
+    """
+    if not queries:
+        raise ValueError("need at least one query")
+    if mode not in ("fold", "arrow"):
+        raise ValueError(f"mode must be 'fold' or 'arrow', got {mode!r}")
+    if num_tables < 1:
+        raise ValueError(f"num_tables must be >= 1, got {num_tables}")
+    qids = sorted(queries)
+    dim = len(queries[qids[0]])
+    vec = F.col(vec_col).cast("array<double>")
+    sig_cols = [f"__ann_lsh_sig_{t}" for t in range(num_tables)]
+    tables = []  # (col, planes)
+    sigs = df
+    for t, col in enumerate(sig_cols):
+        planes = _hyperplanes(num_planes, dim, seed + 1000003 * t)
+        sigs = sigs.withColumn(col, lsh_signature(vec, planes))
+        tables.append((col, planes))
+    # per (query, table): the query's signature and its probe ball
+    balls = {
+        qid: [
+            _hamming_ball(
+                _lsh_query_sig(queries[qid], planes), num_planes, radius
+            )
+            for _, planes in tables
+        ]
+        for qid in qids
+    }
+    union_probe = F.lit(False)
+    for ti, (col, _) in enumerate(tables):
+        union_ball = sorted({b for qid in qids for b in balls[qid][ti]})
+        union_probe = union_probe | F.col(col).isin(union_ball)
+    scoped = sigs.filter(union_probe)
+    if mode == "fold":
+        out = None
+        for qid in qids:
+            probe_any = F.lit(False)
+            for ti, (col, _) in enumerate(tables):
+                probe_any = probe_any | F.col(col).isin(balls[qid][ti])
+            excl = (qid,) if exclude_query_ids else ()
+            branch = cosine_topk(
+                scoped.filter(probe_any & vec.isNotNull()).drop(*sig_cols),
+                queries[qid], k, id_col, vec_col, excl,
+            ).select(
+                F.lit(int(qid)).cast("int").alias("query_id"),
+                F.col(id_col),
+                F.col("cos_sim"),
+            )
+            out = branch if out is None else out.unionByName(branch)
+        return out
+
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    qm = np.asarray([queries[qid] for qid in qids], dtype=np.float64)
+    qid_arr = np.asarray(qids, dtype=np.int64)
+    q_norm = np.sqrt((qm * qm).sum(axis=1))
+    ball_sets = {
+        int(qid): [frozenset(b) for b in balls[qid]] for qid in qids
+    }
+
+    def gen(batches):
+        for pdf in batches:
+            x, null_mask = _stack_nullable(pdf[vec_col].to_numpy(), dim)
+            keep0 = ~null_mask
+            if not keep0.any():
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)[keep0]
+            sig_mat = np.stack(
+                [pdf[c].to_numpy(dtype=np.int64)[keep0] for c in sig_cols],
+                axis=1,
+            )
+            x = x[keep0]
+            sims = (x @ qm.T) / (
+                np.sqrt((x * x).sum(axis=1))[:, None] * q_norm[None, :]
+            )
+            r = _round_half_up_np(sims, 4)
+            parts = []
+            for qi, qid in enumerate(qid_arr):
+                keep = np.zeros(len(ids), dtype=bool)
+                for ti in range(len(sig_cols)):
+                    keep |= np.isin(
+                        sig_mat[:, ti], list(ball_sets[int(qid)][ti])
+                    )
+                if exclude_query_ids:
+                    keep &= ids != qid
+                if not keep.any():
+                    continue
+                col = r[keep, qi]
+                order = np.lexsort((ids[keep], -col))[:k]
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(
+                                int(order.size), qid, dtype=np.int32
+                            ),
+                            id_col: ids[keep][order],
+                            "cos_sim": col[order],
+                        }
+                    )
+                )
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+
+    local = scoped.select(id_col, vec_col, *sig_cols).mapInPandas(
+        gen, schema=f"query_id int, {id_col} long, cos_sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    )
+    return (
+        local.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
 
 
 def kmeans(

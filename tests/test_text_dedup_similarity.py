@@ -1381,3 +1381,94 @@ def test_exact_topk_multi_modes_match_single(spark, sf_dir):
         similarity.l2_topk_multi(emb, vecs, mode="nope")
     with pytest.raises(ValueError, match="query"):
         similarity.cosine_topk_multi(emb, {})
+
+
+def test_ivf_topk_multi_modes_match_single(spark, sf_dir, tmp_path):
+    """Batched raw-vector IVF serving: ivf_topk_multi must reproduce
+    per-query ivf_topk in BOTH modes and BOTH metrics over a persisted
+    cell-partitioned store, each query scoring only its own probed
+    cells, the scan pruned to the union (PartitionFilters asserted)."""
+    from datapipelineetl_spark import catalog
+
+    emb = catalog.load(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    vecs = {r.vec_id: [float(x) for x in r.embedding]
+            for r in emb.filter(F.col("vec_id") < 3).collect()}
+    for metric, score in (("l2", "l2"), ("cosine", "cos_sim")):
+        cents = similarity.ivf_fit_centroids(
+            emb, k_cells=8, iters=2, dim=dim, metric=metric
+        )
+        path = str(tmp_path / f"ivf_{metric}")
+        similarity.ivf_assign(emb, cents, metric=metric).write.partitionBy(
+            "ivf_cell"
+        ).parquet(path)
+        store = spark.read.parquet(path)
+        expected = []
+        for qid in sorted(vecs):
+            expected += [
+                (qid, r.vec_id, r[score])
+                for r in similarity.ivf_topk(
+                    store, vecs[qid], cents, k=5, nprobe=3,
+                    cell_col="ivf_cell", exclude_ids=(qid,), metric=metric,
+                ).collect()
+            ]
+        key = (lambda t: (t[0], t[2], t[1])) if metric == "l2" else (
+            lambda t: (t[0], -t[2], t[1]))
+        expected.sort(key=key)
+        for mode in ("fold", "arrow"):
+            multi = similarity.ivf_topk_multi(
+                store, vecs, cents, k=5, nprobe=3, cell_col="ivf_cell",
+                metric=metric, mode=mode,
+            )
+            got = [
+                (r.query_id, r.vec_id, r[score])
+                for r in multi.orderBy(
+                    "query_id",
+                    F.col(score).asc() if metric == "l2"
+                    else F.col(score).desc(),
+                    "vec_id",
+                ).collect()
+            ]
+            assert got == expected, (metric, mode)
+            plan = multi._jdf.queryExecution().executedPlan().toString()
+            assert "PartitionFilters: [" in plan and "ivf_cell" in plan.split(
+                "PartitionFilters:"
+            )[1].split("]")[0], (metric, mode)
+    with pytest.raises(ValueError, match="query"):
+        similarity.ivf_topk_multi(store, {}, cents)
+    with pytest.raises(ValueError, match="mode"):
+        similarity.ivf_topk_multi(store, vecs, cents, mode="nope")
+
+
+def test_ann_lsh_topk_multi_modes_match_single(spark, sf_dir):
+    """Batched SRP-LSH serving: ann_lsh_topk_multi must reproduce
+    per-query ann_lsh_topk in BOTH modes (driver-enumerated Hamming
+    balls == the single query's scan-side popcount predicate), incl.
+    multi-table OR-amplification and self-exclusion."""
+    from datapipelineetl_spark import catalog
+
+    emb = catalog.load(spark, sf_dir, "embeddings")
+    vecs = {r.vec_id: [float(x) for x in r.embedding]
+            for r in emb.filter(F.col("vec_id") < 3).collect()}
+    kwargs = dict(k=6, num_planes=6, num_tables=2, radius=1)
+    expected = []
+    for qid in sorted(vecs):
+        expected += [
+            (qid, r.vec_id, r.cos_sim)
+            for r in similarity.ann_lsh_topk(
+                emb, vecs[qid], exclude_ids=(qid,), **kwargs
+            ).collect()
+        ]
+    expected.sort(key=lambda t: (t[0], -t[2], t[1]))
+    for mode in ("fold", "arrow"):
+        got = [
+            (r.query_id, r.vec_id, r.cos_sim)
+            for r in similarity.ann_lsh_topk_multi(
+                emb, vecs, mode=mode, **kwargs
+            ).orderBy("query_id", F.col("cos_sim").desc(), "vec_id").collect()
+        ]
+        assert got == expected, mode
+    with pytest.raises(ValueError, match="query"):
+        similarity.ann_lsh_topk_multi(emb, {})
+    with pytest.raises(ValueError, match="num_tables"):
+        similarity.ann_lsh_topk_multi(emb, vecs, num_tables=0)
