@@ -25,6 +25,10 @@ full DuckDB value oracles —
   every final code value-checked cross-engine. Until now the residual
   family (residualize / ivfpq_residual_topk / the residual store) was
   verified by parity tests against Python replays only.
+- ``q_l2_topk_multi`` — the batched EXACT tier (round 14's
+  ``l2_topk_multi``): every (query, vector) sequential fold and each
+  query's ranking replayed — the brute-force serving form's first
+  driver-checkable row.
 
 Same staging contract as batches 11–20: separate dicts so importing
 this module cannot grow the live ``queries()`` surface mid-round;
@@ -305,4 +309,52 @@ def q_residual_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 q_residual_codes.__doc__ = q_residual_codes.__doc__.format(
     _IVFPQ_CELLS, _PQ_M, _PQ_K
+)
+
+
+_EXACT_MULTI_QIDS = (0, 1, 2)
+_EXACT_MULTI_K = 8
+
+
+@query(
+    "q_l2_topk_multi",
+    f"""WITH v AS (SELECT vec_id,
+        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings WHERE embedding IS NOT NULL),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM v
+          WHERE vec_id IN {_EXACT_MULTI_QIDS}),
+    d AS (SELECT q.query_id, v.vec_id,
+                 ROUND({_D64.format(a="v.v", b="q.qv")}, {_PQ_DP}) AS l2
+          FROM v CROSS JOIN q WHERE v.vec_id <> q.query_id)
+    SELECT CAST(query_id AS INT) AS query_id, vec_id, l2 FROM (
+        SELECT query_id, vec_id, l2, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY l2, vec_id) AS rn FROM d)
+    WHERE rn <= {_EXACT_MULTI_K}""",
+)
+def q_l2_topk_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched EXACT serving ({0} queries × top-{1}), VALUE-replayed:
+    every (query, vector) sequential squared-L2 fold and each query's
+    ranking (ascending rounded l2, ties to the lower id, self
+    excluded) — `l2_topk`'s guarantee extended to
+    `similarity.l2_topk_multi`, the brute-force tier's batched form
+    (round 14: every ANN tier serves batches).
+
+    Scale: mode="fold" here is the oracle-grade plan (Q sequential-fold
+    branches over one raw-vector scan); mode="arrow" is the measured
+    single-pass form — one mapInPandas, all Q distance columns from one
+    stacked matmul per Arrow batch, ≤ partitions × Q × k rows shuffled
+    (18.5× vs Q sequential scans at n=2M — SCALING round-14
+    addendum)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = {
+        int(r.vec_id): [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id").isin(*_EXACT_MULTI_QIDS)).collect()
+    }
+    return similarity.l2_topk_multi(
+        emb, queries, k=_EXACT_MULTI_K, round_dp=_PQ_DP, mode="fold"
+    )
+
+
+q_l2_topk_multi.__doc__ = q_l2_topk_multi.__doc__.format(
+    len(_EXACT_MULTI_QIDS), _EXACT_MULTI_K
 )

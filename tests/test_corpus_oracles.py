@@ -129,5 +129,5 @@ def test_batch21_staged_not_promoted():
     import __spark_entry__ as entrymod
 
     assert set(b21.STAGED_ORACLES) == set(b21.STAGED_QUERIES)
-    assert len(b21.STAGED_QUERIES) == 3
+    assert len(b21.STAGED_QUERIES) == 4
     assert not set(b21.STAGED_QUERIES) & set(entrymod.queries())
