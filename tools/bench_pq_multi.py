@@ -156,6 +156,69 @@ def main() -> int:
                 f"amortization {t_le / t_me:5.2f}x"
             )
 
+        if "--lsh" in sys.argv:
+            # the SRP-LSH tier (round 14): Q sequential ann_lsh_topk
+            # (each re-computes L signature passes) vs one batched pass
+            raw_path2 = str(Path(tmp) / "raw_lsh")
+            base.write.parquet(raw_path2)
+            raw2 = spark.read.parquet(raw_path2)
+
+            def loop_lsh():
+                for qid, qv in queries.items():
+                    similarity.ann_lsh_topk(
+                        raw2, qv, k=K, num_planes=8, num_tables=2,
+                        radius=1, exclude_ids=(qid,),
+                    ).collect()
+
+            def multi_lsh():
+                similarity.ann_lsh_topk_multi(
+                    raw2, queries, k=K, num_planes=8, num_tables=2,
+                    radius=1, mode="arrow",
+                ).collect()
+
+            t_ll = _timed(loop_lsh)
+            t_ml = _timed(multi_lsh)
+            print(
+                f"n={n:>9,} Q={q_n} LSH (2 tables, planes=8, r=1): {q_n} "
+                f"sequential ann_lsh_topk {t_ll:6.2f}s  one batched pass "
+                f"{t_ml:6.2f}s  amortization {t_ll / t_ml:5.2f}x"
+            )
+
+        if "--ivfraw" in sys.argv:
+            # the raw-vector IVF tier (round 14): Q sequential pruned
+            # ivf_topk scans vs one union-pruned batched pass
+            cents2 = similarity.ivf_fit_centroids(
+                base.limit(FIT_N), k_cells=16, iters=2, dim=DIM,
+                metric="l2", update="arrow",
+            )
+            ivf_path = str(Path(tmp) / "ivf_store")
+            similarity.ivf_assign(base, cents2, metric="l2").write.partitionBy(
+                "ivf_cell"
+            ).parquet(ivf_path)
+            ivf_store = spark.read.parquet(ivf_path)
+
+            def loop_ivfraw():
+                for qid, qv in queries.items():
+                    similarity.ivf_topk(
+                        ivf_store, qv, cents2, k=K, nprobe=4,
+                        cell_col="ivf_cell", exclude_ids=(qid,),
+                        metric="l2",
+                    ).collect()
+
+            def multi_ivfraw():
+                similarity.ivf_topk_multi(
+                    ivf_store, queries, cents2, k=K, nprobe=4,
+                    cell_col="ivf_cell", metric="l2", mode="arrow",
+                ).collect()
+
+            t_li = _timed(loop_ivfraw)
+            t_mi = _timed(multi_ivfraw)
+            print(
+                f"n={n:>9,} Q={q_n} IVF raw vectors: {q_n} sequential "
+                f"ivf_topk {t_li:6.2f}s  one union-pruned pass "
+                f"{t_mi:6.2f}s  amortization {t_li / t_mi:5.2f}x"
+            )
+
         if "--residual" not in sys.argv:
             continue
         # the RESIDUAL store (round-14 depth: per-(query,cell) LUTs):
