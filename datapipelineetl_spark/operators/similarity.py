@@ -922,6 +922,7 @@ def ann_lsh_topk(
     num_tables: int = 1,
     radius: int = 1,
     exclude_ids: tuple[int, ...] = (),
+    sig_cols: list[str] | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only vectors whose LSH bucket is within
     Hamming distance ≤ ``radius`` of the query's bucket in ANY of
@@ -939,27 +940,41 @@ def ann_lsh_topk(
     ~L·Σ_{i≤r} C(planes,i)/2^planes of the data instead of all of it.
     Exactness is traded for that pruning — measure recall against
     ``cosine_topk`` (tests and q_ann_recall do).
+
+    ``sig_cols`` (round 14) names PERSISTED signature columns — the
+    production form the bench measured: re-hashing the corpus per query
+    was the dominant sequential cost (SCALING round-14 addendum), so a
+    real store writes the L signature columns once (``lsh_signature``
+    with the SAME (num_planes, dim, seed) table derivation — the caller
+    owns that contract) and queries skip the hashing pass entirely;
+    ``num_tables`` is then ``len(sig_cols)``.
     """
+    if sig_cols is not None:
+        if not sig_cols:
+            raise ValueError("sig_cols must name at least one column")
+        num_tables = len(sig_cols)
     if num_tables < 1:
         raise ValueError(f"num_tables must be >= 1, got {num_tables}")
     dim = len(query_vec)
     vec = F.col(vec_col).cast("array<double>")
     probe_any = F.lit(False)
     sigs = df
-    # collision-safe temp-column prefix: user frames may legitimately
-    # carry columns named lsh_sig_* (e.g. persisted signatures)
-    sig_cols = [f"__ann_lsh_sig_{t}" for t in range(num_tables)]
+    persisted = sig_cols is not None
+    if not persisted:
+        # collision-safe temp-column prefix: user frames may legitimately
+        # carry columns named lsh_sig_* (e.g. persisted signatures)
+        sig_cols = [f"__ann_lsh_sig_{t}" for t in range(num_tables)]
     for t, col in enumerate(sig_cols):
         planes = _hyperplanes(num_planes, dim, seed + 1000003 * t)
-        qsig = 0
-        for p, plane in enumerate(planes):
-            if sum(q * x for q, x in zip(query_vec, plane)) >= 0:
-                qsig |= 1 << p
-        sigs = sigs.withColumn(col, lsh_signature(vec, planes))
+        qsig = _lsh_query_sig(query_vec, planes)
+        if not persisted:
+            sigs = sigs.withColumn(col, lsh_signature(vec, planes))
         probe_any = probe_any | (
             F.bit_count(F.col(col).bitwiseXOR(F.lit(qsig))) <= radius
         )
-    probe = sigs.filter(probe_any).drop(*sig_cols)
+    probe = sigs.filter(probe_any)
+    if not persisted:
+        probe = probe.drop(*sig_cols)
     return cosine_topk(probe, query_vec, k, id_col, vec_col, exclude_ids)
 
 
@@ -1002,6 +1017,7 @@ def ann_lsh_topk_multi(
     radius: int = 1,
     exclude_query_ids: bool = True,
     mode: str = "fold",
+    sig_cols: list[str] | None = None,
 ) -> DataFrame:
     """Batched ``ann_lsh_topk`` — the SRP-LSH tier's serving form. The
     L signature columns are computed ONCE for the whole frame (the
@@ -1017,22 +1033,34 @@ def ann_lsh_topk_multi(
     ``isin`` against its driver-enumerated Hamming ball
     (Σ_{i≤r} C(planes, i) ints per table — probe-set literals, never a
     scan-side popcount), local top-k per (task, query).
+
+    ``sig_cols`` names PERSISTED signature columns (the ``ann_lsh_topk``
+    contract: written by ``lsh_signature`` under the same
+    (num_planes, dim, seed) derivation) — the whole batch then skips
+    the hashing pass, the dominant cost the round-14 bench measured.
     """
     if not queries:
         raise ValueError("need at least one query")
     if mode not in ("fold", "arrow"):
         raise ValueError(f"mode must be 'fold' or 'arrow', got {mode!r}")
+    if sig_cols is not None:
+        if not sig_cols:
+            raise ValueError("sig_cols must name at least one column")
+        num_tables = len(sig_cols)
     if num_tables < 1:
         raise ValueError(f"num_tables must be >= 1, got {num_tables}")
     qids = sorted(queries)
     dim = len(queries[qids[0]])
     vec = F.col(vec_col).cast("array<double>")
-    sig_cols = [f"__ann_lsh_sig_{t}" for t in range(num_tables)]
+    persisted = sig_cols is not None
+    if not persisted:
+        sig_cols = [f"__ann_lsh_sig_{t}" for t in range(num_tables)]
     tables = []  # (col, planes)
     sigs = df
     for t, col in enumerate(sig_cols):
         planes = _hyperplanes(num_planes, dim, seed + 1000003 * t)
-        sigs = sigs.withColumn(col, lsh_signature(vec, planes))
+        if not persisted:
+            sigs = sigs.withColumn(col, lsh_signature(vec, planes))
         tables.append((col, planes))
     # per (query, table): the query's signature and its probe ball
     balls = {
@@ -1056,8 +1084,11 @@ def ann_lsh_topk_multi(
             for ti, (col, _) in enumerate(tables):
                 probe_any = probe_any | F.col(col).isin(balls[qid][ti])
             excl = (qid,) if exclude_query_ids else ()
+            probed = scoped.filter(probe_any & vec.isNotNull())
+            if not persisted:
+                probed = probed.drop(*sig_cols)
             branch = cosine_topk(
-                scoped.filter(probe_any & vec.isNotNull()).drop(*sig_cols),
+                probed,
                 queries[qid], k, id_col, vec_col, excl,
             ).select(
                 F.lit(int(qid)).cast("int").alias("query_id"),

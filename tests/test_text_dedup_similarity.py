@@ -1472,3 +1472,56 @@ def test_ann_lsh_topk_multi_modes_match_single(spark, sf_dir):
         similarity.ann_lsh_topk_multi(emb, {})
     with pytest.raises(ValueError, match="num_tables"):
         similarity.ann_lsh_topk_multi(emb, vecs, num_tables=0)
+
+
+def test_ann_lsh_persisted_sig_cols_match_computed(spark, sf_dir, tmp_path):
+    """Round 14: a store that PERSISTS its L signature columns (written
+    once by lsh_signature under the same (planes, dim, seed) derivation)
+    serves queries without the hashing pass — single and batched paths
+    must return exactly what the compute-on-the-fly forms return, and
+    the persisted plans must contain no lsh hashing projection."""
+    from datapipelineetl_spark import catalog
+
+    emb = catalog.load(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    kwargs = dict(num_planes=6, num_tables=2, radius=1)
+    vec = F.col("embedding").cast("array<double>")
+    store_df = emb
+    cols = []
+    for t in range(kwargs["num_tables"]):
+        planes = similarity._hyperplanes(6, dim, 42 + 1000003 * t)
+        col = f"lsh_sig_{t}"
+        store_df = store_df.withColumn(col, similarity.lsh_signature(vec, planes))
+        cols.append(col)
+    path = str(tmp_path / "lsh_store")
+    store_df.write.parquet(path)
+    store = spark.read.parquet(path)
+    vecs = {r.vec_id: [float(x) for x in r.embedding]
+            for r in emb.filter(F.col("vec_id") < 2).collect()}
+    qv = vecs[0]
+    computed = [(r.vec_id, r.cos_sim) for r in similarity.ann_lsh_topk(
+        emb, qv, k=6, exclude_ids=(0,), **kwargs).collect()]
+    persisted = similarity.ann_lsh_topk(
+        store, qv, k=6, exclude_ids=(0,), num_planes=6, radius=1,
+        sig_cols=cols,
+    )
+    assert [(r.vec_id, r.cos_sim) for r in persisted.collect()] == computed
+    for mode in ("fold", "arrow"):
+        comp_m = [
+            (r.query_id, r.vec_id, r.cos_sim)
+            for r in similarity.ann_lsh_topk_multi(
+                emb, vecs, k=6, mode=mode, **kwargs
+            ).orderBy("query_id", F.col("cos_sim").desc(), "vec_id").collect()
+        ]
+        pers_m = [
+            (r.query_id, r.vec_id, r.cos_sim)
+            for r in similarity.ann_lsh_topk_multi(
+                store, vecs, k=6, mode=mode, num_planes=6, radius=1,
+                sig_cols=cols,
+            ).orderBy("query_id", F.col("cos_sim").desc(), "vec_id").collect()
+        ]
+        assert comp_m == pers_m, mode
+    with pytest.raises(ValueError, match="sig_cols"):
+        similarity.ann_lsh_topk(store, qv, sig_cols=[])
+    with pytest.raises(ValueError, match="sig_cols"):
+        similarity.ann_lsh_topk_multi(store, vecs, sig_cols=[])

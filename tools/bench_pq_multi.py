@@ -184,6 +184,43 @@ def main() -> int:
                 f"{t_ml:6.2f}s  amortization {t_ll / t_ml:5.2f}x"
             )
 
+            # the PERSISTED-signature store (round 14 sig_cols): the
+            # production form — hashing written once, queries skip it
+            from datapipelineetl_spark.operators.similarity import (
+                _hyperplanes,
+                lsh_signature,
+            )
+            from pyspark.sql import functions as F  # noqa: PLC0415
+
+            sig_df = raw2
+            cols = []
+            for t in range(2):
+                planes = _hyperplanes(8, DIM, 42 + 1000003 * t)
+                col = f"lsh_sig_{t}"
+                sig_df = sig_df.withColumn(
+                    col,
+                    lsh_signature(
+                        F.col("embedding").cast("array<double>"), planes
+                    ),
+                )
+                cols.append(col)
+            lshp_path = str(Path(tmp) / "lsh_store")
+            sig_df.write.parquet(lshp_path)
+            lsh_store = spark.read.parquet(lshp_path)
+
+            def multi_lshp():
+                similarity.ann_lsh_topk_multi(
+                    lsh_store, queries, k=K, num_planes=8, radius=1,
+                    mode="arrow", sig_cols=cols,
+                ).collect()
+
+            t_mp = _timed(multi_lshp)
+            print(
+                f"n={n:>9,} Q={q_n} LSH PERSISTED sigs: one batched pass "
+                f"{t_mp:6.2f}s  ({t_ml / t_mp:4.2f}x vs computing sigs, "
+                f"{t_ll / t_mp:6.2f}x vs the sequential loop)"
+            )
+
         if "--ivfraw" in sys.argv:
             # the raw-vector IVF tier (round 14): Q sequential pruned
             # ivf_topk scans vs one union-pruned batched pass
