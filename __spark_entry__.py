@@ -65,6 +65,10 @@ from datapipelineetl_spark import queries_batch20  # noqa: E402
 
 queries_batch20.register()  # promote the 3 staged IVF-PQ/batched-ADC/resize queries (round 14)
 
+from datapipelineetl_spark import queries_batch21  # noqa: E402
+
+queries_batch21.register()  # promote the 4 staged refine/residual/batched-exact queries (round 15)
+
 
 def _extension_tier() -> frozenset[str]:
     """Names promoted from any staged battery — derived, not hand-kept.
@@ -111,64 +115,63 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver verifies the FIRST 50 entries of queries() in dict order.
-# Round-14 rotation (VERDICT r13 item 1+3, tools/rotate_window.py): the
-# 3 batch-20 promotions take the front slots (first driver rows for the
-# composed IVF-PQ query, the batched ADC server, and the pixel-level
-# resize check), then the 44 contract-forced refreshes (incl. the
-# twelve r10-newest-green extension rows hitting their 5-record horizon
-# at r15 — q_semdedup, q_gopher_rules, q_repetition_stats, …), then the
-# oldest remaining greens fill the 3 free slots.
+# Round-15 rotation (VERDICT r14 items 1+3, tools/rotate_window.py): the
+# 4 batch-21 promotions take the front slots (first driver rows for the
+# composed two-stage IVF-PQ refine search, the batched ADC refine shape,
+# the residual tier's Lloyd replay, and the batched exact tier), then
+# the 26 contract-forced refreshes (core 3-record / extension 5-record
+# horizons), then the oldest remaining greens fill the free slots.
 PRIORITY: list[str] = [
-    "q_ivfpq_topk",
-    "q_pq_topk_multi",
-    "q_resize_media",
-    "q1_pricing_summary",
-    "q5_local_supplier_volume",
-    "q_events_pivot",
-    "q_envelope_roundtrip",
-    "q_meascollec_flatten",
-    "q_clean_cell_metrics",
-    "q_clean_kpi_int",
-    "q_cube_lineitem",
-    "q19_bracket_revenue",
-    "q_union_parties_by_nation",
-    "q_intersect_nations",
-    "q_parts_never_ordered",
-    "q_window_order_seq",
-    "q_window_trailing_revenue",
-    "q_percentiles_by_priority",
-    "q_json_props",
-    "q_ngram_jaccard_pairs",
-    "q_ann_lsh_topk",
-    "q_multimodal_features",
-    "q_frame_sample_plan",
-    "q_multimodal_meta",
-    "q15_top_suppliers",
-    "q2_cheapest_part_per_type",
-    "q22_idle_rich_customers",
-    "q_lineitems_above_order_avg",
-    "q_name_word_counts",
-    "q_order_quantity_profile",
-    "q_conditional_counts",
-    "q_weekly_order_volume",
-    "q_sql_regional_revenue",
-    "q_nation_lookup",
-    "q_text_token_stats",
-    "q_text_quality",
-    "q_lang_id",
-    "q_ann_recall",
-    "q_approx_sketches",
-    "q_range_join_event_windows",
-    "q9_product_type_profit",
-    "q11_important_parts",
-    "q16_supplier_part_counts",
-    "q20_top_part_shippers",
-    "q_retention_cohorts",
-    "q_pack_greedy",
-    "q_boilerplate_removal",
-    "q_repetition_stats",
-    "q_semdedup",
-    "q_gopher_rules",
+    "q_ivfpq_refine_topk",
+    "q_pq_multi_refine",
+    "q_residual_codes",
+    "q_l2_topk_multi",
+    "q_dedup_token_set",
+    "q_cosine_topk",
+    "q_cosine_near_pairs",
+    "q_tf_idf",
+    "q7_volume_shipping",
+    "q13_order_count_distribution",
+    "q17_small_quantity_revenue",
+    "q_profile_orders",
+    "q_kpi_pivot",
+    "q_session_window_events",
+    "q_grouping_sets",
+    "q_posexplode_embedding",
+    "q_array_lambda_battery",
+    "q_null_semantics",
+    "q_nullsafe_join",
+    "q8_market_share",
+    "q_fuzzy_name_pairs",
+    "q21_blamable_suppliers",
+    "q_price_histogram",
+    "q_regex_extract_ldn",
+    "q_quality_linear",
+    "q_source_kl",
+    "q_gram_novelty",
+    "q_doc_containment",
+    "q_token_fertility",
+    "q_minhash_estimate",
+    "q_semantic_dupes",
+    "q_prepare_corpus_quality",
+    "q_extract_keywords",
+    "q_user_hour_anomalies",
+    "q_build_vocab",
+    "q_encode_tokens",
+    "q_pack_sequences",
+    "q_split_corpus",
+    "q_attrition_report",
+    "q_sample_stratified",
+    "q_corpus_mix",
+    "q_pack_chunks",
+    "q_redact_pii",
+    "q_prepare_corpus",
+    "q_split_documents",
+    "q_contamination_pairs",
+    "q_ngram_counts",
+    "q_funnel_stages",
+    "q_shuffle_corpus",
+    "q_sample_k_per_stratum",
 ]
 
 

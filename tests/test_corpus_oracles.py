@@ -98,8 +98,8 @@ def test_staged_query_matches_oracle(spark, sf_dir, duck, name):
 
 
 def test_staged_registry_promoted():
-    """Rounds 6-14 promoted the staged batches: __spark_entry__ calls
-    b11-b20.register(), so the live registry must contain every
+    """Rounds 6-15 promoted the staged batches: __spark_entry__ calls
+    b11-b21.register(), so the live registry must contain every
     promoted query with its oracle, and register() must be idempotent
     (the driver and the tests may both import the entry module)."""
     import __spark_entry__ as entrymod
@@ -108,26 +108,28 @@ def test_staged_registry_promoted():
 
     for b, size in ((b11, 10), (b12, 12), (b13, 7), (b14, 11),
                     (b15, 9), (b16, 1), (b17, 6), (b18, 2), (b19, 5),
-                    (b20, 3)):
+                    (b20, 3), (b21, 4)):
         assert set(b.STAGED_ORACLES) == set(b.STAGED_QUERIES)
         assert len(b.STAGED_QUERIES) == size
     live = entrymod.queries()
     n = len(live)
-    for b in (b11, b12, b13, b14, b15, b16, b17, b18, b19, b20):
+    for b in (b11, b12, b13, b14, b15, b16, b17, b18, b19, b20, b21):
         assert set(b.STAGED_QUERIES) <= set(live)
         assert set(b.STAGED_ORACLES) <= set(q.ORACLES)
         b.register()
     assert len(entrymod.queries()) == n
 
 
-def test_batch21_staged_not_promoted():
-    """Batch 21 (the refine-stage and residual-tier value replays)
-    stages in round 14 and promotes in round 15: its dicts must be
+def test_batch22_staged_not_promoted():
+    """Batch 22 (the batched-LSH and batched-IVF serving value replays)
+    stages in round 15 and promotes in round 16: its dicts must be
     well-formed (every query carries an oracle) and its names must NOT
     be in the live registry yet — staging must not grow ``queries()``
     mid-round (the module-docstring contract)."""
     import __spark_entry__ as entrymod
 
-    assert set(b21.STAGED_ORACLES) == set(b21.STAGED_QUERIES)
-    assert len(b21.STAGED_QUERIES) == 4
-    assert not set(b21.STAGED_QUERIES) & set(entrymod.queries())
+    from datapipelineetl_spark import queries_batch22 as b22
+
+    assert set(b22.STAGED_ORACLES) == set(b22.STAGED_QUERIES)
+    assert len(b22.STAGED_QUERIES) == 2
+    assert not set(b22.STAGED_QUERIES) & set(entrymod.queries())
