@@ -7,9 +7,11 @@ Two tiers of decode:
 - ``decode_headers`` is REAL and runs here: WAV / PPM / BMP container
   headers parsed with stdlib-only byte walking (rate, channels, depth,
   duration, dimensions) — actual media bytes through the actual Arrow
-  kernel, no stub.
-- The pixel/sample FEATURE kernels for codec formats are library-gated
-  (the container has no PIL/ffmpeg): ``extract_features`` raises
+  kernel, no stub. PIXELS are real for two formats: P6 PPM
+  (``_resize_ppm``) and, from round 15, PNG (``_png_pixels`` — stdlib
+  zlib inflate + per-scanline unfilter, 8-bit color types 0/2/3/4/6).
+- The pixel/sample FEATURE kernels for the remaining codec formats are
+  library-gated (the container has no PIL/ffmpeg): ``extract_features`` raises
   NotImplementedError unless ``fake=True``, in which case a
   deterministic fake decoder (bytes → checksum-derived features)
   exercises the Spark-side plumbing — schema, Arrow batch shapes,
@@ -357,6 +359,124 @@ def _resize_ppm(b: bytes, width: int, height: int) -> bytes | None:
     return header + out.tobytes()
 
 
+def _png_pixels(b: bytes):
+    """REAL stdlib PNG pixel decode — zlib inflate + per-scanline
+    unfilter (filters 0–4: None/Sub/Up/Average/Paeth per the PNG spec),
+    no codec library. Supported envelope: 8-bit samples, color types
+    0/2/3/4/6 (gray / RGB / palette / gray+alpha / RGBA),
+    non-interlaced. Returns an H×W×3 uint8 RGB array (palette expanded
+    via PLTE, gray replicated, alpha DROPPED — deterministic, no
+    compositing) or None for variants outside the envelope (16-bit,
+    Adam7 interlace, truncated streams) — those stay library-gated.
+
+    Scale note: the left-dependent filters (Sub/Average/Paeth) are a
+    sequential per-byte recurrence, decoded here in plain Python per
+    scanline — correct and fine for fixture-sized images; a production
+    deployment swaps an optimized codec into the SAME kernel slot."""
+    import struct  # noqa: PLC0415
+    import zlib  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    if not b or b[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    try:
+        pos = 8
+        w = h = bit_depth = color_type = interlace = None
+        idat: list[bytes] = []
+        plte = None
+        while pos + 8 <= len(b):
+            (clen,) = struct.unpack_from(">I", b, pos)
+            ctype = b[pos + 4 : pos + 8]
+            data = b[pos + 8 : pos + 8 + clen]
+            if len(data) < clen:
+                return None
+            if ctype == b"IHDR":
+                w, h, bit_depth, color_type, _c, _f, interlace = struct.unpack(
+                    ">IIBBBBB", data[:13]
+                )
+            elif ctype == b"PLTE":
+                arr = np.frombuffer(data, dtype=np.uint8)
+                plte = arr[: len(arr) - len(arr) % 3].reshape(-1, 3)
+            elif ctype == b"IDAT":
+                idat.append(data)
+            elif ctype == b"IEND":
+                break
+            pos += 12 + clen  # length + type + data + crc
+        if not w or not h or not idat or bit_depth != 8 or interlace != 0:
+            return None
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+        if channels is None:
+            return None
+        raw = zlib.decompress(b"".join(idat))
+        stride = w * channels
+        if len(raw) < h * (stride + 1):
+            return None
+        prev = np.zeros(stride, dtype=np.uint8)
+        rows = []
+        off = 0
+        for _y in range(h):
+            filt = raw[off]
+            off += 1
+            cur = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=off).copy()
+            off += stride
+            if filt == 0:
+                pass
+            elif filt == 2:  # Up — vectorized, uint8 wrap = mod 256
+                cur += prev
+            elif filt == 1:  # Sub — left recurrence
+                for i in range(channels, stride):
+                    cur[i] = (int(cur[i]) + int(cur[i - channels])) & 0xFF
+            elif filt == 3:  # Average
+                for i in range(stride):
+                    left = int(cur[i - channels]) if i >= channels else 0
+                    cur[i] = (int(cur[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+            elif filt == 4:  # Paeth
+                for i in range(stride):
+                    a = int(cur[i - channels]) if i >= channels else 0
+                    up = int(prev[i])
+                    ul = int(prev[i - channels]) if i >= channels else 0
+                    p = a + up - ul
+                    pa, pb, pc = abs(p - a), abs(p - up), abs(p - ul)
+                    pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+                    cur[i] = (int(cur[i]) + pred) & 0xFF
+            else:
+                return None
+            rows.append(cur)
+            prev = cur
+        px = np.stack(rows).reshape(h, w, channels)
+        if color_type == 3:
+            if plte is None or int(px.max()) >= len(plte):
+                return None
+            px = plte[px[:, :, 0]]
+        elif channels == 1:
+            px = np.repeat(px, 3, axis=2)
+        elif channels == 2:
+            px = np.repeat(px[:, :, :1], 3, axis=2)
+        elif channels == 4:
+            px = px[:, :, :3]
+        return np.ascontiguousarray(px)
+    except Exception:  # noqa: BLE001 — malformed stream is data, not an error
+        return None
+
+
+def _resize_png(b: bytes, width: int, height: int) -> bytes | None:
+    """REAL PNG resize: `_png_pixels` stdlib decode, then the SAME
+    pixel-center nearest-neighbor rule as `_resize_ppm`, emitted as P6
+    (the surface's interchange format) — so a PNG and a P6 encoding the
+    same pixels resize to byte-identical outputs (pinned by tests)."""
+    import numpy as np  # noqa: PLC0415
+
+    px = _png_pixels(b)
+    if px is None:
+        return None
+    h, w = px.shape[:2]
+    ys = np.minimum(((np.arange(height) + 0.5) * h / height).astype(np.int64), h - 1)
+    xs = np.minimum(((np.arange(width) + 0.5) * w / width).astype(np.int64), w - 1)
+    out = px[ys][:, xs]
+    return f"P6\n{width} {height}\n255\n".encode() + out.tobytes()
+
+
 def resize_media(
     df: DataFrame,
     width: int,
@@ -373,11 +493,18 @@ def resize_media(
       through the actual Arrow kernel, round-trippable by
       ``decode_headers`` (the output header re-parses to the target
       dimensions) and pinned pixel-for-pixel by the tests.
-    - Codec formats (jpeg/png/…) are library-gated: NotImplementedError
-      unless ``fake=True``, in which case a deterministic synthetic P6
-      of the target dimensions (pixels derived from the payload's
-      rolling checksum — `_fake_decode`'s discipline) exercises the
-      plumbing. Swap a PIL kernel in at deployment; dataflow identical.
+    - **PNG is resized FOR REAL too** (round 15 — `_png_pixels`:
+      stdlib zlib inflate + per-scanline unfilter, color types
+      0/2/3/4/6 at 8-bit, non-interlaced), emitted as P6 so a PNG and
+      a P6 of the same pixels resize byte-identically (pinned by
+      tests). PNG variants outside that envelope (16-bit, Adam7)
+      fall through to the codec gate below.
+    - Remaining codec formats (jpeg/gif/…) are library-gated:
+      NotImplementedError unless ``fake=True``, in which case a
+      deterministic synthetic P6 of the target dimensions (pixels
+      derived from the payload's rolling checksum — `_fake_decode`'s
+      discipline) exercises the plumbing. Swap a PIL kernel in at
+      deployment; dataflow identical.
 
     Output: (``id_col``, payload=resized P6 bytes, width, height,
     src_format, resized) — the id column keeps its OWN name and type,
@@ -405,7 +532,14 @@ def resize_media(
                 hdr = _parse_media_header(b)
                 fmt = hdr["detected_format"]
                 fmts.append(fmt)
-                resized = _resize_ppm(b, width, height) if fmt == "ppm" else None
+                if fmt == "ppm":
+                    resized = _resize_ppm(b, width, height)
+                elif fmt == "png":
+                    # real stdlib decode; None = outside the supported
+                    # envelope (16-bit/interlaced) → the codec gate
+                    resized = _resize_png(b, width, height)
+                else:
+                    resized = None
                 if resized is None and fmt not in (None, "ppm"):
                     if not fake:
                         raise NotImplementedError(

@@ -54,11 +54,22 @@ def cosine_topk(
     The query vector is a literal array (broadcast by constant folding);
     scoring is a narrow projection; ordering+limit compiles to
     TakeOrderedAndProject — a per-partition k-heap, no global sort.
+
+    Zero-norm vectors are EXCLUDED from the candidate set (ADVICE r14):
+    their cosine is 0/0, which under the driver's ANSI session is a
+    DIVIDE_BY_ZERO error and in the Arrow kernels a NaN that numpy and
+    Spark rank OPPOSITELY under DESC — undefined similarity has no
+    place in a top-k either way. The same squared-norm predicate also
+    drops NULL vectors (a NULL fold compares NULL to 0 → filtered), so
+    every cosine tier shares one candidate rule; pinned by
+    ``test_cosine_family_excludes_zero_norm_vectors``.
     """
+    vec = F.col(vec_col).cast("array<double>")
+    norm_sq = F.aggregate(vec, F.lit(0.0), lambda acc, v: acc + v * v)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    scored = df.select(
+    scored = df.filter(norm_sq != 0).select(
         F.col(id_col),
-        F.round(cosine(F.col(vec_col).cast("array<double>"), q), 4).alias("cos_sim"),
+        F.round(cosine(vec, q), 4).alias("cos_sim"),
     )
     if exclude_ids:
         scored = scored.filter(~F.col(id_col).isin(*exclude_ids))
@@ -184,6 +195,7 @@ def _exact_topk_multi(
         raise ValueError("need at least one query")
     if mode not in ("fold", "arrow"):
         raise ValueError(f"mode must be 'fold' or 'arrow', got {mode!r}")
+    id_t = _validated_id_type(df, id_col)
     qids = sorted(queries)
     score_col = "l2" if metric == "l2" else "cos_sim"
     if mode == "fold":
@@ -221,6 +233,11 @@ def _exact_topk_multi(
         for pdf in batches:
             x, null_mask = _stack_nullable(pdf[vec_col].to_numpy(), dim)
             keep0 = ~null_mask
+            if metric == "cosine":
+                # zero-norm rows score 0/0 → NaN, which numpy ranks
+                # LAST while Spark's DESC ranks NaN FIRST (ADVICE r14)
+                # — excluded from candidates, the cosine_topk rule
+                keep0 &= (x * x).sum(axis=1) > 0
             if not keep0.any():
                 continue
             ids = pdf[id_col].to_numpy(dtype=np.int64)[keep0]
@@ -257,7 +274,7 @@ def _exact_topk_multi(
             yield pd.concat(parts, ignore_index=True)
 
     local = df.select(id_col, vec_col).mapInPandas(
-        gen, schema=f"query_id int, {id_col} long, {score_col} double"
+        gen, schema=f"query_id int, {id_col} {id_t}, {score_col} double"
     )
     order_col = F.col(score_col).asc() if asc else F.col(score_col).desc()
     w = Window.partitionBy("query_id").orderBy(order_col, F.col(id_col))
@@ -312,6 +329,29 @@ def _stack_nullable(vecs, dim: int):
             rows.append(np.asarray(v, dtype=np.float64))
     m = np.stack(rows) if rows else np.zeros((0, dim), dtype=np.float64)
     return m, mask
+
+
+_INTEGRAL_TYPES = ("tinyint", "smallint", "int", "bigint")
+
+
+def _validated_id_type(df: DataFrame, id_col: str) -> str:
+    """Spark type name of ``id_col``, validated integral — the batched
+    serving family (``*_topk_multi``) keys requests by integer query
+    id, excludes self-neighbors via ``ids != qid``, and upcasts ids to
+    int64 inside its Arrow kernels, so a non-integral id column must
+    fail fast HERE instead of erroring (or silently casting) deep in
+    Arrow conversion (ADVICE r14 — the resize_media id-dtype lesson
+    applied family-wide). The returned name feeds each kernel's
+    mapInPandas output schema, so arrow mode preserves the input's
+    integer width exactly like fold mode's pass-through column does."""
+    t = df.schema[id_col].dataType.simpleString()
+    if t not in _INTEGRAL_TYPES:
+        raise TypeError(
+            f"batched serving requires an integral id column; {id_col!r} "
+            f"is {t} — cast the id (or use the single-query operator, "
+            "which carries any id type through untouched)"
+        )
+    return t
 
 
 def cosine_scores_pandas(
@@ -811,6 +851,7 @@ def ivf_topk_multi(
         raise ValueError("need at least one query")
     if mode not in ("fold", "arrow"):
         raise ValueError(f"mode must be 'fold' or 'arrow', got {mode!r}")
+    id_t = _validated_id_type(df, id_col)
     probes = {
         qid: _probe_cells(centroids, q, nprobe, metric)
         for qid, q in queries.items()
@@ -861,6 +902,10 @@ def ivf_topk_multi(
         for pdf in batches:
             x, null_mask = _stack_nullable(pdf[vec_col].to_numpy(), dim)
             keep0 = ~null_mask & pdf[cell_col].notna().to_numpy()
+            if metric == "cosine":
+                # zero-norm exclusion — the cosine_topk candidate rule
+                # (ADVICE r14: numpy ranks the NaN last, Spark first)
+                keep0 &= (x * x).sum(axis=1) > 0
             if not keep0.any():
                 continue
             ids = pdf[id_col].to_numpy(dtype=np.int64)[keep0]
@@ -900,7 +945,7 @@ def ivf_topk_multi(
                 yield pd.concat(parts, ignore_index=True)
 
     local = scoped.select(id_col, vec_col, cell_col).mapInPandas(
-        gen, schema=f"query_id int, {id_col} long, {score_col} double"
+        gen, schema=f"query_id int, {id_col} {id_t}, {score_col} double"
     )
     order_col = F.col(score_col).asc() if asc else F.col(score_col).desc()
     w = Window.partitionBy("query_id").orderBy(order_col, F.col(id_col))
@@ -947,11 +992,12 @@ def ann_lsh_topk(
     real store writes the L signature columns once (``lsh_signature``
     with the SAME (num_planes, dim, seed) table derivation — the caller
     owns that contract) and queries skip the hashing pass entirely;
-    ``num_tables`` is then ``len(sig_cols)``.
+    ``num_tables`` is then ``len(sig_cols)``. Write the store with
+    ``lsh_persist_signatures`` — it owns the canonical derivation and
+    this entry point validates the handoff (columns exist + integral).
     """
     if sig_cols is not None:
-        if not sig_cols:
-            raise ValueError("sig_cols must name at least one column")
+        _validate_sig_cols(df, sig_cols)
         num_tables = len(sig_cols)
     if num_tables < 1:
         raise ValueError(f"num_tables must be >= 1, got {num_tables}")
@@ -976,6 +1022,80 @@ def ann_lsh_topk(
     if not persisted:
         probe = probe.drop(*sig_cols)
     return cosine_topk(probe, query_vec, k, id_col, vec_col, exclude_ids)
+
+
+def lsh_persist_signatures(
+    df: DataFrame,
+    num_planes: int = 8,
+    num_tables: int = 1,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    prefix: str = "lsh_sig",
+    dim: int | None = None,
+) -> tuple[DataFrame, list[str]]:
+    """Attach the CANONICAL persisted SRP signature columns — the
+    helper that owns the ``sig_cols`` contract (ADVICE r14: the
+    derivation ``_hyperplanes(num_planes, dim, seed + 1000003·t)`` in
+    sig_cols order was private, so a store written under any other
+    seed or table order silently probed wrong buckets). Write a store
+    with THIS, then serve with ``ann_lsh_topk(..., sig_cols=cols)`` /
+    ``ann_lsh_topk_multi(..., sig_cols=cols)`` under the SAME
+    (num_planes, seed) — the query-side signatures are derived
+    identically per table index, so matching is guaranteed by
+    construction instead of by convention.
+
+    Returns ``(frame_with_columns, column_names)``; column t is
+    ``{prefix}_{t}``. ``dim`` defaults to the first non-null vector's
+    length (one metadata-sized probe job — pass it explicitly in
+    pipelines that know their width).
+
+    Scale: this is the ONE hashing pass over the corpus (the dominant
+    sequential-serving cost the round-14 bench measured — 119× when
+    amortized away); persist/bucket the output by a signature column
+    and every future probe is narrow-column pruning."""
+    if num_tables < 1:
+        raise ValueError(f"num_tables must be >= 1, got {num_tables}")
+    if dim is None:
+        row = (
+            df.filter(F.col(vec_col).isNotNull())
+            .select(F.size(F.col(vec_col)))
+            .first()
+        )
+        if row is None:
+            raise ValueError(f"no non-null {vec_col} rows to derive dim from")
+        dim = int(row[0])
+    vec = F.col(vec_col).cast("array<double>")
+    cols = [f"{prefix}_{t}" for t in range(num_tables)]
+    out = df
+    for t, col in enumerate(cols):
+        planes = _hyperplanes(num_planes, dim, seed + 1000003 * t)
+        out = out.withColumn(col, lsh_signature(vec, planes))
+    return out, cols
+
+
+def _validate_sig_cols(df: DataFrame, sig_cols: list[str]) -> None:
+    """Fail fast on a malformed persisted-signature handoff (ADVICE
+    r14): missing columns meant a typo'd store, non-integral columns
+    mean it was not written by ``lsh_signature`` — either way recall
+    would silently collapse to near-zero with no error."""
+    if not sig_cols:
+        raise ValueError("sig_cols must name at least one column")
+    missing = [c for c in sig_cols if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"sig_cols not in frame: {missing} (have {df.columns}) — "
+            "write the store with lsh_persist_signatures"
+        )
+    bad = [
+        (c, df.schema[c].dataType.simpleString())
+        for c in sig_cols
+        if df.schema[c].dataType.simpleString() not in _INTEGRAL_TYPES
+    ]
+    if bad:
+        raise ValueError(
+            f"sig_cols must be integral signature columns, got {bad} — "
+            "write the store with lsh_persist_signatures"
+        )
 
 
 def _lsh_query_sig(query_vec: list[float], planes: list[list[float]]) -> int:
@@ -1044,11 +1164,11 @@ def ann_lsh_topk_multi(
     if mode not in ("fold", "arrow"):
         raise ValueError(f"mode must be 'fold' or 'arrow', got {mode!r}")
     if sig_cols is not None:
-        if not sig_cols:
-            raise ValueError("sig_cols must name at least one column")
+        _validate_sig_cols(df, sig_cols)
         num_tables = len(sig_cols)
     if num_tables < 1:
         raise ValueError(f"num_tables must be >= 1, got {num_tables}")
+    id_t = _validated_id_type(df, id_col)
     qids = sorted(queries)
     dim = len(queries[qids[0]])
     vec = F.col(vec_col).cast("array<double>")
@@ -1111,7 +1231,9 @@ def ann_lsh_topk_multi(
     def gen(batches):
         for pdf in batches:
             x, null_mask = _stack_nullable(pdf[vec_col].to_numpy(), dim)
-            keep0 = ~null_mask
+            # zero-norm exclusion — the cosine_topk candidate rule
+            # (ADVICE r14: numpy ranks the NaN last, Spark first)
+            keep0 = ~null_mask & ((x * x).sum(axis=1) > 0)
             if not keep0.any():
                 continue
             ids = pdf[id_col].to_numpy(dtype=np.int64)[keep0]
@@ -1152,7 +1274,7 @@ def ann_lsh_topk_multi(
                 yield pd.concat(parts, ignore_index=True)
 
     local = scoped.select(id_col, vec_col, *sig_cols).mapInPandas(
-        gen, schema=f"query_id int, {id_col} long, cos_sim double"
+        gen, schema=f"query_id int, {id_col} {id_t}, cos_sim double"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col(id_col)
@@ -2073,10 +2195,12 @@ def pq_adc_topk(
     is sequential in j — both match DuckDB's list_sum term-for-term.
 
     ``refine_n`` > 0 with ``vectors`` enables the standard two-stage
-    search: ADC shortlists ``refine_n`` candidates, then EXACT squared
-    L2 against the raw vectors re-ranks the shortlist to the final k
-    (one narrow join against refine_n ids — recall of exact search
-    whenever the true top-k survives the shortlist).
+    search: ADC shortlists ``max(k, refine_n)`` candidates (widened so
+    a ``refine_n < k`` call still yields k rows and matches the multi
+    path's width — ADVICE r14), then EXACT squared L2 against the raw
+    vectors re-ranks the shortlist to the final k (one narrow join
+    against the shortlist ids — recall of exact search whenever the
+    true top-k survives the shortlist).
     """
     m = len(codebooks)
     lut = _pq_lut(query_vec, codebooks)
@@ -2101,7 +2225,7 @@ def pq_adc_topk(
         return scored.orderBy("adc", id_col).limit(k)
     if vectors is None:
         raise ValueError("refine_n > 0 needs the raw `vectors` frame")
-    shortlist = scored.orderBy("adc", id_col).limit(refine_n)
+    shortlist = scored.orderBy("adc", id_col).limit(max(k, refine_n))
     qlit = F.array(*[F.lit(float(x)) for x in query_vec])
     vcol = F.col(vec_col).cast("array<double>")
     # broadcast the tiny shortlist INTO the vector scan so the exact
@@ -2211,6 +2335,7 @@ def pq_adc_topk_multi(
         raise ValueError("need at least one query")
     if mode not in ("fold", "arrow"):
         raise ValueError(f"mode must be 'fold' or 'arrow', got {mode!r}")
+    id_t = _validated_id_type(encoded, id_col)
     qids = sorted(queries)
     branch_k = max(k, refine_n) if refine_n > 0 else k
     if mode == "fold":
@@ -2282,7 +2407,7 @@ def pq_adc_topk_multi(
             yield pd.concat(parts, ignore_index=True)
 
     local = encoded.mapInPandas(
-        gen, schema=f"query_id int, {id_col} long, adc double"
+        gen, schema=f"query_id int, {id_col} {id_t}, adc double"
     )
     w = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col(id_col))
     ranked = (
@@ -2468,6 +2593,7 @@ def ivfpq_topk_multi(
         raise ValueError("need at least one query")
     if mode not in ("fold", "arrow"):
         raise ValueError(f"mode must be 'fold' or 'arrow', got {mode!r}")
+    id_t = _validated_id_type(df, id_col)
     shortlist_k = max(k, refine_n)
     probes = {
         qid: _probe_cells(centroids, q, nprobe, coarse_metric)
@@ -2551,7 +2677,7 @@ def ivfpq_topk_multi(
                 )
             yield pd.concat(parts, ignore_index=True)
 
-    local = scoped.mapInPandas(gen, schema=f"query_id int, {id_col} long, adc double")
+    local = scoped.mapInPandas(gen, schema=f"query_id int, {id_col} {id_t}, adc double")
     w = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col(id_col))
     ranked = (
         local.withColumn("__rn", F.row_number().over(w))
@@ -2682,7 +2808,9 @@ def ivfpq_residual_topk(
     merged = branches.orderBy("adc", id_col).limit(k)
     if refine_n <= 0:
         return merged
-    shortlist = branches.orderBy("adc", id_col).limit(refine_n)
+    # max(k, refine_n), not refine_n: a refine_n < k call must still
+    # yield k rows and match the multi path's shortlist width (ADVICE r14)
+    shortlist = branches.orderBy("adc", id_col).limit(max(k, refine_n))
     qlit = F.array(*[F.lit(float(x)) for x in query_vec])
     vcol = F.col(vec_col).cast("array<double>")
     # NULL raw vectors filtered before exact scoring (the r14 refine-leg
@@ -2760,6 +2888,7 @@ def ivfpq_residual_topk_multi(
         raise ValueError("need at least one query")
     if mode not in ("fold", "arrow"):
         raise ValueError(f"mode must be 'fold' or 'arrow', got {mode!r}")
+    id_t = _validated_id_type(df, id_col)
     c = np.asarray(centroids, dtype=np.float64)
     probes = {
         qid: _probe_cells(centroids, q, nprobe, coarse_metric)
@@ -2885,7 +3014,7 @@ def ivfpq_residual_topk_multi(
             if parts:
                 yield pd.concat(parts, ignore_index=True)
 
-    local = scoped.mapInPandas(gen, schema=f"query_id int, {id_col} long, adc double")
+    local = scoped.mapInPandas(gen, schema=f"query_id int, {id_col} {id_t}, adc double")
     ranked = (
         local.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= (k if refine_n <= 0 else branch_k))
