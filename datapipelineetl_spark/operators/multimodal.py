@@ -7,9 +7,11 @@ Two tiers of decode:
 - ``decode_headers`` is REAL and runs here: WAV / PPM / BMP container
   headers parsed with stdlib-only byte walking (rate, channels, depth,
   duration, dimensions) — actual media bytes through the actual Arrow
-  kernel, no stub. PIXELS are real for two formats: P6 PPM
-  (``_resize_ppm``) and, from round 15, PNG (``_png_pixels`` — stdlib
-  zlib inflate + per-scanline unfilter, 8-bit color types 0/2/3/4/6).
+  kernel, no stub. PIXELS are real for THREE formats (round 15): P6
+  PPM (``_ppm_pixels``), PNG (``_png_pixels`` — stdlib zlib inflate +
+  per-scanline unfilter, 8-bit color types 0/2/3/4/6) and GIF
+  (``_gif_pixels`` — spec LZW through the color table); those feed the
+  real ``resize_media`` legs and the ``image_stats`` measurement tier.
 - The pixel/sample FEATURE kernels for the remaining codec formats are
   library-gated (the container has no PIL/ffmpeg): ``extract_features`` raises
   NotImplementedError unless ``fake=True``, in which case a
@@ -313,11 +315,11 @@ _RESIZE_FIELDS = (
 )
 
 
-def _resize_ppm(b: bytes, width: int, height: int) -> bytes | None:
-    """REAL nearest-neighbor resize for binary PPM (P6, maxval ≤ 255) —
-    pure header parse + one numpy fancy-index, no codec library. Returns
-    the resized P6 bytes, or None when the payload is not a resizable
-    P6 (wrong magic, 2-byte maxval, truncated pixel data)."""
+def _ppm_pixels(b: bytes):
+    """REAL P6 PPM pixel parse (maxval ≤ 255): header walk + one
+    zero-copy numpy view. Returns the H×W×3 uint8 array and the
+    declared maxval, or None for anything that is not a complete
+    1-byte-sample P6 — shared by `_resize_ppm` and `image_stats`."""
     import numpy as np  # noqa: PLC0415
 
     if not b or b[:2] != b"P6":
@@ -350,6 +352,21 @@ def _resize_ppm(b: bytes, width: int, height: int) -> bytes | None:
     if len(b) - pos < need:
         return None
     px = np.frombuffer(b, dtype=np.uint8, count=need, offset=pos).reshape(h, w, 3)
+    return px, maxval
+
+
+def _resize_ppm(b: bytes, width: int, height: int) -> bytes | None:
+    """REAL nearest-neighbor resize for binary PPM (P6, maxval ≤ 255) —
+    `_ppm_pixels` parse + one numpy fancy-index, no codec library.
+    Returns the resized P6 bytes, or None when the payload is not a
+    resizable P6 (wrong magic, 2-byte maxval, truncated pixel data)."""
+    import numpy as np  # noqa: PLC0415
+
+    parsed = _ppm_pixels(b)
+    if parsed is None:
+        return None
+    px, maxval = parsed
+    h, w = px.shape[:2]
     # nearest-neighbor index map — the deterministic floor((i+0.5)*src/dst)
     # pixel-center rule, replayed exactly by the tests
     ys = np.minimum(((np.arange(height) + 0.5) * h / height).astype(np.int64), h - 1)
@@ -460,16 +477,150 @@ def _png_pixels(b: bytes):
         return None
 
 
-def _resize_png(b: bytes, width: int, height: int) -> bytes | None:
-    """REAL PNG resize: `_png_pixels` stdlib decode, then the SAME
-    pixel-center nearest-neighbor rule as `_resize_ppm`, emitted as P6
-    (the surface's interchange format) — so a PNG and a P6 encoding the
-    same pixels resize to byte-identical outputs (pinned by tests)."""
+def _gif_lzw_decode(data: bytes, min_code_size: int, max_pixels: int):
+    """GIF-variant LZW decompression (LSB-first variable-width codes,
+    CLEAR/EOI, 12-bit dictionary cap) — plain stdlib, the spec
+    algorithm. Returns the index stream (list of ints) or None on a
+    malformed stream (code past dictionary end)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    code_size = min_code_size + 1
+    table: list[list[int]] = [[i] for i in range(clear)] + [[], []]
+    out: list[int] = []
+    prev: list[int] | None = None
+    bitpos = 0
+    total_bits = len(data) * 8
+    while len(out) < max_pixels:
+        if bitpos + code_size > total_bits:
+            break
+        code = 0
+        for k in range(code_size):
+            p = bitpos + k
+            if (data[p >> 3] >> (p & 7)) & 1:
+                code |= 1 << k
+        bitpos += code_size
+        if code == eoi:
+            break
+        if code == clear:
+            code_size = min_code_size + 1
+            table = [[i] for i in range(clear)] + [[], []]
+            prev = None
+            continue
+        if prev is None:
+            if code >= len(table) or not table[code]:
+                return None  # first code after clear must be a literal
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + [entry[0]])
+        elif code == len(table):
+            entry = prev + [prev[0]]
+            table.append(entry)
+        else:
+            return None
+        out.extend(entry)
+        prev = entry
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+    return out
+
+
+def _gif_pixels(b: bytes):
+    """REAL stdlib GIF pixel decode — header/descriptor walk + the
+    spec LZW decompression (`_gif_lzw_decode`), no codec library.
+    Decodes the FIRST image of a non-interlaced GIF87a/89a through its
+    local-or-global color table to an H×W×3 uint8 RGB array (the
+    frame-sample discipline: frame 0 is the representative; animation
+    is `frame_sample_plan`'s concern). Extension blocks are skipped;
+    transparency is ignored (straight palette RGB — deterministic, no
+    compositing). Returns None for interlaced images, truncated
+    streams, or malformed LZW — those fall to the codec gate."""
+    import struct  # noqa: PLC0415
+
     import numpy as np  # noqa: PLC0415
 
-    px = _png_pixels(b)
-    if px is None:
+    if not b or b[:6] not in (b"GIF87a", b"GIF89a") or len(b) < 13:
         return None
+    try:
+        packed = b[10]
+        pos = 13
+        gct = None
+        if packed & 0x80:
+            n = 2 << (packed & 0x07)
+            gct = np.frombuffer(b, dtype=np.uint8, count=3 * n, offset=pos).reshape(
+                n, 3
+            )
+            pos += 3 * n
+        while pos < len(b):
+            block = b[pos]
+            if block == 0x21:  # extension: label + sub-blocks
+                pos += 2
+                while pos < len(b) and b[pos] != 0:
+                    pos += 1 + b[pos]
+                pos += 1
+            elif block == 0x2C:  # image descriptor
+                _left, _top, w, h = struct.unpack_from("<HHHH", b, pos + 1)
+                ipacked = b[pos + 9]
+                pos += 10
+                table = gct
+                if ipacked & 0x80:  # local color table
+                    n = 2 << (ipacked & 0x07)
+                    table = np.frombuffer(
+                        b, dtype=np.uint8, count=3 * n, offset=pos
+                    ).reshape(n, 3)
+                    pos += 3 * n
+                if ipacked & 0x40:  # interlaced: outside the envelope
+                    return None
+                if table is None or w < 1 or h < 1:
+                    return None
+                min_code = b[pos]
+                pos += 1
+                chunks = []
+                while pos < len(b) and b[pos] != 0:
+                    ln = b[pos]
+                    chunks.append(b[pos + 1 : pos + 1 + ln])
+                    pos += 1 + ln
+                idx = _gif_lzw_decode(b"".join(chunks), min_code, w * h)
+                if idx is None or len(idx) < w * h:
+                    return None
+                arr = np.asarray(idx[: w * h], dtype=np.int64)
+                if int(arr.max()) >= len(table):
+                    return None
+                return np.ascontiguousarray(table[arr].reshape(h, w, 3))
+            elif block == 0x3B:  # trailer before any image
+                return None
+            else:
+                return None
+        return None
+    except Exception:  # noqa: BLE001 — malformed stream is data, not an error
+        return None
+
+
+def _decode_pixels(b: bytes | None):
+    """REAL-pixel decode dispatch across the real envelope — P6 PPM
+    (`_ppm_pixels`), PNG (`_png_pixels`), GIF (`_gif_pixels`). Returns
+    ``(detected_format, H×W×3 uint8 array | None)``: a recognized
+    format with ``None`` pixels means the payload is outside the
+    format's supported envelope (→ the codec gate in callers that
+    gate); an unrecognized format returns ``(fmt-or-None, None)``."""
+    fmt = _parse_media_header(b)["detected_format"]
+    if fmt == "ppm":
+        parsed = _ppm_pixels(b)
+        return fmt, (parsed[0] if parsed is not None else None)
+    if fmt == "png":
+        return fmt, _png_pixels(b)
+    if fmt == "gif":
+        return fmt, _gif_pixels(b)
+    return fmt, None
+
+
+def _resize_decoded(px, width: int, height: int) -> bytes:
+    """The SAME pixel-center nearest-neighbor rule as `_resize_ppm`
+    over an already-decoded H×W×3 array, emitted as P6 (the surface's
+    interchange format) — so a PNG/GIF and a P6 encoding the same
+    pixels resize to byte-identical outputs (pinned by tests)."""
+    import numpy as np  # noqa: PLC0415
+
     h, w = px.shape[:2]
     ys = np.minimum(((np.arange(height) + 0.5) * h / height).astype(np.int64), h - 1)
     xs = np.minimum(((np.arange(width) + 0.5) * w / width).astype(np.int64), w - 1)
@@ -493,13 +644,15 @@ def resize_media(
       through the actual Arrow kernel, round-trippable by
       ``decode_headers`` (the output header re-parses to the target
       dimensions) and pinned pixel-for-pixel by the tests.
-    - **PNG is resized FOR REAL too** (round 15 — `_png_pixels`:
-      stdlib zlib inflate + per-scanline unfilter, color types
-      0/2/3/4/6 at 8-bit, non-interlaced), emitted as P6 so a PNG and
-      a P6 of the same pixels resize byte-identically (pinned by
-      tests). PNG variants outside that envelope (16-bit, Adam7)
-      fall through to the codec gate below.
-    - Remaining codec formats (jpeg/gif/…) are library-gated:
+    - **PNG and GIF are resized FOR REAL too** (round 15 —
+      `_png_pixels`: stdlib zlib inflate + per-scanline unfilter,
+      color types 0/2/3/4/6 at 8-bit, non-interlaced; `_gif_pixels`:
+      spec LZW through the global/local color table, extensions
+      skipped), emitted as P6 so a PNG/GIF and a P6 of the same pixels
+      resize byte-identically (pinned by tests). Variants outside the
+      envelope (16-bit PNG, Adam7/GIF interlace) fall through to the
+      codec gate below.
+    - Remaining codec formats (jpeg/…) are library-gated:
       NotImplementedError unless ``fake=True``, in which case a
       deterministic synthetic P6 of the target dimensions (pixels
       derived from the payload's rolling checksum — `_fake_decode`'s
@@ -534,10 +687,15 @@ def resize_media(
                 fmts.append(fmt)
                 if fmt == "ppm":
                     resized = _resize_ppm(b, width, height)
-                elif fmt == "png":
+                elif fmt in ("png", "gif"):
                     # real stdlib decode; None = outside the supported
-                    # envelope (16-bit/interlaced) → the codec gate
-                    resized = _resize_png(b, width, height)
+                    # envelope (16-bit/interlaced/…) → the codec gate
+                    _, px = _decode_pixels(b)
+                    resized = (
+                        _resize_decoded(px, width, height)
+                        if px is not None
+                        else None
+                    )
                 else:
                     resized = None
                 if resized is None and fmt not in (None, "ppm"):
@@ -567,4 +725,77 @@ def resize_media(
 
     id_type = df.schema[id_col].dataType.simpleString()
     schema = f"{id_col} {id_type}, {_RESIZE_FIELDS}"
+    return df.select(id_col, payload_col).mapInPandas(kernel, schema)
+
+
+_STATS_FIELDS = (
+    "detected_format string, width int, height int, n_pixels long, "
+    "mean_r double, mean_g double, mean_b double, "
+    "min_r int, min_g int, min_b int, "
+    "max_r int, max_g int, max_b int, valid boolean"
+)
+
+
+def image_stats(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """REAL per-channel pixel statistics over the real-decode envelope
+    (P6 PPM / PNG / GIF via `_decode_pixels`) — the feature-extraction
+    tier an image-corpus pipeline filters and stratifies on
+    (brightness/uniformity cuts, dead-image detection), computed from
+    ACTUAL decoded pixels, not the checksum stub.
+
+    Output per payload: detected_format, decoded width/height/n_pixels,
+    per-channel mean (exact int-sum / n — both engines produce the
+    identical IEEE double, which is what makes the stats ORACLE-level
+    value-checkable, see q_image_stats), per-channel min/max, and
+    ``valid``. Payloads that don't decode (unrecognized format, or a
+    recognized format outside its envelope) yield ``valid=false`` rows
+    with NULL stats — corrupt media is data at 100 TB, not an
+    exception. No library gate here: stats are a *measurement* surface,
+    so an undecodable payload is an observation, not an error (resize,
+    which must *produce* pixels, keeps its gate).
+
+    Scale: same Arrow-batched ``mapInPandas`` contract as the rest of
+    the surface — payload bytes never leave the executor, 13 scalars
+    per image do."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            rows = []
+            for mid, b in zip(pdf[id_col], pdf[payload_col]):
+                fmt, px = _decode_pixels(b)
+                if px is None:
+                    rows.append((mid, fmt) + (None,) * 12 + (False,))
+                    continue
+                h, w = px.shape[:2]
+                n = h * w
+                flat = px.reshape(n, 3).astype(np.int64)
+                sums = flat.sum(axis=0)
+                mins = flat.min(axis=0)
+                maxs = flat.max(axis=0)
+                rows.append(
+                    (
+                        mid, fmt, w, h, n,
+                        float(sums[0]) / n, float(sums[1]) / n, float(sums[2]) / n,
+                        int(mins[0]), int(mins[1]), int(mins[2]),
+                        int(maxs[0]), int(maxs[1]), int(maxs[2]),
+                        True,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "detected_format", "width", "height", "n_pixels",
+                    "mean_r", "mean_g", "mean_b",
+                    "min_r", "min_g", "min_b",
+                    "max_r", "max_g", "max_b", "valid",
+                ],
+            )
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, {_STATS_FIELDS}"
     return df.select(id_col, payload_col).mapInPandas(kernel, schema)

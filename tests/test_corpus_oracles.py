@@ -120,16 +120,19 @@ def test_staged_registry_promoted():
     assert len(entrymod.queries()) == n
 
 
-def test_batch22_staged_not_promoted():
-    """Batch 22 (the batched-LSH and batched-IVF serving value replays)
-    stages in round 15 and promotes in round 16: its dicts must be
-    well-formed (every query carries an oracle) and its names must NOT
-    be in the live registry yet — staging must not grow ``queries()``
-    mid-round (the module-docstring contract)."""
+def test_batch22_batch23_staged_not_promoted():
+    """Batches 22 (the batched-LSH and batched-IVF serving value
+    replays) and 23 (the real-pixel image_stats value replay) stage in
+    round 15 and promote in round 16: their dicts must be well-formed
+    (every query carries an oracle) and their names must NOT be in the
+    live registry yet — staging must not grow ``queries()`` mid-round
+    (the module-docstring contract)."""
     import __spark_entry__ as entrymod
 
     from datapipelineetl_spark import queries_batch22 as b22
+    from datapipelineetl_spark import queries_batch23 as b23
 
-    assert set(b22.STAGED_ORACLES) == set(b22.STAGED_QUERIES)
-    assert len(b22.STAGED_QUERIES) == 2
-    assert not set(b22.STAGED_QUERIES) & set(entrymod.queries())
+    for b, size in ((b22, 2), (b23, 1)):
+        assert set(b.STAGED_ORACLES) == set(b.STAGED_QUERIES)
+        assert len(b.STAGED_QUERIES) == size
+        assert not set(b.STAGED_QUERIES) & set(entrymod.queries())

@@ -1823,3 +1823,160 @@ def test_refine_narrower_than_k_still_yields_k(spark, sf_dir):
     assert sorted((r.vec_id, r.adc, r.l2) for r in multi) == sorted(
         (r.vec_id, r.adc, r.l2) for r in narrow
     )
+
+
+def _encode_gif(px_rows, palette, interlaced=False, local_table=False):
+    """Minimal stdlib GIF ENCODER for the decoder tests: the
+    clear-code-before-every-pixel LZW trick keeps the code width
+    constant at min_code_size+1 (spec-valid — the decoder's dictionary
+    resets before it can grow), packed LSB-first into 255-byte
+    sub-blocks, with a GCE extension block in front of the image
+    descriptor to exercise the extension-skipping walk."""
+    import struct
+
+    h, w = len(px_rows), len(px_rows[0])
+    n = 2
+    while n < len(palette):
+        n *= 2
+    pal = list(palette) + [(0, 0, 0)] * (n - len(palette))
+    size_bits = n.bit_length() - 1
+    min_code = max(2, size_bits)
+    clear = 1 << min_code
+    eoi = clear + 1
+    codes = [clear]
+    for row in px_rows:
+        for v in row:
+            codes.extend((v, clear))
+    codes[-1] = eoi
+    acc = nbits = 0
+    data = bytearray()
+    cw = min_code + 1
+    for c in codes:
+        acc |= c << nbits
+        nbits += cw
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        data.append(acc & 0xFF)
+    blocks = b"".join(
+        bytes([len(data[i : i + 255])]) + bytes(data[i : i + 255])
+        for i in range(0, len(data), 255)
+    ) + b"\x00"
+    gct = b"".join(bytes(c) for c in pal)
+    screen_packed = (0 if local_table else 0x80) | ((size_bits - 1) & 7)
+    out = b"GIF89a" + struct.pack("<HH", w, h) + bytes([screen_packed, 0, 0])
+    if not local_table:
+        out += gct
+    out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # GCE extension (skipped)
+    ipacked = (0x40 if interlaced else 0) | (
+        (0x80 | ((size_bits - 1) & 7)) if local_table else 0
+    )
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + bytes([ipacked])
+    if local_table:
+        out += gct
+    out += bytes([min_code]) + blocks + b"\x3b"
+    return out
+
+
+def test_gif_pixels_stdlib_lzw_decode():
+    """Round 15: `_gif_pixels` is a REAL stdlib decode — spec LZW
+    (variable-width LSB-first codes, CLEAR/EOI) through the global or
+    local color table, extension blocks skipped; interlaced and
+    truncated streams return None (→ the codec gate), never a wrong
+    decode."""
+    import numpy as np
+
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (7, 8, 9)]
+    rows = [[0, 1, 2, 3], [3, 2, 1, 0], [1, 1, 3, 0]]
+    for local in (False, True):
+        gif = _encode_gif(rows, palette, local_table=local)
+        px = multimodal._gif_pixels(gif)
+        assert px is not None and px.shape == (3, 4, 3), local
+        expect = np.array(palette, dtype=np.uint8)[np.array(rows)]
+        assert (px == expect).all(), local
+    # header decode agrees on dimensions
+    hdr = multimodal._parse_media_header(_encode_gif(rows, palette))
+    assert (hdr["detected_format"], hdr["width"], hdr["height"]) == ("gif", 4, 3)
+    # out-of-envelope / malformed → None
+    assert multimodal._gif_pixels(_encode_gif(rows, palette, interlaced=True)) is None
+    assert multimodal._gif_pixels(b"GIF89a\x00") is None
+    truncated = _encode_gif(rows, palette)[:-12]
+    assert multimodal._gif_pixels(truncated) is None
+    assert multimodal._gif_pixels(None) is None
+    # a 2-color palette exercises the min_code_size=2 floor
+    bw = _encode_gif([[0, 1], [1, 0]], [(0, 0, 0), (255, 255, 255)])
+    px = multimodal._gif_pixels(bw)
+    assert (px[0, 1] == [255, 255, 255]).all() and (px[1, 1] == [0, 0, 0]).all()
+
+
+def test_resize_media_real_gif_pixels(spark):
+    """GIF joins the real resize envelope: a GIF, a PNG, and a P6
+    encoding the SAME pixels resize to IDENTICAL bytes through
+    resize_media; an interlaced GIF still hits the codec gate."""
+    palette = [(10, 20, 30), (40, 50, 60), (70, 80, 90), (11, 12, 13)]
+    idx_rows = [[0, 1, 2, 3], [3, 0, 1, 2]]
+    flat = [list(palette[i]) for row in idx_rows for i in row]
+    rgb_rows = [
+        [v for px in flat[y * 4 : (y + 1) * 4] for v in px] for y in range(2)
+    ]
+    gif = _encode_gif(idx_rows, palette)
+    png = _encode_png(rgb_rows, 2, [0, 2])
+    ppm = b"P6\n4 2\n255\n" + bytes(v for row in rgb_rows for v in row)
+    df = spark.createDataFrame(
+        [(1, gif), (2, png), (3, ppm)], "media_id long, payload binary"
+    )
+    got = {r.media_id: r for r in multimodal.resize_media(df, 2, 1).collect()}
+    assert got[1].src_format == "gif" and got[1].resized
+    assert bytes(got[1].payload) == bytes(got[2].payload) == bytes(got[3].payload)
+    inter = _encode_gif(idx_rows, palette, interlaced=True)
+    dfi = spark.createDataFrame([(9, inter)], "media_id long, payload binary")
+    with pytest.raises(Exception, match="NotImplementedError|image library"):
+        multimodal.resize_media(dfi, 2, 1).collect()
+
+
+def test_image_stats_real_pixels_cross_format(spark):
+    """`image_stats` measures ACTUAL decoded pixels: hand-computed
+    channel stats on a P6; a PNG and a GIF of the SAME pixels produce
+    IDENTICAL stats rows (shared post-decode kernel); undecodable
+    payloads are valid=false observations, never errors and never a
+    library gate (stats are a measurement surface)."""
+    palette = [(10, 20, 30), (40, 50, 60), (70, 80, 90), (110, 120, 130)]
+    idx_rows = [[0, 1, 2, 3], [3, 2, 1, 0]]
+    flat = [list(palette[i]) for row in idx_rows for i in row]
+    rgb_rows = [
+        [v for px in flat[y * 4 : (y + 1) * 4] for v in px] for y in range(2)
+    ]
+    ppm = b"P6\n4 2\n255\n" + bytes(v for row in rgb_rows for v in row)
+    png = _encode_png(rgb_rows, 2, [1, 4])
+    gif = _encode_gif(idx_rows, palette)
+    df = spark.createDataFrame(
+        [(1, ppm), (2, png), (3, gif), (4, b"\x00junk"), (5, None)],
+        "media_id long, payload binary",
+    )
+    got = {r.media_id: r for r in multimodal.image_stats(df).collect()}
+    # hand stats: each channel sees each palette value twice → mean is
+    # the palette-channel mean; min/max are the channel extremes
+    assert got[1].detected_format == "ppm" and got[1].valid
+    assert (got[1].width, got[1].height, got[1].n_pixels) == (4, 2, 8)
+    assert got[1].mean_r == (10 + 40 + 70 + 110) * 2 / 8.0
+    assert got[1].mean_g == (20 + 50 + 80 + 120) * 2 / 8.0
+    assert (got[1].min_b, got[1].max_b) == (30, 130)
+    for mid, fmt in ((2, "png"), (3, "gif")):
+        r = got[mid]
+        assert r.detected_format == fmt and r.valid, mid
+        assert (
+            (r.width, r.height, r.n_pixels, r.mean_r, r.mean_g, r.mean_b,
+             r.min_r, r.min_g, r.min_b, r.max_r, r.max_g, r.max_b)
+            == (got[1].width, got[1].height, got[1].n_pixels, got[1].mean_r,
+                got[1].mean_g, got[1].mean_b, got[1].min_r, got[1].min_g,
+                got[1].min_b, got[1].max_r, got[1].max_g, got[1].max_b)
+        ), mid
+    assert not got[4].valid and got[4].mean_r is None
+    assert not got[5].valid and got[5].detected_format is None
+    # id column keeps its own name/type (the decode_headers discipline)
+    sdf = spark.createDataFrame([("u1", ppm)], "uri string, payload binary")
+    out = multimodal.image_stats(sdf, id_col="uri")
+    assert out.columns[0] == "uri" and dict(out.dtypes)["uri"] == "string"
+    assert out.collect()[0].valid
