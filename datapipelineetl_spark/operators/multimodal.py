@@ -799,3 +799,121 @@ def image_stats(
     id_type = df.schema[id_col].dataType.simpleString()
     schema = f"{id_col} {id_type}, {_STATS_FIELDS}"
     return df.select(id_col, payload_col).mapInPandas(kernel, schema)
+
+
+def _wav_samples(b: bytes | None):
+    """REAL stdlib WAV PCM sample decode — RIFF chunk walk to the fmt
+    and data chunks, then one numpy view over the raw samples. Supported
+    envelope: uncompressed PCM (format code 1) at 8 or 16 bits.
+    Returns ``(samples, sample_rate, n_channels, bit_depth)`` where
+    ``samples`` is a flat int32 array of interleaved channel samples in
+    CENTERED convention (8-bit unsigned is shifted by −128, so silence
+    is 0 in both depths), truncated to complete frames — or None for
+    non-PCM/compressed/malformed payloads (→ callers observe, never
+    crash)."""
+    import struct  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    if not b or len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    try:
+        pos, fmt_code, ch, sr, bits = 12, None, None, None, None
+        data = None
+        while pos + 8 <= len(b):
+            cid = b[pos : pos + 4]
+            (clen,) = struct.unpack_from("<I", b, pos + 4)
+            if cid == b"fmt " and clen >= 16 and pos + 24 <= len(b):
+                fmt_code, ch, sr, _br = struct.unpack_from("<HHII", b, pos + 8)
+                (bits,) = struct.unpack_from("<H", b, pos + 22)
+            elif cid == b"data":
+                data = b[pos + 8 : pos + 8 + clen]
+            pos += 8 + clen + (clen & 1)
+        if fmt_code != 1 or not ch or not sr or bits not in (8, 16) or data is None:
+            return None
+        bytes_per = bits // 8
+        frame = ch * bytes_per
+        n = (len(data) // frame) * frame
+        if n == 0:
+            return None
+        if bits == 16:
+            samples = np.frombuffer(data, dtype="<i2", count=n // 2).astype(
+                np.int32
+            )
+        else:
+            samples = np.frombuffer(data, dtype=np.uint8, count=n).astype(
+                np.int32
+            ) - 128
+        return samples, sr, ch, bits
+    except Exception:  # noqa: BLE001 — malformed container is data
+        return None
+
+
+_AUDIO_FIELDS = (
+    "sample_rate int, n_channels int, bit_depth int, n_frames long, "
+    "duration_ms long, mean_sample double, peak_abs int, rms double, "
+    "valid boolean"
+)
+
+
+def audio_stats(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """REAL audio sample statistics — the `image_stats` twin for the
+    audio leg: `_wav_samples` decodes ACTUAL PCM samples (stdlib RIFF
+    walk + numpy view, 8/16-bit), and the kernel emits the measures an
+    audio-corpus pipeline filters on: frame count and exact duration,
+    DC offset (mean sample), peak amplitude, and RMS loudness —
+    silence/clipping detection from real waveform data, not metadata.
+
+    Determinism contract (what makes this ORACLE-checkable, see
+    q_audio_stats): mean and the RMS radicand are exact int-sum / n
+    IEEE divisions over int64 accumulators, and sqrt is correctly
+    rounded in both engines — so every emitted double is reproducible
+    cross-engine bit for bit. Undecodable / non-PCM payloads yield
+    ``valid=false`` observation rows (the `image_stats` discipline: a
+    measurement surface has no library gate).
+
+    Scale: Arrow-batched mapInPandas; waveform bytes never leave the
+    executor — 8 scalars per clip do."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import math  # noqa: PLC0415
+
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            rows = []
+            for mid, b in zip(pdf[id_col], pdf[payload_col]):
+                decoded = _wav_samples(b)
+                if decoded is None:
+                    rows.append((mid,) + (None,) * 8 + (False,))
+                    continue
+                samples, sr, ch, bits = decoded
+                n = int(samples.size)
+                n_frames = n // ch
+                ssum = int(samples.sum(dtype=np.int64))
+                ssq = int((samples.astype(np.int64) ** 2).sum())
+                rows.append(
+                    (
+                        mid, sr, ch, bits, n_frames,
+                        n_frames * 1000 // sr,
+                        float(ssum) / n,
+                        int(np.abs(samples).max()),
+                        math.sqrt(float(ssq) / n),
+                        True,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "sample_rate", "n_channels", "bit_depth",
+                    "n_frames", "duration_ms", "mean_sample", "peak_abs",
+                    "rms", "valid",
+                ],
+            )
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, {_AUDIO_FIELDS}"
+    return df.select(id_col, payload_col).mapInPandas(kernel, schema)

@@ -1,8 +1,8 @@
 """Twenty-third query battery — STAGED in round 15 for the round-16
 verify window (alongside batch 22).
 
-Round-15 depth: the multimodal surface's REAL-pixel measurement tier
-gets a driver-facing value oracle —
+Round-15 depth: the multimodal surface's REAL measurement tier gets
+driver-facing value oracles —
 
 - ``q_image_stats`` — `multimodal.image_stats` (per-channel
   mean/min/max over ACTUAL decoded pixels, the brightness/uniformity
@@ -14,6 +14,10 @@ gets a driver-facing value oracle —
   decode → stats kernel path is value-checked cross-engine, the
   q_resize_media pixels-not-just-metadata guarantee extended from
   bytes-out to statistics-out.
+- ``q_audio_stats`` — the audio twin: `multimodal.audio_stats` over
+  8-bit mono PCM WAVs built from document bytes (`_wav_samples`' real
+  RIFF walk), DC offset / peak / RMS replayed sample for sample with
+  the same nibble arithmetic (centered samples = byte − 128).
 
 Same staging contract as batches 11–22: separate dicts so importing
 this module cannot grow the live ``queries()`` surface mid-round;
@@ -137,3 +141,78 @@ def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_image_stats.__doc__ = q_image_stats.__doc__.format(
     _IS_PX, _IS_W, _IS_H, _IS_N
 )
+
+
+# 8-bit mono PCM: 32 data bytes at 8 kHz — centered convention makes
+# each sample value (byte − 128), all stats exact-int replayable
+_AS_N = 32
+_AS_SR = 8000
+
+import struct as _struct  # noqa: E402
+
+_AS_HEADER = (
+    b"RIFF" + _struct.pack("<I", 36 + _AS_N) + b"WAVE"
+    + b"fmt " + _struct.pack("<I", 16)
+    + _struct.pack("<HHIIHH", 1, 1, _AS_SR, _AS_SR, 1, 8)
+    + b"data" + _struct.pack("<I", _AS_N)
+)
+
+
+@query(
+    "q_audio_stats",
+    f"""
+    WITH src AS (
+      SELECT doc_id AS media_id, hex(encode(text)) AS hx
+      FROM documents
+      WHERE octet_length(encode(text)) >= {_AS_N}),
+    vals AS (
+      SELECT media_id,
+             list_transform(generate_series(1, {_AS_N}),
+                            i -> ({_HEXB}) - 128) AS v
+      FROM src)
+    SELECT media_id,
+           {_AS_SR} AS sample_rate, 1 AS n_channels, 8 AS bit_depth,
+           CAST({_AS_N} AS BIGINT) AS n_frames,
+           CAST({_AS_N * 1000 // _AS_SR} AS BIGINT) AS duration_ms,
+           CAST(list_sum(v) AS DOUBLE) / {_AS_N}.0 AS mean_sample,
+           CAST(list_max(list_transform(v, x -> abs(x))) AS INT) AS peak_abs,
+           sqrt(CAST(list_sum(list_transform(v, x -> x * x)) AS DOUBLE)
+                / {_AS_N}.0) AS rms,
+           TRUE AS valid
+    FROM vals
+    """,
+)
+def q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio sample statistics value-checked cross-engine — the
+    audio twin of q_image_stats: each document's first {0} text bytes
+    become the data chunk of an 8-bit mono {1} Hz PCM WAV,
+    `multimodal.audio_stats` decodes the ACTUAL samples through the
+    real RIFF walk (`_wav_samples`, centered convention: sample =
+    byte − 128) and emits frame count, exact duration, DC offset, peak
+    amplitude and RMS loudness — and the oracle re-derives every
+    sample from the hex payload with nibble arithmetic and replays
+    each measure: the mean and RMS radicand as exact int-sum / {0}
+    IEEE divisions, sqrt correctly rounded in both engines. With this
+    the REAL-decode envelope is value-checked in all three modalities
+    the surface models (pixels: q_resize_media/q_image_stats, audio:
+    here, video: q_frame_sample_plan).
+
+    Scale: Arrow-batched mapInPandas; waveform bytes never leave the
+    executor — 8 scalars per clip do."""
+    from datapipelineetl_spark.operators import multimodal  # noqa: PLC0415
+
+    payload = F.encode("text", "UTF-8")
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length(payload) >= _AS_N)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.concat(
+                F.lit(_AS_HEADER), F.substring(payload, 1, _AS_N)
+            ).alias("payload"),
+        )
+    )
+    return multimodal.audio_stats(docs)
+
+
+q_audio_stats.__doc__ = q_audio_stats.__doc__.format(_AS_N, _AS_SR)

@@ -132,7 +132,7 @@ def test_batch22_batch23_staged_not_promoted():
     from datapipelineetl_spark import queries_batch22 as b22
     from datapipelineetl_spark import queries_batch23 as b23
 
-    for b, size in ((b22, 2), (b23, 1)):
+    for b, size in ((b22, 2), (b23, 2)):
         assert set(b.STAGED_ORACLES) == set(b.STAGED_QUERIES)
         assert len(b.STAGED_QUERIES) == size
         assert not set(b.STAGED_QUERIES) & set(entrymod.queries())
