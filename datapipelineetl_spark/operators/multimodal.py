@@ -7,11 +7,14 @@ Two tiers of decode:
 - ``decode_headers`` is REAL and runs here: WAV / PPM / BMP container
   headers parsed with stdlib-only byte walking (rate, channels, depth,
   duration, dimensions) — actual media bytes through the actual Arrow
-  kernel, no stub. PIXELS are real for THREE formats (round 15): P6
+  kernel, no stub. PIXELS are real for FOUR formats (round 15): P6
   PPM (``_ppm_pixels``), PNG (``_png_pixels`` — stdlib zlib inflate +
-  per-scanline unfilter, 8-bit color types 0/2/3/4/6) and GIF
-  (``_gif_pixels`` — spec LZW through the color table); those feed the
-  real ``resize_media`` legs and the ``image_stats`` measurement tier.
+  per-scanline unfilter, 8-bit color types 0/2/3/4/6), GIF
+  (``_gif_pixels`` — spec LZW through the color table) and BMP
+  (``_bmp_pixels`` — 24-bit BI_RGB); those feed the real
+  ``resize_media`` legs and the ``image_stats`` measurement tier, and
+  AUDIO samples are real for WAV PCM (``_wav_samples`` →
+  ``audio_stats``).
 - The pixel/sample FEATURE kernels for the remaining codec formats are
   library-gated (the container has no PIL/ffmpeg): ``extract_features`` raises
   NotImplementedError unless ``fake=True``, in which case a
@@ -596,13 +599,52 @@ def _gif_pixels(b: bytes):
         return None
 
 
+def _bmp_pixels(b: bytes):
+    """REAL stdlib BMP pixel decode — 24-bit uncompressed (BI_RGB)
+    BITMAPINFOHEADER-and-later: raw BGR rows, 4-byte row padding
+    stripped, bottom-up (positive height) or top-down (negative)
+    orientation normalized, BGR→RGB. Returns an H×W×3 uint8 array or
+    None for palettized/compressed/16-or-32-bit/truncated variants —
+    those fall to the codec gate."""
+    import struct  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    if not b or b[:2] != b"BM" or len(b) < 54:
+        return None
+    try:
+        (offset,) = struct.unpack_from("<I", b, 10)
+        (dib,) = struct.unpack_from("<I", b, 14)
+        if dib < 40:
+            return None
+        w, h = struct.unpack_from("<ii", b, 18)
+        (bpp,) = struct.unpack_from("<H", b, 28)
+        (comp,) = struct.unpack_from("<I", b, 30)
+        if bpp != 24 or comp != 0 or w < 1 or h == 0:
+            return None
+        top_down = h < 0
+        h = abs(h)
+        stride = (w * 3 + 3) & ~3  # rows are 4-byte aligned
+        need = stride * h
+        if offset + need > len(b):
+            return None
+        raw = np.frombuffer(b, dtype=np.uint8, count=need, offset=offset)
+        px = raw.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]
+        if not top_down:
+            px = px[::-1]
+        return np.ascontiguousarray(px)
+    except Exception:  # noqa: BLE001 — malformed container is data
+        return None
+
+
 def _decode_pixels(b: bytes | None):
     """REAL-pixel decode dispatch across the real envelope — P6 PPM
-    (`_ppm_pixels`), PNG (`_png_pixels`), GIF (`_gif_pixels`). Returns
-    ``(detected_format, H×W×3 uint8 array | None)``: a recognized
-    format with ``None`` pixels means the payload is outside the
-    format's supported envelope (→ the codec gate in callers that
-    gate); an unrecognized format returns ``(fmt-or-None, None)``."""
+    (`_ppm_pixels`), PNG (`_png_pixels`), GIF (`_gif_pixels`), BMP
+    (`_bmp_pixels`). Returns ``(detected_format, H×W×3 uint8 array |
+    None)``: a recognized format with ``None`` pixels means the
+    payload is outside the format's supported envelope (→ the codec
+    gate in callers that gate); an unrecognized format returns
+    ``(fmt-or-None, None)``."""
     fmt = _parse_media_header(b)["detected_format"]
     if fmt == "ppm":
         parsed = _ppm_pixels(b)
@@ -611,6 +653,8 @@ def _decode_pixels(b: bytes | None):
         return fmt, _png_pixels(b)
     if fmt == "gif":
         return fmt, _gif_pixels(b)
+    if fmt == "bmp":
+        return fmt, _bmp_pixels(b)
     return fmt, None
 
 
@@ -644,14 +688,16 @@ def resize_media(
       through the actual Arrow kernel, round-trippable by
       ``decode_headers`` (the output header re-parses to the target
       dimensions) and pinned pixel-for-pixel by the tests.
-    - **PNG and GIF are resized FOR REAL too** (round 15 —
+    - **PNG, GIF and BMP are resized FOR REAL too** (round 15 —
       `_png_pixels`: stdlib zlib inflate + per-scanline unfilter,
       color types 0/2/3/4/6 at 8-bit, non-interlaced; `_gif_pixels`:
       spec LZW through the global/local color table, extensions
-      skipped), emitted as P6 so a PNG/GIF and a P6 of the same pixels
-      resize byte-identically (pinned by tests). Variants outside the
-      envelope (16-bit PNG, Adam7/GIF interlace) fall through to the
-      codec gate below.
+      skipped; `_bmp_pixels`: 24-bit BI_RGB, padding stripped,
+      orientation normalized), emitted as P6 so a PNG/GIF/BMP and a P6
+      of the same pixels resize byte-identically (pinned by tests).
+      Variants outside the envelope (16-bit PNG, Adam7/GIF interlace,
+      palettized/compressed BMP) fall through to the codec gate
+      below.
     - Remaining codec formats (jpeg/…) are library-gated:
       NotImplementedError unless ``fake=True``, in which case a
       deterministic synthetic P6 of the target dimensions (pixels
@@ -687,7 +733,7 @@ def resize_media(
                 fmts.append(fmt)
                 if fmt == "ppm":
                     resized = _resize_ppm(b, width, height)
-                elif fmt in ("png", "gif"):
+                elif fmt in ("png", "gif", "bmp"):
                     # real stdlib decode; None = outside the supported
                     # envelope (16-bit/interlaced/…) → the codec gate
                     _, px = _decode_pixels(b)

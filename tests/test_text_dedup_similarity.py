@@ -2040,3 +2040,64 @@ def test_audio_stats_real_wav_samples(spark):
         spark.createDataFrame([(1, wav16)], "media_id long, payload binary")
     ).collect()[0]
     assert (hdr.sample_rate, hdr.n_channels, hdr.bit_depth) == (1000, 2, 16)
+
+
+def _encode_bmp(rgb_rows, top_down=False):
+    """Minimal 24-bit BI_RGB BMP encoder for the decoder tests: BGR
+    rows with 4-byte padding, bottom-up unless top_down."""
+    import struct
+
+    h, w = len(rgb_rows), len(rgb_rows[0]) // 3
+    stride = (w * 3 + 3) & ~3
+    rows = rgb_rows if top_down else rgb_rows[::-1]
+    body = bytearray()
+    for row in rows:
+        for x in range(w):
+            r, g, b = row[3 * x : 3 * x + 3]
+            body.extend((b, g, r))
+        body.extend(b"\x00" * (stride - w * 3))
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, (-h if top_down else h), 1, 24, 0,
+        len(body), 2835, 2835, 0, 0,
+    )
+    header = b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+    return header + dib + bytes(body)
+
+
+def test_bmp_pixels_and_cross_format_parity(spark):
+    """Round 15: `_bmp_pixels` is REAL — bottom-up and top-down 24-bit
+    BMPs of the same pixels decode identically (row padding stripped,
+    BGR swapped), BMP joins the resize + image_stats envelope with
+    byte-identical results to P6, and out-of-envelope variants
+    (non-24-bit) fall to the gate."""
+    import numpy as np
+
+    # w=3 exercises the 3-pad-byte stride; values per channel distinct
+    rgb_rows = [
+        [(7 * x + 50 * c + 20 * y) % 256 for x in range(3) for c in range(3)]
+        for y in range(2)
+    ]
+    expect = np.array(rgb_rows, dtype=np.uint8).reshape(2, 3, 3)
+    for td in (False, True):
+        px = multimodal._bmp_pixels(_encode_bmp(rgb_rows, top_down=td))
+        assert px is not None and (px == expect).all(), td
+    bmp = _encode_bmp(rgb_rows)
+    ppm = b"P6\n3 2\n255\n" + bytes(v for row in rgb_rows for v in row)
+    df = spark.createDataFrame(
+        [(1, bmp), (2, ppm)], "media_id long, payload binary"
+    )
+    got = {r.media_id: r for r in multimodal.resize_media(df, 2, 1).collect()}
+    assert got[1].src_format == "bmp" and got[1].resized
+    assert bytes(got[1].payload) == bytes(got[2].payload)
+    st = {r.media_id: r for r in multimodal.image_stats(df).collect()}
+    assert st[1].valid and st[2].valid
+    assert (st[1].mean_r, st[1].min_g, st[1].max_b) == (
+        st[2].mean_r, st[2].min_g, st[2].max_b
+    )
+    # 16-bit BMP: outside the envelope → gate in resize, observation in stats
+    bad = bytearray(_encode_bmp(rgb_rows))
+    bad[28:30] = (16).to_bytes(2, "little")
+    dfb = spark.createDataFrame([(9, bytes(bad))], "media_id long, payload binary")
+    with pytest.raises(Exception, match="NotImplementedError|image library"):
+        multimodal.resize_media(dfb, 2, 1).collect()
+    assert not multimodal.image_stats(dfb).collect()[0].valid
