@@ -7,11 +7,13 @@ Two tiers of decode:
 - ``decode_headers`` is REAL and runs here: WAV / PPM / BMP container
   headers parsed with stdlib-only byte walking (rate, channels, depth,
   duration, dimensions) — actual media bytes through the actual Arrow
-  kernel, no stub. PIXELS are real for FOUR formats (round 15): P6
+  kernel, no stub. PIXELS are real for FIVE formats (round 15): P6
   PPM (``_ppm_pixels``), PNG (``_png_pixels`` — stdlib zlib inflate +
   per-scanline unfilter, 8-bit color types 0/2/3/4/6), GIF
-  (``_gif_pixels`` — spec LZW through the color table) and BMP
-  (``_bmp_pixels`` — 24-bit BI_RGB); those feed the real
+  (``_gif_pixels`` — spec LZW through the color table), BMP
+  (``_bmp_pixels`` — 24-bit BI_RGB) and baseline JPEG
+  (``_jpeg_pixels`` — Huffman entropy decode, dequant, IDCT, JFIF
+  YCbCr→RGB with 4:4:4/4:2:2/4:2:0 subsampling); those feed the real
   ``resize_media`` legs and the ``image_stats`` measurement tier, and
   AUDIO samples are real for WAV PCM (``_wav_samples`` →
   ``audio_stats``).
@@ -637,14 +639,262 @@ def _bmp_pixels(b: bytes):
         return None
 
 
+# JPEG zig-zag coefficient order (ITU-T T.81 Figure 5)
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _jpeg_pixels(b: bytes):
+    """REAL stdlib baseline JPEG decode — marker walk, canonical
+    Huffman entropy decode, dequantization, dezigzag, floating IDCT,
+    level shift, chroma upsampling (sample replication) and JFIF
+    YCbCr→RGB, all stdlib + numpy. Supported envelope: baseline
+    sequential DCT (SOF0/SOF1), 8-bit samples and 8-bit quantization
+    tables, 1 (grayscale) or 3 (YCbCr) components in ONE interleaved
+    scan, sampling factors ≤ 2 (covers 4:4:4, 4:2:2, 4:2:0), restart
+    markers honored. Progressive (SOF2), arithmetic coding, 12-bit,
+    hierarchical and multi-scan variants return None — those fall to
+    the codec gate. Returns an H×W×3 uint8 RGB array.
+
+    Determinism: IDCT is the separable float64 basis product, RGB
+    conversion is the JFIF formula with floor(v + 0.5) rounding —
+    bit-stable across runs, pinned by the hand-built-bitstream tests
+    (DC-only and single-AC images whose IDCT is analytically known).
+
+    Scale note: entropy decoding is an inherently sequential bit walk,
+    done here in plain Python per image — fixture-appropriate; a
+    production deployment swaps an optimized codec into this kernel
+    slot, exactly as with the PNG filter recurrence."""
+    import math  # noqa: PLC0415
+    import struct  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    if not b or b[:2] != b"\xff\xd8":
+        return None
+    try:
+        qt: dict[int, "np.ndarray"] = {}
+        huff: dict[tuple[int, int], dict] = {}
+        frame = None
+        restart = 0
+        scan = None
+        pos = 2
+        while pos + 2 <= len(b):
+            if b[pos] != 0xFF:
+                return None
+            marker = b[pos + 1]
+            if marker == 0xFF:
+                pos += 1
+                continue
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            if pos + 4 > len(b):
+                return None
+            (seglen,) = struct.unpack_from(">H", b, pos + 2)
+            data = b[pos + 4 : pos + 2 + seglen]
+            if marker == 0xDB:  # DQT
+                i = 0
+                while i < len(data):
+                    if data[i] >> 4 != 0:
+                        return None  # 16-bit table: outside envelope
+                    qt[data[i] & 15] = np.frombuffer(
+                        data, np.uint8, 64, i + 1
+                    ).astype(np.int32)
+                    i += 65
+            elif marker == 0xC4:  # DHT — canonical code assignment
+                i = 0
+                while i < len(data):
+                    tc_th = (data[i] >> 4, data[i] & 15)
+                    counts = data[i + 1 : i + 17]
+                    n = sum(counts)
+                    syms = data[i + 17 : i + 17 + n]
+                    table: dict[tuple[int, int], int] = {}
+                    code = k = 0
+                    for ln in range(1, 17):
+                        for _ in range(counts[ln - 1]):
+                            table[(ln, code)] = syms[k]
+                            k += 1
+                            code += 1
+                        code <<= 1
+                    huff[tc_th] = table
+                    i += 17 + n
+            elif marker in (0xC0, 0xC1):  # baseline sequential frames
+                if data[0] != 8:
+                    return None
+                h, w = struct.unpack_from(">HH", data, 1)
+                comps = []
+                for c in range(data[5]):
+                    cid = data[6 + 3 * c]
+                    hv = data[7 + 3 * c]
+                    comps.append((cid, hv >> 4, hv & 15, data[8 + 3 * c]))
+                frame = (h, w, comps)
+            elif marker in (
+                0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
+            ):
+                return None  # progressive/arithmetic/hierarchical
+            elif marker == 0xDD:  # DRI
+                (restart,) = struct.unpack_from(">H", data, 0)
+            elif marker == 0xDA:  # SOS — entropy data follows
+                scomps = [
+                    (data[1 + 2 * c], data[2 + 2 * c] >> 4, data[2 + 2 * c] & 15)
+                    for c in range(data[0])
+                ]
+                scan = (scomps, pos + 2 + seglen)
+                break
+            pos += 2 + seglen
+        if frame is None or scan is None:
+            return None
+        h, w, comps = frame
+        scomps, epos = scan
+        if h < 1 or w < 1 or len(comps) not in (1, 3):
+            return None
+        if len(scomps) != len(comps):
+            return None  # non-interleaved multi-scan: outside envelope
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        if hmax not in (1, 2) or vmax not in (1, 2):
+            return None
+        if any(c[1] not in (1, 2) or c[2] not in (1, 2) for c in comps):
+            return None
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
+        # entropy segments: byte-unstuff, split at restart markers
+        segments: list[bytearray] = [bytearray()]
+        p = epos
+        while p < len(b):
+            byte = b[p]
+            if byte != 0xFF:
+                segments[-1].append(byte)
+                p += 1
+                continue
+            nxt = b[p + 1] if p + 1 < len(b) else 0xD9
+            if nxt == 0x00:
+                segments[-1].append(0xFF)
+                p += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                segments.append(bytearray())
+                p += 2
+            else:
+                break  # EOI or next marker
+        cs_half = 1.0 / math.sqrt(2.0)
+        basis = np.zeros((8, 8))
+        for u in range(8):
+            cu = cs_half if u == 0 else 1.0
+            for x in range(8):
+                basis[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16)
+
+        seg_i = 0
+        bits_d = segments[0]
+        bitpos = 0
+
+        def read1():
+            nonlocal bitpos
+            byte = bits_d[bitpos >> 3]
+            v = (byte >> (7 - (bitpos & 7))) & 1
+            bitpos += 1
+            return v
+
+        def readn(n):
+            v = 0
+            for _ in range(n):
+                v = (v << 1) | read1()
+            return v
+
+        def read_sym(table):
+            code = 0
+            for ln in range(1, 17):
+                code = (code << 1) | read1()
+                sym = table.get((ln, code))
+                if sym is not None:
+                    return sym
+            raise ValueError("invalid Huffman code")
+
+        def extend(v, s):
+            return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+        planes = [
+            np.zeros((mcuy * vs * 8, mcux * hs * 8), dtype=np.float64)
+            for _, hs, vs, _ in comps
+        ]
+        pred = [0] * len(comps)
+        scomp_tabs = {cs: (td, ta) for cs, td, ta in scomps}
+        mcu_count = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart and mcu_count and mcu_count % restart == 0:
+                    seg_i += 1
+                    if seg_i >= len(segments):
+                        return None
+                    bits_d = segments[seg_i]
+                    bitpos = 0
+                    pred = [0] * len(comps)
+                for ci, (cid, hs, vs, tq) in enumerate(comps):
+                    td, ta = scomp_tabs[cid]
+                    dctab, actab = huff[(0, td)], huff[(1, ta)]
+                    quant = qt[tq]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            s = read_sym(dctab)
+                            diff = extend(readn(s), s) if s else 0
+                            pred[ci] += diff
+                            zz = np.zeros(64, dtype=np.int64)
+                            zz[0] = pred[ci]
+                            k = 1
+                            while k < 64:
+                                rs = read_sym(actab)
+                                r, sz = rs >> 4, rs & 15
+                                if sz == 0:
+                                    if r == 15:
+                                        k += 16
+                                        continue
+                                    break  # EOB
+                                k += r
+                                if k > 63:
+                                    return None
+                                zz[k] = extend(readn(sz), sz)
+                                k += 1
+                            coef = np.zeros(64, dtype=np.float64)
+                            coef[_JPEG_ZIGZAG] = zz * quant
+                            block = basis.T @ coef.reshape(8, 8) @ basis
+                            y0 = (my * vs + by) * 8
+                            x0 = (mx * hs + bx) * 8
+                            planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block + 128.0
+                mcu_count += 1
+        full = []
+        for ci, (_, hs, vs, _) in enumerate(comps):
+            pl = planes[ci]
+            if hs < hmax:
+                pl = np.repeat(pl, hmax // hs, axis=1)
+            if vs < vmax:
+                pl = np.repeat(pl, vmax // vs, axis=0)
+            full.append(pl[:h, :w])
+        if len(comps) == 1:
+            y = np.clip(np.floor(full[0] + 0.5), 0, 255).astype(np.uint8)
+            return np.ascontiguousarray(np.repeat(y[:, :, None], 3, axis=2))
+        y, cb, cr = full
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        bl = y + 1.772 * (cb - 128.0)
+        rgb = np.stack([r, g, bl], axis=2)
+        return np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
+    except Exception:  # noqa: BLE001 — malformed stream is data
+        return None
+
+
 def _decode_pixels(b: bytes | None):
     """REAL-pixel decode dispatch across the real envelope — P6 PPM
     (`_ppm_pixels`), PNG (`_png_pixels`), GIF (`_gif_pixels`), BMP
-    (`_bmp_pixels`). Returns ``(detected_format, H×W×3 uint8 array |
-    None)``: a recognized format with ``None`` pixels means the
-    payload is outside the format's supported envelope (→ the codec
-    gate in callers that gate); an unrecognized format returns
-    ``(fmt-or-None, None)``."""
+    (`_bmp_pixels`), baseline JPEG (`_jpeg_pixels`). Returns
+    ``(detected_format, H×W×3 uint8 array | None)``: a recognized
+    format with ``None`` pixels means the payload is outside the
+    format's supported envelope (→ the codec gate in callers that
+    gate); an unrecognized format returns ``(fmt-or-None, None)``."""
     fmt = _parse_media_header(b)["detected_format"]
     if fmt == "ppm":
         parsed = _ppm_pixels(b)
@@ -655,6 +905,8 @@ def _decode_pixels(b: bytes | None):
         return fmt, _gif_pixels(b)
     if fmt == "bmp":
         return fmt, _bmp_pixels(b)
+    if fmt == "jpeg":
+        return fmt, _jpeg_pixels(b)
     return fmt, None
 
 
@@ -688,17 +940,21 @@ def resize_media(
       through the actual Arrow kernel, round-trippable by
       ``decode_headers`` (the output header re-parses to the target
       dimensions) and pinned pixel-for-pixel by the tests.
-    - **PNG, GIF and BMP are resized FOR REAL too** (round 15 —
+    - **PNG, GIF, BMP and baseline JPEG are resized FOR REAL too**
+      (round 15 —
       `_png_pixels`: stdlib zlib inflate + per-scanline unfilter,
       color types 0/2/3/4/6 at 8-bit, non-interlaced; `_gif_pixels`:
       spec LZW through the global/local color table, extensions
       skipped; `_bmp_pixels`: 24-bit BI_RGB, padding stripped,
-      orientation normalized), emitted as P6 so a PNG/GIF/BMP and a P6
-      of the same pixels resize byte-identically (pinned by tests).
-      Variants outside the envelope (16-bit PNG, Adam7/GIF interlace,
+      orientation normalized; `_jpeg_pixels`: baseline sequential DCT
+      end to end), emitted as P6 — lossless-representable inputs
+      (PNG/GIF/BMP, flat-block JPEG) resize byte-identically to the
+      equivalent P6 (pinned by tests). Variants outside the envelope
+      (progressive JPEG, 16-bit PNG, Adam7/GIF interlace,
       palettized/compressed BMP) fall through to the codec gate
       below.
-    - Remaining codec formats (jpeg/…) are library-gated:
+    - Out-of-envelope payloads of recognized formats are
+      library-gated:
       NotImplementedError unless ``fake=True``, in which case a
       deterministic synthetic P6 of the target dimensions (pixels
       derived from the payload's rolling checksum — `_fake_decode`'s
@@ -733,7 +989,7 @@ def resize_media(
                 fmts.append(fmt)
                 if fmt == "ppm":
                     resized = _resize_ppm(b, width, height)
-                elif fmt in ("png", "gif", "bmp"):
+                elif fmt in ("png", "gif", "bmp", "jpeg"):
                     # real stdlib decode; None = outside the supported
                     # envelope (16-bit/interlaced/…) → the codec gate
                     _, px = _decode_pixels(b)
