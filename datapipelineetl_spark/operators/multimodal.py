@@ -16,7 +16,9 @@ Two tiers of decode:
   YCbCr→RGB with 4:4:4/4:2:2/4:2:0 subsampling); those feed the real
   ``resize_media`` legs and the ``image_stats`` measurement tier, and
   AUDIO samples are real for WAV PCM (``_wav_samples`` →
-  ``audio_stats``).
+  ``audio_stats``), and VIDEO frame sampling EXECUTES for Motion-JPEG
+  AVI (``_avi_mjpeg_frames`` RIFF demux → per-frame ``_jpeg_pixels``
+  → ``sample_frames``).
 - The pixel/sample FEATURE kernels for the remaining codec formats are
   library-gated (the container has no PIL/ffmpeg): ``extract_features`` raises
   NotImplementedError unless ``fake=True``, in which case a
@@ -133,8 +135,9 @@ def frame_sample_plan(
     df: DataFrame, every_ms: int = 1000, id_col: str = "media_id"
 ) -> DataFrame:
     """Video frame-sampling *plan*: one output row per (media, frame_ts) —
-    the explode that precedes a real frame decoder. Uses duration metadata
-    only; payload untouched (and unmoved) until the decode stage."""
+    the explode that precedes the frame decoder. Uses duration metadata
+    only; payload untouched (and unmoved) until the decode stage. The
+    EXECUTION leg is :func:`sample_frames` (real for MJPEG AVI)."""
     return (
         df.select(
             id_col,
@@ -157,10 +160,11 @@ _HEADER_FIELDS = (
 
 def _parse_media_header(b: bytes | None) -> dict:
     """REAL (stdlib-only) container-header decode for the formats whose
-    structure needs no codec: WAV (RIFF chunk walk), PPM/PGM (ASCII
-    header), BMP (BITMAPINFOHEADER). Returns parsed fields or
-    valid=False — never raises on malformed bytes (corrupt payloads are
-    data, not errors, at corpus scale)."""
+    structure needs no codec: WAV and AVI (RIFF chunk walks), PPM/PGM
+    (ASCII header), BMP (BITMAPINFOHEADER), plus PNG/GIF/JPEG dimension
+    extraction. Returns parsed fields or valid=False — never raises on
+    malformed bytes (corrupt payloads are data, not errors, at corpus
+    scale)."""
     import struct
 
     out = {
@@ -192,6 +196,36 @@ def _parse_media_header(b: bytes | None) -> dict:
                 )
                 if data_len is not None and byte_rate:
                     out["duration_ms"] = int(data_len * 1000 / byte_rate)
+        elif b[:4] == b"RIFF" and b[8:12] == b"AVI " and len(b) >= 12:
+            # AVI main header (avih) inside the hdrl LIST: frame
+            # interval (µs), total frames, and dimensions — a real
+            # RIFF walk, same discipline as the WAVE branch
+            pos = 12
+            while pos + 8 <= len(b):
+                cid = b[pos : pos + 4]
+                (clen,) = struct.unpack_from("<I", b, pos + 4)
+                if cid == b"LIST" and b[pos + 8 : pos + 12] == b"hdrl":
+                    ipos = pos + 12
+                    end = min(pos + 8 + clen, len(b))
+                    while ipos + 8 <= end:
+                        icid = b[ipos : ipos + 4]
+                        (ilen,) = struct.unpack_from("<I", b, ipos + 4)
+                        if icid == b"avih" and ilen >= 40:
+                            usec, _mbps, _pad, _flags = struct.unpack_from(
+                                "<IIII", b, ipos + 8
+                            )
+                            (nframes,) = struct.unpack_from("<I", b, ipos + 24)
+                            w, h = struct.unpack_from("<II", b, ipos + 40)
+                            out.update(
+                                detected_format="avi", width=w, height=h,
+                                valid=True,
+                            )
+                            if usec and nframes:
+                                out["duration_ms"] = usec * nframes // 1000
+                            break
+                        ipos += 8 + ilen + (ilen & 1)
+                    break
+                pos += 8 + clen + (clen & 1)
         elif b[:2] in (b"P5", b"P6"):
             # PPM/PGM: magic, then whitespace-separated width height maxval
             # with '#' comment lines allowed
@@ -1218,4 +1252,118 @@ def audio_stats(
 
     id_type = df.schema[id_col].dataType.simpleString()
     schema = f"{id_col} {id_type}, {_AUDIO_FIELDS}"
+    return df.select(id_col, payload_col).mapInPandas(kernel, schema)
+
+
+def _avi_mjpeg_frames(b: bytes | None):
+    """REAL stdlib AVI demux for Motion-JPEG: walk the RIFF tree to the
+    ``movi`` LIST and collect the compressed video chunks (``##dc`` /
+    ``##db``) in stream order, plus the frame interval from ``avih``.
+    Returns ``(frames, usec_per_frame)`` where each frame is the raw
+    per-frame JPEG payload (decode with `_jpeg_pixels`), or None when
+    the payload is not a RIFF-AVI or carries no video chunks."""
+    import struct  # noqa: PLC0415
+
+    if not b or len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return None
+    try:
+        usec = 0
+        frames: list[bytes] = []
+
+        def walk(pos: int, end: int) -> None:
+            nonlocal usec
+            while pos + 8 <= end:
+                cid = b[pos : pos + 4]
+                (clen,) = struct.unpack_from("<I", b, pos + 4)
+                if cid == b"LIST":
+                    walk(pos + 12, min(pos + 8 + clen, end))
+                elif cid == b"avih" and clen >= 4:
+                    (usec,) = struct.unpack_from("<I", b, pos + 8)
+                elif len(cid) == 4 and cid[2:4] in (b"dc", b"db"):
+                    frames.append(b[pos + 8 : pos + 8 + clen])
+                pos += 8 + clen + (clen & 1)
+
+        walk(12, len(b))
+        if not frames:
+            return None
+        return frames, usec
+    except Exception:  # noqa: BLE001 — malformed container is data
+        return None
+
+
+_FRAME_FIELDS = (
+    "frame_index int, frame_ts_ms long, payload binary, "
+    "frame_width int, frame_height int, valid boolean"
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n: int = 1,
+    width: int | None = None,
+    height: int | None = None,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """REAL video frame sampling — `frame_sample_plan`'s EXECUTION leg
+    (round 15): demux Motion-JPEG AVI payloads (`_avi_mjpeg_frames`,
+    a stdlib RIFF walk), decode every ``every_n``-th frame through the
+    real baseline-JPEG decoder, and emit each sampled frame as a P6
+    payload (optionally thumbnailed to ``width``×``height`` via the
+    shared pixel-center gather) with its index and its timestamp from
+    the container's frame interval. One output row per sampled frame;
+    a video whose container parses but whose sampled frame doesn't
+    decode yields a ``valid=false`` row for that frame; a payload that
+    isn't an MJPEG AVI yields a single ``valid=false`` row with NULL
+    index (the `image_stats` observation discipline — no gate).
+
+    Scale: Arrow-batched ``mapInPandas``; the full video bytes never
+    leave the executor — only the sampled frames' (small) P6 artifacts
+    do, and with ``width``/``height`` set those are thumbnail-sized.
+    ``every_n`` is the decode-cost lever: cost scales with frames
+    SAMPLED, not frames stored."""
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+    if (width is None) != (height is None):
+        raise ValueError("width and height must be set together")
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            rows = []
+            for mid, b in zip(pdf[id_col], pdf[payload_col]):
+                demuxed = _avi_mjpeg_frames(b)
+                if demuxed is None:
+                    rows.append((mid, None, None, None, None, None, False))
+                    continue
+                frames, usec = demuxed
+                for idx in range(0, len(frames), every_n):
+                    px = _jpeg_pixels(frames[idx])
+                    ts = usec * idx // 1000 if usec else 0
+                    if px is None:
+                        rows.append((mid, idx, ts, None, None, None, False))
+                        continue
+                    h, w = px.shape[:2]
+                    if width is not None:
+                        out_b = _resize_decoded(px, width, height)
+                        ow, oh = width, height
+                    else:
+                        out_b = (
+                            f"P6\n{w} {h}\n255\n".encode()
+                            + np.ascontiguousarray(px).tobytes()
+                        )
+                        ow, oh = w, h
+                    rows.append((mid, idx, ts, out_b, ow, oh, True))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "frame_index", "frame_ts_ms", "payload",
+                    "frame_width", "frame_height", "valid",
+                ],
+            )
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, {_FRAME_FIELDS}"
     return df.select(id_col, payload_col).mapInPandas(kernel, schema)

@@ -2348,3 +2348,87 @@ def test_jpeg_color_and_subsampling(spark):
         float(exp_r), float(exp_g), float(exp_b)
     )
     assert (st[1].min_r, st[1].max_b) == (exp_r, exp_b)
+
+
+def _encode_avi(jpeg_frames, usec_per_frame=40000, w=8, h=8):
+    """Minimal MJPEG-AVI MUXER for the frame-sample tests: RIFF
+    'AVI ' with an hdrl LIST (avih main header carrying the frame
+    interval, frame count and dimensions) and a movi LIST of 00dc
+    chunks, word-aligned."""
+    import struct
+
+    def chunk(cid, payload):
+        out = cid + struct.pack("<I", len(payload)) + payload
+        if len(payload) & 1:
+            out += b"\x00"
+        return out
+
+    def lst(fourcc, payload):
+        return chunk(b"LIST", fourcc + payload)
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        usec_per_frame, 0, 0, 0, len(jpeg_frames), 0, 1, 0, w, h, 0, 0, 0, 0,
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in jpeg_frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_sample_frames_real_mjpeg_avi(spark):
+    """Round 15: frame_sample_plan gains its EXECUTION leg —
+    sample_frames demuxes a real MJPEG AVI (stdlib RIFF walk), decodes
+    every Nth frame through the real baseline-JPEG decoder, and emits
+    P6 frames/thumbnails with container-derived timestamps; header
+    decode reports the AVI's dimensions and duration; non-AVI payloads
+    are valid=false observations."""
+    def flat_jpeg(level):
+        w = _JpegWriter()
+        w.dc((level - 128) * 8)
+        w.eob()
+        w.flush()
+        return _JpegWriter.container(8, 8, [(1, 1, 1)], bytes(w.buf))
+
+    levels = [100, 128, 200, 60]
+    avi = _encode_avi([flat_jpeg(v) for v in levels], usec_per_frame=40000)
+    df = spark.createDataFrame(
+        [(1, avi), (2, b"not a video"), (3, None)],
+        "media_id long, payload binary",
+    )
+    out = multimodal.sample_frames(df, every_n=2).collect()
+    mine = sorted(
+        [r for r in out if r.media_id == 1], key=lambda r: r.frame_index
+    )
+    assert [r.frame_index for r in mine] == [0, 2]
+    assert [r.frame_ts_ms for r in mine] == [0, 80]  # 40 ms/frame
+    for r, lvl in zip(mine, (100, 200)):
+        assert r.valid and (r.frame_width, r.frame_height) == (8, 8)
+        assert bytes(r.payload) == b"P6\n8 8\n255\n" + bytes([lvl] * 192)
+    others = {r.media_id: r for r in out if r.media_id != 1}
+    assert not others[2].valid and others[2].frame_index is None
+    assert not others[3].valid
+    # thumbnailing goes through the shared pixel-center gather
+    thumb = multimodal.sample_frames(
+        df.filter("media_id = 1"), every_n=4, width=2, height=2
+    ).collect()
+    assert len(thumb) == 1 and thumb[0].frame_index == 0
+    assert bytes(thumb[0].payload) == b"P6\n2 2\n255\n" + bytes([100] * 12)
+    # header decode: real avih walk (dims + duration)
+    hdr = multimodal.decode_headers(
+        spark.createDataFrame([(1, avi)], "media_id long, payload binary")
+    ).collect()[0]
+    assert (hdr.detected_format, hdr.width, hdr.height) == ("avi", 8, 8)
+    assert hdr.duration_ms == 160  # 4 frames x 40 ms
+    # a corrupt frame inside a good container -> per-frame valid=false
+    bad = _encode_avi([flat_jpeg(100), b"\xff\xd8junk"], usec_per_frame=40000)
+    rows = multimodal.sample_frames(
+        spark.createDataFrame([(9, bad)], "media_id long, payload binary"),
+        every_n=1,
+    ).collect()
+    by_idx = {r.frame_index: r for r in rows}
+    assert by_idx[0].valid and not by_idx[1].valid
+    with pytest.raises(ValueError, match="every_n"):
+        multimodal.sample_frames(df, every_n=0)
+    with pytest.raises(ValueError, match="together"):
+        multimodal.sample_frames(df, width=2)
