@@ -69,6 +69,12 @@ from datapipelineetl_spark import queries_batch21  # noqa: E402
 
 queries_batch21.register()  # promote the 4 staged refine/residual/batched-exact queries (round 15)
 
+from datapipelineetl_spark import queries_batch22  # noqa: E402
+from datapipelineetl_spark import queries_batch23  # noqa: E402
+
+queries_batch22.register()  # promote the 2 staged batched ANN serving oracles (round 16)
+queries_batch23.register()  # promote the 2 staged real-decode measurement oracles (round 16)
+
 
 def _extension_tier() -> frozenset[str]:
     """Names promoted from any staged battery — derived, not hand-kept.
@@ -115,63 +121,63 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver verifies the FIRST 50 entries of queries() in dict order.
-# Round-15 rotation (VERDICT r14 items 1+3, tools/rotate_window.py): the
-# 4 batch-21 promotions take the front slots (first driver rows for the
-# composed two-stage IVF-PQ refine search, the batched ADC refine shape,
-# the residual tier's Lloyd replay, and the batched exact tier), then
-# the 26 contract-forced refreshes (core 3-record / extension 5-record
-# horizons), then the oldest remaining greens fill the free slots.
+# Round-16 rotation (VERDICT r15 item 1, tools/rotate_window.py): the
+# 4 batch-22/23 promotions take the front slots (first driver rows for
+# the batched SRP-LSH and IVF serving tiers and for the real-pixel /
+# real-sample measurement operators), then the 38 contract-forced
+# refreshes (core 3-record / extension 5-record horizons), then the
+# oldest remaining greens fill the free slots.
 PRIORITY: list[str] = [
-    "q_ivfpq_refine_topk",
-    "q_pq_multi_refine",
-    "q_residual_codes",
-    "q_l2_topk_multi",
-    "q_dedup_token_set",
-    "q_cosine_topk",
-    "q_cosine_near_pairs",
-    "q_tf_idf",
-    "q7_volume_shipping",
-    "q13_order_count_distribution",
-    "q17_small_quantity_revenue",
-    "q_profile_orders",
-    "q_kpi_pivot",
-    "q_session_window_events",
-    "q_grouping_sets",
-    "q_posexplode_embedding",
-    "q_array_lambda_battery",
-    "q_null_semantics",
-    "q_nullsafe_join",
-    "q8_market_share",
-    "q_fuzzy_name_pairs",
-    "q21_blamable_suppliers",
-    "q_price_histogram",
-    "q_regex_extract_ldn",
-    "q_quality_linear",
-    "q_source_kl",
-    "q_gram_novelty",
-    "q_doc_containment",
-    "q_token_fertility",
-    "q_minhash_estimate",
-    "q_semantic_dupes",
-    "q_prepare_corpus_quality",
-    "q_extract_keywords",
-    "q_user_hour_anomalies",
-    "q_build_vocab",
-    "q_encode_tokens",
-    "q_pack_sequences",
-    "q_split_corpus",
-    "q_attrition_report",
-    "q_sample_stratified",
-    "q_corpus_mix",
-    "q_pack_chunks",
-    "q_redact_pii",
-    "q_prepare_corpus",
-    "q_split_documents",
-    "q_contamination_pairs",
-    "q_ngram_counts",
-    "q_funnel_stages",
-    "q_shuffle_corpus",
-    "q_sample_k_per_stratum",
+    "q_ann_lsh_topk_multi",
+    "q_ivf_topk_multi",
+    "q_image_stats",
+    "q_audio_stats",
+    "q3_shipping_priority",
+    "q_top3_orders_per_customer",
+    "q_agg_stats",
+    "q_customers_without_orders",
+    "q_active_supplier_keys",
+    "q_priciest_lineitems",
+    "q_rollup_order_volume",
+    "q_clean_chain_events",
+    "q_sessionize",
+    "q_tumbling_window_events",
+    "q_unpivot_lineitem",
+    "q_asof_join_purchase",
+    "q_customers_with_orders_semi",
+    "q_full_outer_nation_activity",
+    "q_cross_join_matrix",
+    "q_orders_above_avg",
+    "q_string_funcs",
+    "q_date_funcs",
+    "q_having_filter",
+    "q6_revenue_delta",
+    "q4_priority_late_ship",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q_minhash_near_dups",
+    "q_simhash",
+    "q_dedup_clusters",
+    "q12_line_priority_split",
+    "q_winnowing_fingerprints",
+    "q_winnow_collisions",
+    "q_range_join_ship_windows",
+    "q_asof_join_next_purchase",
+    "q_salted_join_volume",
+    "q_hypertable_rollup",
+    "q_minhash_capped_near_dups",
+    "q_dedup_clusters_lsh",
+    "q_ivf_recall",
+    "q_lsh_cosine_near_pairs",
+    "q_normalize_text",
+    "q_select_budget",
+    "q_corpus_report",
+    "q_corpus_drift",
+    "q_dedup_spans",
+    "q_unigram_logprob",
+    "q_dsir_weights",
+    "q_quality_calibrated",
 ]
 
 

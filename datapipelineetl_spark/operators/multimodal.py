@@ -911,7 +911,14 @@ def _jpeg_pixels(b: bytes):
         if len(comps) == 1:
             y = np.clip(np.floor(full[0] + 0.5), 0, 255).astype(np.uint8)
             return np.ascontiguousarray(np.repeat(y[:, :, None], 3, axis=2))
-        y, cb, cr = full
+        # Map planes by JFIF component id (1=Y, 2=Cb, 3=Cr), not SOF
+        # position — a frame that lists components out of order would
+        # otherwise silently swap channels (ADVICE r15). Non-JFIF ids
+        # (Adobe RGB etc.) are outside the envelope → codec gate.
+        by_cid = {comps[ci][0]: full[ci] for ci in range(len(comps))}
+        if sorted(by_cid) != [1, 2, 3]:
+            return None
+        y, cb, cr = by_cid[1], by_cid[2], by_cid[3]
         r = y + 1.402 * (cr - 128.0)
         g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
         bl = y + 1.772 * (cb - 128.0)
@@ -921,15 +928,24 @@ def _jpeg_pixels(b: bytes):
         return None
 
 
-def _decode_pixels(b: bytes | None):
+_UNDETECTED = object()  # sentinel: "caller did not pre-detect the format"
+
+
+def _decode_pixels(b: bytes | None, fmt: str | None = _UNDETECTED):
     """REAL-pixel decode dispatch across the real envelope — P6 PPM
     (`_ppm_pixels`), PNG (`_png_pixels`), GIF (`_gif_pixels`), BMP
     (`_bmp_pixels`), baseline JPEG (`_jpeg_pixels`). Returns
     ``(detected_format, H×W×3 uint8 array | None)``: a recognized
     format with ``None`` pixels means the payload is outside the
     format's supported envelope (→ the codec gate in callers that
-    gate); an unrecognized format returns ``(fmt-or-None, None)``."""
-    fmt = _parse_media_header(b)["detected_format"]
+    gate); an unrecognized format returns ``(fmt-or-None, None)``.
+
+    Callers that already ran `_parse_media_header` pass the detected
+    format via ``fmt`` to skip the redundant header walk (ADVICE r15 —
+    resize_media parsed every payload's header twice in the hot
+    kernel)."""
+    if fmt is _UNDETECTED:
+        fmt = _parse_media_header(b)["detected_format"]
     if fmt == "ppm":
         parsed = _ppm_pixels(b)
         return fmt, (parsed[0] if parsed is not None else None)
@@ -1026,7 +1042,7 @@ def resize_media(
                 elif fmt in ("png", "gif", "bmp", "jpeg"):
                     # real stdlib decode; None = outside the supported
                     # envelope (16-bit/interlaced/…) → the codec gate
-                    _, px = _decode_pixels(b)
+                    _, px = _decode_pixels(b, fmt)
                     resized = (
                         _resize_decoded(px, width, height)
                         if px is not None
@@ -1076,7 +1092,8 @@ def image_stats(
     df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
 ) -> DataFrame:
     """REAL per-channel pixel statistics over the real-decode envelope
-    (P6 PPM / PNG / GIF via `_decode_pixels`) — the feature-extraction
+    (P6 PPM / PNG / GIF / BMP / baseline JPEG via `_decode_pixels`) —
+    the feature-extraction
     tier an image-corpus pipeline filters and stratifies on
     (brightness/uniformity cuts, dead-image detection), computed from
     ACTUAL decoded pixels, not the checksum stub.

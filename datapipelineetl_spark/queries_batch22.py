@@ -244,8 +244,17 @@ def q_ivf_topk_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = similarity.ivf_assign_fold(emb, cents)
     queries = {
         int(r.vec_id): [float(x) for x in r.embedding]
-        for r in emb.filter(F.col("vec_id").isin(*_IVF_MULTI_QIDS)).collect()
+        for r in emb.filter(
+            F.col("vec_id").isin(*_IVF_MULTI_QIDS)
+            & F.col("embedding").isNotNull()
+        ).collect()
     }
+    if sorted(queries) != sorted(_IVF_MULTI_QIDS):  # ADVICE r15: clear
+        # error instead of a TypeError if a fixture qid is missing/NULL
+        raise ValueError(
+            f"query vectors {_IVF_MULTI_QIDS} not all present with "
+            f"non-NULL embeddings; found {sorted(queries)}"
+        )
     return similarity.ivf_topk_multi(
         assigned,
         queries,

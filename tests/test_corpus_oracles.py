@@ -98,41 +98,26 @@ def test_staged_query_matches_oracle(spark, sf_dir, duck, name):
 
 
 def test_staged_registry_promoted():
-    """Rounds 6-15 promoted the staged batches: __spark_entry__ calls
-    b11-b21.register(), so the live registry must contain every
+    """Rounds 6-16 promoted the staged batches: __spark_entry__ calls
+    b11-b23.register(), so the live registry must contain every
     promoted query with its oracle, and register() must be idempotent
     (the driver and the tests may both import the entry module)."""
     import __spark_entry__ as entrymod
 
     from datapipelineetl_spark import queries as q
+    from datapipelineetl_spark import queries_batch22 as b22
+    from datapipelineetl_spark import queries_batch23 as b23
 
     for b, size in ((b11, 10), (b12, 12), (b13, 7), (b14, 11),
                     (b15, 9), (b16, 1), (b17, 6), (b18, 2), (b19, 5),
-                    (b20, 3), (b21, 4)):
+                    (b20, 3), (b21, 4), (b22, 2), (b23, 2)):
         assert set(b.STAGED_ORACLES) == set(b.STAGED_QUERIES)
         assert len(b.STAGED_QUERIES) == size
     live = entrymod.queries()
     n = len(live)
-    for b in (b11, b12, b13, b14, b15, b16, b17, b18, b19, b20, b21):
+    for b in (b11, b12, b13, b14, b15, b16, b17, b18, b19, b20, b21,
+              b22, b23):
         assert set(b.STAGED_QUERIES) <= set(live)
         assert set(b.STAGED_ORACLES) <= set(q.ORACLES)
         b.register()
     assert len(entrymod.queries()) == n
-
-
-def test_batch22_batch23_staged_not_promoted():
-    """Batches 22 (the batched-LSH and batched-IVF serving value
-    replays) and 23 (the real-pixel image_stats value replay) stage in
-    round 15 and promote in round 16: their dicts must be well-formed
-    (every query carries an oracle) and their names must NOT be in the
-    live registry yet — staging must not grow ``queries()`` mid-round
-    (the module-docstring contract)."""
-    import __spark_entry__ as entrymod
-
-    from datapipelineetl_spark import queries_batch22 as b22
-    from datapipelineetl_spark import queries_batch23 as b23
-
-    for b, size in ((b22, 2), (b23, 2)):
-        assert set(b.STAGED_ORACLES) == set(b.STAGED_QUERIES)
-        assert len(b.STAGED_QUERIES) == size
-        assert not set(b.STAGED_QUERIES) & set(entrymod.queries())

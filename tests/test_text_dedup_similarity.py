@@ -2350,6 +2350,73 @@ def test_jpeg_color_and_subsampling(spark):
     assert (st[1].min_r, st[1].max_b) == (exp_r, exp_b)
 
 
+def test_jpeg_component_order_by_id():
+    """ADVICE r16: `_jpeg_pixels` maps Y/Cb/Cr by JFIF component ID
+    (1=Y, 2=Cb, 3=Cr), not SOF position — a frame listing components
+    out of order decodes to the SAME RGB as the standard ordering, and
+    non-JFIF ids gate to None instead of silently mis-mapping."""
+    import numpy as np
+
+    y_lvl, cb_lvl, cr_lvl = 120, 100, 180
+
+    def flat(comp_order):
+        # entropy blocks are written in SOF/SOS (scan) order; the
+        # LEVEL for each block follows the component id it carries
+        lvl = {1: y_lvl, 2: cb_lvl, 3: cr_lvl}
+        w = _JpegWriter()
+        for cid in comp_order:
+            w.dc((lvl.get(cid, 128) - 128) * 8)
+            w.eob()
+        w.flush()
+        return _JpegWriter.container(
+            8, 8, [(cid, 1, 1) for cid in comp_order], bytes(w.buf)
+        )
+
+    standard = multimodal._jpeg_pixels(flat((1, 2, 3)))
+    reordered = multimodal._jpeg_pixels(flat((3, 1, 2)))
+    assert standard is not None and reordered is not None
+    assert np.array_equal(standard, reordered)
+    # non-JFIF component ids (e.g. Adobe 'R','G','B'): outside envelope
+    assert multimodal._jpeg_pixels(flat((4, 5, 6))) is None
+
+
+def test_decode_pixels_predetected_format():
+    """ADVICE r16: `_decode_pixels` accepts the caller's pre-detected
+    format and skips the second header walk — same result either way,
+    and an (incorrectly) pre-detected format dispatches to that
+    decoder rather than re-sniffing."""
+    import numpy as np
+
+    ppm = b"P6\n2 1\n255\n" + bytes([10, 20, 30, 40, 50, 60])
+    fmt_a, px_a = multimodal._decode_pixels(ppm)
+    fmt_b, px_b = multimodal._decode_pixels(ppm, "ppm")
+    assert fmt_a == fmt_b == "ppm"
+    assert np.array_equal(px_a, px_b)
+    # the fmt argument is authoritative: a PPM payload dispatched as
+    # "jpeg" hits the JPEG decoder and (correctly) fails to decode
+    fmt_c, px_c = multimodal._decode_pixels(ppm, "jpeg")
+    assert fmt_c == "jpeg" and px_c is None
+
+
+def test_ivf_topk_multi_query_null_guard(spark, tmp_path):
+    """ADVICE r16: q_ivf_topk_multi raises a clear ValueError (not a
+    TypeError mid-list-comprehension) when a fixture query id is
+    missing or carries a NULL embedding."""
+    import pytest as _pytest
+
+    from datapipelineetl_spark.queries_batch22 import q_ivf_topk_multi
+
+    src = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # drop qid 0's row and NULL out qid 1's embedding
+    crippled = src.filter("vec_id <> 0").withColumn(
+        "embedding",
+        F.when(F.col("vec_id") == 1, F.lit(None)).otherwise(F.col("embedding")),
+    )
+    crippled.write.parquet(str(tmp_path / "embeddings.parquet"))
+    with _pytest.raises(ValueError, match="non-NULL embeddings"):
+        q_ivf_topk_multi(spark, str(tmp_path))
+
+
 def _encode_avi(jpeg_frames, usec_per_frame=40000, w=8, h=8):
     """Minimal MJPEG-AVI MUXER for the frame-sample tests: RIFF
     'AVI ' with an hdrl LIST (avih main header carrying the frame
