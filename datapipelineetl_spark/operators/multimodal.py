@@ -415,20 +415,76 @@ def _resize_ppm(b: bytes, width: int, height: int) -> bytes | None:
     return header + out.tobytes()
 
 
+_ADAM7 = (  # (x0, y0, dx, dy) per pass, the spec's pixel lattice
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(raw: bytes, off: int, pw: int, ph: int, bpp: int):
+    """Unfilter one (sub-)image of ``ph`` scanlines of ``pw`` pixels at
+    ``bpp`` filter bytes per pixel (PNG filters 0–4 operate on BYTES at
+    distance bpp regardless of sample depth). Returns
+    ``(ph×(pw·bpp) uint8 array, new offset)`` or None on a bad filter
+    byte / truncation. The left-dependent filters (Sub/Average/Paeth)
+    are a sequential per-byte recurrence — plain Python per scanline,
+    the documented fixture-appropriate kernel slot."""
+    import numpy as np  # noqa: PLC0415
+
+    stride = pw * bpp
+    if len(raw) < off + ph * (stride + 1):
+        return None
+    prev = np.zeros(stride, dtype=np.uint8)
+    rows = []
+    for _y in range(ph):
+        filt = raw[off]
+        off += 1
+        cur = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=off).copy()
+        off += stride
+        if filt == 0:
+            pass
+        elif filt == 2:  # Up — vectorized, uint8 wrap = mod 256
+            cur += prev
+        elif filt == 1:  # Sub — left recurrence
+            for i in range(bpp, stride):
+                cur[i] = (int(cur[i]) + int(cur[i - bpp])) & 0xFF
+        elif filt == 3:  # Average
+            for i in range(stride):
+                left = int(cur[i - bpp]) if i >= bpp else 0
+                cur[i] = (int(cur[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif filt == 4:  # Paeth
+            for i in range(stride):
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                up = int(prev[i])
+                ul = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + up - ul
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - ul)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+                cur[i] = (int(cur[i]) + pred) & 0xFF
+        else:
+            return None
+        rows.append(cur)
+        prev = cur
+    out = np.stack(rows) if rows else np.zeros((0, stride), dtype=np.uint8)
+    return out, off
+
+
 def _png_pixels(b: bytes):
     """REAL stdlib PNG pixel decode — zlib inflate + per-scanline
     unfilter (filters 0–4: None/Sub/Up/Average/Paeth per the PNG spec),
-    no codec library. Supported envelope: 8-bit samples, color types
-    0/2/3/4/6 (gray / RGB / palette / gray+alpha / RGBA),
-    non-interlaced. Returns an H×W×3 uint8 RGB array (palette expanded
-    via PLTE, gray replicated, alpha DROPPED — deterministic, no
-    compositing) or None for variants outside the envelope (16-bit,
-    Adam7 interlace, truncated streams) — those stay library-gated.
+    no codec library. Supported envelope (round 16 widened): 8-bit AND
+    16-bit samples, color types 0/2/3/4/6 (gray / RGB / palette /
+    gray+alpha / RGBA; palette is 8-bit-indexed per spec), linear AND
+    Adam7-interlaced layouts. Returns an H×W×3 uint8 RGB array
+    (16-bit samples reduced to their high byte — the standard 16→8
+    conversion; palette expanded via PLTE, gray replicated, alpha
+    DROPPED — deterministic, no compositing) or None for variants
+    outside the envelope (1/2/4-bit packed depths, truncated streams)
+    — those stay library-gated.
 
-    Scale note: the left-dependent filters (Sub/Average/Paeth) are a
-    sequential per-byte recurrence, decoded here in plain Python per
-    scanline — correct and fine for fixture-sized images; a production
-    deployment swaps an optimized codec into the SAME kernel slot."""
+    Scale note: see `_png_unfilter` — the filter recurrence is plain
+    Python per scanline, fixture-appropriate; a production deployment
+    swaps an optimized codec into the SAME kernel slot."""
     import struct  # noqa: PLC0415
     import zlib  # noqa: PLC0415
 
@@ -459,48 +515,36 @@ def _png_pixels(b: bytes):
             elif ctype == b"IEND":
                 break
             pos += 12 + clen  # length + type + data + crc
-        if not w or not h or not idat or bit_depth != 8 or interlace != 0:
+        if not w or not h or not idat or interlace not in (0, 1):
+            return None
+        if bit_depth not in (8, 16) or (bit_depth == 16 and color_type == 3):
             return None
         channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
         if channels is None:
             return None
+        bps = bit_depth // 8
+        bpp = channels * bps
         raw = zlib.decompress(b"".join(idat))
-        stride = w * channels
-        if len(raw) < h * (stride + 1):
-            return None
-        prev = np.zeros(stride, dtype=np.uint8)
-        rows = []
-        off = 0
-        for _y in range(h):
-            filt = raw[off]
-            off += 1
-            cur = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=off).copy()
-            off += stride
-            if filt == 0:
-                pass
-            elif filt == 2:  # Up — vectorized, uint8 wrap = mod 256
-                cur += prev
-            elif filt == 1:  # Sub — left recurrence
-                for i in range(channels, stride):
-                    cur[i] = (int(cur[i]) + int(cur[i - channels])) & 0xFF
-            elif filt == 3:  # Average
-                for i in range(stride):
-                    left = int(cur[i - channels]) if i >= channels else 0
-                    cur[i] = (int(cur[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
-            elif filt == 4:  # Paeth
-                for i in range(stride):
-                    a = int(cur[i - channels]) if i >= channels else 0
-                    up = int(prev[i])
-                    ul = int(prev[i - channels]) if i >= channels else 0
-                    p = a + up - ul
-                    pa, pb, pc = abs(p - a), abs(p - up), abs(p - ul)
-                    pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
-                    cur[i] = (int(cur[i]) + pred) & 0xFF
-            else:
+        if interlace == 0:
+            got = _png_unfilter(raw, 0, w, h, bpp)
+            if got is None:
                 return None
-            rows.append(cur)
-            prev = cur
-        px = np.stack(rows).reshape(h, w, channels)
+            img = got[0].reshape(h, w, channels, bps)
+        else:  # Adam7: 7 independently-filtered sub-images
+            img = np.zeros((h, w, channels, bps), dtype=np.uint8)
+            off = 0
+            for x0, y0, dx, dy in _ADAM7:
+                pw = -(-(w - x0) // dx) if w > x0 else 0
+                ph = -(-(h - y0) // dy) if h > y0 else 0
+                if pw == 0 or ph == 0:
+                    continue
+                got = _png_unfilter(raw, off, pw, ph, bpp)
+                if got is None:
+                    return None
+                sub, off = got
+                img[y0::dy, x0::dx] = sub.reshape(ph, pw, channels, bps)
+        # 16-bit → 8-bit: high byte (samples are big-endian per spec)
+        px = img[:, :, :, 0]
         if color_type == 3:
             if plte is None or int(px.max()) >= len(plte):
                 return None
@@ -1155,15 +1199,27 @@ def image_stats(
 
 
 def _wav_samples(b: bytes | None):
-    """REAL stdlib WAV PCM sample decode — RIFF chunk walk to the fmt
-    and data chunks, then one numpy view over the raw samples. Supported
-    envelope: uncompressed PCM (format code 1) at 8 or 16 bits.
+    """REAL stdlib WAV sample decode — RIFF chunk walk to the fmt and
+    data chunks, then one numpy view over the raw samples. Supported
+    envelope (round 16 widened from 8/16-bit PCM): uncompressed PCM
+    (format code 1) at 8/16/24/32 bits, IEEE float (format code 3) at
+    32/64 bits, and WAVE_FORMAT_EXTENSIBLE (0xFFFE) wrapping either
+    (effective code taken from the SubFormat GUID).
+
     Returns ``(samples, sample_rate, n_channels, bit_depth)`` where
     ``samples`` is a flat int32 array of interleaved channel samples in
-    CENTERED convention (8-bit unsigned is shifted by −128, so silence
-    is 0 in both depths), truncated to complete frames — or None for
-    non-PCM/compressed/malformed payloads (→ callers observe, never
-    crash)."""
+    CENTERED convention (8-bit unsigned shifted by −128, so silence is
+    0 at every depth; float samples mapped to the 16-bit grid via
+    ``rint(clip(x, -1, 1) * 32767)`` — the standard float→PCM
+    conversion, ``bit_depth`` still reporting the SOURCE depth),
+    truncated to complete frames — or None for compressed / malformed
+    payloads (→ callers observe, never crash).
+
+    Exactness note: the `audio_stats` int-sum/n oracle contract holds
+    for depths whose squared samples cannot overflow an int64 partial
+    sum in practice (8/16-bit, and float via the 16-bit grid); for
+    24/32-bit PCM the stats kernel switches its RMS accumulator to
+    float64 (see audio_stats)."""
     import struct  # noqa: PLC0415
 
     import numpy as np  # noqa: PLC0415
@@ -1179,17 +1235,47 @@ def _wav_samples(b: bytes | None):
             if cid == b"fmt " and clen >= 16 and pos + 24 <= len(b):
                 fmt_code, ch, sr, _br = struct.unpack_from("<HHII", b, pos + 8)
                 (bits,) = struct.unpack_from("<H", b, pos + 22)
+                if fmt_code == 0xFFFE and clen >= 40 and pos + 42 <= len(b):
+                    # EXTENSIBLE: effective code = SubFormat GUID[0:2]
+                    (fmt_code,) = struct.unpack_from("<H", b, pos + 32)
             elif cid == b"data":
                 data = b[pos + 8 : pos + 8 + clen]
             pos += 8 + clen + (clen & 1)
-        if fmt_code != 1 or not ch or not sr or bits not in (8, 16) or data is None:
+        if not ch or not sr or data is None:
+            return None
+        if fmt_code == 1:
+            if bits not in (8, 16, 24, 32):
+                return None
+        elif fmt_code == 3:
+            if bits not in (32, 64):
+                return None
+        else:
             return None
         bytes_per = bits // 8
         frame = ch * bytes_per
         n = (len(data) // frame) * frame
         if n == 0:
             return None
-        if bits == 16:
+        if fmt_code == 3:
+            dt = "<f4" if bits == 32 else "<f8"
+            fl = np.frombuffer(data, dtype=dt, count=n // bytes_per).astype(
+                np.float64
+            )
+            samples = np.rint(np.clip(fl, -1.0, 1.0) * 32767.0).astype(np.int32)
+        elif bits == 32:
+            samples = np.frombuffer(data, dtype="<i4", count=n // 4).astype(
+                np.int32
+            )
+        elif bits == 24:
+            # 3-byte little-endian signed: widen via uint8 triples
+            raw = np.frombuffer(data, dtype=np.uint8, count=n).reshape(-1, 3)
+            u = (
+                raw[:, 0].astype(np.int32)
+                | (raw[:, 1].astype(np.int32) << 8)
+                | (raw[:, 2].astype(np.int32) << 16)
+            )
+            samples = np.where(u >= 1 << 23, u - (1 << 24), u)
+        elif bits == 16:
             samples = np.frombuffer(data, dtype="<i2", count=n // 2).astype(
                 np.int32
             )
@@ -1213,19 +1299,25 @@ def audio_stats(
     df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
 ) -> DataFrame:
     """REAL audio sample statistics — the `image_stats` twin for the
-    audio leg: `_wav_samples` decodes ACTUAL PCM samples (stdlib RIFF
-    walk + numpy view, 8/16-bit), and the kernel emits the measures an
-    audio-corpus pipeline filters on: frame count and exact duration,
-    DC offset (mean sample), peak amplitude, and RMS loudness —
-    silence/clipping detection from real waveform data, not metadata.
+    audio leg: `_wav_samples` decodes ACTUAL samples (stdlib RIFF walk
+    + numpy view; PCM 8/16/24/32-bit, IEEE float 32/64-bit, and
+    WAVE_FORMAT_EXTENSIBLE wrapping either — round 16), and the kernel
+    emits the measures an audio-corpus pipeline filters on: frame
+    count and exact duration, DC offset (mean sample), peak amplitude,
+    and RMS loudness — silence/clipping detection from real waveform
+    data, not metadata.
 
     Determinism contract (what makes this ORACLE-checkable, see
-    q_audio_stats): mean and the RMS radicand are exact int-sum / n
-    IEEE divisions over int64 accumulators, and sqrt is correctly
-    rounded in both engines — so every emitted double is reproducible
-    cross-engine bit for bit. Undecodable / non-PCM payloads yield
-    ``valid=false`` observation rows (the `image_stats` discipline: a
-    measurement surface has no library gate).
+    q_audio_stats): for ≤16-bit samples (and floats, which map to the
+    16-bit grid) mean and the RMS radicand are exact int-sum / n IEEE
+    divisions over int64 accumulators, and sqrt is correctly rounded
+    in both engines — so every emitted double is reproducible
+    cross-engine bit for bit. 24/32-bit PCM squares can overflow an
+    int64 partial sum, so their RMS radicand accumulates in float64
+    (documented, outside the oracle envelope). Undecodable /
+    compressed payloads yield ``valid=false`` observation rows (the
+    `image_stats` discipline: a measurement surface has no library
+    gate).
 
     Scale: Arrow-batched mapInPandas; waveform bytes never leave the
     executor — 8 scalars per clip do."""
@@ -1247,7 +1339,15 @@ def audio_stats(
                 n = int(samples.size)
                 n_frames = n // ch
                 ssum = int(samples.sum(dtype=np.int64))
-                ssq = int((samples.astype(np.int64) ** 2).sum())
+                if bits > 16:
+                    # a 24/32-bit square is up to ~4.6e18 — int64
+                    # partial sums would wrap silently; accumulate the
+                    # radicand in float64 (exactness contract stays
+                    # pinned to the ≤16-bit oracle envelope)
+                    s64 = samples.astype(np.float64)
+                    ssq = float(np.dot(s64, s64))
+                else:
+                    ssq = int((samples.astype(np.int64) ** 2).sum())
                 rows.append(
                     (
                         mid, sr, ch, bits, n_frames,
