@@ -11,7 +11,8 @@ Two tiers of decode:
   PPM (``_ppm_pixels``), PNG (``_png_pixels`` — stdlib zlib inflate +
   per-scanline unfilter, 8/16-bit color types 0/2/3/4/6, linear and
   Adam7-interlaced), GIF (``_gif_pixels`` — spec LZW through the
-  color table), BMP (``_bmp_pixels`` — 24-bit BI_RGB) and JPEG
+  color table, linear or interlaced), BMP (``_bmp_pixels`` — 24-bit
+  BI_RGB) and JPEG
   (``_jpeg_pixels`` — Huffman entropy decode, dequant, IDCT, JFIF
   YCbCr→RGB with 4:4:4/4:2:2/4:2:0 subsampling, baseline AND
   progressive SOF2 via ``_jpeg_pixels_progressive``'s T.81 §G
@@ -613,13 +614,15 @@ def _gif_lzw_decode(data: bytes, min_code_size: int, max_pixels: int):
 def _gif_pixels(b: bytes):
     """REAL stdlib GIF pixel decode — header/descriptor walk + the
     spec LZW decompression (`_gif_lzw_decode`), no codec library.
-    Decodes the FIRST image of a non-interlaced GIF87a/89a through its
-    local-or-global color table to an H×W×3 uint8 RGB array (the
-    frame-sample discipline: frame 0 is the representative; animation
-    is `frame_sample_plan`'s concern). Extension blocks are skipped;
-    transparency is ignored (straight palette RGB — deterministic, no
-    compositing). Returns None for interlaced images, truncated
-    streams, or malformed LZW — those fall to the codec gate."""
+    Decodes the FIRST image of a GIF87a/89a — linear or interlaced
+    (round 16: the four-pass row permutation is de-interleaved after
+    LZW) — through its local-or-global color table to an H×W×3 uint8
+    RGB array (the frame-sample discipline: frame 0 is the
+    representative; animation is `frame_sample_plan`'s concern).
+    Extension blocks are skipped; transparency is ignored (straight
+    palette RGB — deterministic, no compositing). Returns None for
+    truncated streams or malformed LZW — those fall to the codec
+    gate."""
     import struct  # noqa: PLC0415
 
     import numpy as np  # noqa: PLC0415
@@ -654,8 +657,6 @@ def _gif_pixels(b: bytes):
                         b, dtype=np.uint8, count=3 * n, offset=pos
                     ).reshape(n, 3)
                     pos += 3 * n
-                if ipacked & 0x40:  # interlaced: outside the envelope
-                    return None
                 if table is None or w < 1 or h < 1:
                     return None
                 min_code = b[pos]
@@ -668,10 +669,19 @@ def _gif_pixels(b: bytes):
                 idx = _gif_lzw_decode(b"".join(chunks), min_code, w * h)
                 if idx is None or len(idx) < w * h:
                     return None
-                arr = np.asarray(idx[: w * h], dtype=np.int64)
+                arr = np.asarray(idx[: w * h], dtype=np.int64).reshape(h, w)
+                if ipacked & 0x40:  # interlaced (round 16): rows
+                    # arrive in the four GIF passes — de-permute
+                    order = (
+                        list(range(0, h, 8)) + list(range(4, h, 8))
+                        + list(range(2, h, 4)) + list(range(1, h, 2))
+                    )
+                    out = np.empty_like(arr)
+                    out[order] = arr
+                    arr = out
                 if int(arr.max()) >= len(table):
                     return None
-                return np.ascontiguousarray(table[arr].reshape(h, w, 3))
+                return np.ascontiguousarray(table[arr])
             elif block == 0x3B:  # trailer before any image
                 return None
             else:
@@ -1427,8 +1437,8 @@ def resize_media(
       emitted as P6 — lossless-representable inputs (PNG/GIF/BMP,
       flat-block JPEG) resize byte-identically to the equivalent P6
       (pinned by tests). Variants outside the envelope (1/2/4-bit
-      packed PNG, GIF interlace, palettized/compressed BMP,
-      arithmetic-coded JPEG) fall through to the codec gate below.
+      packed PNG, palettized/compressed BMP, arithmetic-coded JPEG)
+      fall through to the codec gate below.
     - Out-of-envelope payloads of recognized formats are
       library-gated:
       NotImplementedError unless ``fake=True``, in which case a

@@ -1990,11 +1990,11 @@ def _encode_gif(px_rows, palette, interlaced=False, local_table=False):
 
 
 def test_gif_pixels_stdlib_lzw_decode():
-    """Round 15: `_gif_pixels` is a REAL stdlib decode — spec LZW
+    """Rounds 15-16: `_gif_pixels` is a REAL stdlib decode — spec LZW
     (variable-width LSB-first codes, CLEAR/EOI) through the global or
-    local color table, extension blocks skipped; interlaced and
-    truncated streams return None (→ the codec gate), never a wrong
-    decode."""
+    local color table, extension blocks skipped, interlaced row order
+    de-permuted; truncated streams return None (→ the codec gate),
+    never a wrong decode."""
     import numpy as np
 
     palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (7, 8, 9)]
@@ -2008,8 +2008,21 @@ def test_gif_pixels_stdlib_lzw_decode():
     # header decode agrees on dimensions
     hdr = multimodal._parse_media_header(_encode_gif(rows, palette))
     assert (hdr["detected_format"], hdr["width"], hdr["height"]) == ("gif", 4, 3)
-    # out-of-envelope / malformed → None
-    assert multimodal._gif_pixels(_encode_gif(rows, palette, interlaced=True)) is None
+    # interlaced (round 16: IN-envelope): stream rows arrive in the
+    # four GIF passes — encode a 9-row image pass-permuted, decode to
+    # the display order
+    disp = [[(y + x) % 4 for x in range(2)] for y in range(9)]
+    order = (
+        list(range(0, 9, 8)) + list(range(4, 9, 8))
+        + list(range(2, 9, 4)) + list(range(1, 9, 2))
+    )  # [0, 8, 4, 2, 6, 1, 3, 5, 7]
+    stream_rows = [disp[y] for y in order]
+    pxi = multimodal._gif_pixels(
+        _encode_gif(stream_rows, palette, interlaced=True)
+    )
+    expect = np.array(palette, dtype=np.uint8)[np.array(disp)]
+    assert pxi is not None and (pxi == expect).all()
+    # malformed → None
     assert multimodal._gif_pixels(b"GIF89a\x00") is None
     truncated = _encode_gif(rows, palette)[:-12]
     assert multimodal._gif_pixels(truncated) is None
@@ -2023,7 +2036,7 @@ def test_gif_pixels_stdlib_lzw_decode():
 def test_resize_media_real_gif_pixels(spark):
     """GIF joins the real resize envelope: a GIF, a PNG, and a P6
     encoding the SAME pixels resize to IDENTICAL bytes through
-    resize_media; an interlaced GIF still hits the codec gate."""
+    resize_media — interlaced GIFs included (round 16)."""
     palette = [(10, 20, 30), (40, 50, 60), (70, 80, 90), (11, 12, 13)]
     idx_rows = [[0, 1, 2, 3], [3, 0, 1, 2]]
     flat = [list(palette[i]) for row in idx_rows for i in row]
@@ -2039,10 +2052,13 @@ def test_resize_media_real_gif_pixels(spark):
     got = {r.media_id: r for r in multimodal.resize_media(df, 2, 1).collect()}
     assert got[1].src_format == "gif" and got[1].resized
     assert bytes(got[1].payload) == bytes(got[2].payload) == bytes(got[3].payload)
+    # round 16: an interlaced GIF resizes for real too — for a 2-row
+    # image the pass permutation is [row0, row1] = identity, so the
+    # interlaced twin matches the linear one byte-for-byte
     inter = _encode_gif(idx_rows, palette, interlaced=True)
     dfi = spark.createDataFrame([(9, inter)], "media_id long, payload binary")
-    with pytest.raises(Exception, match="NotImplementedError|image library"):
-        multimodal.resize_media(dfi, 2, 1).collect()
+    goti = multimodal.resize_media(dfi, 2, 1).collect()[0]
+    assert goti.resized and bytes(goti.payload) == bytes(got[1].payload)
 
 
 def test_image_stats_real_pixels_cross_format(spark):
