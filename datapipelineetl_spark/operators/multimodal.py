@@ -692,12 +692,14 @@ def _gif_pixels(b: bytes):
 
 
 def _bmp_pixels(b: bytes):
-    """REAL stdlib BMP pixel decode — 24-bit uncompressed (BI_RGB)
-    BITMAPINFOHEADER-and-later: raw BGR rows, 4-byte row padding
-    stripped, bottom-up (positive height) or top-down (negative)
-    orientation normalized, BGR→RGB. Returns an H×W×3 uint8 array or
-    None for palettized/compressed/16-or-32-bit/truncated variants —
-    those fall to the codec gate."""
+    """REAL stdlib BMP pixel decode — uncompressed (BI_RGB)
+    BITMAPINFOHEADER-and-later at 24-bit (BGR rows), 32-bit (BGRX,
+    padding-free, X dropped — round 16) or 8-bit palettized (BGRA
+    color-table lookup — round 16): 4-byte row padding stripped,
+    bottom-up (positive height) or top-down (negative) orientation
+    normalized, BGR→RGB. Returns an H×W×3 uint8 array or None for
+    compressed/16-or-under-8-bit/truncated variants — those fall to
+    the codec gate."""
     import struct  # noqa: PLC0415
 
     import numpy as np  # noqa: PLC0415
@@ -712,16 +714,34 @@ def _bmp_pixels(b: bytes):
         w, h = struct.unpack_from("<ii", b, 18)
         (bpp,) = struct.unpack_from("<H", b, 28)
         (comp,) = struct.unpack_from("<I", b, 30)
-        if bpp != 24 or comp != 0 or w < 1 or h == 0:
+        if bpp not in (8, 24, 32) or comp != 0 or w < 1 or h == 0:
             return None
         top_down = h < 0
         h = abs(h)
-        stride = (w * 3 + 3) & ~3  # rows are 4-byte aligned
+        bypp = bpp // 8
+        stride = (w * bypp + 3) & ~3  # rows are 4-byte aligned
         need = stride * h
         if offset + need > len(b):
             return None
         raw = np.frombuffer(b, dtype=np.uint8, count=need, offset=offset)
-        px = raw.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]
+        rows = raw.reshape(h, stride)[:, : w * bypp]
+        if bpp == 8:
+            (clr_used,) = struct.unpack_from("<I", b, 46)
+            n = clr_used or 256
+            tbl_off = 14 + dib
+            if tbl_off + 4 * n > offset:
+                return None
+            # BGRA quads → RGB table
+            quads = np.frombuffer(
+                b, dtype=np.uint8, count=4 * n, offset=tbl_off
+            ).reshape(n, 4)
+            table = quads[:, 2::-1]  # B,G,R,x → R,G,B
+            idx = rows.astype(np.int64)
+            if int(idx.max()) >= n:
+                return None
+            px = table[idx]
+        else:
+            px = rows.reshape(h, w, bypp)[:, :, 2::-1]  # BGR(X) → RGB
         if not top_down:
             px = px[::-1]
         return np.ascontiguousarray(px)
@@ -1437,7 +1457,7 @@ def resize_media(
       emitted as P6 — lossless-representable inputs (PNG/GIF/BMP,
       flat-block JPEG) resize byte-identically to the equivalent P6
       (pinned by tests). Variants outside the envelope (1/2/4-bit
-      packed PNG, palettized/compressed BMP, arithmetic-coded JPEG)
+      packed PNG, compressed/16-bit BMP, arithmetic-coded JPEG)
       fall through to the codec gate below.
     - Out-of-envelope payloads of recognized formats are
       library-gated:

@@ -2316,6 +2316,75 @@ def test_bmp_pixels_and_cross_format_parity(spark):
     assert not multimodal.image_stats(dfb).collect()[0].valid
 
 
+def test_bmp_32bit_and_palettized(spark):
+    """Round 16: the BMP envelope widens to 32-bit BGRX (padding-free,
+    X dropped) and 8-bit palettized (BGRA color-table lookup, biClrUsed
+    honored) — both decode to the same pixels as their 24-bit twin; an
+    index past the color table is corrupt (None), not an IndexError."""
+    import struct
+
+    import numpy as np
+
+    def bmp32(rgb, top_down=False):
+        h, w = len(rgb), len(rgb[0])
+        rows = rgb if top_down else rgb[::-1]
+        body = bytearray()
+        for row in rows:
+            for r, g, bb in row:
+                body.extend((bb, g, r, 0xAA))  # X byte is noise
+        dib = struct.pack(
+            "<IiiHHIIiiII", 40, w, (-h if top_down else h), 1, 32, 0,
+            len(body), 0, 0, 0, 0,
+        )
+        return b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54) + dib + bytes(body)
+
+    def bmp8(idx_rows, palette, clr_used=0):
+        h, w = len(idx_rows), len(idx_rows[0])
+        n = clr_used or 256
+        table = bytearray()
+        for i in range(n):
+            r, g, bb = palette[i] if i < len(palette) else (0, 0, 0)
+            table.extend((bb, g, r, 0))
+        stride = (w + 3) & ~3
+        body = bytearray()
+        for row in idx_rows[::-1]:  # bottom-up
+            body.extend(row)
+            body.extend(b"\x00" * (stride - w))
+        offset = 54 + len(table)
+        dib = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(body), 0, 0, clr_used, 0,
+        )
+        return (
+            b"BM" + struct.pack("<IHHI", offset + len(body), 0, 0, offset)
+            + dib + bytes(table) + bytes(body)
+        )
+
+    rgb = [[(10, 20, 30), (200, 150, 100), (0, 255, 7)],
+           [(255, 0, 128), (1, 2, 3), (90, 80, 70)]]
+    expect = np.array(rgb, dtype=np.uint8)
+    for td in (False, True):
+        px = multimodal._bmp_pixels(bmp32(rgb, top_down=td))
+        assert px is not None and (px == expect).all(), td
+    palette = [(10, 20, 30), (200, 150, 100), (0, 255, 7), (255, 0, 128)]
+    idx = [[0, 1, 2], [3, 0, 1]]
+    exp8 = np.array(palette, dtype=np.uint8)[np.array(idx)]
+    # full 256-entry table AND a truncated biClrUsed table
+    for cu in (0, 4):
+        px = multimodal._bmp_pixels(bmp8(idx, palette, clr_used=cu))
+        assert px is not None and (px == exp8).all(), cu
+    # index beyond the declared table → corrupt, None
+    assert multimodal._bmp_pixels(bmp8([[0, 3, 1]], palette[:2], clr_used=2)) is None
+    # cross-format parity through the Arrow kernels
+    ppm = b"P6\n3 2\n255\n" + expect.tobytes()
+    df = spark.createDataFrame(
+        [(1, bmp32(rgb)), (2, bmp8(idx, palette)), (3, ppm)],
+        "media_id long, payload binary",
+    )
+    got = {r.media_id: r for r in multimodal.resize_media(df, 2, 2).collect()}
+    assert got[1].resized and got[2].resized
+    assert bytes(got[1].payload) == bytes(got[3].payload)
+
+
 class _JpegWriter:
     """Minimal baseline-JPEG ENCODER for the decoder tests: quant
     tables of all 1s, one canonical Huffman table per class with every
