@@ -98,12 +98,18 @@ class _Bits:
                     self.buf.append(0x00)  # byte stuffing
                 self.acc = self.n = 0
 
-    def dc(self, diff: int) -> None:
+    def dc_sym(self, diff: int) -> None:
         s = abs(diff).bit_length()
         self.put(s, 4)  # canonical: code == symbol index at 4 bits
         if s:
             self.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+
+    def eob(self) -> None:
         self.put(0, 2)  # EOB (the only AC symbol, 2-bit code 0)
+
+    def dc(self, diff: int) -> None:
+        self.dc_sym(diff)
+        self.eob()
 
     def done(self) -> bytes:
         if self.n:
@@ -127,31 +133,67 @@ def _seg(marker: int, payload: bytes) -> bytes:
 
 
 def _flat_jpeg(w: int, h: int, comps: list[tuple[int, int, int]],
-               levels: list[int]) -> bytes:
+               levels: list[int], progressive: bool = False) -> bytes:
     """One-MCU flat JPEG: ``comps`` = [(cid, hs, vs)] (total sampling
     must cover w×h in a single MCU), ``levels`` = per-component flat
     level; only each component's FIRST block carries the level (the
-    rest encode diff 0 — flat across the MCU)."""
-    bits = _Bits()
-    for (cid, hs, vs), lvl in zip(comps, levels):
-        bits.dc((lvl - 128) * 8)
-        for _ in range(hs * vs - 1):
-            bits.dc(0)
+    rest encode diff 0 — flat across the MCU). With
+    ``progressive=True`` the SAME coefficients are written as an SOF2
+    multi-scan stream (one interleaved DC scan + one EOB-only AC scan
+    per component) — exercising `_jpeg_pixels_progressive` end to end
+    with analytically identical output."""
     out = bytearray(b"\xff\xd8")
     out += _seg(0xDB, bytes([0x00]) + bytes([1] * 64))
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([len(comps)])
     for cid, hs, vs in comps:
         sof += bytes([cid, (hs << 4) | vs, 0])
-    out += _seg(0xC0, sof)
+    out += _seg(0xC2 if progressive else 0xC0, sof)
     out += _seg(0xC4, _dht(0, _DC_SYMS, 4))
     out += _seg(0xC4, _dht(1, [0x00], 2))
-    sos = bytes([len(comps)])
-    for cid, _, _ in comps:
-        sos += bytes([cid, 0x00])
-    sos += bytes([0, 63, 0])
-    out += _seg(0xDA, sos)
-    out += bits.done() + b"\xff\xd9"
+
+    def sos_hdr(scomps: list[int], ss: int, se: int) -> bytes:
+        sos = bytes([len(scomps)])
+        for cid in scomps:
+            sos += bytes([cid, 0x00])
+        return sos + bytes([ss, se, 0])
+
+    if not progressive:
+        bits = _Bits()
+        for (cid, hs, vs), lvl in zip(comps, levels):
+            bits.dc((lvl - 128) * 8)
+            for _ in range(hs * vs - 1):
+                bits.dc(0)
+        out += _seg(0xDA, sos_hdr([c[0] for c in comps], 0, 63))
+        out += bits.done()
+    else:
+        dcb = _Bits()
+        for (cid, hs, vs), lvl in zip(comps, levels):
+            dcb.dc_sym((lvl - 128) * 8)
+            for _ in range(hs * vs - 1):
+                dcb.dc_sym(0)
+        out += _seg(0xDA, sos_hdr([c[0] for c in comps], 0, 0))
+        out += dcb.done()
+        for cid, hs, vs in comps:
+            acb = _Bits()
+            for _ in range(hs * vs):  # one-MCU frame: nat grid = hs×vs
+                acb.eob()
+            out += _seg(0xDA, sos_hdr([cid], 1, 63))
+            out += acb.done()
+    out += b"\xff\xd9"
     return bytes(out)
+
+
+def _float_wav(samples: list[float], sr: int) -> bytes:
+    """Minimal IEEE-float32 mono WAV (format code 3) — the round-16
+    `_wav_samples` float leg's fixture; samples land on the 16-bit
+    grid via rint(clip(x,-1,1)·32767) in the decoder."""
+    data = struct.pack(f"<{len(samples)}f", *samples)
+    fmt = struct.pack("<HHIIHH", 3, 1, sr, sr * 4, 4, 32)
+    return (
+        b"RIFF" + struct.pack("<I", 20 + len(fmt) + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
 
 
 def _flat_avi(jpeg_frames: list[bytes], usec_per_frame: int,
@@ -373,4 +415,176 @@ def q_sample_frames_thumb_color(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 q_sample_frames_thumb_color.__doc__ = q_sample_frames_thumb_color.__doc__.format(
     _SFC_TH
+)
+
+
+# ---- q_image_stats_progressive: the SOF2 decoder driver-facing ----
+
+_PJ_DOCS = 5
+_PJ_DIM = 16  # one 4:2:0 MCU
+
+
+@query(
+    "q_image_stats_progressive",
+    f"""
+    WITH ids AS (
+      SELECT doc_id AS media_id FROM documents WHERE doc_id < {_PJ_DOCS}),
+    lv AS (
+      SELECT media_id,
+             CAST({_SFC_Y.format(d="media_id")} AS DOUBLE) AS y,
+             CAST({_SFC_CB.format(d="media_id")} AS DOUBLE) AS cb,
+             CAST({_SFC_CR.format(d="media_id")} AS DOUBLE) AS cr
+      FROM ids),
+    px AS (
+      SELECT media_id,
+             CAST(LEAST(GREATEST({_JFIF["r"]}, 0), 255) AS INT) AS r,
+             CAST(LEAST(GREATEST({_JFIF["g"]}, 0), 255) AS INT) AS g,
+             CAST(LEAST(GREATEST({_JFIF["b"]}, 0), 255) AS INT) AS b
+      FROM lv)
+    SELECT media_id, 'jpeg' AS detected_format,
+           CAST({_PJ_DIM} AS INT) AS width, CAST({_PJ_DIM} AS INT) AS height,
+           CAST({_PJ_DIM * _PJ_DIM} AS BIGINT) AS n_pixels,
+           CAST(r AS DOUBLE) AS mean_r,
+           CAST(g AS DOUBLE) AS mean_g,
+           CAST(b AS DOUBLE) AS mean_b,
+           r AS min_r, g AS min_g, b AS min_b,
+           r AS max_r, g AS max_g, b AS max_b,
+           TRUE AS valid
+    FROM px
+    """,
+)
+def q_image_stats_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-16 PROGRESSIVE JPEG decoder (`_jpeg_pixels_progressive`
+    — T.81 §G multi-scan: interleaved DC scan + per-component AC scans)
+    driver-facing: for each document id < {0}, a driver-built one-MCU
+    4:2:0 SOF2 stream at formula-derived flat YCbCr levels runs
+    through `multimodal.image_stats`; the oracle replays the JFIF
+    YCbCr→RGB conversion at the decoder's exact rounding
+    (floor(x+0.5), 0..255 clamp) and every flat-image statistic. A
+    flat image through the full multi-scan machinery (DC interleave,
+    AC EOB runs, dequant, IDCT, chroma replication) must reproduce the
+    formula exactly — any scan-ordering or refinement bug shows up as
+    a value mismatch.
+
+    Scale: fixture build is metadata-sized ({0} tiny streams); the
+    decode runs in the production Arrow-batched `image_stats` kernel —
+    13 scalars per image leave the executor."""
+    from datapipelineetl_spark.operators import multimodal  # noqa: PLC0415
+
+    ids = sorted(
+        int(r.doc_id)
+        for r in _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _PJ_DOCS)
+        .select("doc_id")
+        .collect()
+    )
+    rows = [
+        (
+            d,
+            _flat_jpeg(
+                _PJ_DIM, _PJ_DIM,
+                [(1, 2, 2), (2, 1, 1), (3, 1, 1)],
+                [
+                    (d * 37) % 160 + 48,
+                    (d * 29) % 160 + 48,
+                    (d * 41) % 160 + 48,
+                ],
+                progressive=True,
+            ),
+        )
+        for d in ids
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    return multimodal.image_stats(df)
+
+
+q_image_stats_progressive.__doc__ = q_image_stats_progressive.__doc__.format(
+    _PJ_DOCS
+)
+
+
+# ---- q_audio_stats_float: the IEEE-float WAV leg driver-facing ----
+
+_FW_DOCS = 6
+_FW_N = 8       # samples per clip
+_FW_SR = 8000   # → duration_ms = 8 * 1000 // 8000 = 1
+# sample formula: k in [-20, 20]; x = k/64 is float32-exact and
+# k·32767/64 never lands on a .5 boundary (that needs k ≡ 32 mod 64),
+# so rint == floor(x+0.5) on both engines
+_FW_K = "(({d} * 13 + {j} * 7) % 41 - 20)"
+
+
+@query(
+    "q_audio_stats_float",
+    f"""
+    WITH ids AS (
+      SELECT doc_id AS media_id FROM documents WHERE doc_id < {_FW_DOCS}),
+    s AS (
+      SELECT media_id, {_FW_K.format(d="media_id", j="j")} AS k
+      FROM ids CROSS JOIN
+           (SELECT unnest(generate_series(0, {_FW_N - 1})) AS j)),
+    c AS (
+      SELECT media_id,
+             CAST(FLOOR(k * 32767.0 / 64.0 + 0.5) AS BIGINT) AS cent
+      FROM s),
+    agg AS (
+      SELECT media_id,
+             SUM(cent) AS ssum, SUM(cent * cent) AS ssq,
+             CAST(MAX(ABS(cent)) AS INT) AS peak
+      FROM c GROUP BY media_id)
+    SELECT media_id,
+           CAST({_FW_SR} AS INT) AS sample_rate,
+           CAST(1 AS INT) AS n_channels,
+           CAST(32 AS INT) AS bit_depth,
+           CAST({_FW_N} AS BIGINT) AS n_frames,
+           CAST({_FW_N * 1000 // _FW_SR} AS BIGINT) AS duration_ms,
+           CAST(ssum AS DOUBLE) / {_FW_N} AS mean_sample,
+           peak AS peak_abs,
+           SQRT(CAST(ssq AS DOUBLE) / {_FW_N}) AS rms,
+           TRUE AS valid
+    FROM agg
+    """,
+)
+def q_audio_stats_float(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-16 IEEE-float WAV leg (`_wav_samples` format code 3)
+    driver-facing: for each document id < {0}, a driver-built float32
+    mono WAV whose {1} samples follow an explicit formula (x = k/64,
+    k = (d·13 + j·7) mod 41 − 20 — float32-exact, never on a rounding
+    boundary) runs through `multimodal.audio_stats`; the oracle
+    replays the float→16-bit-grid conversion (rint(clip·32767) ==
+    floor(x+0.5) off boundaries), the exact int-sum/n mean, the peak,
+    and the RMS whose radicand is an exact small integer in float64 on
+    both engines (the bits>16 float64-accumulator path, overflow-free
+    by construction here).
+
+    Scale: as q_image_stats_progressive — metadata-sized fixture,
+    production Arrow kernel, 8 scalars per clip out."""
+    from datapipelineetl_spark.operators import multimodal  # noqa: PLC0415
+
+    ids = sorted(
+        int(r.doc_id)
+        for r in _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _FW_DOCS)
+        .select("doc_id")
+        .collect()
+    )
+    rows = [
+        (
+            d,
+            _float_wav(
+                [
+                    ((d * 13 + j * 7) % 41 - 20) / 64.0
+                    for j in range(_FW_N)
+                ],
+                _FW_SR,
+            ),
+        )
+        for d in ids
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    return multimodal.audio_stats(df)
+
+
+q_audio_stats_float.__doc__ = q_audio_stats_float.__doc__.format(
+    _FW_DOCS, _FW_N
 )
