@@ -475,15 +475,15 @@ def _png_unfilter(raw: bytes, off: int, pw: int, ph: int, bpp: int):
 def _png_pixels(b: bytes):
     """REAL stdlib PNG pixel decode — zlib inflate + per-scanline
     unfilter (filters 0–4: None/Sub/Up/Average/Paeth per the PNG spec),
-    no codec library. Supported envelope (round 16 widened): 8-bit AND
-    16-bit samples, color types 0/2/3/4/6 (gray / RGB / palette /
-    gray+alpha / RGBA; palette is 8-bit-indexed per spec), linear AND
-    Adam7-interlaced layouts. Returns an H×W×3 uint8 RGB array
-    (16-bit samples reduced to their high byte — the standard 16→8
-    conversion; palette expanded via PLTE, gray replicated, alpha
-    DROPPED — deterministic, no compositing) or None for variants
-    outside the envelope (1/2/4-bit packed depths, truncated streams)
-    — those stay library-gated.
+    no codec library. Supported envelope (round 16 widened): EVERY
+    legal depth/type/layout combination — 1/2/4-bit packed (gray
+    scaled by 255//(2^d−1), palette indexed), 8-bit and 16-bit
+    samples, color types 0/2/3/4/6 (gray / RGB / palette /
+    gray+alpha / RGBA), linear AND Adam7-interlaced. Returns an
+    H×W×3 uint8 RGB array (16-bit samples reduced to their high byte
+    — the standard 16→8 conversion; palette expanded via PLTE, gray
+    replicated, alpha DROPPED — deterministic, no compositing) or
+    None for spec-invalid combinations and truncated streams.
 
     Scale note: see `_png_unfilter` — the filter recurrence is plain
     Python per scanline, fixture-appropriate; a production deployment
@@ -520,14 +520,54 @@ def _png_pixels(b: bytes):
             pos += 12 + clen  # length + type + data + crc
         if not w or not h or not idat or interlace not in (0, 1):
             return None
-        if bit_depth not in (8, 16) or (bit_depth == 16 and color_type == 3):
+        if bit_depth not in (1, 2, 4, 8, 16) or (
+            bit_depth == 16 and color_type == 3
+        ):
             return None
         channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
         if channels is None:
             return None
+        raw = zlib.decompress(b"".join(idat))
+        if bit_depth < 8:  # packed sub-byte depths (round 16): gray or
+            # palette only per spec; filters run at byte distance 1
+            if color_type not in (0, 3):
+                return None
+            d = bit_depth
+            mask = (1 << d) - 1
+            shifts = np.array(
+                [8 - d * (i + 1) for i in range(8 // d)], dtype=np.uint8
+            )
+
+            def unpack(rows_b, pw):
+                vals = (rows_b[:, :, None] >> shifts[None, None, :]) & mask
+                return vals.reshape(rows_b.shape[0], -1)[:, :pw]
+
+            if interlace == 0:
+                got = _png_unfilter(raw, 0, (w * d + 7) // 8, h, 1)
+                if got is None:
+                    return None
+                samp = unpack(got[0], w)
+            else:
+                samp = np.zeros((h, w), dtype=np.uint8)
+                off = 0
+                for x0, y0, dx, dy in _ADAM7:
+                    pw = -(-(w - x0) // dx) if w > x0 else 0
+                    ph = -(-(h - y0) // dy) if h > y0 else 0
+                    if pw == 0 or ph == 0:
+                        continue
+                    got = _png_unfilter(raw, off, (pw * d + 7) // 8, ph, 1)
+                    if got is None:
+                        return None
+                    sub, off = got
+                    samp[y0::dy, x0::dx] = unpack(sub, pw)
+            if color_type == 3:
+                if plte is None or int(samp.max()) >= len(plte):
+                    return None
+                return np.ascontiguousarray(plte[samp])
+            g = (samp * (255 // mask)).astype(np.uint8)
+            return np.ascontiguousarray(np.repeat(g[:, :, None], 3, axis=2))
         bps = bit_depth // 8
         bpp = channels * bps
-        raw = zlib.decompress(b"".join(idat))
         if interlace == 0:
             got = _png_unfilter(raw, 0, w, h, bpp)
             if got is None:
@@ -692,14 +732,16 @@ def _gif_pixels(b: bytes):
 
 
 def _bmp_pixels(b: bytes):
-    """REAL stdlib BMP pixel decode — uncompressed (BI_RGB)
-    BITMAPINFOHEADER-and-later at 24-bit (BGR rows), 32-bit (BGRX,
-    padding-free, X dropped — round 16) or 8-bit palettized (BGRA
-    color-table lookup — round 16): 4-byte row padding stripped,
-    bottom-up (positive height) or top-down (negative) orientation
-    normalized, BGR→RGB. Returns an H×W×3 uint8 array or None for
-    compressed/16-or-under-8-bit/truncated variants — those fall to
-    the codec gate."""
+    """REAL stdlib BMP pixel decode — BITMAPINFOHEADER-and-later:
+    uncompressed BI_RGB at 24-bit (BGR rows), 32-bit (BGRX, X
+    dropped), 16-bit (X1R5G5B5, 5-bit channels scaled ·255//31),
+    8-bit palettized (BGRA color-table lookup honoring biClrUsed),
+    plus BI_RLE8 run-length 8-bit (encoded runs, absolute mode,
+    end-of-line/bitmap and delta escapes — rounds 15-16). 4-byte row
+    padding stripped, bottom-up (positive height) or top-down
+    (negative) orientation normalized, BGR→RGB. Returns an H×W×3
+    uint8 array or None for BITFIELDS/sub-8-bit/RLE4/truncated
+    variants — those fall to the codec gate."""
     import struct  # noqa: PLC0415
 
     import numpy as np  # noqa: PLC0415
@@ -714,10 +756,67 @@ def _bmp_pixels(b: bytes):
         w, h = struct.unpack_from("<ii", b, 18)
         (bpp,) = struct.unpack_from("<H", b, 28)
         (comp,) = struct.unpack_from("<I", b, 30)
-        if bpp not in (8, 24, 32) or comp != 0 or w < 1 or h == 0:
+        if w < 1 or h == 0:
             return None
         top_down = h < 0
         h = abs(h)
+
+        def color_table():
+            (clr_used,) = struct.unpack_from("<I", b, 46)
+            n = clr_used or 256
+            tbl_off = 14 + dib
+            if tbl_off + 4 * n > offset:
+                return None
+            quads = np.frombuffer(
+                b, dtype=np.uint8, count=4 * n, offset=tbl_off
+            ).reshape(n, 4)
+            return quads[:, 2::-1], n  # B,G,R,x → R,G,B
+
+        if comp == 1 and bpp == 8:  # BI_RLE8 (round 16) — always
+            # bottom-up per spec; decode runs into an index grid
+            got = color_table()
+            if got is None or top_down:
+                return None
+            table, n = got
+            idx = np.zeros((h, w), dtype=np.uint8)
+            x = y = 0  # y counts from the BOTTOM row
+            p = offset
+            while p + 1 < len(b):
+                cnt, val = b[p], b[p + 1]
+                p += 2
+                if cnt > 0:  # encoded run
+                    end = min(x + cnt, w)
+                    idx[h - 1 - y, x:end] = val
+                    x = end
+                elif val == 0:  # end of line
+                    x, y = 0, y + 1
+                    if y >= h:
+                        break
+                elif val == 1:  # end of bitmap
+                    break
+                elif val == 2:  # delta
+                    if p + 1 >= len(b):
+                        return None
+                    x = min(x + b[p], w)
+                    y += b[p + 1]
+                    p += 2
+                    if y >= h:
+                        return None
+                else:  # absolute mode: val literal indexes, word-aligned
+                    lit = b[p : p + val]
+                    if len(lit) < val:
+                        return None
+                    end = min(x + val, w)
+                    idx[h - 1 - y, x:end] = np.frombuffer(
+                        lit, dtype=np.uint8
+                    )[: end - x]
+                    x = end
+                    p += val + (val & 1)
+            if int(idx.max()) >= n:
+                return None
+            return np.ascontiguousarray(table[idx])
+        if bpp not in (8, 16, 24, 32) or comp != 0:
+            return None
         bypp = bpp // 8
         stride = (w * bypp + 3) & ~3  # rows are 4-byte aligned
         need = stride * h
@@ -726,20 +825,21 @@ def _bmp_pixels(b: bytes):
         raw = np.frombuffer(b, dtype=np.uint8, count=need, offset=offset)
         rows = raw.reshape(h, stride)[:, : w * bypp]
         if bpp == 8:
-            (clr_used,) = struct.unpack_from("<I", b, 46)
-            n = clr_used or 256
-            tbl_off = 14 + dib
-            if tbl_off + 4 * n > offset:
+            got = color_table()
+            if got is None:
                 return None
-            # BGRA quads → RGB table
-            quads = np.frombuffer(
-                b, dtype=np.uint8, count=4 * n, offset=tbl_off
-            ).reshape(n, 4)
-            table = quads[:, 2::-1]  # B,G,R,x → R,G,B
+            table, n = got
             idx = rows.astype(np.int64)
             if int(idx.max()) >= n:
                 return None
             px = table[idx]
+        elif bpp == 16:  # BI_RGB 16-bit = X1R5G5B5 (round 16)
+            v = rows.reshape(h, w, 2).astype(np.uint16)
+            v = v[:, :, 0] | (v[:, :, 1] << 8)  # little-endian
+            r5 = (v >> 10) & 31
+            g5 = (v >> 5) & 31
+            b5 = v & 31
+            px = (np.stack([r5, g5, b5], axis=2) * 255 // 31).astype(np.uint8)
         else:
             px = rows.reshape(h, w, bypp)[:, :, 2::-1]  # BGR(X) → RGB
         if not top_down:
@@ -1456,9 +1556,9 @@ def resize_media(
       progressive SOF2 via the multi-scan coefficient accumulator),
       emitted as P6 — lossless-representable inputs (PNG/GIF/BMP,
       flat-block JPEG) resize byte-identically to the equivalent P6
-      (pinned by tests). Variants outside the envelope (1/2/4-bit
-      packed PNG, compressed/16-bit BMP, arithmetic-coded JPEG)
-      fall through to the codec gate below.
+      (pinned by tests). The few variants still outside the envelope
+      (BITFIELDS/RLE4 BMP, arithmetic-coded JPEG) fall through to the
+      codec gate below.
     - Out-of-envelope payloads of recognized formats are
       library-gated:
       NotImplementedError unless ``fake=True``, in which case a

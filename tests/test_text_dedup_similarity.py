@@ -2307,13 +2307,160 @@ def test_bmp_pixels_and_cross_format_parity(spark):
     assert (st[1].mean_r, st[1].min_g, st[1].max_b) == (
         st[2].mean_r, st[2].min_g, st[2].max_b
     )
-    # 16-bit BMP: outside the envelope → gate in resize, observation in stats
+    # BI_BITFIELDS: outside the envelope → gate in resize, observation
+    # in stats (16-bit moved in-envelope in round 16 as BI_RGB 555)
     bad = bytearray(_encode_bmp(rgb_rows))
-    bad[28:30] = (16).to_bytes(2, "little")
+    bad[30:34] = (3).to_bytes(4, "little")  # biCompression = BITFIELDS
     dfb = spark.createDataFrame([(9, bytes(bad))], "media_id long, payload binary")
     with pytest.raises(Exception, match="NotImplementedError|image library"):
         multimodal.resize_media(dfb, 2, 1).collect()
     assert not multimodal.image_stats(dfb).collect()[0].valid
+
+
+def test_png_subbyte_depths():
+    """Round 16: 1/2/4-bit packed PNG depths decode for real — gray
+    scales to 8-bit via the exact 255//(2^d−1) factor, palette indexes
+    unpack MSB-first, rows end mid-byte, Adam7 composes with packing,
+    and sub-byte color types outside the spec (RGB at 4-bit) gate."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    def packed_png(samples, d, color_type, plte=None, interlace=0):
+        """samples: (h, w) ints < 2^d; filter 0 rows, MSB-first."""
+        h, w = len(samples), len(samples[0])
+        per = 8 // d
+
+        def pack_rows(rows):
+            raw = bytearray()
+            for row in rows:
+                raw.append(0)
+                acc = nb = 0
+                out = []
+                for v in row:
+                    acc = (acc << d) | v
+                    nb += d
+                    if nb == 8:
+                        out.append(acc)
+                        acc = nb = 0
+                if nb:
+                    out.append(acc << (8 - nb))
+                raw.extend(out)
+            return raw
+
+        if interlace == 0:
+            raw = pack_rows(samples)
+        else:
+            raw = bytearray()
+            arr = np.array(samples)
+            for x0, y0, dx, dy in multimodal._ADAM7:
+                sub = arr[y0::dy, x0::dx]
+                if sub.shape[0] and sub.shape[1]:
+                    raw.extend(pack_rows(sub.tolist()))
+        ihdr = struct.pack(">IIBBBBB", w, h, d, color_type, 0, 0, interlace)
+        body = chunk(b"IHDR", ihdr)
+        if plte is not None:
+            body += chunk(b"PLTE", bytes(plte))
+        body += chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+        return b"\x89PNG\r\n\x1a\n" + body
+
+    # 1-bit gray 10 wide (rows end mid-byte): checkerboard
+    rows1 = [[(x + y) % 2 for x in range(10)] for y in range(3)]
+    px = multimodal._png_pixels(packed_png(rows1, 1, 0))
+    assert px.shape == (3, 10, 3)
+    assert (px[:, :, 0] == np.array(rows1) * 255).all()
+    # 2-bit gray: scale 85
+    rows2 = [[0, 1, 2, 3, 3], [3, 2, 1, 0, 1]]
+    px = multimodal._png_pixels(packed_png(rows2, 2, 0))
+    assert (px[:, :, 0] == np.array(rows2) * 85).all()
+    # 4-bit palette with a 3-wide row (odd nibble)
+    plte = [255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9]
+    rows4 = [[0, 1, 2], [3, 0, 1]]
+    px = multimodal._png_pixels(packed_png(rows4, 4, 3, plte=plte))
+    assert (px[0, 2] == [0, 0, 255]).all() and (px[1, 0] == [9, 9, 9]).all()
+    # 2-bit gray + Adam7 on a 9x9
+    rows9 = [[(x * y + x) % 4 for x in range(9)] for y in range(9)]
+    px = multimodal._png_pixels(packed_png(rows9, 2, 0, interlace=1))
+    assert (px[:, :, 0] == np.array(rows9) * 85).all()
+    # sub-byte RGB is spec-invalid → gate
+    assert multimodal._png_pixels(packed_png(rows2, 2, 2)) is None
+    # palette index past PLTE end → corrupt, None
+    assert multimodal._png_pixels(
+        packed_png([[0, 7]], 4, 3, plte=plte[:6])
+    ) is None
+
+
+def test_bmp_rle8_and_16bit():
+    """Round 16: BI_RLE8 decode (encoded runs, absolute mode with word
+    alignment, EOL/EOF/delta escapes) and BI_RGB 16-bit X1R5G5B5 — both
+    against hand-computed pixels; RLE4 stays gated."""
+    import struct
+
+    import numpy as np
+
+    palette = [(10, 20, 30), (200, 150, 100), (0, 255, 7), (255, 0, 128)]
+
+    def hdr(w, h, bpp, comp, body_len, table=b"", offset_extra=0):
+        offset = 54 + len(table)
+        dib = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, bpp, comp, body_len, 0, 0, 0, 0
+        )
+        return (
+            b"BM" + struct.pack("<IHHI", offset + body_len, 0, 0, offset)
+            + dib + table
+        )
+
+    table = b"".join(bytes((bb, g, r, 0)) for r, g, bb in palette)
+    table += bytes(4) * (256 - 4)
+    # 4x3 bottom-up RLE8 — bottom row: run 4×1, EOL; middle: absolute
+    # mode (3 literals + word pad) then run 1×2, EOL; top: run 2×0
+    # (rest stays the zero fill), EOL; EOF
+    rle = bytes(
+        [4, 1, 0, 0,
+         0, 3, 0, 2, 3, 0,      # absolute: 3 literals + 1 pad byte
+         1, 2, 0, 0,
+         2, 0, 0, 0,
+         0, 1]
+    )
+    bmp = hdr(4, 3, 8, 1, len(rle), table) + rle
+    px = multimodal._bmp_pixels(bmp)
+    assert px is not None and px.shape == (3, 4, 3)
+    pal = np.array(palette, dtype=np.uint8)
+    # display row 0 = TOP = last decoded (y=2): [0,0, fill0, fill0]
+    assert (px[0] == pal[np.array([0, 0, 0, 0])]).all()
+    # display row 1 (y=1): abs 0,2,3 then run 1×2
+    assert (px[1] == pal[np.array([0, 2, 3, 2])]).all()
+    # display row 2 = BOTTOM (y=0): run 4×1
+    assert (px[2] == pal[np.array([1, 1, 1, 1])]).all()
+    # RLE4 gates
+    bad = bytearray(bmp)
+    bad[28:30] = (4).to_bytes(2, "little")
+    assert multimodal._bmp_pixels(bytes(bad)) is None
+    # 16-bit 555, 2x2 bottom-up: known 5-bit channels
+    def p555(r5, g5, b5):
+        return (r5 << 10) | (g5 << 5) | b5
+    vals = [[p555(31, 0, 16), p555(0, 31, 1)],   # display top row
+            [p555(10, 20, 30), p555(5, 5, 5)]]
+    body = b"".join(
+        struct.pack("<HH", *row) for row in vals[::-1]  # bottom-up
+    )
+    bmp16 = hdr(2, 2, 16, 0, len(body)) + body
+    px = multimodal._bmp_pixels(bmp16)
+    exp = np.array(
+        [[[c * 255 // 31 for c in (31, 0, 16)],
+          [c * 255 // 31 for c in (0, 31, 1)]],
+         [[c * 255 // 31 for c in (10, 20, 30)],
+          [c * 255 // 31 for c in (5, 5, 5)]]],
+        dtype=np.uint8,
+    )
+    assert px is not None and (px == exp).all()
 
 
 def test_bmp_32bit_and_palettized(spark):
