@@ -736,12 +736,14 @@ def _bmp_pixels(b: bytes):
     uncompressed BI_RGB at 24-bit (BGR rows), 32-bit (BGRX, X
     dropped), 16-bit (X1R5G5B5, 5-bit channels scaled ·255//31),
     8-bit palettized (BGRA color-table lookup honoring biClrUsed),
-    plus BI_RLE8 run-length 8-bit (encoded runs, absolute mode,
-    end-of-line/bitmap and delta escapes — rounds 15-16). 4-byte row
+    BI_RLE8/BI_RLE4 run-length (encoded runs, absolute mode,
+    end-of-line/bitmap and delta escapes), and BI_BITFIELDS 16/32-bit
+    (contiguous per-channel masks at 14+40 — appended or V4/V5
+    in-header — scaled ·255//(2^width−1)) — rounds 15-16. 4-byte row
     padding stripped, bottom-up (positive height) or top-down
     (negative) orientation normalized, BGR→RGB. Returns an H×W×3
-    uint8 array or None for BITFIELDS/sub-8-bit/RLE4/truncated
-    variants — those fall to the codec gate."""
+    uint8 array or None for sub-8-bit-uncompressed / non-contiguous-
+    mask / truncated variants — those fall to the codec gate."""
     import struct  # noqa: PLC0415
 
     import numpy as np  # noqa: PLC0415
@@ -772,8 +774,10 @@ def _bmp_pixels(b: bytes):
             ).reshape(n, 4)
             return quads[:, 2::-1], n  # B,G,R,x → R,G,B
 
-        if comp == 1 and bpp == 8:  # BI_RLE8 (round 16) — always
-            # bottom-up per spec; decode runs into an index grid
+        if comp in (1, 2) and bpp == (8 if comp == 1 else 4):
+            # BI_RLE8 / BI_RLE4 (round 16) — always bottom-up per spec;
+            # decode runs into an index grid. RLE4 runs alternate the
+            # byte's two nibbles; absolute mode packs 2 nibbles/byte.
             got = color_table()
             if got is None or top_down:
                 return None
@@ -786,7 +790,13 @@ def _bmp_pixels(b: bytes):
                 p += 2
                 if cnt > 0:  # encoded run
                     end = min(x + cnt, w)
-                    idx[h - 1 - y, x:end] = val
+                    if comp == 1:
+                        idx[h - 1 - y, x:end] = val
+                    else:
+                        pair = [(val >> 4) & 15, val & 15]
+                        idx[h - 1 - y, x:end] = [
+                            pair[i & 1] for i in range(end - x)
+                        ]
                     x = end
                 elif val == 0:  # end of line
                     x, y = 0, y + 1
@@ -802,19 +812,65 @@ def _bmp_pixels(b: bytes):
                     p += 2
                     if y >= h:
                         return None
-                else:  # absolute mode: val literal indexes, word-aligned
-                    lit = b[p : p + val]
-                    if len(lit) < val:
+                else:  # absolute mode: val literal pixels, word-aligned
+                    nb = val if comp == 1 else (val + 1) // 2
+                    lit = b[p : p + nb]
+                    if len(lit) < nb:
                         return None
+                    if comp == 1:
+                        pix = np.frombuffer(lit, dtype=np.uint8)
+                    else:
+                        arr8 = np.frombuffer(lit, dtype=np.uint8)
+                        pix = np.empty(nb * 2, dtype=np.uint8)
+                        pix[0::2] = (arr8 >> 4) & 15
+                        pix[1::2] = arr8 & 15
+                        pix = pix[:val]
                     end = min(x + val, w)
-                    idx[h - 1 - y, x:end] = np.frombuffer(
-                        lit, dtype=np.uint8
-                    )[: end - x]
+                    idx[h - 1 - y, x:end] = pix[: end - x]
                     x = end
-                    p += val + (val & 1)
+                    p += nb + (nb & 1)
             if int(idx.max()) >= n:
                 return None
             return np.ascontiguousarray(table[idx])
+        if comp == 3 and bpp in (16, 32):  # BI_BITFIELDS (round 16):
+            # the R/G/B masks sit at byte 14+40 either way — appended
+            # after a plain BITMAPINFOHEADER, or as the RedMask/…
+            # fields of a V4/V5 header
+            if 14 + 40 + 12 > len(b) or (dib == 40 and offset < 14 + 52):
+                return None
+            masks = struct.unpack_from("<III", b, 14 + 40)
+            stride = (w * (bpp // 8) + 3) & ~3
+            need = stride * h
+            if offset + need > len(b):
+                return None
+            raw = np.frombuffer(b, dtype=np.uint8, count=need, offset=offset)
+            rows = raw.reshape(h, stride)[:, : w * (bpp // 8)]
+            if bpp == 16:
+                v = rows.reshape(h, w, 2).astype(np.uint32)
+                v = v[:, :, 0] | (v[:, :, 1] << 8)
+            else:
+                v = rows.reshape(h, w, 4).astype(np.uint32)
+                v = (
+                    v[:, :, 0] | (v[:, :, 1] << 8)
+                    | (v[:, :, 2] << 16) | (v[:, :, 3] << 24)
+                )
+            chans = []
+            for m in masks:
+                if m == 0:
+                    return None
+                shift = (m & -m).bit_length() - 1
+                field = m >> shift
+                if field & (field + 1):  # non-contiguous mask
+                    return None
+                width = field.bit_length()
+                if width < 1 or width > 16:
+                    return None
+                c = (v >> shift) & field
+                chans.append(c * 255 // field)
+            px = np.stack(chans, axis=2).astype(np.uint8)
+            if not top_down:
+                px = px[::-1]
+            return np.ascontiguousarray(px)
         if bpp not in (8, 16, 24, 32) or comp != 0:
             return None
         bypp = bpp // 8

@@ -2439,9 +2439,23 @@ def test_bmp_rle8_and_16bit():
     assert (px[1] == pal[np.array([0, 2, 3, 2])]).all()
     # display row 2 = BOTTOM (y=0): run 4×1
     assert (px[2] == pal[np.array([1, 1, 1, 1])]).all()
-    # RLE4 gates
+    # RLE4 (round 16): nibble-alternating runs + packed absolute mode
+    # 4x2 bottom-up: bottom row run 4 of byte 0x12 → 1,2,1,2; top row
+    # absolute 3 nibbles 0,3,1 (2 bytes: 0x03, 0x10) + run 1×0x33 → 3
+    rle4 = bytes(
+        [4, 0x12, 0, 0,
+         0, 3, 0x03, 0x10,
+         1, 0x33, 0, 0,
+         0, 1]
+    )
+    bmp4 = hdr(4, 2, 4, 2, len(rle4), table) + rle4
+    px4 = multimodal._bmp_pixels(bmp4)
+    assert px4 is not None
+    assert (px4[1] == pal[np.array([1, 2, 1, 2])]).all()  # bottom row
+    assert (px4[0] == pal[np.array([0, 3, 1, 3])]).all()  # top row
+    # mismatched RLE depth gates
     bad = bytearray(bmp)
-    bad[28:30] = (4).to_bytes(2, "little")
+    bad[28:30] = (4).to_bytes(2, "little")  # RLE8 stream, 4-bit depth
     assert multimodal._bmp_pixels(bytes(bad)) is None
     # 16-bit 555, 2x2 bottom-up: known 5-bit channels
     def p555(r5, g5, b5):
@@ -2461,6 +2475,40 @@ def test_bmp_rle8_and_16bit():
         dtype=np.uint8,
     )
     assert px is not None and (px == exp).all()
+    # BI_BITFIELDS 565 (the common 16-bit wild format)
+    m565 = struct.pack("<III", 0xF800, 0x07E0, 0x001F)
+
+    def p565(r, g, bch):
+        return (r << 11) | (g << 5) | bch
+
+    v565 = [[p565(31, 0, 16), p565(0, 63, 1)],
+            [p565(10, 40, 30), p565(5, 5, 5)]]
+    body565 = b"".join(struct.pack("<HH", *row) for row in v565[::-1])
+    bf = hdr(2, 2, 16, 3, len(body565), m565) + body565
+    px = multimodal._bmp_pixels(bf)
+    exp565 = np.array(
+        [[(31 * 255 // 31, 0, 16 * 255 // 31),
+          (0, 63 * 255 // 63, 1 * 255 // 31)],
+         [(10 * 255 // 31, 40 * 255 // 63, 30 * 255 // 31),
+          (5 * 255 // 31, 5 * 255 // 63, 5 * 255 // 31)]],
+        dtype=np.uint8,
+    )
+    assert px is not None and (px == exp565).all()
+    # BITFIELDS 32-bit with 8-8-8 masks == the BI_RGB 32-bit decode
+    m888 = struct.pack("<III", 0x00FF0000, 0x0000FF00, 0x000000FF)
+    rgb = [[(1, 2, 3), (200, 100, 50)]]
+    body32 = b"".join(
+        struct.pack("<I", (r << 16) | (g << 8) | bch)
+        for row in rgb[::-1] for r, g, bch in row
+    )
+    bf32 = hdr(2, 1, 32, 3, len(body32), m888) + body32
+    px = multimodal._bmp_pixels(bf32)
+    assert (px == np.array(rgb, dtype=np.uint8)).all()
+    # non-contiguous mask → gate
+    mbad = struct.pack("<III", 0b101000, 0x07E0, 0x001F)
+    assert multimodal._bmp_pixels(
+        hdr(2, 2, 16, 3, len(body565), mbad) + body565
+    ) is None
 
 
 def test_bmp_32bit_and_palettized(spark):
