@@ -736,14 +736,16 @@ def _bmp_pixels(b: bytes):
     uncompressed BI_RGB at 24-bit (BGR rows), 32-bit (BGRX, X
     dropped), 16-bit (X1R5G5B5, 5-bit channels scaled ·255//31),
     8-bit palettized (BGRA color-table lookup honoring biClrUsed),
+    1/2/4-bit packed palettized (MSB-first, DWORD-aligned rows),
     BI_RLE8/BI_RLE4 run-length (encoded runs, absolute mode,
     end-of-line/bitmap and delta escapes), and BI_BITFIELDS 16/32-bit
     (contiguous per-channel masks at 14+40 — appended or V4/V5
-    in-header — scaled ·255//(2^width−1)) — rounds 15-16. 4-byte row
-    padding stripped, bottom-up (positive height) or top-down
-    (negative) orientation normalized, BGR→RGB. Returns an H×W×3
-    uint8 array or None for sub-8-bit-uncompressed / non-contiguous-
-    mask / truncated variants — those fall to the codec gate."""
+    in-header — scaled ·255//(2^width−1)) — rounds 15-16: the FULL
+    BI_RGB/BI_RLE/BI_BITFIELDS matrix. 4-byte row padding stripped,
+    bottom-up (positive height) or top-down (negative) orientation
+    normalized, BGR→RGB. Returns an H×W×3 uint8 array or None for
+    non-contiguous-mask / depth-mismatched-RLE / truncated variants —
+    those fall to the codec gate."""
     import struct  # noqa: PLC0415
 
     import numpy as np  # noqa: PLC0415
@@ -868,6 +870,32 @@ def _bmp_pixels(b: bytes):
                 c = (v >> shift) & field
                 chans.append(c * 255 // field)
             px = np.stack(chans, axis=2).astype(np.uint8)
+            if not top_down:
+                px = px[::-1]
+            return np.ascontiguousarray(px)
+        if comp == 0 and bpp in (1, 2, 4):  # packed palettized
+            # (round 16): MSB-first indexes, rows 4-byte aligned
+            got = color_table()
+            if got is None:
+                return None
+            table, n = got
+            stride = ((w * bpp + 31) // 32) * 4
+            need = stride * h
+            if offset + need > len(b):
+                return None
+            raw = np.frombuffer(
+                b, dtype=np.uint8, count=need, offset=offset
+            ).reshape(h, stride)
+            per = 8 // bpp
+            mask = (1 << bpp) - 1
+            shifts = np.array(
+                [8 - bpp * (i + 1) for i in range(per)], dtype=np.uint8
+            )
+            vals = (raw[:, :, None] >> shifts[None, None, :]) & mask
+            idx = vals.reshape(h, -1)[:, :w].astype(np.int64)
+            if int(idx.max()) >= n:
+                return None
+            px = table[idx]
             if not top_down:
                 px = px[::-1]
             return np.ascontiguousarray(px)

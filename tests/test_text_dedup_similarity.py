@@ -2509,6 +2509,25 @@ def test_bmp_rle8_and_16bit():
     assert multimodal._bmp_pixels(
         hdr(2, 2, 16, 3, len(body565), mbad) + body565
     ) is None
+    # packed 1/4-bit uncompressed palettized (round 16): MSB-first,
+    # rows DWORD-aligned; 5-wide 1-bit exercises the mid-byte row end
+    rows1 = [[0, 1, 1, 0, 1], [1, 0, 0, 1, 0]]
+    body1 = bytearray()
+    for row in rows1[::-1]:  # bottom-up
+        acc = 0
+        for i, v in enumerate(row):
+            acc |= v << (7 - i)
+        body1.extend([acc, 0, 0, 0])  # 1 data byte + 3 align bytes
+    bmp1 = hdr(5, 2, 1, 0, len(body1), table) + bytes(body1)
+    px1 = multimodal._bmp_pixels(bmp1)
+    assert px1 is not None and (px1 == pal[np.array(rows1)]).all()
+    rows4b = [[0, 3, 2], [1, 0, 3]]
+    body4 = bytearray()
+    for row in rows4b[::-1]:
+        body4.extend([(row[0] << 4) | row[1], row[2] << 4, 0, 0])
+    bmp4u = hdr(3, 2, 4, 0, len(body4), table) + bytes(body4)
+    px4u = multimodal._bmp_pixels(bmp4u)
+    assert px4u is not None and (px4u == pal[np.array(rows4b)]).all()
 
 
 def test_bmp_32bit_and_palettized(spark):
