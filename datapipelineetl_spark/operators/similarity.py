@@ -715,6 +715,7 @@ def ivf_assign_fold(
     centroids: list[list[float]],
     vec_col: str = "embedding",
     out: str = "ivf_cell",
+    impl: str = "seq",
 ) -> DataFrame:
     """``ivf_assign``'s ORACLE-REPLAYABLE twin (L2 metric only): the
     cell id as a pure JVM expression — one ``transform`` over the
@@ -737,8 +738,19 @@ def ivf_assign_fold(
     fine for oracle geometries (k_cells in the tens); a production
     store assigns with the Arrow kernel and PERSISTS the column, so
     this fold is never in a hot path. NULL vectors get NULL cells.
+
+    ``impl`` (round 16): ``"jvm"`` is the original literal-tree fold;
+    ``"seq"`` routes through ``_seq_l2_assign_udf`` — bit-identical
+    values (explicit sequential IEEE accumulation, first-min argmin)
+    without the k_cells × dim literal tree's plan-construction /
+    analysis / interpretation cost (parity pinned by
+    ``test_ivf_assign_fold_matches_python_replay_random``).
     """
+    if impl not in ("jvm", "seq"):
+        raise ValueError(f"impl must be 'jvm' or 'seq', got {impl!r}")
     vec = F.col(vec_col).cast("array<double>")
+    if impl == "seq":
+        return df.withColumn(out, _seq_l2_assign_udf(centroids)(vec))
     cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
     dists = F.transform(
         cents,
@@ -1293,7 +1305,7 @@ def kmeans(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 6,
-    assignment: str = "fold",
+    assignment: str = "seq",
     transport: str = "closure",
 ) -> DataFrame:
     """Deterministic Euclidean k-means corpus clustering (plain Lloyd —
@@ -1318,8 +1330,13 @@ def kmeans(
     ``assignment`` picks the physical plan of every assignment pass
     (each Lloyd iteration AND the final labeling):
 
-    - ``"fold"`` (default, the oracle path): a JVM fold over LITERAL
-      centroid arrays — bit-exact sequential sums, which the
+    - ``"seq"`` (default since round 16, the oracle path): the
+      BIT-EXACT vectorized kernel ``_seq_l2_assign_udf`` — the fold's
+      sequential IEEE sums and lower-id tiebreak reproduced
+      elementwise, with no literal tree to build, analyze or
+      interpret.
+    - ``"fold"``: the original JVM fold over LITERAL
+      centroid arrays — identical bit-exact sequential sums, which the
       value-checked oracle needs. The k×dim-literal plan makes
       ANALYSIS time the bottleneck as k grows (measured: the semdedup
       geometry grid, SCALING.md) — and past k ≈ several hundred the
@@ -1343,9 +1360,9 @@ def kmeans(
     """
     if k < 1 or iters < 0:
         raise ValueError(f"need k >= 1 and iters >= 0, got {k}, {iters}")
-    if assignment not in ("fold", "arrow"):
+    if assignment not in ("fold", "seq", "arrow"):
         raise ValueError(
-            f"assignment must be 'fold' or 'arrow', got {assignment!r}"
+            f"assignment must be 'fold', 'seq' or 'arrow', got {assignment!r}"
         )
     vec = F.col(vec_col).cast("array<double>")
     seeds = (
@@ -1367,6 +1384,10 @@ def kmeans(
                 df.sparkSession, cents, transport, return_handle=True
             )
             return udf(vec), bc
+        if assignment == "seq":
+            # bit-exact fold values without the k × dim literal tree —
+            # see _seq_l2_assign_udf (round 16)
+            return _seq_l2_assign_udf(cents)(vec), None
         # array of (dist, cid) structs → array_min compares
         # lexicographically: min distance, ties to the lower cid
         entries = [
@@ -1621,7 +1642,7 @@ def semdedup(
     cos_dp: int = 4,
     materialize: bool = False,
     pair_stage: str = "join",
-    assignment: str = "fold",
+    assignment: str = "seq",
     transport: str = "closure",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
@@ -1974,7 +1995,7 @@ def pq_fit(
     vec_col: str = "embedding",
     round_dp: int = 6,
     dim: int | None = None,
-    assignment: str = "fold",
+    assignment: str = "seq",
 ) -> list[list[list[float]]]:
     """Fit product-quantization codebooks (Jégou et al. 2011, public):
     split each dim-d vector into ``m`` contiguous subvectors and run an
@@ -2003,9 +2024,15 @@ def pq_fit(
     doubles (the codebooks) ever reach the driver.
 
     ``assignment`` picks the physical plan of each iteration's argmin,
-    exactly the ``kmeans`` split: ``"fold"`` (default, the oracle path)
-    is the JVM fold over literal codewords — bit-exact, but its
-    m × k_sub × dim/m literal expression tree is a CLIFF, not a slope
+    exactly the ``kmeans`` split: ``"seq"`` (default since round 16,
+    the oracle path) is the BIT-EXACT vectorized kernel
+    (``_pq_seq_codes_udf`` — the fold's IEEE operation chain
+    reproduced elementwise, first-min ties; measured 8.7× faster
+    fit+encode at the oracle geometry); ``"fold"`` is the original
+    JVM fold over literal codewords — identical values, but the
+    m × k_sub × dim/m literal expression tree is paid at plan
+    construction (py4j), analysis (Catalyst) AND interpreted eval
+    (HOFs never codegen), and it is a CLIFF, not a slope
     (measured: executor OOM at m=8/k_sub=256/n=10k — SCALING.md round
     12); ``"arrow"`` routes every assignment through the shared
     ``_pq_arrow_codes_udf`` matmul kernel — the k_sub=256 production
@@ -2016,8 +2043,10 @@ def pq_fit(
     """
     if m < 1 or k_sub < 1 or iters < 0:
         raise ValueError(f"need m, k_sub >= 1 and iters >= 0, got {m}, {k_sub}, {iters}")
-    if assignment not in ("fold", "arrow"):
-        raise ValueError(f"assignment must be 'fold' or 'arrow', got {assignment!r}")
+    if assignment not in ("fold", "seq", "arrow"):
+        raise ValueError(
+            f"assignment must be 'fold', 'seq' or 'arrow', got {assignment!r}"
+        )
     vec = F.col(vec_col).cast("array<double>")
     seeds = (
         df.filter(vec.isNotNull())
@@ -2048,12 +2077,15 @@ def pq_fit(
     ]
     for _ in range(iters):
         base = df.filter(vec.isNotNull())
-        if assignment == "arrow":
+        if assignment in ("seq", "arrow"):
             # materialize the kernel's codes as ONE column first so the
             # m struct references below cannot re-evaluate the UDF
-            base = base.select(
-                vec.alias("__v"), _pq_arrow_codes_udf(books)(vec).alias("__codes")
+            kernel = (
+                _pq_seq_codes_udf(books)
+                if assignment == "seq"
+                else _pq_arrow_codes_udf(books)
             )
+            base = base.select(vec.alias("__v"), kernel(vec).alias("__codes"))
             structs = [
                 F.struct(
                     F.lit(j).alias("j"),
@@ -2099,7 +2131,7 @@ def pq_encode(
     codebooks: list[list[list[float]]],
     vec_col: str = "embedding",
     out: str = "pq_code",
-    mode: str = "fold",
+    mode: str = "seq",
 ) -> DataFrame:
     """Attach each vector's PQ code — ``array<int>`` of length m, the
     persistable narrow column a 100 TB store keeps NEXT TO (or instead
@@ -2108,27 +2140,34 @@ def pq_encode(
 
     ``mode`` picks the physical plan, exactly the ``kmeans`` split:
 
-    - ``"fold"`` (default, the oracle path): per-subspace argmin as a
-      JVM fold over literal codewords — bit-exact sequential sums,
-      value-replayable. Literal count is m × k_sub × dim/m; fine for
-      oracle geometries, the same analysis-cost ceiling as the kmeans
-      fold as k_sub grows.
+    - ``"seq"`` (default since round 16, the oracle path): one
+      Arrow-batched BIT-EXACT kernel for all subspaces
+      (``_pq_seq_codes_udf``) — the fold's sequential IEEE sums and
+      first-min ties reproduced elementwise, without the literal
+      tree's plan-construction / analysis / interpretation cost
+      (measured 5–14× on the encode pass at the oracle geometry).
+    - ``"fold"``: the original per-subspace argmin as a JVM fold over
+      literal codewords — identical values, value-replayable. Literal
+      count is m × k_sub × dim/m; the same analysis-cost ceiling as
+      the kmeans fold as k_sub grows.
     - ``"arrow"``: one Arrow-batched kernel for ALL subspaces — per
       batch, m small matmuls via the ‖x‖² − 2x·c + ‖c‖² expansion,
       argmin per subspace. The production path for k_sub=256
       codebooks; trades oracle-grade tie determinism for throughput
       (BLAS summation order), parity-tested on the fixture.
 
-    NULL vectors get NULL codes (no crash) in both modes.
+    NULL vectors get NULL codes (no crash) in every mode.
     """
-    if mode not in ("fold", "arrow"):
-        raise ValueError(f"mode must be 'fold' or 'arrow', got {mode!r}")
+    if mode not in ("fold", "seq", "arrow"):
+        raise ValueError(f"mode must be 'fold', 'seq' or 'arrow', got {mode!r}")
     m = len(codebooks)
     sub = len(codebooks[0][0])
     vec = F.col(vec_col).cast("array<double>")
     if mode == "fold":
         codes = F.array(*[_pq_argmin(vec, j, codebooks[j], sub) for j in range(m)])
         return df.withColumn(out, F.when(vec.isNotNull(), codes))
+    if mode == "seq":
+        return df.withColumn(out, _pq_seq_codes_udf(codebooks)(vec))
     return df.withColumn(out, _pq_arrow_codes_udf(codebooks)(vec))
 
 
@@ -2163,6 +2202,102 @@ def _pq_arrow_codes_udf(codebooks: list[list[list[float]]]):
         )
 
     return pandas_udf(_encode, "array<int>")
+
+
+def _pq_seq_codes_udf(codebooks: list[list[list[float]]]):
+    """Arrow-batched BIT-EXACT PQ codes — the fold's values at kernel
+    speed (round 16). Each subspace distance is accumulated over the
+    sub dimensions with EXPLICIT elementwise numpy adds in the fold's
+    left-to-right order — ``(0 + t₀²) + t₁² + …`` element for element
+    the same IEEE-double operation chain as
+    ``aggregate(zip_with(s, cw, (x-y)²), 0.0, acc+d)`` — and
+    ``argmin`` takes the FIRST minimum (ties to the lower code), so
+    the result is bit-identical to ``_pq_argmin``'s fold, unlike the
+    BLAS ``‖x‖² − 2x·c + ‖c‖²`` expansion in ``_pq_arrow_codes_udf``
+    (pairwise summation, different rounding). NaN distances rank last
+    (the JVM ``array_min`` treats NaN as greatest); NULL vectors get
+    NULL codes.
+
+    Why it exists: the fold's m × k_sub × dim/m literal tree is paid
+    THREE times per query — ~1,000 py4j ``F.lit`` round-trips at plan
+    construction, Catalyst walking the tree at analysis, and
+    interpreted (never codegen'd) HOF evaluation per row. This kernel
+    moves the same arithmetic into one vectorized pass per Arrow
+    batch with the codebooks riding the closure — no literals, no
+    interpretation — while keeping every bit of the oracle contract
+    (pinned by the python-replay tests in test_pq.py)."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    mats = [np.asarray(b, dtype=np.float64) for b in codebooks]  # m × (k_sub × sub)
+    dim = m * sub
+
+    def _encode(vecs):
+        x, mask = _stack_nullable(vecs, dim)
+        n = len(x)
+        cols = []
+        for j in range(m):
+            d = None
+            for z in range(sub):
+                t = x[:, j * sub + z][:, None] - mats[j][:, z][None, :]
+                sq = t * t  # (n × k_sub)
+                d = sq if d is None else d + sq
+            d[np.isnan(d)] = np.inf  # NaN ranks last, as in array_min
+            cols.append(d.argmin(axis=1).astype(np.int32))
+        stacked = np.stack(cols, axis=1) if n else np.zeros((0, m), np.int32)
+        return pd.Series(
+            [None if mask[i] else stacked[i].tolist() for i in range(n)]
+        )
+
+    # asNondeterministic: the function is pure, but consumers filter on
+    # the codes column (isNotNull, cell prune) and the optimizer's
+    # filter pushdown would otherwise DUPLICATE the kernel — one
+    # ArrowEvalPython below the filter, one above (guide §4.4; measured
+    # two evals per scan in the round-16 before-plans). Marking it
+    # non-deterministic yields a single eval; the only trade is that
+    # row filters no longer push below the projection, which at the
+    # fixture is k excluded ids and at scale is irrelevant — persisted
+    # stores carry codes as real columns with no UDF in the plan.
+    return pandas_udf(_encode, "array<int>").asNondeterministic()
+
+
+def _seq_l2_assign_udf(centroids: list[list[float]]):
+    """Arrow-batched BIT-EXACT L2 argmin assignment (round 16): the
+    full-dim twin of ``_pq_seq_codes_udf`` — explicit elementwise
+    left-to-right accumulation reproduces the JVM fold's IEEE sum
+    term for term, first-min ``argmin`` reproduces the
+    ``array_min``-over-(d, c)-structs tiebreak (lower id wins), NaN
+    distances rank last, NULL vectors → NULL. Shared by the ``"seq"``
+    assignment modes of ``kmeans`` and ``ivf_assign_fold`` — fold
+    values without the k × dim literal tree."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    c = np.asarray(centroids, dtype=np.float64)  # k × dim
+    k, dim = c.shape
+
+    def _assign(vecs):
+        x, mask = _stack_nullable(vecs, dim)
+        d = None
+        for z in range(dim):
+            t = x[:, z][:, None] - c[:, z][None, :]
+            sq = t * t  # (n × k)
+            d = sq if d is None else d + sq
+        if d is None:
+            d = np.zeros((len(x), k), dtype=np.float64)
+        d[np.isnan(d)] = np.inf
+        cells = pd.array(d.argmin(axis=1).astype(np.int32), dtype="Int32")
+        cells[mask] = pd.NA
+        return pd.Series(cells)
+
+    # same single-eval rationale as _pq_seq_codes_udf: probe filters on
+    # the assigned cell column would otherwise re-evaluate the kernel
+    # below the filter (guide §4.4)
+    return pandas_udf(_assign, "int").asNondeterministic()
 
 
 def pq_adc_topk(
@@ -2211,7 +2346,12 @@ def pq_adc_topk(
     # row — measured 14× slower at n=200k/m=8/k_sub=256 (SCALING.md).
     # Left-to-right adds keep the sequential IEEE order the oracle
     # replays (list_sum over the j-ordered lut terms).
-    flat_lit = F.array(*[F.lit(d) for row in lut for d in row])
+    # Round 16: ONE F.lit(list) call — a single ArrayType Literal node —
+    # instead of m × k_sub separate F.lit py4j round-trips feeding a
+    # CreateArray of as many child nodes (same values; the m F.get
+    # references then share one leaf instead of re-walking ~256
+    # children each at analysis).
+    flat_lit = F.lit([float(d) for row in lut for d in row])
     adc = None
     for j in range(m):
         term = F.get(flat_lit, F.lit(j * len(lut[j])) + F.get(codes_col, j))
