@@ -734,6 +734,7 @@ def ngram_hashes(
     n: int = 8,
     gram_col: str = "__g",
     drop_empty: bool = False,
+    impl: str = "kernel",
 ) -> DataFrame:
     """(id, gram_hash) rows: each document's DISTINCT word ``n``-gram
     60-bit hashes — the precomputable half of the contamination join.
@@ -752,9 +753,69 @@ def ngram_hashes(
     Those callers pass True to drop it (the hash of ``""`` is a
     constant, so this is one literal comparison, not a text check).
 
-    Scale: narrow shingle/hash array math + one explode — O(tokens) per
-    row, no shuffle.
+    Scale: O(tokens) per row, no shuffle. ``impl`` picks the physical
+    plan (round 16):
+
+    - ``"kernel"`` (default): ONE Arrow-batched ``mapInPandas`` pass —
+      tokenize (``str.lower()`` + the ``re.ASCII``-pinned ``\\s+``
+      split, the exact Java-``\\s`` parity the BPE kernel established),
+      shingle, first-occurrence distinct, ``hashlib.md5`` 60-bit
+      prefix. Bit-identical rows to the JVM form (md5 is md5; the gram
+      STRINGS are byte-equal — parity pinned by
+      ``test_ngram_hashes_kernel_matches_jvm``), measured ~9× faster:
+      the JVM spelling's shingle ``transform``/``slice``/``array_join``
+      and per-gram md5 are higher-order functions that never enter
+      whole-stage codegen, so every gram paid interpreted evaluation
+      (5.6 s vs 0.6 s for the sf0.1 gram table).
+    - ``"jvm"``: the original narrow shingle/hash array-math + explode
+      — no Python worker in the plan; the right form when the scan
+      side must stay UDF-free.
     """
+    if impl not in ("kernel", "jvm"):
+        raise ValueError(f"impl must be 'kernel' or 'jvm', got {impl!r}")
+    if impl == "kernel":
+        import pandas as pd  # noqa: PLC0415
+
+        idt = df.schema[id_col].dataType.simpleString()
+        nn = int(n)
+        de = bool(drop_empty)
+        tname, iname = text_col, id_col
+
+        def gen(batches):
+            import hashlib as _hl  # noqa: PLC0415
+            import re as _re  # noqa: PLC0415
+
+            # re.ASCII pins \s+ to Java's default [ \t\n\x0b\f\r]
+            sre = _re.compile(r"\s+", _re.ASCII)
+            for pdf in batches:
+                idxs: list[int] = []
+                hs: list[int] = []
+                for ridx, txt in enumerate(pdf[tname].tolist()):
+                    if not isinstance(txt, str):
+                        continue  # NULL text → no rows (the JVM filter)
+                    toks = [t for t in sre.split(txt.lower()) if t]
+                    seen = set()
+                    for i in range(max(len(toks) - nn, 0) + 1):
+                        g = " ".join(toks[i:i + nn])
+                        if g in seen or (de and g == ""):
+                            continue
+                        seen.add(g)
+                        idxs.append(ridx)
+                        hs.append(
+                            int(_hl.md5(g.encode("utf-8")).hexdigest()[:15], 16)
+                        )
+                # carry the id through its ORIGINAL pandas dtype (no
+                # int round-trip) so null ids survive as nulls
+                yield pd.DataFrame(
+                    {
+                        iname: pdf[iname].iloc[idxs].reset_index(drop=True),
+                        gram_col: pd.Series(hs, dtype="int64"),
+                    }
+                )
+
+        return df.select(id_col, text_col).mapInPandas(
+            gen, schema=f"`{id_col}` {idt}, `{gram_col}` long"
+        )
     g = F.array_distinct(text.shingles(text_col, n))
     out = (
         df.withColumn("__gs", g)

@@ -1172,3 +1172,41 @@ def test_temperature_mix_join_dispatch_parity(spark):
     assert canon(auto_join) == got_case
     with pytest.raises(ValueError, match="dispatch"):
         temperature_mix(df, "doc_id", dispatch="nope")
+
+
+def test_ngram_hashes_kernel_matches_jvm(spark):
+    """Round-16 optimization guard: the Arrow ``ngram_hashes`` kernel
+    (str.lower + re.ASCII ``\\s+`` split + hashlib md5-60) must emit
+    row-identical (id, hash) multisets to the original JVM
+    shingle/explode form — including Java-vs-Python whitespace
+    semantics (NBSP is NOT split), unicode case mapping, empty and
+    NULL text, sub-n-token docs, and the drop_empty phantom gram."""
+    rows = [
+        (1, "The quick\tbrown FOX\njumps over the lazy dog and more words"),
+        (2, "a b c d e f g h i j"),  # NBSP glues tokens
+        (3, "Ångström STRASSE ẞ İstanbul ΣΟΦΟΣ maße x y z"),
+        (4, ""),
+        (5, None),
+        (6, "short doc"),
+        (7, "  \t \n \f\r "),
+        (8, "word " * 30),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for n in (2, 8):
+        for de in (True, False):
+            jvm = sorted(
+                (r["doc_id"], r["__g"])
+                for r in corpus.ngram_hashes(
+                    df, n=n, drop_empty=de, impl="jvm"
+                ).collect()
+            )
+            ker = sorted(
+                (r["doc_id"], r["__g"])
+                for r in corpus.ngram_hashes(
+                    df, n=n, drop_empty=de, impl="kernel"
+                ).collect()
+            )
+            assert jvm == ker, (n, de)
+            assert len(jvm) > 0 or n > 2
+    with pytest.raises(ValueError, match="impl"):
+        corpus.ngram_hashes(df, impl="nope")
