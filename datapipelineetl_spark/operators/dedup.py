@@ -41,14 +41,37 @@ def minhash_signature(
     text_col: str = "text",
     out: str = "minhash",
     num_hashes: int = 16,
+    impl: str = "kernel",
 ) -> DataFrame:
     """Per-row MinHash signature (array<long>, length ``num_hashes``).
 
     sig_i = min over distinct tokens of (a_i*(h60(tok) mod P)+b_i) mod P.
-    Narrow, no shuffle; O(tokens × num_hashes) array math in codegen.
+    Narrow, no shuffle; O(tokens × num_hashes) per row. ``impl`` picks
+    the physical form (round 16):
+
+    - ``"kernel"`` (default): ONE Arrow-batched pass — tokenize
+      (``str.lower()`` + the ``re.ASCII``-pinned ``\\s+`` split, the
+      Java-``\\s`` parity the ngram/BPE kernels established), md5-60
+      per distinct token, then all ``num_hashes`` affine rows as one
+      vectorized int64 min (a·h+b < 2³⁹ — exact). Bit-identical to the
+      JVM form (parity pinned by
+      ``test_minhash_signature_kernel_matches_jvm``); the JVM
+      spelling's 1 + num_hashes ``transform``/``array_min`` chains are
+      higher-order functions that never enter whole-stage codegen, so
+      every token × hash step paid interpreted evaluation (measured
+      2.8 s vs 0.16 s for the bare token split on the sf0.1 corpus).
+      Marked non-deterministic so an inferred filter cannot duplicate
+      the ArrowEvalPython node (the seq-kernel discipline).
+    - ``"jvm"``: the original fold — no Python worker in the plan.
     """
     if num_hashes > len(MINHASH_COEFFS):
         raise ValueError(f"num_hashes ≤ {len(MINHASH_COEFFS)}")
+    if impl not in ("kernel", "jvm"):
+        raise ValueError(f"impl must be 'kernel' or 'jvm', got {impl!r}")
+    if impl == "kernel":
+        return df.withColumn(
+            out, _minhash_kernel_udf(num_hashes)(F.col(text_col))
+        )
     hs = F.transform(tokens(text_col, distinct=True), lambda t: token_hash60(t) % MINHASH_P)
     sig = F.array(
         *[
@@ -57,6 +80,64 @@ def minhash_signature(
         ]
     )
     return df.withColumn(out, sig)
+
+
+def _minhash_kernel_udf(num_hashes: int):
+    """Arrow-batched BIT-EXACT MinHash signatures — the JVM fold's
+    values at kernel speed (round 16). Tokenization is
+    ``str.lower()`` + ``re.ASCII``-pinned ``\\s+`` split + drop-empty
+    (byte-equal tokens to ``F.split(F.lower(c), TOKEN_SPLIT_RE)`` with
+    the ``!= ''`` filter — the parity the ngram kernel pinned); the
+    token hash is the same md5-prefix 60-bit integer, and the affine
+    rows (aᵢ·(h mod P)+bᵢ) mod P are exact in int64 (h mod P < 2³¹,
+    aᵢ ≤ 131 → product < 2³⁹). NULL text and zero-token docs both
+    produce the JVM form's ``[NULL] × num_hashes`` (F.array of NULL
+    array_mins, never a NULL array). Per-task md5 memo: token hashes
+    repeat across documents, so each distinct token is hashed once per
+    task, not once per occurrence."""
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    coeffs = MINHASH_COEFFS[:num_hashes]
+    a = np.asarray([c[0] for c in coeffs], dtype=np.int64)[:, None]
+    b = np.asarray([c[1] for c in coeffs], dtype=np.int64)[:, None]
+    p = MINHASH_P
+    nh = int(num_hashes)
+
+    import hashlib as _hl  # noqa: PLC0415
+    import re as _re  # noqa: PLC0415
+
+    sre = _re.compile(r"\s+", _re.ASCII)
+    memo: dict[str, int] = {}
+    nulls: list[int | None] = [None] * nh
+
+    def _h60(tok: str) -> int:
+        v = memo.get(tok)
+        if v is None:
+            v = int(_hl.md5(tok.encode("utf-8")).hexdigest()[:15], 16) % p
+            memo[tok] = v
+        return v
+
+    def _sig(s):
+        out: list[list[int | None]] = []
+        for txt in s.tolist():
+            if not isinstance(txt, str):
+                out.append(nulls)
+                continue
+            toks = {t for t in sre.split(txt.lower()) if t}
+            if not toks:
+                out.append(nulls)
+                continue
+            hs = np.fromiter((_h60(t) for t in toks), dtype=np.int64, count=len(toks))
+            out.append(((a * hs + b) % p).min(axis=1).tolist())
+        return pd.Series(out)
+
+    # no type hints on _sig: `from __future__ import annotations`
+    # stringifies them before pandas_udf can inspect them (module
+    # convention, see similarity._lsh_signatures_pandas)
+    return pandas_udf(_sig, "array<long>").asNondeterministic()
 
 
 def band_keys(
@@ -285,11 +366,36 @@ def cluster_pairs(
     id_b: str = "id_b",
     max_iter: int = 20,
     steps_per_round: int = 4,
+    impl: str = "contract",
+    fan_in: int = 64,
 ) -> DataFrame:
     """Connected components over near-dup pairs → (doc_id, cluster_id)
     with cluster_id = the component's minimum doc id. The final step of
     every dedup pipeline: pairs say "these two match"; clusters say "keep
     one of each group".
+
+    ``impl`` picks the physical algorithm (round 16); the output rows
+    are identical (min-id labeling is a property of the graph, not the
+    algorithm — parity pinned by
+    ``test_cluster_pairs_contract_matches_iterate``):
+
+    - ``"contract"`` (default): two-phase local contraction — the
+      standard distributed-CC shape (per-partition union-find inside an
+      Arrow-batched ``mapInPandas``, emitting each node's partition-local
+      min root as a contracted edge list, then a ``fan_in``-ary
+      repartition ladder of the same kernel down to one partition).
+      ONE lazy plan, ⌈log_fan(partitions)⌉ small shuffles of
+      (node, root) rows, ZERO driver-side jobs at call time — where the
+      iterative form pays an eager edge checkpoint plus one probe job
+      per round (measured 4.7 s warm → 0.5 s on the sf0.1 capped-LSH
+      pair graph, 5.4k pairs). Memory bound, stated honestly: the last
+      task holds the contracted mapping — one entry per node that
+      appears in any pair (the CANDIDATE set, orders of magnitude
+      smaller than the corpus at 100 TB; the upstream caps bound it).
+      For pair graphs whose node set exceeds one executor's memory,
+      use ``impl="iterate"``.
+    - ``"iterate"``: the original unrolled min-label propagation —
+      unbounded node sets, O(diameter) rounds of driver-probed jobs.
 
     Iterative min-label propagation (the dataframe form of
     union-find / the map-reduce connected-components algorithm): each
@@ -327,6 +433,10 @@ def cluster_pairs(
     """
     if steps_per_round < 1:
         raise ValueError(f"steps_per_round must be >= 1, got {steps_per_round}")
+    if impl not in ("contract", "iterate"):
+        raise ValueError(f"impl must be 'contract' or 'iterate', got {impl!r}")
+    if impl == "contract":
+        return _cluster_pairs_contract(pairs, id_a, id_b, fan_in)
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -365,6 +475,78 @@ def cluster_pairs(
         if not changed:
             break
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def _union_find_kernel(a_col: str, b_col: str):
+    """mapInPandas generator: union-find over one partition's edge rows
+    (NULL endpoints skipped as nodes — a half-NULL pair contributes its
+    non-NULL endpoint as an isolated node), emitting every seen node's
+    partition-local component minimum as (node, root) rows. Union keeps
+    the SMALLER value as root, finds use iterative path compression, so
+    each emitted root is exactly min(component ∩ partition) — feeding
+    the same kernel at the next fan-in level converges to the global
+    min-id labeling."""
+    import pandas as pd  # noqa: PLC0415
+
+    def run(batches):
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] is not r and parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for pdf in batches:
+            av, bv = pdf[a_col].tolist(), pdf[b_col].tolist()
+            for a, b in zip(av, bv):
+                a_ok = a is not None and a == a
+                b_ok = b is not None and b == b
+                if a_ok and a not in parent:
+                    parent[a] = a
+                if b_ok and b not in parent:
+                    parent[b] = b
+                if not (a_ok and b_ok):
+                    continue
+                ra, rb = find(a), find(b)
+                if ra == rb:
+                    continue
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        nodes = list(parent)
+        yield pd.DataFrame({a_col: nodes, b_col: [find(n) for n in nodes]})
+
+    return run
+
+
+def _cluster_pairs_contract(
+    pairs: DataFrame, id_a: str, id_b: str, fan_in: int
+) -> DataFrame:
+    """``cluster_pairs``'s two-phase contraction plan — see its
+    docstring. Lazy end to end: phase 1 contracts each input partition
+    in place (no shuffle); each ladder level repartitions the
+    (node, root) mapping ``fan_in``-fold smaller and contracts again,
+    ending at one partition whose union-find output IS the exact
+    min-id labeling."""
+    if fan_in < 2:
+        raise ValueError(f"fan_in must be >= 2, got {fan_in}")
+    idt = pairs.schema[id_a].dataType.simpleString()
+    schema = f"`__cp_a` {idt}, `__cp_b` {idt}"
+    kernel = _union_find_kernel("__cp_a", "__cp_b")
+    m = pairs.select(
+        F.col(id_a).alias("__cp_a"), F.col(id_b).alias("__cp_b")
+    ).mapInPandas(kernel, schema)
+    # physical planning only (no job): how many partitions phase 1 left
+    p = m.rdd.getNumPartitions()
+    while p > 1:
+        p = max(1, p // fan_in)
+        m = m.repartition(p).mapInPandas(kernel, schema)
+    return m.select(
+        F.col("__cp_a").alias("doc_id"), F.col("__cp_b").alias("cluster_id")
+    )
 
 
 def dedup_by_fingerprint(

@@ -37,9 +37,14 @@ NESTED_LOOP_ALLOWED = {
     "q_bigram_logprob": "1-row LM-totals scalar crossJoin (unigram backoff denominator)",
     "q_pmi_bigrams": "1-row corpus-totals scalar crossJoin (T1/T2 PMI denominators)",
     "q_source_kl": "1-row corpus-total-tokens scalar crossJoin (the ln T term)",
-    # q_semantic_dupes' exact O(n²) pair baseline needs no entry: its BNLJ
-    # sits inside cluster_pairs' materialized rounds, below the tail plan
-    # the lint reads (same visibility property as q_dedup_clusters_lsh)
+    # Round 16: cluster_pairs' contract impl is lazy end-to-end (no eager
+    # edge checkpoint), so the two cluster queries built over declared
+    # exact O(n²) pair baselines now show that baseline's BNLJ in their
+    # tail plan instead of hiding it below a localCheckpoint. The BNLJ
+    # itself is the SAME allowlisted node their pair-stage queries carry;
+    # the scale paths (q_dedup_clusters_lsh / q_semdedup) stay lint-clean.
+    "q_dedup_clusters": "declared exact O(n²) ngram-Jaccard baseline graph (q_ngram_jaccard_pairs' BNLJ, now visible through the lazy CC); scale path = q_dedup_clusters_lsh",
+    "q_semantic_dupes": "declared exact O(n²) cosine baseline graph (q_cosine_near_pairs' BNLJ, now visible through the lazy CC); scale path = q_semdedup",
 }
 
 

@@ -91,6 +91,39 @@ def test_minhash_bucket_cap_drops_hot_buckets(spark, docs_df):
     assert dedup.lsh_candidate_pairs(sigs, "doc_id").count() > 0
 
 
+def test_minhash_signature_kernel_matches_jvm(spark):
+    """Round-16 optimization guard: the Arrow ``minhash_signature``
+    kernel (str.lower + re.ASCII ``\\s+`` split + md5-60 + vectorized
+    affine min) must emit row-identical signatures to the original JVM
+    transform/array_min form — including Java-vs-Python whitespace
+    semantics (NBSP is NOT split), unicode case mapping (final sigma,
+    İ, ẞ), NULL and empty text (both yield [NULL]×k, never a NULL
+    array), and whitespace-only text."""
+    rows = [
+        (1, "The quick\tbrown FOX\njumps over the lazy dog"),
+        (2, "a b c d e f g h"),  # NBSP glues tokens
+        (3, "Ångström STRASSE ẞ İstanbul ΣΟΦΟΣ maße"),
+        (4, ""),
+        (5, None),
+        (6, "dup dup dup dup"),
+        (7, "  \t \n \f\r "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for nh in (4, 16):
+        jvm = {
+            r.doc_id: r.minhash
+            for r in dedup.minhash_signature(df, num_hashes=nh, impl="jvm").collect()
+        }
+        ker = {
+            r.doc_id: r.minhash
+            for r in dedup.minhash_signature(df, num_hashes=nh, impl="kernel").collect()
+        }
+        assert jvm == ker, nh
+        assert ker[4] == [None] * nh and ker[5] == [None] * nh
+    with pytest.raises(ValueError, match="impl"):
+        dedup.minhash_signature(df, impl="nope")
+
+
 def test_simhash_hamming_close_for_near_dups(spark, docs_df):
     sh = {r.doc_id: r.simhash for r in text.with_simhash(docs_df).collect()}
     assert sh[1] == sh[2]  # identical token set → identical simhash
@@ -145,6 +178,46 @@ def test_cluster_pairs_string_ids(spark):
     )
     got = {r.doc_id: r.cluster_id for r in dedup.cluster_pairs(pairs).collect()}
     assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_cluster_pairs_contract_matches_iterate(spark):
+    """Round-16 optimization guard: the two-phase local-contraction CC
+    (``impl="contract"``) must emit row-identical (doc_id, cluster_id)
+    labelings to the original iterative min-label propagation
+    (``impl="iterate"``) — min-id labeling is a property of the graph,
+    not the algorithm. The graph mixes a long chain (diameter >> 1,
+    descending so the min id enters from one end), a star, a cycle,
+    self-loops, duplicate/reversed edges, and isolated-by-pairing
+    nodes; 16 input partitions + fan_in=2 force a multi-level ladder
+    so cross-partition components MUST merge through intermediate
+    contraction levels to come out right."""
+    chain = [(i + 1, i) for i in range(40)]            # 40..0 one component
+    star = [(100, k) for k in range(101, 109)]
+    cycle = [(200, 201), (201, 202), (202, 203), (203, 200)]
+    extras = [(300, 300), (5, 5), (2, 1), (0, 1)]       # self-loops + dups
+    pairs = spark.createDataFrame(
+        chain + star + cycle + extras, ["id_a", "id_b"]
+    ).repartition(16)
+    want = {r.doc_id: r.cluster_id
+            for r in dedup.cluster_pairs(pairs, impl="iterate").collect()}
+    for fan in (2, 64):
+        got = {r.doc_id: r.cluster_id
+               for r in dedup.cluster_pairs(pairs, impl="contract", fan_in=fan).collect()}
+        assert got == want, fan
+    assert want[40] == 0 and want[108] == 100 and want[203] == 200
+    # string ids through the contract path too (comparable, not numeric)
+    spairs = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("y", "x")], ["id_a", "id_b"]
+    ).repartition(8)
+    w2 = {r.doc_id: r.cluster_id
+          for r in dedup.cluster_pairs(spairs, impl="iterate").collect()}
+    g2 = {r.doc_id: r.cluster_id
+          for r in dedup.cluster_pairs(spairs, impl="contract", fan_in=2).collect()}
+    assert g2 == w2 == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+    with pytest.raises(ValueError, match="impl"):
+        dedup.cluster_pairs(spairs, impl="nope")
+    with pytest.raises(ValueError, match="fan_in"):
+        dedup.cluster_pairs(spairs, impl="contract", fan_in=1)
 
 
 def test_null_embeddings_survive_pandas_kernels(spark):
