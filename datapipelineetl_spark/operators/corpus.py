@@ -1189,35 +1189,28 @@ def attrition_report(
     Returns (stage, n_rows, n_dropped) with stage order preserved by an
     ordinal prefix.
 
-    Scale: each count is a metadata aggregate over the same
-    checkpointed lineage prepare_corpus builds — counting costs one
-    extra job per stage, nothing is collected but the scalars. Run it
-    on a sample when the full corpus makes even counts expensive.
+    Scale (round 16): delegates to ``prepare_corpus(...,
+    with_attrition=True)`` — every stage count rides as an
+    ``Observation`` metric on the job that already materializes that
+    stage of the ladder, so the report costs ZERO jobs beyond the
+    ladder itself. The pre-round-16 standalone form paid a separate
+    full-scan ``df.count()`` plus one count job per stage over its own
+    re-run of the ladder (4 counts + 3 checkpoints; warm sf0.1 A/B in
+    OPTIMIZATION_r16.md). One implementation also means the report
+    counts the real pipeline by construction.
     """
-    stages: list[tuple[str, int]] = [("0_input", df.count())]
-    # checkpoint after each counted stage: every stage is read ≥2 times
-    # (its own count + as the next stage's base, and the quality frame
-    # 4× through the near-dup branch) — without the barriers the
-    # quality/fingerprint lineage re-executes per consumer (measured
-    # 9.5 → 8.3 s warm at sf0.1, same-session A/B)
-    out = _quality_lang_stage(df, text_col, min_quality, langs).localCheckpoint(
-        eager=True
+    _, report = prepare_corpus(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        min_quality=min_quality,
+        langs=langs,
+        near_dup_threshold=near_dup_threshold,
+        max_bucket_size=max_bucket_size,
+        redact=False,
+        with_attrition=True,
     )
-    stages.append(("1_quality_lang", out.count()))
-    out = _exact_dedup_stage(out, id_col, text_col).localCheckpoint(eager=True)
-    stages.append(("2_exact_dedup", out.count()))
-    if near_dup_threshold is not None:
-        losers = _surface_losers(
-            out, id_col, text_col, near_dup_threshold, max_bucket_size, "min_id"
-        )
-        out = out.join(losers, out[id_col] == F.col("__loser"), "left_anti")
-        stages.append(("3_near_dedup", out.count()))
-    spark = df.sparkSession
-    rows = [
-        (name, n, (stages[i - 1][1] - n) if i else 0)
-        for i, (name, n) in enumerate(stages)
-    ]
-    return spark.createDataFrame(rows, "stage string, n_rows long, n_dropped long")
+    return report
 
 
 def shuffle_corpus(

@@ -473,6 +473,23 @@ def lsh_cosine_near_pairs(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
+    # Verify parallelism (round 16): the candidate stream is bytes-tiny
+    # (two ids per row) but every row costs a dim-length interpreted
+    # cosine fold in the verify, so AQE's byte-based post-shuffle
+    # coalescing starved the verify stage (the 1 MB minPartitionSize
+    # floor left 8 partitions carrying 22 s of executor CPU at sf0.1 —
+    # stage-level REST metrics; disabling coalescing read 4.2 s vs
+    # 5.5 s median interleaved). An explicit NUMBERED repartition is
+    # exempt from AQE coalescing; the width follows defaultParallelism
+    # (cores locally, executors × cores on a cluster), not a local
+    # constant, and the exchange it adds carries only the id pairs.
+    # ... keyed on id_a ALONE: the distinct above already hash-partitions
+    # on (id_a, id_b), so a same-key repartition is removed as redundant
+    # by the planner (measured: the 8-task verify survived); a different
+    # clustering forces the exchange to stay.
+    cand = cand.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col("id_a")
+    )
     v = df.select(F.col(id_col), vec.alias("__v"))
     # Verify stays a JVM fold ON PURPOSE: an Arrow-batched cosine here was
     # measured 1.5× SLOWER (6.9s vs 4.5s warm at sf0.1) — the candidate
@@ -1760,6 +1777,19 @@ def semdedup(
     if pair_stage == "kernel":
         dup_counts = _semdedup_pairs_kernel(v, id_col, threshold, cos_dp)
     else:
+        # Pair-stage parallelism (round 16): the (id, cluster, unit)
+        # rows are bytes-tiny but each joined pair costs a dim-length
+        # interpreted dot fold, so AQE's byte-based coalescing starves
+        # the pair stage (observed 1 task carrying 1.3 s of executor
+        # CPU at sf0.1 — the q_lsh_cosine_near_pairs disease in
+        # miniature). An explicit NUMBERED repartition on the join key
+        # is exempt from coalescing and satisfies the join requirement
+        # on both sides, so no extra exchange appears in the join
+        # itself; width follows defaultParallelism, not a local
+        # constant.
+        v = v.repartition(
+            v.sparkSession.sparkContext.defaultParallelism, F.col("cluster")
+        )
         a, b = v.alias("a"), v.alias("b")
         dup_counts = (
             a.join(

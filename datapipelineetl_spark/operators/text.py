@@ -78,10 +78,51 @@ def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+def with_quality_score(
+    df: DataFrame, text_col: str = "text", impl: str = "jvm"
+) -> DataFrame:
     """Quality scoring: length, punctuation ratio, stopword ratio, alpha
     ratio, and a composite [0,1] score (heuristics in the C4/Gopher-rule
-    style — deterministic, tune weights per corpus)."""
+    style — deterministic, tune weights per corpus).
+
+    ``impl`` picks the physical form (round 16):
+
+    - ``"jvm"`` (default): the original column expressions. The
+      stopword ``F.filter`` chain is an interpreted higher-order
+      function, but the per-row work here is LIGHT (one split + one
+      membership test per token) — the round-16 interleaved A/B at the
+      sf0.1 geometry read jvm 0.87 s vs kernel 0.99 s median for the
+      full quality+lang stage, i.e. the Arrow boundary's fixed
+      per-batch cost exceeds the interpreted-HOF savings (unlike the
+      minhash/ngram kernels, whose per-token work is 10–30× heavier).
+      Measured, not assumed — see OPTIMIZATION_r16.md.
+    - ``"kernel"``: ONE Arrow-batched pass computing all five columns
+      as a struct — bit-identical to the JVM form (parity pinned by
+      ``test_quality_score_kernel_matches_jvm``, incl. the
+      ``round(x, 4)`` HALF-UP-on-shortest-decimal-repr semantics, NULL
+      text → NULL ratios but score 0.25, and the Java-regex-parity
+      ``re.ASCII`` classes). Marked non-deterministic so the
+      ``quality_score`` filter every caller applies cannot duplicate
+      the ArrowEvalPython node. The right form when documents are long
+      (per-row token work amortizes the boundary) — re-measure before
+      flipping the default.
+    """
+    if impl not in ("kernel", "jvm"):
+        raise ValueError(f"impl must be 'kernel' or 'jvm', got {impl!r}")
+    if impl == "kernel":
+        st = _quality_kernel_udf()(F.col(text_col))
+        tmp = "__quality_struct"
+        return (
+            df.withColumn(tmp, st)
+            .select(
+                *df.columns,
+                F.col(tmp)["n_chars_m"].alias("n_chars_m"),
+                F.col(tmp)["punct_ratio"].alias("punct_ratio"),
+                F.col(tmp)["stopword_ratio"].alias("stopword_ratio"),
+                F.col(tmp)["alpha_ratio"].alias("alpha_ratio"),
+                F.col(tmp)["quality_score"].alias("quality_score"),
+            )
+        )
     txt = F.col(text_col)
     length = F.length(txt)
     # single-char class counts via length difference — same values as
@@ -107,13 +148,109 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("quality_score", F.round(score, 4))
 
 
-def with_lang_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -> DataFrame:
+def _round4_half_up():
+    """Spark's ``round(double, 4)``: HALF_UP over the double's shortest
+    decimal repr (Scala ``BigDecimal.decimal`` = ``Double.toString``,
+    which Python's ``repr(float)`` matches digit-for-digit)."""
+    from decimal import ROUND_HALF_UP, Decimal  # noqa: PLC0415
+
+    q = Decimal("0.0001")
+
+    def rnd(x: float) -> float:
+        return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+    return rnd
+
+
+def _quality_kernel_udf():
+    """Arrow-batched BIT-EXACT quality scoring — ``with_quality_score``'s
+    JVM values in one Python pass (round 16; non-default — see the
+    operator docstring for the measured A/B). Parity notes: tokenization is
+    the established ``str.lower()`` + ``re.ASCII``-pinned ``\\s+`` split
+    (Java-``\\s`` parity); the punct/alpha character classes are
+    ``re.ASCII`` (Java's default ``\\w`` is ASCII); lengths count code
+    points on both sides; ratio rounding is ``_round4_half_up``; the
+    composite score sums exact binary quarters. NULL text reproduces the
+    JVM's NULL ratios with score 0.25 (the CASE-over-NULL fallthrough)."""
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    import re as _re  # noqa: PLC0415
+
+    sre = _re.compile(r"\s+", _re.ASCII)
+    punct_re = _re.compile(r"[^\w\s]", _re.ASCII)
+    alpha_re = _re.compile(r"[A-Za-z]")
+    stop_set = frozenset(LANG_MARKERS["en"])
+    rnd = _round4_half_up()
+
+    def _q(s):
+        n_chars, p_r, s_r, a_r, score = [], [], [], [], []
+        for txt in s.tolist():
+            if not isinstance(txt, str):
+                n_chars.append(None)
+                p_r.append(None)
+                s_r.append(None)
+                a_r.append(None)
+                score.append(0.25)  # len<20 NULL → otherwise-1.0 quarter
+                continue
+            length = len(txt)
+            d = max(length, 1)
+            pr = rnd((length - len(punct_re.sub("", txt))) / d)
+            toks = [t for t in sre.split(txt.lower()) if t]
+            sr = rnd(sum(1 for t in toks if t in stop_set) / max(len(toks), 1))
+            ar = rnd((length - len(alpha_re.sub("", txt))) / d)
+            sc = (
+                (0.0 if length < 20 else 1.0) * 0.25
+                + (1.0 if 0.01 <= sr <= 0.6 else 0.0) * 0.25
+                + (1.0 if pr <= 0.2 else 0.0) * 0.25
+                + (1.0 if ar >= 0.5 else 0.0) * 0.25
+            )
+            n_chars.append(length)
+            p_r.append(pr)
+            s_r.append(sr)
+            a_r.append(ar)
+            score.append(rnd(sc))
+        return pd.DataFrame(
+            {
+                "n_chars_m": pd.array(n_chars, dtype="Int32"),
+                "punct_ratio": p_r,
+                "stopword_ratio": s_r,
+                "alpha_ratio": a_r,
+                "quality_score": score,
+            }
+        )
+
+    # no type hints on _q: `from __future__ import annotations`
+    # stringifies them before pandas_udf can inspect them (module
+    # convention, see similarity._lsh_signatures_pandas)
+    return pandas_udf(
+        _q,
+        "struct<n_chars_m:int,punct_ratio:double,stopword_ratio:double,"
+        "alpha_ratio:double,quality_score:double>",
+    ).asNondeterministic()
+
+
+def with_lang_id(
+    df: DataFrame, text_col: str = "text", out: str = "lang_pred", impl: str = "jvm"
+) -> DataFrame:
     """Language-ID via stopword-marker voting (n-gram heuristic class).
 
     Scores each language by distinct marker hits in the token set; argmax
     with deterministic tie-break on the LANG_MARKERS declaration order.
     ``und`` (undetermined) when no marker hits at all.
+
+    ``impl="jvm"`` (default): the original expressions — the round-16
+    A/B (measured with the quality stage, see ``with_quality_score``)
+    read the Arrow form slightly slower at the sf0.1 geometry; the
+    per-token work is too light to amortize the Python boundary.
+    ``impl="kernel"``: one Arrow-batched pass — bit-identical
+    predictions (parity pinned by ``test_lang_id_kernel_matches_jvm``);
+    the right form for long documents.
     """
+    if impl not in ("kernel", "jvm"):
+        raise ValueError(f"impl must be 'kernel' or 'jvm', got {impl!r}")
+    if impl == "kernel":
+        return df.withColumn(out, _lang_id_kernel_udf()(F.col(text_col)))
     toks = tokens(text_col, distinct=True)
     scores = [
         (lang, F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in markers]))))
@@ -130,6 +267,42 @@ def with_lang_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") 
     return df.withColumn(out, F.when(best["s"] > 0, best["lang"]).otherwise(F.lit("und")))
 
 
+def _lang_id_kernel_udf():
+    """Arrow-batched BIT-EXACT language-ID — ``with_lang_id``'s JVM
+    values in one Python pass (round 16; non-default — measured A/B in
+    the operator docstring): distinct-token ∩ marker-set
+    counts per language, argmax with declaration-order tie-break
+    (``max`` over (score, priority) mirrors the greatest-of-structs),
+    ``und`` for zero hits and for NULL text (the JVM's NULL-struct
+    fallthrough)."""
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    import re as _re  # noqa: PLC0415
+
+    sre = _re.compile(r"\s+", _re.ASCII)
+    markers = [(lang, frozenset(ms)) for lang, ms in LANG_MARKERS.items()]
+
+    def _lang(s):
+        out: list[str] = []
+        for txt in s.tolist():
+            if not isinstance(txt, str):
+                out.append("und")
+                continue
+            tok_set = {t for t in sre.split(txt.lower()) if t}
+            best_s, best_lang = 0, "und"
+            for lang, ms in markers:
+                sc = len(tok_set & ms)
+                # strict >: earlier declaration (higher prio) wins ties
+                if sc > best_s:
+                    best_s, best_lang = sc, lang
+            out.append(best_lang)
+        return pd.Series(out)
+
+    # no type hints on _lang (module convention — see _quality_kernel_udf)
+    return pandas_udf(_lang, "string").asNondeterministic()
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerprint") -> DataFrame:
     """Exact-content fingerprint: md5 of the raw text (reference K4 parity:
     MD5 whole-file dedup, mypy/streaming.py:31-46)."""
@@ -137,7 +310,8 @@ def with_fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerpr
 
 
 def with_token_set_fingerprint(
-    df: DataFrame, text_col: str = "text", out: str = "ts_fingerprint"
+    df: DataFrame, text_col: str = "text", out: str = "ts_fingerprint",
+    impl: str = "jvm",
 ) -> DataFrame:
     """Canonicalized-content fingerprint: md5 of the sorted distinct token
     set — invariant to word order and repetition, i.e. exact detection of
@@ -145,9 +319,53 @@ def with_token_set_fingerprint(
 
     Scale: one narrow projection + one groupBy on the fingerprint — the
     O(n²) similarity join disappears for the equality case.
+
+    ``impl="jvm"`` (default): the original expressions — the round-16
+    interleaved A/B read jvm 0.19 s vs kernel 0.54 s median at the
+    sf0.1 geometry (md5 dominates and is equally fast in the JVM; the
+    interpreted sort/join chain is a minority cost), so the Arrow form
+    is strictly worse here. ``impl="kernel"``: one Arrow-batched pass —
+    bit-identical digests (parity pinned by
+    ``test_token_set_fingerprint_kernel_matches_jvm``; Python's
+    code-point string sort equals ``array_sort``'s unsigned-UTF-8-byte
+    order because UTF-8 preserves code-point order).
     """
+    if impl not in ("kernel", "jvm"):
+        raise ValueError(f"impl must be 'kernel' or 'jvm', got {impl!r}")
+    if impl == "kernel":
+        return df.withColumn(out, _ts_fingerprint_kernel_udf()(F.col(text_col)))
     canon = F.array_join(F.array_sort(tokens(text_col, distinct=True)), " ")
     return df.withColumn(out, F.md5(canon))
+
+
+def _ts_fingerprint_kernel_udf():
+    """Arrow-batched BIT-EXACT token-set fingerprint —
+    ``with_token_set_fingerprint``'s JVM values in one Python pass
+    (round 16; non-default — measured A/B in the operator docstring):
+    established tokenizer parity, ``sorted`` == array_sort
+    (UTF-8 byte order preserves code-point order), md5 of the
+    space-joined set; NULL text → NULL (the JVM md5-of-NULL), zero
+    tokens → md5 of the empty string (join of an empty array)."""
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    import hashlib as _hl  # noqa: PLC0415
+    import re as _re  # noqa: PLC0415
+
+    sre = _re.compile(r"\s+", _re.ASCII)
+
+    def _fp(s):
+        out: list[str | None] = []
+        for txt in s.tolist():
+            if not isinstance(txt, str):
+                out.append(None)
+                continue
+            toks = sorted({t for t in sre.split(txt.lower()) if t})
+            out.append(_hl.md5(" ".join(toks).encode("utf-8")).hexdigest())
+        return pd.Series(out)
+
+    # no type hints on _fp (module convention — see _quality_kernel_udf)
+    return pandas_udf(_fp, "string").asNondeterministic()
 
 
 def with_winnowing_fingerprints(
@@ -981,11 +1199,73 @@ def _bpe_merge_fold(syms: Column, a: str, b: str) -> Column:
     return F.aggregate(syms, init, step, fin)
 
 
+def _bpe_train_kernel(n_merges: int, min_pair_count: int):
+    """mapInPandas generator: the full Sennrich merge recursion over one
+    partition holding the whole (word, count) vocabulary. Emits
+    kind='w' rows (word, count, syms — the final segmented state) and
+    kind='m' rows (a, b, cnt, ord — the ordered merge table). Exact
+    semantics of the iterative form: per-occurrence weighted pair
+    counts, argmax by (count desc, pair lexicographic — Python tuple
+    compare on str == Spark's code-point orderBy), left-to-right
+    no-overlap merge application, stop below ``min_pair_count``."""
+    import pandas as pd  # noqa: PLC0415
+
+    nm, mpc = int(n_merges), int(min_pair_count)
+
+    def gen(batches):
+        words: dict[str, int] = {}
+        for pdf in batches:
+            for w, c in zip(pdf["word"].tolist(), pdf["count"].tolist()):
+                words[w] = int(c)
+        syms = {w: list(w) + [_BPE_EOW] for w in words}
+        merges: list[tuple[str, str, int]] = []
+        for _ in range(nm):
+            pc: dict[tuple[str, str], int] = {}
+            for w, c in words.items():
+                s = syms[w]
+                for i in range(len(s) - 1):
+                    k = (s[i], s[i + 1])
+                    pc[k] = pc.get(k, 0) + c
+            if not pc:
+                break
+            (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            if cnt < mpc:
+                break
+            merges.append((a, b, cnt))
+            for w, s in syms.items():
+                out: list[str] = []
+                i = 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                syms[w] = out
+        wlist = list(words)
+        yield pd.DataFrame(
+            {
+                "kind": ["w"] * len(wlist) + ["m"] * len(merges),
+                "word": wlist + [None] * len(merges),
+                "count": [words[w] for w in wlist] + [None] * len(merges),
+                "syms": [syms[w] for w in wlist] + [None] * len(merges),
+                "a": [None] * len(wlist) + [m[0] for m in merges],
+                "b": [None] * len(wlist) + [m[1] for m in merges],
+                "cnt": [None] * len(wlist) + [m[2] for m in merges],
+                "ord": [None] * len(wlist) + list(range(len(merges))),
+            }
+        )
+
+    return gen
+
+
 def train_bpe(
     df: DataFrame,
     n_merges: int,
     text_col: str = "text",
     min_pair_count: int = 1,
+    impl: str = "kernel",
 ) -> tuple[list[tuple[str, str, int]], DataFrame]:
     """Distributed byte-pair-encoding merge training (Sennrich et al.
     2016 — the real tokenizer-training step behind ``build_vocab``'s
@@ -1012,22 +1292,61 @@ def train_bpe(
     ``n_merges`` deep in lineage and analysis time, not execution,
     becomes the bottleneck. Only the 1-row argmax and the final merge
     list touch the driver.
+
+    ``impl`` picks the physical form of the iteration tier (round 16;
+    the corpus-sized word-count shuffle is identical in both):
+
+    - ``"kernel"`` (default): the ENTIRE merge loop runs in one
+      single-partition Arrow ``mapInPandas`` pass over the vocabulary
+      table — one job total, where the iterative form pays 2 driver
+      round-trip jobs per merge (argmax collect + eager checkpoint;
+      q_token_fertility's plan was 44 stages of almost pure per-job
+      fixed cost at n_merges=12). BPE is integer counts + code-point
+      string comparison only — no floats — so the kernel is
+      bit-identical by construction (pinned by the existing
+      random-corpus property test run against BOTH impls and
+      ``test_train_bpe_kernel_matches_iterate``). Memory bound, stated
+      honestly: one task holds the (word, count) vocabulary — ~10⁷
+      rows for a huge crawl, executor-sized, the same in-memory shape
+      every production BPE trainer uses.
+    - ``"iterate"``: the original per-merge job loop — vocabulary
+      never held in one task; the right form if the word table
+      outgrows an executor.
     """
     if n_merges < 0:
         raise ValueError(f"n_merges must be >= 0, got {n_merges}")
     if min_pair_count < 1:
         raise ValueError(f"min_pair_count must be >= 1, got {min_pair_count}")
-    words = (
+    if impl not in ("kernel", "iterate"):
+        raise ValueError(f"impl must be 'kernel' or 'iterate', got {impl!r}")
+    counts = (
         df.select(F.explode(tokens(text_col)).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("count"))
-        .withColumn(
-            "syms",
-            F.concat(
-                F.split(F.col("word"), ""),
-                F.array(F.lit(_BPE_EOW)),
-            ),
+    )
+    if impl == "kernel":
+        rows = (
+            counts.repartition(1)
+            .mapInPandas(
+                _bpe_train_kernel(n_merges, min_pair_count),
+                "kind string, word string, count long, syms array<string>, "
+                "a string, b string, cnt long, ord int",
+            )
+            .localCheckpoint(eager=True)
         )
+        merges = [
+            (r.a, r.b, int(r.cnt))
+            for r in rows.filter(F.col("kind") == "m").orderBy("ord").collect()
+        ]
+        return merges, rows.filter(F.col("kind") == "w").select(
+            "word", "count", "syms"
+        )
+    words = counts.withColumn(
+        "syms",
+        F.concat(
+            F.split(F.col("word"), ""),
+            F.array(F.lit(_BPE_EOW)),
+        ),
     ).localCheckpoint(eager=True)
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
