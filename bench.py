@@ -215,12 +215,22 @@ EXPECTED_SEC = {
     # state, plan unchanged; recalibrated rather than absorbed)
     "q_winnowing_fingerprints": 0.81,
     "q_winnow_collisions": 1.64,
-    "q_minhash_capped_near_dups": 1.72,
-    "q_dedup_clusters_lsh": 5.13,
+    # Round-16 re-pins (same-day 2026-08-17, with the optimization
+    # commits they gate — the bench's own policy): every row whose
+    # PHYSICAL PLAN changed this round gets a fresh reference from the
+    # two same-day full bench runs (77.79 s and 70.83 s totals, anchor
+    # 0.966 / 0.898) plus the interleaved A/B probes recorded in
+    # OPTIMIZATION_r16.md. Pins sit at/above the readings' midpoint
+    # because this machine's same-day ambient band is wide (steal
+    # bursts; the PQ rows historically spread ±30%+ on byte-identical
+    # plans — r13 note below).
+    "q_minhash_capped_near_dups": 2.00,  # kernel sigs; 1.80 / 2.22 same-day
+    "q_dedup_clusters_lsh": 2.25,  # contract CC; 2.26 / 2.24 same-day
     "q_cosine_topk": 0.39,
-    "q_lsh_cosine_near_pairs": 5.16,
+    "q_lsh_cosine_near_pairs": 3.70,  # verify repartition; 3.09 bench / 3.9-4.3 probes
     "q_pack_chunks": 0.34,
-    "q_contamination_pairs": 4.50,  # re-pinned round 16 (VERDICT r15
+    "q_contamination_pairs": 1.55,  # round-16 ngram kernel; 2.07 / 1.02 same-day
+    # (supersedes the 4.50 re-pin earlier this round — the plan then changed)  # re-pinned round 16 (VERDICT r15
     # item 2): recorded row drifted 3.90 (r14) -> 5.28 (r15) against the
     # r6-era 3.52 pin while queries_batch11.py / operators/corpus.py /
     # operators/text.py stayed BYTE-IDENTICAL to the r14-gate tree (git
@@ -229,13 +239,13 @@ EXPECTED_SEC = {
     # conditions: bench-run best-of-3 4.62, standalone best-of-4 4.46
     # (runs 6.44/5.22/4.46/5.21) — ambient band, not a regression; the
     # pin sits at the warm floor per the PQ rows' midpoint discipline.
-    "q_prepare_corpus": 8.53,
+    "q_prepare_corpus": 3.40,  # contract CC + lazy ladder; 3.08 bench / 2.7-3.7 probes
     # batch-12 rows: SCALING.md pre-measurements (round 6, same machine)
     "q_repetition_stats": 1.10,
     "q_split_corpus": 0.11,
     "q_pack_sequences": 1.76,  # round 8: +md5 digest of each pack's ids
     # (the driver-canon-safe output reshape) — re-measured same-day
-    "q_attrition_report": 8.31,  # per-stage checkpoints (round 7): 9.5 -> 8.3
+    "q_attrition_report": 3.00,  # Observation-riding delegation; 3.21 bench / 2.78 A/B med
     # batch-13 rows: SCALING.md "Staged batch-13" pre-measurements
     # (round 7, same machine)
     "q_normalize_text": 1.05,
@@ -246,16 +256,17 @@ EXPECTED_SEC = {
     # (best-of-3, bench conditions — the SCALING.md pre-measurements
     # re-read within noise: 1.14/1.80/2.99/2.58)
     "q_unigram_logprob": 1.21,
-    "q_dsir_weights": 1.87,
-    "q_kmeans_clusters": 3.48,
-    "q_bloom_decontam": 2.13,
+    "q_dsir_weights": 2.30,  # round-16 gram kernel; 2.29-2.51 bench band (kernel beat jvm
+    # 3.69 vs 4.62 med in the same-session interleave — absolute scale is ambient)
+    "q_kmeans_clusters": 3.20,  # seq-kernel assignment; 3.35 / 3.10 same-day
+    "q_bloom_decontam": 2.15,  # fused gram+bit-test kernel; 2.04-2.29 same-day
     # batch-17/18 rows: re-measured same-day as the round-10 promotion
     # (best-of-3, bench conditions — the SCALING.md "Staged batch-17/18"
     # pre-measurements re-read within noise: 5.21/4.36/4.11/3.79)
-    "q_semdedup": 5.60,
-    "q_gram_novelty": 4.40,
-    "q_doc_containment": 4.08,
-    "q_token_fertility": 3.50,
+    "q_semdedup": 2.25,  # pair-stage repartition; 2.25 bench / 1.7-2.3 probes
+    "q_gram_novelty": 1.48,  # ngram kernel; 1.34 / 1.62 same-day
+    "q_doc_containment": 1.18,  # ngram kernel; 1.04 / 1.32 same-day
+    "q_token_fertility": 1.10,  # single-pass BPE trainer; 1.04 bench / 0.92-1.01 A/B
     # batch-19 rows: measured same-day as the round-13 promotion, AFTER
     # the _pq_argmin nested-HOF rewrite (the struct-forest spelling
     # read 19.0/~19 s — SCALING.md "Round 13: PQ argmin spelling"; the
@@ -268,8 +279,9 @@ EXPECTED_SEC = {
     # readings' midpoint to keep the 1.35× gate meaningful in both
     # halves of the band (standalone warm best-of-3: 8.0/6.2, and
     # 9.5/7.1 after the fit dim-probe fusion).
-    "q_pq_codes": 10.80,
-    "q_pq_topk": 9.10,
+    "q_pq_codes": 1.20,  # seq kernels (466f882); 0.84 / 1.00 same-day
+    "q_pq_topk": 2.20,  # seq kernels; 1.14 / 2.75 same-day (the PQ rows keep the
+    # widest same-day ambient spread in the bench — pins sit near the high half)
     # batch-20 rows: measured same-day as the round-14 promotion (warm
     # best-of-3 under bench conditions: 8.34 / 13.49). Both carry the
     # q_pq_codes-class fixed cost — the sample Lloyd fit plus analysis
@@ -279,8 +291,8 @@ EXPECTED_SEC = {
     # measured single-scan serving form, parity-tested). References sit
     # slightly above the best-of-3 per the PQ rows' documented same-day
     # ambient band.
-    "q_ivfpq_topk": 8.80,
-    "q_pq_topk_multi": 13.80,
+    "q_ivfpq_topk": 3.30,  # seq kernels; 1.43 / 4.11 same-day
+    "q_pq_topk_multi": 5.00,  # seq kernels; 2.02 / 6.26 same-day
 }
 
 # FROZEN long-horizon anchor (VERDICT r14 item 2): the round-4 driver

@@ -1463,6 +1463,7 @@ def dsir_weights(
     n_buckets: int = 4096,
     alpha: float = 1.0,
     out: str = "dsir_weight",
+    impl: str = "kernel",
 ) -> DataFrame:
     """DSIR-style importance weights (Xie et al. 2023, "Data Selection
     for Language Models via Importance Resampling"): score every raw
@@ -1486,10 +1487,12 @@ def dsir_weights(
     """
     if alpha <= 0:
         raise ValueError(f"alpha must be > 0, got {alpha}")
-    model = dsir_model(df, target, text_col=text_col, n_buckets=n_buckets)
+    model = dsir_model(
+        df, target, text_col=text_col, n_buckets=n_buckets, impl=impl
+    )
     return dsir_score(
         df, model, id_col=id_col, text_col=text_col,
-        n_buckets=n_buckets, alpha=alpha, out=out,
+        n_buckets=n_buckets, alpha=alpha, out=out, impl=impl,
     )
 
 
@@ -1504,11 +1507,71 @@ def _dsir_grams(col: Column) -> Column:
     return F.concat(uni, bi)
 
 
+def _dsir_bucket_kernel(n_buckets: int, id_field: str | None, text_field: str):
+    """mapInPandas generator emitting one ``__b`` bucket row per DSIR
+    gram OCCURRENCE (unigrams + adjacent word bigrams — the exact
+    ``_dsir_grams`` per-occurrence multiset: tokenize with the
+    established ``re.ASCII`` split parity, bigrams joined with one
+    space, buckets ``md5-60 % n_buckets`` — pmod == ``%`` on the
+    nonnegative 60-bit hash). With ``id_field`` the id rides along and
+    a ZERO-GRAM document (incl. NULL text) emits one (id, NULL) row —
+    the ``explode_outer`` contract the scorer's n_grams-0/NULL-weight
+    output depends on; without ``id_field`` (the distribution-fit
+    path) zero-gram docs emit nothing, the plain ``explode`` contract."""
+    import pandas as pd  # noqa: PLC0415
+
+    nb = int(n_buckets)
+
+    def gen(batches):
+        import hashlib as _hl  # noqa: PLC0415
+        import re as _re  # noqa: PLC0415
+
+        sre = _re.compile(r"\s+", _re.ASCII)
+        memo: dict[str, int] = {}
+
+        def bucket(g: str) -> int:
+            v = memo.get(g)
+            if v is None:
+                v = int(_hl.md5(g.encode("utf-8")).hexdigest()[:15], 16) % nb
+                memo[g] = v
+            return v
+
+        for pdf in batches:
+            ids: list = []
+            bs: list[int | None] = []
+            texts = pdf[text_field].tolist()
+            rids = pdf[id_field].tolist() if id_field else None
+            for ridx, txt in enumerate(texts):
+                toks = (
+                    [t for t in sre.split(txt.lower()) if t]
+                    if isinstance(txt, str)
+                    else []
+                )
+                n0 = len(bs)
+                for t in toks:
+                    bs.append(bucket(t))
+                for i in range(len(toks) - 1):
+                    bs.append(bucket(toks[i] + " " + toks[i + 1]))
+                if rids is not None:
+                    emitted = len(bs) - n0
+                    if emitted == 0:
+                        bs.append(None)
+                        emitted = 1
+                    ids.extend([rids[ridx]] * emitted)
+            if id_field:
+                yield pd.DataFrame({id_field: ids, "__b": bs})
+            else:
+                yield pd.DataFrame({"__b": bs})
+
+    return gen
+
+
 def dsir_model(
     raw: DataFrame,
     target: DataFrame,
     text_col: str = "text",
     n_buckets: int = 4096,
+    impl: str = "kernel",
 ) -> DataFrame:
     """The DSIR model as a standalone, PERSISTABLE artifact: the
     (bucket, __raw, __tgt) hashed-n-gram count table both distributions
@@ -1527,20 +1590,33 @@ def dsir_model(
     most ``n_buckets`` rows (metadata by construction — the hashing
     trick's size story); localCheckpointed because the totals
     aggregate and the scoring join both read it.
+
+    ``impl="kernel"`` (default, round 16): the gram/bucket pass is one
+    Arrow ``mapInPandas`` per corpus — the JVM spelling's
+    tokens/shingles/filter HOF chain plus per-gram md5 is interpreted
+    per gram (the two fit stages carried 6.9 + 7.7 s of executor CPU at
+    sf0.1); bit-identical buckets (``test_dsir_kernel_matches_jvm``).
+    ``impl="jvm"`` keeps the expression form.
     """
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    if impl not in ("kernel", "jvm"):
+        raise ValueError(f"impl must be 'kernel' or 'jvm', got {impl!r}")
 
     def dist(frame: DataFrame, name: str) -> DataFrame:
-        return (
-            frame.select(F.explode(_dsir_grams(F.col(text_col))).alias("__g"))
-            .groupBy(
+        if impl == "kernel":
+            buckets = frame.select(F.col(text_col)).mapInPandas(
+                _dsir_bucket_kernel(n_buckets, None, text_col), "`__b` long"
+            )
+        else:
+            buckets = frame.select(
+                F.explode(_dsir_grams(F.col(text_col))).alias("__g")
+            ).select(
                 F.pmod(text.token_hash60(F.col("__g")), F.lit(n_buckets)).alias(
                     "__b"
                 )
             )
-            .agg(F.count(F.lit(1)).alias(name))
-        )
+        return buckets.groupBy("__b").agg(F.count(F.lit(1)).alias(name))
 
     return (
         dist(raw, "__raw")
@@ -1557,6 +1633,7 @@ def dsir_score(
     n_buckets: int = 4096,
     alpha: float = 1.0,
     out: str = "dsir_weight",
+    impl: str = "kernel",
 ) -> DataFrame:
     """Score a frame against a prebuilt ``dsir_model`` table: mean
     add-``alpha``-smoothed log-likelihood ratio over the document's
@@ -1569,35 +1646,48 @@ def dsir_score(
     one groupBy(doc); the totals row is a 1-row scalar crossJoin
     (plan-lint-allowlisted decorrelated-scalar shape). No corpus-sized
     state — the model is the only cross-frame input, and it is
-    ``n_buckets`` rows.
+    ``n_buckets`` rows. ``impl`` as in ``dsir_model`` (the kernel
+    emits (id, bucket) occurrence rows directly; gramless docs emit
+    one NULL-bucket row, the ``explode_outer`` contract).
     """
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     if alpha <= 0:
         raise ValueError(f"alpha must be > 0, got {alpha}")
+    if impl not in ("kernel", "jvm"):
+        raise ValueError(f"impl must be 'kernel' or 'jvm', got {impl!r}")
     totals = model.agg(
         F.coalesce(F.sum("__raw"), F.lit(0)).alias("__raw_total"),
         F.coalesce(F.sum("__tgt"), F.lit(0)).alias("__tgt_total"),
     )
-    doc_grams = df.select(
-        F.col(id_col),
-        F.explode_outer(
-            _dsir_grams(F.coalesce(F.col(text_col), F.lit("")))
-        ).alias("__g"),
-    ).withColumn(
-        "__b",
-        F.when(
-            F.col("__g").isNotNull(),
-            F.pmod(text.token_hash60(F.col("__g")), F.lit(n_buckets)),
-        ),
-    )
+    if impl == "kernel":
+        idt = df.schema[id_col].dataType.simpleString()
+        doc_grams = df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+            _dsir_bucket_kernel(n_buckets, id_col, text_col),
+            f"`{id_col}` {idt}, `__b` long",
+        )
+        gram_present = F.col("__b").isNotNull()
+    else:
+        doc_grams = df.select(
+            F.col(id_col),
+            F.explode_outer(
+                _dsir_grams(F.coalesce(F.col(text_col), F.lit("")))
+            ).alias("__g"),
+        ).withColumn(
+            "__b",
+            F.when(
+                F.col("__g").isNotNull(),
+                F.pmod(text.token_hash60(F.col("__g")), F.lit(n_buckets)),
+            ),
+        )
+        gram_present = F.col("__g").isNotNull()
     scored = (
         doc_grams.join(F.broadcast(model), "__b", "left")
         .crossJoin(F.broadcast(totals))
         .withColumn(
             "__lr",
             F.when(
-                F.col("__g").isNotNull(),
+                gram_present,
                 F.log(
                     (F.coalesce(F.col("__tgt"), F.lit(0)) + F.lit(alpha))
                     / (F.col("__tgt_total") + F.lit(alpha) * n_buckets)

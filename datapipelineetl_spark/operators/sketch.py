@@ -371,6 +371,7 @@ def bloom_flag_contaminated(
     n: int = 8,
     k: int = 2,
     hex_width: int = BLOOM_HEX_WIDTH,
+    impl: str = "kernel",
 ) -> DataFrame:
     """Flag corpus documents whose word ``n``-grams hit the benchmark
     Bloom filter: returns (id_col, n_grams, n_bloom_hits,
@@ -389,6 +390,15 @@ def bloom_flag_contaminated(
     shuffles O(corpus x grams/doc) rows. At 100 TB the bitset rides
     the broadcast once per executor and contamination becomes a
     map-only pass.
+
+    ``impl="kernel"`` (default, round 16): the gram construction + md5
+    hashing happen INSIDE the same Arrow pass as the bit test — text
+    crosses the boundary once and the JVM's interpreted shingle/md5
+    ``transform`` chains disappear (they carried most of the
+    corpus-side CPU; same bit-exact gram/hash parity as
+    ``corpus.ngram_hashes``, pinned by
+    ``test_bloom_flag_kernel_matches_jvm``). ``impl="jvm"`` keeps the
+    expression-side gram/hash feeding the Arrow bit test.
     """
     expected = 16**hex_width // 8
     if bitset.dtype != np.uint8 or bitset.size != expected:
@@ -396,8 +406,12 @@ def bloom_flag_contaminated(
             f"bitset must be uint8[{expected}] for hex_width {hex_width}, "
             f"got {bitset.dtype}[{bitset.size}]"
         )
+    if impl not in ("kernel", "jvm"):
+        raise ValueError(f"impl must be 'kernel' or 'jvm', got {impl!r}")
     spark = corpus.sparkSession
     bc = spark.sparkContext.broadcast(bitset.tobytes())
+    if impl == "kernel":
+        return _bloom_flag_fused(corpus, bc, id_col, text_col, n, k, hex_width)
 
     grams = _distinct_grams(corpus, text_col, n)
     # when every slice fits in the 60-bit md5 prefix (k*hex_width <=
@@ -476,6 +490,103 @@ def bloom_flag_contaminated(
                 [
                     rb.column(rb.schema.get_field_index(id_col)),
                     pa.array(grams_per_row.astype(np.int32), type=pa.int32()),
+                    pa.array(hits, type=pa.int32()),
+                    pa.array((hits > 0).astype(np.int32), type=pa.int32()),
+                ],
+                names=[id_col, "n_grams", "n_bloom_hits", "bloom_contaminated"],
+            )
+
+    return prepared.mapInArrow(_flag, schema=out_schema)
+
+
+def _bloom_flag_fused(
+    corpus: DataFrame,
+    bc,
+    id_col: str,
+    text_col: str,
+    n: int,
+    k: int,
+    hex_width: int,
+) -> DataFrame:
+    """``bloom_flag_contaminated``'s fused form: tokenize → shingle →
+    first-occurrence distinct → md5 positions → vectorized bit test,
+    all inside ONE ``mapInArrow`` pass over (id, text). Gram strings
+    and hashes are byte-identical to the JVM spelling (the
+    ``ngram_hashes`` parity: ``re.ASCII`` ``\\s+`` split == Java
+    ``\\s``, NULL text coalesces to the single empty gram); the bit
+    test is the same numpy block the jvm impl uses."""
+    compact = k * hex_width <= 15
+    prepared = corpus.select(F.col(id_col), F.col(text_col))
+    id_field = prepared.schema[id_col]
+    out_schema = (
+        f"`{id_col}` {id_field.dataType.simpleString()}, n_grams int, "
+        "n_bloom_hits int, bloom_contaminated int"
+    )
+    nn, kk, hw = int(n), int(k), int(hex_width)
+
+    def _flag(batches):
+        import hashlib as _hl  # executor-side
+        import re as _re
+
+        import pyarrow as pa
+
+        sre = _re.compile(r"\s+", _re.ASCII)
+        bits = np.frombuffer(bc.value, dtype=np.uint8)
+        mask = 16**hw - 1
+        shifts = np.array(
+            [4 * (15 - hw * (j + 1)) for j in range(kk)], dtype=np.int64
+        )
+        memo: dict[str, object] = {}
+
+        def positions(g: str):
+            v = memo.get(g)
+            if v is None:
+                h = _hl.md5(g.encode("utf-8")).hexdigest()
+                if compact:
+                    v = int(h[:15], 16)
+                else:
+                    v = [int(h[hw * j : hw * (j + 1)], 16) for j in range(kk)]
+                memo[g] = v
+            return v
+
+        for rb in batches:
+            texts = rb.column(rb.schema.get_field_index(text_col)).to_pylist()
+            flat: list[int] = []
+            lens = np.empty(len(texts), dtype=np.int64)
+            for ridx, txt in enumerate(texts):
+                if not isinstance(txt, str):
+                    txt = ""  # the JVM coalesce(text, '')
+                toks = [t for t in sre.split(txt.lower()) if t]
+                seen: set[str] = set()
+                for i in range(max(len(toks) - nn, 0) + 1):
+                    g = " ".join(toks[i : i + nn])
+                    if g in seen:
+                        continue
+                    seen.add(g)
+                    p = positions(g)
+                    if compact:
+                        flat.append(p)
+                    else:
+                        flat.extend(p)
+                lens[ridx] = len(seen)
+            arr = np.asarray(flat, dtype=np.int64)
+            if compact:
+                matrix = (arr[:, None] >> shifts[None, :]) & mask
+            else:
+                matrix = arr.reshape(-1, kk)
+            set_ = (
+                bits[matrix >> 3] & (1 << (matrix & 7)).astype(np.uint8)
+            ) != 0
+            gram_hits = set_.all(axis=1)
+            bounds = np.zeros(len(lens) + 1, dtype=np.int64)
+            np.cumsum(lens, out=bounds[1:])
+            csum = np.zeros(gram_hits.size + 1, dtype=np.int64)
+            np.cumsum(gram_hits, out=csum[1:])
+            hits = (csum[bounds[1:]] - csum[bounds[:-1]]).astype(np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(rb.schema.get_field_index(id_col)),
+                    pa.array(lens.astype(np.int32), type=pa.int32()),
                     pa.array(hits, type=pa.int32()),
                     pa.array((hits > 0).astype(np.int32), type=pa.int32()),
                 ],

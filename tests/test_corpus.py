@@ -1030,6 +1030,43 @@ def test_pack_best_fit_tighter_than_greedy(spark):
         corpus.pack_best_fit(adv, "doc_id", "n_tokens", budget=0)
 
 
+def test_dsir_kernel_matches_jvm(spark):
+    """Round-16 optimization guard: the Arrow DSIR gram/bucket kernel
+    must emit row-identical model tables AND per-doc weights to the JVM
+    explode/hash form — per-OCCURRENCE unigram+bigram multisets
+    (repeated grams count twice), the degenerate-shingle filter
+    (1-token and empty docs contribute no bigram), zero-gram and NULL
+    docs keeping their (n_grams 0, NULL weight) row, NBSP/unicode-case
+    tokenizer parity, and pmod-vs-%% bucket equality."""
+    rows = [
+        (1, "the quick brown fox the quick"),      # repeated grams
+        (2, "solo"),                                # 1 token: no bigram
+        (3, ""),                                    # zero grams
+        (4, None),                                  # NULL text
+        (5, "a b c"),                          # NBSP glues a b
+        (6, "İstanbul STRASSE ẞ ΣΟΦΟΣ İstanbul"),
+        (7, "x y z x y"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    target = df.filter(F.col("doc_id") % 2 == 1)
+    for nb in (7, 4096):
+        mj = {r["__b"]: (r["__raw"], r["__tgt"])
+              for r in corpus.dsir_model(df, target, n_buckets=nb, impl="jvm").collect()}
+        mk = {r["__b"]: (r["__raw"], r["__tgt"])
+              for r in corpus.dsir_model(df, target, n_buckets=nb, impl="kernel").collect()}
+        assert mj == mk, nb
+        wj = {r.doc_id: (r.n_grams, r.dsir_weight)
+              for r in corpus.dsir_weights(df, target, n_buckets=nb, impl="jvm").collect()}
+        wk = {r.doc_id: (r.n_grams, r.dsir_weight)
+              for r in corpus.dsir_weights(df, target, n_buckets=nb, impl="kernel").collect()}
+        assert wj == wk, nb
+        assert wk[3] == (0, None) and wk[4] == (0, None)
+    with pytest.raises(ValueError, match="impl"):
+        corpus.dsir_model(df, target, impl="nope")
+    with pytest.raises(ValueError, match="impl"):
+        corpus.dsir_score(df, corpus.dsir_model(df, target), impl="nope")
+
+
 def test_dsir_resample_gumbel_topk(spark):
     """dsir_resample: deterministic gumbel-top-k — fixed k, repeatable,
     salt-dependent, weight-respecting at low temperature, null weights

@@ -168,6 +168,37 @@ def test_bloom_no_false_negatives(spark, docs):
     assert flagged.count() == corp.count()
 
 
+def test_bloom_flag_kernel_matches_jvm(spark, docs):
+    """Round-16 optimization guard: the fused gram+hash+bit-test kernel
+    (impl='kernel') must emit row-identical (n_grams, n_bloom_hits,
+    bloom_contaminated) to the expression-side gram/hash form
+    (impl='jvm') — in BOTH position layouts (compact 60-bit prefix at
+    hex_width 4, and full-md5 slices at k*hex_width > 15), including
+    NULL/empty text (the single empty gram), sub-n-token remainder
+    grams, and repeated-gram dedup."""
+    bench = docs.filter(F.col("source") == "src0")
+    extra = spark.createDataFrame(
+        [(9001, None, "x"), (9002, "", "x"), (9003, "a b", "x"),
+         (9004, "w " * 30, "x")],
+        ["doc_id", "text", "source"],
+    )
+    corp = docs.filter(F.col("source") != "src0").select(
+        "doc_id", "text", "source"
+    ).unionByName(extra.select("doc_id", F.col("text").cast("string"), "source"))
+    for kk, hw in [(2, 4), (2, 8)]:   # compact and non-compact layouts
+        bits = sketch.build_bloom_bitset(bench, n=8, k=kk, hex_width=hw)
+        jvm = {r.doc_id: (r.n_grams, r.n_bloom_hits, r.bloom_contaminated)
+               for r in sketch.bloom_flag_contaminated(
+                   corp, bits, n=8, k=kk, hex_width=hw, impl="jvm").collect()}
+        ker = {r.doc_id: (r.n_grams, r.n_bloom_hits, r.bloom_contaminated)
+               for r in sketch.bloom_flag_contaminated(
+                   corp, bits, n=8, k=kk, hex_width=hw, impl="kernel").collect()}
+        assert jvm == ker, (kk, hw)
+        assert ker[9001][0] == 1 and ker[9002][0] == 1  # the empty gram
+    with pytest.raises(ValueError, match="impl"):
+        sketch.bloom_flag_contaminated(corp, bits, impl="nope", hex_width=8)
+
+
 def test_bloom_bitset_and_param_validation(spark, docs):
     with pytest.raises(ValueError, match="k must be"):
         sketch.bloom_positions(F.lit("x"), k=9, hex_width=4)
