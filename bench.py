@@ -210,11 +210,15 @@ EXPECTED_SEC = {
     "q_hypertable_rollup": 0.27,
     "q_meascollec_flatten": 0.17,
     "q_dedup_token_set": 0.44,
-    "q_simhash": 1.08,  # re-measured round 8 (VERDICT r7: 1.10 driver vs
-    # 0.84 recorded — best-of-3 warm reads 1.08 on the current machine
-    # state, plan unchanged; recalibrated rather than absorbed)
-    "q_winnowing_fingerprints": 0.81,
-    "q_winnow_collisions": 1.64,
+    "q_simhash": 0.65,  # round-16 Arrow kernel (was 1.08 jvm, re-pinned
+    # same-day 2026-08-17: bench runs 0.685/0.614, interleaved A/B med
+    # 0.539 vs jvm 1.097)
+    "q_winnowing_fingerprints": 0.70,  # round-16 winnow kernel (was 0.81
+    # jvm; same-day bench 0.700/0.789, A/B med 0.553 vs jvm 0.833)
+    "q_winnow_collisions": 1.70,  # round-16 winnow kernel (was 1.64 jvm;
+    # same-day bench 2.564(burst)/1.860, A/B med 1.428 vs jvm 1.836,
+    # standalone warm best 1.527 — pin sits at the readings' high half
+    # per the wide-ambient-band policy)
     # Round-16 re-pins (same-day 2026-08-17, with the optimization
     # commits they gate — the bench's own policy): every row whose
     # PHYSICAL PLAN changed this round gets a fresh reference from the
@@ -239,13 +243,17 @@ EXPECTED_SEC = {
     # conditions: bench-run best-of-3 4.62, standalone best-of-4 4.46
     # (runs 6.44/5.22/4.46/5.21) — ambient band, not a regression; the
     # pin sits at the warm floor per the PQ rows' midpoint discipline.
-    "q_prepare_corpus": 3.40,  # contract CC + lazy ladder; 3.08 bench / 2.7-3.7 probes
+    "q_prepare_corpus": 2.85,  # contract CC + lazy ladder (3.40), then the
+    # round-16 FUSED annotation kernel: same-day bench 2.56/2.92,
+    # interleaved A/B med fused 2.839 vs jvm 3.404
     # batch-12 rows: SCALING.md pre-measurements (round 6, same machine)
     "q_repetition_stats": 1.10,
     "q_split_corpus": 0.11,
     "q_pack_sequences": 1.76,  # round 8: +md5 digest of each pack's ids
     # (the driver-canon-safe output reshape) — re-measured same-day
-    "q_attrition_report": 3.00,  # Observation-riding delegation; 3.21 bench / 2.78 A/B med
+    "q_attrition_report": 2.90,  # Observation-riding delegation (3.00), then
+    # the fused annotation kernel: same-day bench 2.753/2.972,
+    # interleaved A/B med fused 3.011 vs jvm 3.267
     # batch-13 rows: SCALING.md "Staged batch-13" pre-measurements
     # (round 7, same machine)
     "q_normalize_text": 1.05,

@@ -412,11 +412,38 @@ def _quality_lang_stage(
     text_col: str,
     min_quality: float | None,
     langs: tuple[str, ...] | None,
+    annot_impl: str = "fused",
 ) -> DataFrame:
     """Stage 1 of the prepare ladder (shared with ``attrition_report`` —
     ONE implementation, so the report counts the real pipeline by
-    construction): quality + language annotation and filtering."""
-    out = text.with_lang_id(text.with_quality_score(df, text_col), text_col)
+    construction): quality + language annotation and filtering.
+
+    ``annot_impl="fused"`` computes quality + lang + the stage-2
+    token-set fingerprint (as ``__fp``) in ONE Arrow pass sharing one
+    tokenize (``text._annot_kernel_udf``); ``_exact_dedup_stage`` then
+    reuses the column instead of re-tokenizing. Bit-identical output
+    (parity pinned by ``test_prepare_annotations_fused_matches_jvm``).
+    The fingerprint lands BEFORE the quality/lang filters under the
+    fused impl — per-row function of the text, so values are unchanged;
+    the md5 spent on filtered-out rows is the price of sharing the
+    tokenize, settled by the interleaved A/B in OPTIMIZATION_r16.md."""
+    if annot_impl not in ("fused", "jvm"):
+        raise ValueError(f"annot_impl must be 'fused' or 'jvm', got {annot_impl!r}")
+    if annot_impl == "fused":
+        tmp = "__annot_struct"
+        st = text._annot_kernel_udf()(F.col(text_col))
+        out = df.withColumn(tmp, st).select(
+            *df.columns,
+            F.col(tmp)["n_chars_m"].alias("n_chars_m"),
+            F.col(tmp)["punct_ratio"].alias("punct_ratio"),
+            F.col(tmp)["stopword_ratio"].alias("stopword_ratio"),
+            F.col(tmp)["alpha_ratio"].alias("alpha_ratio"),
+            F.col(tmp)["quality_score"].alias("quality_score"),
+            F.col(tmp)["lang_pred"].alias("lang_pred"),
+            F.col(tmp)["ts_fingerprint"].alias("__fp"),
+        )
+    else:
+        out = text.with_lang_id(text.with_quality_score(df, text_col), text_col)
     if min_quality is not None:
         out = out.filter(F.col("quality_score") >= min_quality)
     if langs:
@@ -425,8 +452,14 @@ def _quality_lang_stage(
 
 
 def _exact_dedup_stage(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Stage 2 (shared): keep the min-id row per token-set fingerprint."""
-    out = text.with_token_set_fingerprint(df, text_col, out="__fp")
+    """Stage 2 (shared): keep the min-id row per token-set fingerprint.
+    Reuses a ``__fp`` column when stage 1's fused kernel already
+    computed it (one tokenize for both stages)."""
+    out = (
+        df
+        if "__fp" in df.columns
+        else text.with_token_set_fingerprint(df, text_col, out="__fp")
+    )
     w = Window.partitionBy("__fp").orderBy(id_col)
     return (
         out.withColumn("__rn", F.row_number().over(w))
@@ -494,6 +527,7 @@ def prepare_corpus(
     semantic_vec_col: str = "embedding",
     normalize: bool = False,
     with_attrition: bool = False,
+    annot_impl: str = "fused",
 ) -> DataFrame | tuple[DataFrame, DataFrame]:
     """One-call training-corpus preparation — the §2.11 ladder composed
     in its production order:
@@ -551,6 +585,16 @@ def prepare_corpus(
     one narrow pass + one partial-agg shuffle. The quality-ranked
     selection adds one window over the cluster METADATA frame
     ((id, cluster, score) — never the document bodies).
+
+    ``annot_impl`` picks stage 1/2's annotation form: ``"fused"``
+    (default, round 16) computes quality + lang + the exact-dedup
+    fingerprint in ONE Arrow pass sharing one tokenize (bit-identical
+    rows — see ``_quality_lang_stage``); ``"jvm"`` is the original
+    per-operator column expressions. The INDIVIDUAL kernels lost their
+    A/Bs (text.py docstrings) — fusing flips the economics because the
+    boundary is paid once for three operators' work and the text is
+    tokenized once instead of three times (interleaved A/B: prepare med
+    3.40 → 2.84 s, attrition 3.27 → 3.01 s; OPTIMIZATION_r16.md).
     """
     if representative not in ("min_id", "quality"):
         raise ValueError(
@@ -588,7 +632,7 @@ def prepare_corpus(
             .filter(F.col("dup_line_frac") <= max_dup_line_frac)
             .drop("dup_line_frac", "dup_line_char_frac")
         )
-    out = _quality_lang_stage(df, text_col, min_quality, langs)
+    out = _quality_lang_stage(df, text_col, min_quality, langs, annot_impl=annot_impl)
     out = _observed(out, "1_quality_lang")
     out = _exact_dedup_stage(out, id_col, text_col)
     out = _observed(out, "2_exact_dedup")

@@ -368,12 +368,108 @@ def _ts_fingerprint_kernel_udf():
     return pandas_udf(_fp, "string").asNondeterministic()
 
 
+def _annot_kernel_udf():
+    """FUSED Arrow-batched annotation kernel (round 16): quality struct
+    + language-ID + token-set fingerprint in ONE boundary crossing,
+    tokenizing ONCE — the prepare-ladder's stage-1/2 annotations
+    (``with_quality_score`` + ``with_lang_id`` +
+    ``with_token_set_fingerprint``) each re-tokenize the text, so
+    fusing shares the split/lower pass three ways and pays the Arrow
+    round-trip once instead of three times (the economics that made the
+    INDIVIDUAL kernels lose their A/Bs — see the operator docstrings).
+    Every field reuses the individually-pinned parity logic verbatim:
+    quality = ``_quality_kernel_udf`` (re.ASCII classes,
+    ``_round4_half_up``, NULL text → NULL ratios + score 0.25), lang =
+    ``_lang_id_kernel_udf`` (distinct-token marker votes,
+    declaration-order tie-break, NULL → 'und'), fingerprint =
+    ``_ts_fingerprint_kernel_udf`` (sorted distinct tokens, md5, NULL
+    text → NULL). Parity pinned end-to-end by
+    ``test_prepare_annotations_fused_matches_jvm``."""
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    import hashlib as _hl  # noqa: PLC0415
+    import re as _re  # noqa: PLC0415
+
+    sre = _re.compile(r"\s+", _re.ASCII)
+    punct_re = _re.compile(r"[^\w\s]", _re.ASCII)
+    alpha_re = _re.compile(r"[A-Za-z]")
+    stop_set = frozenset(LANG_MARKERS["en"])
+    markers = [(lang, frozenset(ms)) for lang, ms in LANG_MARKERS.items()]
+    rnd = _round4_half_up()
+
+    def _a(s):
+        n_chars: list[int | None] = []
+        p_r: list[float | None] = []
+        s_r: list[float | None] = []
+        a_r: list[float | None] = []
+        score: list[float] = []
+        lang_out: list[str] = []
+        fp_out: list[str | None] = []
+        for txt in s.tolist():
+            if not isinstance(txt, str):
+                n_chars.append(None)
+                p_r.append(None)
+                s_r.append(None)
+                a_r.append(None)
+                score.append(0.25)  # len<20 NULL → otherwise-1.0 quarter
+                lang_out.append("und")
+                fp_out.append(None)
+                continue
+            length = len(txt)
+            d = max(length, 1)
+            pr = rnd((length - len(punct_re.sub("", txt))) / d)
+            toks = [t for t in sre.split(txt.lower()) if t]
+            sr = rnd(sum(1 for t in toks if t in stop_set) / max(len(toks), 1))
+            ar = rnd((length - len(alpha_re.sub("", txt))) / d)
+            sc = (
+                (0.0 if length < 20 else 1.0) * 0.25
+                + (1.0 if 0.01 <= sr <= 0.6 else 0.0) * 0.25
+                + (1.0 if pr <= 0.2 else 0.0) * 0.25
+                + (1.0 if ar >= 0.5 else 0.0) * 0.25
+            )
+            tok_set = set(toks)
+            best_s, best_lang = 0, "und"
+            for lang, ms in markers:
+                c = len(tok_set & ms)
+                # strict >: earlier declaration (higher prio) wins ties
+                if c > best_s:
+                    best_s, best_lang = c, lang
+            n_chars.append(length)
+            p_r.append(pr)
+            s_r.append(sr)
+            a_r.append(ar)
+            score.append(rnd(sc))
+            lang_out.append(best_lang)
+            fp_out.append(_hl.md5(" ".join(sorted(tok_set)).encode("utf-8")).hexdigest())
+        return pd.DataFrame(
+            {
+                "n_chars_m": pd.array(n_chars, dtype="Int32"),
+                "punct_ratio": p_r,
+                "stopword_ratio": s_r,
+                "alpha_ratio": a_r,
+                "quality_score": score,
+                "lang_pred": lang_out,
+                "ts_fingerprint": fp_out,
+            }
+        )
+
+    # no type hints on _a (module convention — see _quality_kernel_udf)
+    return pandas_udf(
+        _a,
+        "struct<n_chars_m:int,punct_ratio:double,stopword_ratio:double,"
+        "alpha_ratio:double,quality_score:double,lang_pred:string,"
+        "ts_fingerprint:string>",
+    ).asNondeterministic()
+
+
 def with_winnowing_fingerprints(
     df: DataFrame,
     text_col: str = "text",
     out: str = "winnow_fps",
     k: int = 5,
     window: int = 4,
+    impl: str = "kernel",
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer–Wilkerson–Aiken,
     SIGMOD'03): hash every character ``k``-gram, then keep the minimum
@@ -387,15 +483,37 @@ def with_winnowing_fingerprints(
     fewer k-grams than ``window`` → the single global min (the standard
     short-document convention).
 
-    Scale: entirely per-row array math — transform over a sequence, no
-    explode, no shuffle, runs in codegen. Cost is O(len × k) md5 work
-    (same cross-engine-parity tradeoff as the module docstring; xxhash64
-    is the deployment swap). Downstream, docs sharing any fingerprint are
-    collision candidates: ``explode(winnow_fps)`` + groupBy is the same
-    bucketed O(n×fps) join shape as MinHash-LSH banding — never pairwise.
+    ``impl`` picks the physical form (round 16):
+
+    - ``"kernel"`` (default): ONE Arrow-batched pass — ``str.lower()``
+      (the established lowercase parity), per-character-k-gram md5-60
+      with a per-task gram memo, vectorized sliding-window min,
+      ``np.unique`` for the distinct-sort. Bit-identical arrays to the
+      JVM form (parity pinned by
+      ``test_winnowing_kernel_matches_jvm``); the JVM spelling's
+      ``transform``/``array_min(slice)`` chains are higher-order
+      functions that never enter whole-stage codegen, so every k-gram
+      paid interpreted md5 AND every window position an interpreted
+      slice+min (stage CPU 10.5 s at sf0.1; the kernel's A/B numbers
+      live in OPTIMIZATION_r16.md). Marked non-deterministic so an
+      inferred filter cannot duplicate the ArrowEvalPython node (the
+      seq-kernel discipline).
+    - ``"jvm"``: the original per-row array math — transform over a
+      sequence, no explode, no Python worker in the plan; the right
+      form when the scan side must stay UDF-free. Cost is O(len × k)
+      interpreted md5 work (same cross-engine-parity tradeoff as the
+      module docstring; xxhash64 is the deployment swap).
+
+    Downstream, docs sharing any fingerprint are collision candidates:
+    ``explode(winnow_fps)`` + groupBy is the same bucketed O(n×fps)
+    join shape as MinHash-LSH banding — never pairwise.
     """
     if k < 1 or window < 1:
         raise ValueError(f"k and window must be >= 1, got k={k} window={window}")
+    if impl not in ("kernel", "jvm"):
+        raise ValueError(f"impl must be 'kernel' or 'jvm', got {impl!r}")
+    if impl == "kernel":
+        return df.withColumn(out, _winnow_kernel_udf(k, window)(F.col(text_col)))
     norm = F.lower(F.col(text_col))
     n_grams = F.length(norm) - k + 1
     # sequence(1, n) with n < 1 generates a DESCENDING sequence — guard
@@ -435,17 +553,89 @@ def with_winnowing_fingerprints(
     ).drop(tmp)
 
 
+def _winnow_kernel_udf(k: int, window: int):
+    """Arrow-batched BIT-EXACT winnowing fingerprints —
+    ``with_winnowing_fingerprints``'s JVM values at kernel speed
+    (round 16). ``str.lower()`` matches ``F.lower`` and Python slicing
+    matches ``substr`` (both count code points); the k-gram hash is the
+    same md5-prefix 60-bit integer (per-task memo: 5-char grams repeat
+    heavily across documents); ``sliding_window_view(...).min`` is the
+    window-min and ``np.unique`` equals array_sort∘array_distinct on
+    int64 (sorts ascending, no NULLs possible). NULL text and
+    shorter-than-k text both produce the JVM form's empty array; fewer
+    k-grams than ``window`` → the single global min."""
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    import hashlib as _hl  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    kk, ww = int(k), int(window)
+    memo: dict[str, int] = {}
+    empty: list[int] = []
+
+    def _h(g: str) -> int:
+        v = memo.get(g)
+        if v is None:
+            v = int(_hl.md5(g.encode("utf-8")).hexdigest()[:15], 16)
+            memo[g] = v
+        return v
+
+    def _fps(s):
+        out: list[list[int]] = []
+        for txt in s.tolist():
+            if not isinstance(txt, str):
+                out.append(empty)
+                continue
+            t = txt.lower()
+            n = len(t) - kk + 1
+            if n < 1:
+                out.append(empty)
+                continue
+            hs = np.fromiter((_h(t[i : i + kk]) for i in range(n)), dtype=np.int64, count=n)
+            if n >= ww:
+                mins = np.lib.stride_tricks.sliding_window_view(hs, ww).min(axis=1)
+            else:
+                mins = hs.min(keepdims=True)
+            out.append(np.unique(mins).tolist())
+        return pd.Series(out)
+
+    # no type hints on _fps: `from __future__ import annotations`
+    # stringifies them before pandas_udf can inspect them (module
+    # convention, see similarity._lsh_signatures_pandas)
+    return pandas_udf(_fps, "array<long>").asNondeterministic()
+
+
 def with_simhash(
-    df: DataFrame, text_col: str = "text", out: str = "simhash", bits: int = 32
+    df: DataFrame, text_col: str = "text", out: str = "simhash", bits: int = 32,
+    impl: str = "kernel",
 ) -> DataFrame:
     """SimHash document fingerprint over the distinct token set.
 
     Per bit b: sum over tokens of ±1 by token-hash bit b; bit set iff the
     sum is positive. Near-duplicate docs differ in few bits (compare with
-    ``bit_count(simhash ⊕ simhash')``). Entirely array-side per row — no
-    explode, no shuffle; the signature computation is O(tokens × bits)
-    inside codegen.
+    ``bit_count(simhash ⊕ simhash')``). Entirely per-row either way — no
+    explode, no shuffle.
+
+    ``impl`` picks the physical form (round 16):
+
+    - ``"kernel"`` (default): ONE Arrow-batched pass — established
+      tokenizer parity, md5-60 per distinct token (per-task memo), then
+      the whole bits×tokens bit-count matrix as one numpy reduction.
+      Bit-identical signatures (parity pinned by
+      ``test_simhash_kernel_matches_jvm``). The JVM spelling pays
+      ~``bits`` interpreted ops PER TOKEN (the aggregate/zip_with chain
+      below never enters codegen) — the minhash-class per-token weight
+      where the Arrow boundary amortizes (A/B in OPTIMIZATION_r16.md).
+      Marked non-deterministic (the seq-kernel discipline).
+    - ``"jvm"``: the original fold — no Python worker in the plan; the
+      signature computation is O(tokens × bits) interpreted.
     """
+    if impl not in ("kernel", "jvm"):
+        raise ValueError(f"impl must be 'kernel' or 'jvm', got {impl!r}")
+    if impl == "kernel":
+        return df.withColumn(out, _simhash_kernel_udf(bits)(F.col(text_col)))
     toks = tokens(text_col, distinct=True)
     hs = F.transform(toks, token_hash60)
     # Single-pass accumulation of all per-bit ones-counts. Column
@@ -474,6 +664,56 @@ def with_simhash(
             F.col(tmp_c)[b] * 2 > F.col(tmp_t), F.lit(1 << b).cast("long")
         ).otherwise(F.lit(0).cast("long"))
     return df2.withColumn(out, sig).drop(tmp_c, tmp_t)
+
+
+def _simhash_kernel_udf(bits: int):
+    """Arrow-batched BIT-EXACT SimHash — ``with_simhash``'s JVM values
+    at kernel speed (round 16). Established tokenizer parity
+    (``str.lower()`` + ``re.ASCII`` ``\\s+`` split + drop-empty,
+    distinct), md5-prefix 60-bit token hash (per-task memo), then the
+    per-bit ones-counts as ONE ``(tokens × bits)`` numpy reduction and
+    the majority vote ``2·count_b > n`` packed into the signature.
+    NULL text and zero-token docs both produce the JVM form's 0
+    signature (NULL counts fall through every CASE; empty counts beat
+    no majority)."""
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    import hashlib as _hl  # noqa: PLC0415
+    import re as _re  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    nb = int(bits)
+    shifts = np.arange(nb, dtype=np.int64)
+    weights = (np.int64(1) << shifts)
+    sre = _re.compile(r"\s+", _re.ASCII)
+    memo: dict[str, int] = {}
+
+    def _h60(tok: str) -> int:
+        v = memo.get(tok)
+        if v is None:
+            v = int(_hl.md5(tok.encode("utf-8")).hexdigest()[:15], 16)
+            memo[tok] = v
+        return v
+
+    def _sig(s):
+        out: list[int] = []
+        for txt in s.tolist():
+            if not isinstance(txt, str):
+                out.append(0)
+                continue
+            toks = {t for t in sre.split(txt.lower()) if t}
+            if not toks:
+                out.append(0)
+                continue
+            hs = np.fromiter((_h60(t) for t in toks), dtype=np.int64, count=len(toks))
+            ones = ((hs[:, None] >> shifts) & 1).sum(axis=0)
+            out.append(int(weights[2 * ones > len(toks)].sum()))
+        return pd.Series(out, dtype="int64")
+
+    # no type hints on _sig (module convention — see _quality_kernel_udf)
+    return pandas_udf(_sig, "long").asNondeterministic()
 
 
 def tf_idf(

@@ -180,6 +180,53 @@ def test_prepare_corpus_end_to_end(spark):
     assert "<EMAIL>" in got[5] and "@" not in got[5]
 
 
+def test_prepare_annotations_fused_matches_jvm(spark):
+    """Round-16 optimization guard: the FUSED annotation kernel
+    (quality + lang + exact-dedup fingerprint in one Arrow pass, one
+    tokenize) must make prepare_corpus emit row-identical output to the
+    per-operator JVM expressions — including NULL text (NULL ratios,
+    score 0.25, 'und', NULL fingerprint), unicode case/NBSP edges, and
+    the exact round(x,4) semantics that decide the quality filter."""
+    base = "the quick brown fox jumps over the lazy dog near the riverbank today"
+    rows = [
+        (1, base),
+        (2, base),                       # exact dup → stage-2 victim
+        (3, base + " extra"),            # near dup → stage-3 victim
+        (4, "x y"),                      # low quality
+        (5, "reach me at someone@example.com " + base + " totally new words"),
+        (6, None),                       # NULL text
+        (7, "Ångström STRASSE ẞ İstanbul ΣΟΦΟΣ maße plus the filler and with for that"),
+        (8, "a b " + base),        # NBSP inside a token
+        (9, "fox " * 7),                 # repetition, trailing space
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(min_quality=0.5, near_dup_threshold=0.7)
+    jvm = {r.doc_id: r.asDict() for r in corpus.prepare_corpus(df, **kw).collect()}
+    fus = {
+        r.doc_id: r.asDict()
+        for r in corpus.prepare_corpus(df, annot_impl="fused", **kw).collect()
+    }
+    assert jvm == fus
+    # and with the filters OFF, every annotation column must agree on
+    # every row (the filtered rows' values are checked too)
+    jvm_all = {
+        r.doc_id: r.asDict()
+        for r in corpus.prepare_corpus(
+            df, min_quality=None, near_dup_threshold=None, redact=False
+        ).collect()
+    }
+    fus_all = {
+        r.doc_id: r.asDict()
+        for r in corpus.prepare_corpus(
+            df, min_quality=None, near_dup_threshold=None, redact=False,
+            annot_impl="fused",
+        ).collect()
+    }
+    assert jvm_all == fus_all and len(jvm_all) > 0
+    with pytest.raises(ValueError, match="annot_impl"):
+        corpus.prepare_corpus(df, annot_impl="nope")
+
+
 def test_split_documents_windows_and_overlap(spark):
     txt = " ".join(f"w{i}" for i in range(10))  # 10 tokens
     df = spark.createDataFrame([(1, txt), (2, "a b")], ["doc_id", "text"])

@@ -61,12 +61,13 @@ _docs = st.lists(st.one_of(st.none(), _doc), min_size=1, max_size=6)
 def test_duplicate_spans_match_python_reference(spark, texts, n):
     docs = list(enumerate(texts))
     df = spark.createDataFrame(docs, "doc_id long, text string")
-    got_flags = {(r.doc_id, r.start)
-                 for r in dedup.duplicate_spans(df, n=n).collect()}
     want_flags, want_text = _ref_spans(docs, n)
-    assert got_flags == want_flags
-    got_text = {r.doc_id: r.text
-                for r in dedup.remove_duplicate_spans(df, n=n).collect()}
-    # NULL text passes through the rewrite as the empty token stream
-    assert got_text == {i: want_text[i] for i in got_text}
-    assert set(got_text) == {i for i, _ in docs}  # no dropped rows
+    for impl in ("kernel", "jvm"):
+        got_flags = {(r.doc_id, r.start)
+                     for r in dedup.duplicate_spans(df, n=n, impl=impl).collect()}
+        assert got_flags == want_flags, impl
+        got_text = {r.doc_id: r.text
+                    for r in dedup.remove_duplicate_spans(df, n=n, impl=impl).collect()}
+        # NULL text passes through the rewrite as the empty token stream
+        assert got_text == {i: want_text[i] for i in got_text}, impl
+        assert set(got_text) == {i for i, _ in docs}  # no dropped rows

@@ -217,6 +217,39 @@ def test_minhash_signature_kernel_matches_jvm(spark):
         dedup.minhash_signature(df, impl="nope")
 
 
+def test_simhash_kernel_matches_jvm(spark):
+    """Round-16 optimization guard: the Arrow SimHash kernel (distinct
+    tokens, md5-60, one numpy bit-count reduction, majority vote) must
+    emit row-identical signatures to the JVM aggregate/zip_with fold —
+    including NBSP (not a split), unicode case mapping, NULL and empty
+    and whitespace-only text (all → signature 0), and single-token docs
+    (every set bit of the hash wins its majority)."""
+    rows = [
+        (1, "The quick\tbrown FOX\njumps over the lazy dog"),
+        (2, "a b c d e f g h"),  # NBSP glues tokens
+        (3, "Ångström STRASSE ẞ İstanbul ΣΟΦΟΣ maße"),
+        (4, ""),
+        (5, None),
+        (6, "dup dup dup dup"),  # one distinct token
+        (7, "  \t \n \f\r "),
+        (8, "the and with for that this from are was not you all can had"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for bits in (8, 32):
+        jvm = {
+            r.doc_id: r.simhash
+            for r in text.with_simhash(df, bits=bits, impl="jvm").collect()
+        }
+        ker = {
+            r.doc_id: r.simhash
+            for r in text.with_simhash(df, bits=bits, impl="kernel").collect()
+        }
+        assert jvm == ker, bits
+        assert ker[4] == 0 and ker[5] == 0 and ker[7] == 0
+    with pytest.raises(ValueError, match="impl"):
+        text.with_simhash(df, impl="nope")
+
+
 def test_simhash_hamming_close_for_near_dups(spark, docs_df):
     sh = {r.doc_id: r.simhash for r in text.with_simhash(docs_df).collect()}
     assert sh[1] == sh[2]  # identical token set → identical simhash
@@ -617,6 +650,45 @@ def test_winnowing_rejects_bad_params(spark):
     df = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="k and window"):
         text.with_winnowing_fingerprints(df, k=0)
+    with pytest.raises(ValueError, match="impl"):
+        text.with_winnowing_fingerprints(df, impl="nope")
+
+
+def test_winnowing_kernel_matches_jvm(spark):
+    """Round-16 optimization guard: the Arrow winnowing kernel
+    (str.lower + code-point slicing + md5-60 + sliding-window min +
+    np.unique) must emit row-identical fingerprint arrays to the JVM
+    transform/array_min(slice) form — including unicode case mapping
+    that CHANGES the string length ('İ'.lower() is two code points, so
+    gram positions and count shift identically on both sides), NBSP
+    inside grams, final sigma, NULL/empty/shorter-than-k text (all →
+    empty array), exactly-k text (one gram), and fewer-grams-than-window
+    (the single global min)."""
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    rows = [
+        (1, base),
+        (2, "PREFIX padding " + base + " SUFFIX"),
+        (3, "Ångström STRASSE ẞ İstanbul ΣΟΦΟΣ maße"),  # İ expands on lower()
+        (4, "a b c d e f g h"),  # NBSP lives inside k-grams
+        (5, ""),
+        (6, None),
+        (7, "tiny"),       # shorter than k=5
+        (8, "exact"),      # exactly k chars → 1 gram
+        (9, "sevench"),    # 3 grams < window=4 → single global min
+        (10, "aaaaaaaaaaaa"),  # all grams identical → dedup to one
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for k, w in ((5, 4), (3, 2), (7, 10)):
+        jvm = {
+            r.doc_id: list(r.winnow_fps)
+            for r in text.with_winnowing_fingerprints(df, k=k, window=w, impl="jvm").collect()
+        }
+        ker = {
+            r.doc_id: list(r.winnow_fps)
+            for r in text.with_winnowing_fingerprints(df, k=k, window=w, impl="kernel").collect()
+        }
+        assert jvm == ker, (k, w)
+    assert ker[5] == [] and ker[6] == [] and ker[7] == []
 
 
 def test_decode_headers_parses_real_media_bytes(spark):
@@ -919,6 +991,50 @@ def test_duplicate_spans_and_removal(spark):
     assert set(kept[1].asDict()) == {"doc_id", "text", "source", "lang"}
     assert (kept[2].source, kept[2].lang) == ("wiki", "fr")
     assert kept[2].text == "z y"
+
+
+def test_duplicate_spans_kernel_matches_jvm(spark):
+    """Round-16 optimization guard: the Arrow span-window kernel
+    (tokenize once, join each n-token window, md5-60, (id, start, hash)
+    rows) must make duplicate_spans and remove_duplicate_spans emit
+    row-identical output to the JVM transform/posexplode chain —
+    including NBSP (not a split, lives inside window text), unicode
+    case, NULL/empty/short text, exactly-n-token docs, and within-doc
+    repeats."""
+    span = "a b c d e f g h"
+    rows = [
+        (1, span + " i j"),
+        (2, "z y " + span),
+        (3, "p q r"),
+        (4, "m n o p q r s t m n o p q r s t"),
+        (5, None),
+        (6, ""),
+        (7, "one two three four five six seven eight"),  # exactly 8
+        (8, "a b c d e f g h i"),                   # NBSP glues b c
+        (9, "İstanbul ΣΟΦΟΣ " + span),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    for n in (2, 8):
+        jvm_spans = {
+            (r.doc_id, r.start)
+            for r in dedup.duplicate_spans(df, n=n, impl="jvm").collect()
+        }
+        ker_spans = {
+            (r.doc_id, r.start)
+            for r in dedup.duplicate_spans(df, n=n, impl="kernel").collect()
+        }
+        assert jvm_spans == ker_spans, n
+        jvm_txt = {
+            r.doc_id: r.text
+            for r in dedup.remove_duplicate_spans(df, n=n, impl="jvm").collect()
+        }
+        ker_txt = {
+            r.doc_id: r.text
+            for r in dedup.remove_duplicate_spans(df, n=n, impl="kernel").collect()
+        }
+        assert jvm_txt == ker_txt, n
+    with pytest.raises(ValueError, match="impl"):
+        dedup.duplicate_spans(df, impl="nope")
 
 
 def test_read_media_chunks_reassembles_exactly(spark, tmp_path):

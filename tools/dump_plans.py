@@ -23,8 +23,8 @@ PICK = {
     "q_asof_join_purchase": "As-of via union-and-window: ONE Exchange on user_id, in-partition sort, last(ignorenulls) carry — no range cross-join.",
     "q_minhash_near_dups": "MinHash+LSH: narrow signature math, posexplode bands, equi-join on (band,key) buckets — shuffle O(n*bands), pairwise work only on bucket collisions.",
     "q12_line_priority_split": "Q12 shape: IN-list + year range as PushedFilters on lineitem; fact-fact join UNHINTED (shuffle on orderkey, AQE decides); 2-group conditional agg collapses map-side.",
-    "q_winnowing_fingerprints": "Winnowing: the ladder (k-gram hash, window-min, distinct/sort, digest) is one Project inside WholeStageCodegen — the only Exchange is the query's explicit repartition (CPU-bound md5 work vs a 1-split fixture file; see the query docstring); the operator itself is shuffle-free.",
-    "q_winnow_collisions": "Fingerprint collision join: explode_outer (NOT explode — the inferred size()>0 filter would re-inline the whole fingerprint expression below the Generate), bucket-size cap on the same Exchange the pair join reuses, equi-join on the fingerprint — O(n*fps) shuffle, never pairwise.",
+    "q_winnowing_fingerprints": "Winnowing (round-16 kernel): the whole ladder (k-gram md5-60, window-min, distinct/sort) is ONE ArrowEvalPython — the interpreted transform/array_min(slice) chains are gone; the only Exchange is the query's explicit repartition (CPU-bound work vs a 1-split fixture file; see the query docstring); the operator itself is shuffle-free.",
+    "q_winnow_collisions": "Fingerprint collision join over the round-16 winnow kernel's ArrowEvalPython: explode_outer (NOT explode — the inferred size()>0 filter would duplicate the Generate's input), bucket-size cap on the same Exchange the pair join reuses, equi-join on the fingerprint — O(n*fps) shuffle, never pairwise.",
     "q_minhash_capped_near_dups": "Capped MinHash ladder: banding posexplode, the HAVING<=cap bucket filter sharing the banding Exchange (AQE reuse), candidate equi-join, exact-Jaccard verify on candidates only.",
     "q_lsh_cosine_near_pairs": "SRP-LSH near-pairs: ALL 16 table signatures from one Arrow-batched matmul (ArrowEvalPython, not 4096 interpreted fold steps), posexplode to (table,sig), ONE equi-join shuffle, cosine verify on collisions only.",
     "q_range_join_ship_windows": "Bucketized range join: intervals explode to covered time buckets, points get one bucket, equi-join on the bucket + exact containment filter — no BroadcastNestedLoopJoin/CartesianProduct anywhere in the plan.",
