@@ -247,7 +247,9 @@ EXPECTED_SEC = {
     # round-16 FUSED annotation kernel: same-day bench 2.56/2.92,
     # interleaved A/B med fused 2.839 vs jvm 3.404
     # batch-12 rows: SCALING.md pre-measurements (round 6, same machine)
-    "q_repetition_stats": 1.10,
+    "q_repetition_stats": 0.95,  # round-16 Arrow kernel (was 1.10 jvm;
+    # same-day 2026-08-17 interleaved A/B med 0.714 vs jvm 1.243,
+    # best 0.667 — the jvm stage carried 11.75 s executor CPU)
     "q_split_corpus": 0.11,
     "q_pack_sequences": 1.76,  # round 8: +md5 digest of each pack's ids
     # (the driver-canon-safe output reshape) — re-measured same-day

@@ -431,16 +431,57 @@ def test_repetition_stats_gopher_rules(spark):
          (4, "t t t t t")],      # degenerate repetition
         "doc_id int, text string",
     )
-    out = {r.doc_id: r for r in corpus.repetition_stats(df).collect()}
-    assert out[1].dup_line_frac == 0.3333
-    assert out[1].dup_line_char_frac == 0.3333  # 3 of 9 chars
-    assert out[1].dup_2gram_frac == 0.2
-    assert out[1].dup_3gram_frac == 0.0
-    assert out[2].dup_line_frac == 0.0 and out[2].dup_2gram_frac == 0.0
-    assert out[3].dup_line_frac == 0.0 and out[3].dup_3gram_frac == 0.0
-    assert out[4].dup_2gram_frac == 0.75 and out[4].dup_3gram_frac == 0.6667
-    plan = corpus.repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
+    for impl in ("kernel", "jvm"):
+        out = {r.doc_id: r for r in corpus.repetition_stats(df, impl=impl).collect()}
+        assert out[1].dup_line_frac == 0.3333, impl
+        assert out[1].dup_line_char_frac == 0.3333  # 3 of 9 chars
+        assert out[1].dup_2gram_frac == 0.2
+        assert out[1].dup_3gram_frac == 0.0
+        assert out[2].dup_line_frac == 0.0 and out[2].dup_2gram_frac == 0.0
+        assert out[3].dup_line_frac == 0.0 and out[3].dup_3gram_frac == 0.0
+        assert out[4].dup_2gram_frac == 0.75 and out[4].dup_3gram_frac == 0.6667
+    # jvm impl: pure array math, no Exchange and no Python anywhere
+    plan = (
+        corpus.repetition_stats(df, impl="jvm")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
     assert "Exchange" not in plan and "EvalPython" not in plan
+    # kernel default: exactly one Arrow eval, still no Exchange
+    plan_k = corpus.repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan_k and "BatchEvalPython" not in plan_k
+    assert "ArrowEvalPython" in plan_k
+    with pytest.raises(ValueError, match="impl"):
+        corpus.repetition_stats(df, impl="nope")
+
+
+def test_repetition_stats_kernel_matches_jvm(spark):
+    r"""Round-16 optimization guard: the Arrow repetition kernel must
+    emit row-identical ratios to the JVM HOF form on the hard edges —
+    Java-vs-Python whitespace trim (NBSP is NOT \s, so it neither
+    trims nor splits), CRLF line ends (\r trims off), unicode case
+    mapping in gram text, tab/space runs, NULL/empty text, and
+    gram_ns=() (the prepare-ladder pre-pass shape)."""
+    rows = [
+        (1, "a b\r\na b\nc d"),            # CRLF: \r must trim off
+        (2, "line one\n\u00a0line one\nline one"),  # NBSP-led line stays distinct
+        (3, "x\ty z\n x\ty z "),            # tabs inside lines, edge spaces
+        (4, "\u0130stanbul maße \u0130stanbul maße"),      # lower() expands İ
+        (5, ""),
+        (6, None),
+        (7, "a a a a a a a a"),
+        (8, "one\n\n\n  \t\none"),           # blank/whitespace-only lines drop
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    for gram_ns in ((2, 3), ()):
+        jvm = {
+            r.doc_id: r.asDict()
+            for r in corpus.repetition_stats(df, gram_ns=gram_ns, impl="jvm").collect()
+        }
+        ker = {
+            r.doc_id: r.asDict()
+            for r in corpus.repetition_stats(df, gram_ns=gram_ns, impl="kernel").collect()
+        }
+        assert jvm == ker, gram_ns
 
 
 def test_semantic_dupes_drop_list_exact_and_lsh(spark):

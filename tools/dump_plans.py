@@ -37,7 +37,7 @@ PICK = {
     "q_pack_chunks": "Sequence packing (contiguous): ONE Exchange on the hash shard, per-shard window sort, pack-id arithmetic in codegen — parallelism = n_shards, never a global sort.",
     "q_contamination_pairs": "Train/test contamination: both sides shingle narrowly (explode_outer per the computed-array rule), equi-join on the 60-bit gram hash, partial+final count on the pair key — O(corpus × grams/doc) shuffle, never |train|×|test|.",
     "q_split_documents": "Document chunking: pure narrow array math (sequence + posexplode_outer + slice/join) — zero Exchange, zero Python; 1 row → ceil(n/step) rows inside WholeStageCodegen.",
-    "q_repetition_stats": "Gopher repetition metrics: split/trim/distinct/aggregate higher-order functions, shared subtrees routed through columns — zero Exchange, zero Generate, zero Python.",
+    "q_repetition_stats": "Gopher repetition metrics (round-16 kernel): all four duplicate-fraction ratios from ONE ArrowEvalPython struct (the jvm HOF form carried 11.75 s executor CPU in one stage) — zero Exchange, zero Generate.",
     "q_select_budget": "Token-budget best-first selection: the two-phase global cumsum — per-score partial agg, the ONLY Exchange SinglePartition sits over that score-cardinality aggregate, offsets broadcast back, row-level within-key windows stay hashpartitioned. No global ORDER BY anywhere.",
     "q_dedup_spans": "Exact span dedup: window hashes narrow (posexplode_outer per the computed-array rule), first-occurrence argmin as one partial-agg shuffle on the 60-bit hash, occurrence equi-join — O(total windows), never pairwise; rebuild is the in-aggregate ordered reassembly.",
     "q_normalize_text": "Unicode normalization: the whole repair chain is codegen replace/regexp except ONE ArrowEvalPython stage (NFC — no Spark built-in); zero shuffle beyond the fixture spread.",
