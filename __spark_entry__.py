@@ -121,63 +121,65 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver verifies the FIRST 50 entries of queries() in dict order.
-# Round-16 rotation (VERDICT r15 item 1, tools/rotate_window.py): the
-# 4 batch-22/23 promotions take the front slots (first driver rows for
-# the batched SRP-LSH and IVF serving tiers and for the real-pixel /
-# real-sample measurement operators), then the 38 contract-forced
-# refreshes (core 3-record / extension 5-record horizons), then the
-# oldest remaining greens fill the free slots.
+# Round-17 rotation (tools/rotate_window.py — the perennial round-start
+# task, skipped by round 16's interruption): 52 queries hit their
+# re-verification horizon at once (the r15/r16 driver samples were
+# fully disjoint, so both rounds refreshed different halves of the
+# registry), 2 more than the window holds; the 50 oldest-green take
+# the slots and the 2 overflow rows (q_hll_distinct, q_bloom_decontam)
+# are the first forced picks of any subsequent rotation. No
+# staged promotions this round (optimization round - no new features).
 PRIORITY: list[str] = [
-    "q_ann_lsh_topk_multi",
-    "q_ivf_topk_multi",
-    "q_image_stats",
-    "q_audio_stats",
-    "q3_shipping_priority",
-    "q_top3_orders_per_customer",
-    "q_agg_stats",
-    "q_customers_without_orders",
-    "q_active_supplier_keys",
-    "q_priciest_lineitems",
-    "q_rollup_order_volume",
-    "q_clean_chain_events",
-    "q_sessionize",
-    "q_tumbling_window_events",
-    "q_unpivot_lineitem",
-    "q_asof_join_purchase",
-    "q_customers_with_orders_semi",
-    "q_full_outer_nation_activity",
-    "q_cross_join_matrix",
-    "q_orders_above_avg",
-    "q_string_funcs",
-    "q_date_funcs",
-    "q_having_filter",
-    "q6_revenue_delta",
-    "q4_priority_late_ship",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q18_large_orders",
-    "q_minhash_near_dups",
-    "q_simhash",
-    "q_dedup_clusters",
-    "q12_line_priority_split",
-    "q_winnowing_fingerprints",
-    "q_winnow_collisions",
-    "q_range_join_ship_windows",
-    "q_asof_join_next_purchase",
-    "q_salted_join_volume",
-    "q_hypertable_rollup",
-    "q_minhash_capped_near_dups",
-    "q_dedup_clusters_lsh",
-    "q_ivf_recall",
-    "q_lsh_cosine_near_pairs",
-    "q_normalize_text",
-    "q_select_budget",
-    "q_corpus_report",
-    "q_corpus_drift",
-    "q_dedup_spans",
-    "q_unigram_logprob",
-    "q_dsir_weights",
-    "q_quality_calibrated",
+    "q1_pricing_summary",
+    "q5_local_supplier_volume",
+    "q_events_pivot",
+    "q_envelope_roundtrip",
+    "q_meascollec_flatten",
+    "q_clean_cell_metrics",
+    "q_clean_kpi_int",
+    "q_cube_lineitem",
+    "q19_bracket_revenue",
+    "q_union_parties_by_nation",
+    "q_intersect_nations",
+    "q_parts_never_ordered",
+    "q_window_order_seq",
+    "q_window_trailing_revenue",
+    "q_percentiles_by_priority",
+    "q_json_props",
+    "q_ngram_jaccard_pairs",
+    "q_ann_lsh_topk",
+    "q_multimodal_features",
+    "q_frame_sample_plan",
+    "q_multimodal_meta",
+    "q15_top_suppliers",
+    "q2_cheapest_part_per_type",
+    "q22_idle_rich_customers",
+    "q_lineitems_above_order_avg",
+    "q_name_word_counts",
+    "q_order_quantity_profile",
+    "q_conditional_counts",
+    "q_weekly_order_volume",
+    "q_sql_regional_revenue",
+    "q_nation_lookup",
+    "q_text_token_stats",
+    "q_text_quality",
+    "q_lang_id",
+    "q_ann_recall",
+    "q_approx_sketches",
+    "q_range_join_event_windows",
+    "q9_product_type_profit",
+    "q11_important_parts",
+    "q16_supplier_part_counts",
+    "q20_top_part_shippers",
+    "q_vocab_growth",
+    "q_kmeans_clusters",
+    "q_dsir_resample",
+    "q_pack_best_fit",
+    "q_cluster_balanced_sample",
+    "q_perplexity_buckets",
+    "q_train_bpe",
+    "q_bpe_segment",
+    "q_countmin_counts",
 ]
 
 

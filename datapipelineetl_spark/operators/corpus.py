@@ -432,8 +432,23 @@ def _quality_lang_stage(
     if annot_impl == "fused":
         tmp = "__annot_struct"
         st = text._annot_kernel_udf()(F.col(text_col))
+        # exclude colliding names from the carried-through columns so a
+        # caller df that already has annotation columns is OVERWRITTEN
+        # (withColumn replace semantics, matching the jvm path) instead
+        # of duplicated into an AMBIGUOUS_REFERENCE at the filters
+        # (ADVICE r16)
+        annot_names = {
+            "n_chars_m",
+            "punct_ratio",
+            "stopword_ratio",
+            "alpha_ratio",
+            "quality_score",
+            "lang_pred",
+            "__fp",
+        }
+        carried = [c for c in df.columns if c not in annot_names]
         out = df.withColumn(tmp, st).select(
-            *df.columns,
+            *carried,
             F.col(tmp)["n_chars_m"].alias("n_chars_m"),
             F.col(tmp)["punct_ratio"].alias("punct_ratio"),
             F.col(tmp)["stopword_ratio"].alias("stopword_ratio"),
@@ -451,13 +466,18 @@ def _quality_lang_stage(
     return out
 
 
-def _exact_dedup_stage(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def _exact_dedup_stage(
+    df: DataFrame, id_col: str, text_col: str, fp_precomputed: bool = False
+) -> DataFrame:
     """Stage 2 (shared): keep the min-id row per token-set fingerprint.
-    Reuses a ``__fp`` column when stage 1's fused kernel already
-    computed it (one tokenize for both stages)."""
+    ``fp_precomputed=True`` (threaded EXPLICITLY from stage 1's fused
+    kernel — ADVICE r16: never inferred from column presence, so a
+    caller df that happens to carry a ``__fp`` column can't smuggle
+    stale data into the dedup) reuses the ``__fp`` column instead of
+    re-tokenizing."""
     out = (
         df
-        if "__fp" in df.columns
+        if fp_precomputed
         else text.with_token_set_fingerprint(df, text_col, out="__fp")
     )
     w = Window.partitionBy("__fp").orderBy(id_col)
@@ -634,7 +654,9 @@ def prepare_corpus(
         )
     out = _quality_lang_stage(df, text_col, min_quality, langs, annot_impl=annot_impl)
     out = _observed(out, "1_quality_lang")
-    out = _exact_dedup_stage(out, id_col, text_col)
+    out = _exact_dedup_stage(
+        out, id_col, text_col, fp_precomputed=(annot_impl == "fused")
+    )
     out = _observed(out, "2_exact_dedup")
     if near_dup_threshold is not None or embeddings is not None or with_attrition:
         # pipeline-level materialization: the filtered+deduped base is

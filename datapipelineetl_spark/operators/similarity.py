@@ -404,6 +404,7 @@ def lsh_cosine_near_pairs(
     dim: int | None = None,
     max_bucket_size: int | None = None,
     materialize: bool = False,
+    verify_impl: str = "kernel",
 ) -> DataFrame:
     """Embedding near-duplicate PAIRS via LSH bucketing — the scale path
     next to the exact O(n²) ``cosine_pairs`` baseline (same output
@@ -471,39 +472,155 @@ def lsh_cosine_near_pairs(
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
     )
-    # Verify parallelism (round 16): the candidate stream is bytes-tiny
-    # (two ids per row) but every row costs a dim-length interpreted
-    # cosine fold in the verify, so AQE's byte-based post-shuffle
-    # coalescing starved the verify stage (the 1 MB minPartitionSize
-    # floor left 8 partitions carrying 22 s of executor CPU at sf0.1 —
-    # stage-level REST metrics; disabling coalescing read 4.2 s vs
-    # 5.5 s median interleaved). An explicit NUMBERED repartition is
-    # exempt from AQE coalescing; the width follows defaultParallelism
-    # (cores locally, executors × cores on a cluster), not a local
-    # constant, and the exchange it adds carries only the id pairs.
-    # ... keyed on id_a ALONE: the distinct above already hash-partitions
-    # on (id_a, id_b), so a same-key repartition is removed as redundant
-    # by the planner (measured: the 8-task verify survived); a different
-    # clustering forces the exchange to stay.
+    # Verify parallelism (round 16, re-shaped round 17): the candidate
+    # stream is bytes-tiny (two ids per row) but the verify costs real
+    # per-row work, so AQE's byte-based post-shuffle coalescing starved
+    # the verify stage (the 1 MB minPartitionSize floor left 8
+    # partitions carrying 22 s of executor CPU at sf0.1 — stage-level
+    # REST metrics). An explicit NUMBERED repartition is exempt from AQE
+    # coalescing; the width follows defaultParallelism (cores locally,
+    # executors × cores on a cluster), not a local constant, and the
+    # exchange carries only the id pairs. Round 17 moved it BELOW the
+    # dedup: hash-partitioning on id_a clusters every duplicate
+    # (id_a, id_b) row into one partition (a subset of the distinct
+    # keys satisfies ClusteredDistribution), so the distinct reuses this
+    # exchange instead of adding its own — one 32-wide exchange where
+    # r16 had the distinct's AQE-coalesced exchange PLUS this one
+    # (plan: q_lsh_cosine_near_pairs_after shows a single
+    # REPARTITION_BY_NUM under the aggregate).
     cand = cand.repartition(
         df.sparkSession.sparkContext.defaultParallelism, F.col("id_a")
-    )
-    v = df.select(F.col(id_col), vec.alias("__v"))
-    # Verify stays a JVM fold ON PURPOSE: an Arrow-batched cosine here was
-    # measured 1.5× SLOWER (6.9s vs 4.5s warm at sf0.1) — the candidate
-    # stream carries 2×dim doubles per pair, and shipping that through
-    # Arrow costs more than the interpretation it saves. The signature
-    # stage is the opposite case (narrow base-table input, tables×planes
-    # work per row) — that's where the Arrow matmul pays.
+    ).distinct()
+    # Verify (round 17): two impls, value-identical.
+    #
+    # - "kernel" (default): the r16 naive Arrow swap measured 1.5× SLOWER
+    #   because each candidate pair carried 2×dim doubles through the
+    #   boundary. The fix (guide §8: "shuffle keys and metadata instead
+    #   of payloads") is to move the vectors ONCE — the (id → vector)
+    #   matrix rides a Spark broadcast into the Python workers — and
+    #   ship only the two ids per pair through Arrow. The dot/norm folds
+    #   replay the JVM fold's IEEE add order exactly (sequential over
+    #   dim, vectorized across pairs — the q_pq_codes kernel recipe), so
+    #   the pre-round double is bit-identical to cosine() (parity pinned
+    #   by test_lsh_verify_kernel_matches_jvm). Memory bound: the
+    #   broadcast holds n×dim float64 (~0.5 GB per 1M vectors at
+    #   dim=64) — fine for any corpus whose embeddings fit one machine;
+    #   beyond that pass verify_impl="jvm" (SCALING.md row).
+    # - "jvm": pure-JVM joins, no broadcast bound. Round 17 moved the
+    #   norm folds out of the per-pair cosine: norms are per-VECTOR
+    #   functions, so they are computed once per id on the (n)-row side
+    #   of the verify join instead of twice per candidate pair — the
+    #   per-pair work drops from 3 interpreted dim-folds to 1 (the dot).
+    #   Same arithmetic on the same doubles → identical results.
+    if verify_impl == "kernel":
+        scored = _lsh_verify_broadcast(cand, df, id_col, vec)
+    else:
+        v = df.select(
+            F.col(id_col), vec.alias("__v"), norm(vec).alias("__n")
+        )
+        scored = (
+            cand.join(
+                v.withColumnsRenamed({id_col: "id_a", "__v": "__va", "__n": "__na"}),
+                "id_a",
+            )
+            .join(
+                v.withColumnsRenamed({id_col: "id_b", "__v": "__vb", "__n": "__nb"}),
+                "id_b",
+            )
+            .withColumn(
+                "__cos",
+                dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")),
+            )
+        )
     return (
-        cand.join(v.withColumnsRenamed({id_col: "id_a", "__v": "__va"}), "id_a")
-        .join(v.withColumnsRenamed({id_col: "id_b", "__v": "__vb"}), "id_b")
-        .withColumn("cos_sim", F.round(cosine(F.col("__va"), F.col("__vb")), 4))
+        scored.withColumn("cos_sim", F.round(F.col("__cos"), 4))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def _lsh_verify_broadcast(
+    cand: DataFrame, df: DataFrame, id_col: str, vec: Column
+) -> DataFrame:
+    """Exact-cosine verify over candidate id pairs with the embedding
+    matrix broadcast to the Python workers: only (id_a, id_b) crosses the
+    Arrow boundary per pair (the §8 'move heavy bytes once' shape — the
+    per-pair join form ships 2×dim doubles per candidate).
+
+    Bit-exactness: dot and norm replay ``dot()``/``norm()``'s sequential
+    left-fold add order — a Python loop over dim positions, each step an
+    elementwise IEEE-double op vectorized across the pair batch — and the
+    final ``dot / (norm_a * norm_b)`` matches ``cosine()``'s expression
+    tree. Norms are computed once per vector at broadcast-build time
+    (a per-vector pure function — same doubles as the per-pair fold).
+    NULL vectors and vectors with NULL elements score NULL against
+    everything, exactly like the JVM fold (a NULL product poisons the
+    whole fold)."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    rows = df.select(F.col(id_col).alias("i"), vec.alias("v")).collect()
+    n = len(rows)
+    dim = next((len(r.v) for r in rows if r.v is not None), 0)
+    mat = np.zeros((max(n, 1), max(dim, 1)), dtype=np.float64)
+    bad = np.zeros(max(n, 1), dtype=bool)
+    ids = []
+    for i, r in enumerate(rows):
+        ids.append(r.i)
+        v = r.v
+        if v is None or len(v) != dim or any(x is None for x in v):
+            bad[i] = True
+        else:
+            mat[i, :] = v
+    # id → row lookup: sorted-ids + searchsorted for integer ids (fully
+    # vectorized — a per-element dict .map() measured as the stage's
+    # blocking cost at 1.3M candidate pairs), dict fallback otherwise
+    int_ids = all(isinstance(x, int) for x in ids)
+    if int_ids and n:
+        ids_arr = np.asarray(ids, dtype=np.int64)
+        order = np.argsort(ids_arr, kind="stable")
+        sorted_ids, perm = ids_arr[order], order
+    else:
+        sorted_ids, perm = None, None
+    id2row = {x: i for i, x in enumerate(ids)}
+    # norms once per vector, sequential fold in dim order (= norm())
+    acc = np.zeros(mat.shape[0], dtype=np.float64)
+    for j in range(dim):
+        acc = acc + mat[:, j] * mat[:, j]
+    norms = np.sqrt(acc)
+    bc = df.sparkSession.sparkContext.broadcast(
+        (id2row, sorted_ids, perm, mat, norms, bad, dim)
+    )
+
+    def _lookup(col, sorted_ids_, perm_, id2row_):
+        if sorted_ids_ is not None:
+            return perm_[
+                np.searchsorted(sorted_ids_, col.to_numpy(dtype=np.int64))
+            ]
+        return col.map(id2row_).to_numpy(dtype=np.int64)
+
+    def _cos(ia, ib):
+        # Broadcast.value caches after the first deref in each worker, so
+        # the matrix unpickles once per executor process, not per batch
+        id2row_, sorted_ids_, perm_, mat_, norms_, bad_, dim_ = bc.value
+        ra = _lookup(ia, sorted_ids_, perm_, id2row_)
+        rb = _lookup(ib, sorted_ids_, perm_, id2row_)
+        a, b = mat_[ra], mat_[rb]
+        d = np.zeros(len(ra), dtype=np.float64)
+        for j in range(dim_):
+            d = d + a[:, j] * b[:, j]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = d / (norms_[ra] * norms_[rb])
+        out = pd.array(cos, dtype="Float64")
+        out[bad_[ra] | bad_[rb]] = pd.NA
+        return pd.Series(out)
+
+    # asNondeterministic stops the threshold filter's pushdown from
+    # duplicating the ArrowEvalPython node (guide §4.4, the PQ precedent)
+    score = pandas_udf(_cos, "double").asNondeterministic()
+    return cand.withColumn("__cos", score(F.col("id_a"), F.col("id_b")))
 
 
 def _lsh_signatures_pandas(planes_t: list[list[list[float]]]):

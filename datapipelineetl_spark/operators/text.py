@@ -915,6 +915,7 @@ def encode_tokens(
     text_col: str = "text",
     unk: str = "<unk>",
     out: str = "input_ids",
+    impl: str = "local",
 ) -> DataFrame:
     """Encode each document's token stream to vocabulary ids
     (``array<long>``, original order, out-of-vocabulary tokens → the
@@ -926,16 +927,59 @@ def encode_tokens(
     rebuild (array_sort over (pos, id) structs — the same
     no-second-shuffle reassembly as ``remove_boilerplate_lines``).
     Documents with no tokens yield an empty array, never a dropped row.
+
+    ``impl`` (round 17, guide §1.2/§5-driver): ``"local"`` (default)
+    runs the vocab plan ONCE as a metadata-sized collect (the
+    BPE-kernel pattern) — the unk id comes from the collected rows (no
+    second driver job) and the join side is rebuilt as an in-memory
+    local table the planner broadcasts, skipping the localCheckpoint's
+    block-manager round-trip (the r16 REST profile's largest
+    q_pack_sequences stage was tasks blocking on those writes). The
+    vocabulary is dimension-sized by construction (``build_vocab``'s
+    ``max_size`` caps it in production — SCALING.md row), so the
+    collect is bounded. ``"checkpoint"`` keeps the distributed vocab
+    (localCheckpoint + driver unk lookup) for vocabularies too large to
+    collect. Same rows either way (parity:
+    test_encode_tokens_local_matches_checkpoint).
     """
-    # the unk lookup is an ACTION: with an unmaterialized vocab plan it
-    # would execute the whole corpus-wide count + rank window once here
-    # and AGAIN at the join below — materialize the (dimension-sized)
-    # vocab once so both consumers read the same computed table
-    vocab = vocab.localCheckpoint(eager=True)
-    unk_row = vocab.filter(F.col("token") == unk).select("token_id").first()
-    if unk_row is None:
-        raise ValueError(f"vocab has no {unk!r} entry")
-    unk_id = unk_row[0]
+    if impl == "local":
+        import pandas as pd  # noqa: PLC0415
+
+        spark = df.sparkSession
+        rows = vocab.select("token", "token_id").collect()
+        unk_ids = [r.token_id for r in rows if r.token == unk]
+        if not unk_ids:
+            raise ValueError(f"vocab has no {unk!r} entry")
+        unk_id = unk_ids[0]
+        # pandas, not a list: under Arrow a pandas createDataFrame
+        # becomes a LocalRelation — a list builds a pickled-row RDD
+        # whose every consumer launches Python workers just to
+        # deserialize it (measured ~0.3 s per action, which ate the
+        # win of skipping the checkpoint)
+        vocab = F.broadcast(
+            spark.createDataFrame(
+                pd.DataFrame(
+                    {
+                        "token": pd.Series([r.token for r in rows], dtype=object),
+                        "token_id": pd.Series(
+                            [r.token_id for r in rows], dtype=object
+                        ),
+                    }
+                ),
+                schema="token string, token_id long",
+            )
+        )
+    else:
+        # the unk lookup is an ACTION: with an unmaterialized vocab plan
+        # it would execute the whole corpus-wide count + rank window once
+        # here and AGAIN at the join below — materialize the
+        # (dimension-sized) vocab once so both consumers read the same
+        # computed table
+        vocab = vocab.localCheckpoint(eager=True)
+        unk_row = vocab.filter(F.col("token") == unk).select("token_id").first()
+        if unk_row is None:
+            raise ValueError(f"vocab has no {unk!r} entry")
+        unk_id = unk_row[0]
     toks = df.select(
         F.col(id_col),
         F.posexplode_outer(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias(

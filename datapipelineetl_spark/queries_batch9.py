@@ -110,18 +110,42 @@ def q_range_join_ship_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     the naive form here; bucket_days=2 measured best for the 3-day
     windows (A/B in the round-4 log: 1d 3.7s / 2d 3.3s / 4d 4.0s warm
     at sf0.1). Plan-asserted free of nested-loop/cartesian operators in
-    tests/test_scale_patterns.py."""
+    tests/test_scale_patterns.py.
+
+    Round 17 (guide §2.3 "aggregate before you shuffle"): COUNT/SUM over
+    a day-granular point column decompose by day, so lineitem is
+    pre-aggregated to (l_shipdate, n_day, qty_day) — ~2.4k day rows at
+    any SF — BEFORE the range join; the windowed aggregates become sums
+    of day partials. Pair evaluations drop from |lineitem|×density
+    (~36M at sf0.1) to |days|×density (~150k), and the payload shuffled
+    into the bucket join is day rows, not lineitems. Value-identical:
+    COUNT(*) = Σ day counts exactly, and SUM(l_quantity) re-associates
+    EXACTLY because every l_quantity is an integer 1..50 stored in
+    double (TPC-H spec) and all partial sums stay far below 2^53 —
+    integer double addition is associative (pinned by
+    tests/test_relational.py::test_range_join_ship_day_preagg_exact;
+    oracle hash unchanged on every SF)."""
     orders = _t(spark, sf_dir, "orders")
     windows = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
         "o_orderkey",
         F.col("o_orderdate").alias("w_start"),
         (F.col("o_orderdate") + F.expr("INTERVAL 3 DAYS")).alias("w_end"),
     )
-    points = _t(spark, sf_dir, "lineitem").select("l_shipdate", "l_quantity")
-    joined = relational.range_join(points, windows, "l_shipdate", "w_start", "w_end", bucket_days=2)
+    day_points = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_shipdate", "l_quantity")
+        .groupBy("l_shipdate")
+        .agg(
+            F.count(F.lit(1)).alias("__n_day"),
+            F.sum("l_quantity").alias("__qty_day"),
+        )
+    )
+    joined = relational.range_join(
+        day_points, windows, "l_shipdate", "w_start", "w_end", bucket_days=2
+    )
     return joined.groupBy("o_orderkey").agg(
-        F.count(F.lit(1)).alias("n_shipments"),
-        F.sum("l_quantity").alias("sum_qty"),
+        F.sum("__n_day").alias("n_shipments"),
+        F.sum("__qty_day").alias("sum_qty"),
     )
 
 

@@ -201,7 +201,13 @@ def test_prepare_annotations_fused_matches_jvm(spark):
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     kw = dict(min_quality=0.5, near_dup_threshold=0.7)
-    jvm = {r.doc_id: r.asDict() for r in corpus.prepare_corpus(df, **kw).collect()}
+    # annot_impl="jvm" EXPLICIT on the baseline (ADVICE r16: "fused" is
+    # the default, so a default-vs-fused compare runs the kernel twice
+    # and guards nothing)
+    jvm = {
+        r.doc_id: r.asDict()
+        for r in corpus.prepare_corpus(df, annot_impl="jvm", **kw).collect()
+    }
     fus = {
         r.doc_id: r.asDict()
         for r in corpus.prepare_corpus(df, annot_impl="fused", **kw).collect()
@@ -212,7 +218,8 @@ def test_prepare_annotations_fused_matches_jvm(spark):
     jvm_all = {
         r.doc_id: r.asDict()
         for r in corpus.prepare_corpus(
-            df, min_quality=None, near_dup_threshold=None, redact=False
+            df, min_quality=None, near_dup_threshold=None, redact=False,
+            annot_impl="jvm",
         ).collect()
     }
     fus_all = {

@@ -58,3 +58,48 @@ def test_sessionize(spark):
     out = relational.sessionize(df, "user_id", "ts", gap_minutes=30)
     sessions = {(r.user_id, r.session_id) for r in out.collect()}
     assert sessions == {(1, 1), (1, 2), (2, 1)}
+
+
+def test_range_join_ship_day_preagg_exact(spark, sf_dir):
+    """Round 17: q_range_join_ship_windows pre-aggregates lineitem to
+    day rows before the range join (guide §2.3). The rewrite is exact
+    ONLY because every l_quantity is an integer stored in double (sums
+    re-associate exactly below 2^53) — this test guards that fixture
+    invariant AND pins the rewritten aggregate equal (==, no tolerance)
+    to the direct per-row form."""
+    from datapipelineetl_spark import catalog
+
+    li = catalog.load(spark, sf_dir, "lineitem").select("l_shipdate", "l_quantity")
+    # the integrality invariant the re-association argument rests on
+    assert li.filter(F.col("l_quantity") != F.floor("l_quantity")).count() == 0
+    windows = (
+        catalog.load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").alias("w_start"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 3 DAYS")).alias("w_end"),
+        )
+    )
+    direct = {
+        (r.o_orderkey): (r.n, r.q)
+        for r in relational.range_join(
+            li, windows, "l_shipdate", "w_start", "w_end", bucket_days=2
+        )
+        .groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("q"))
+        .collect()
+    }
+    day = li.groupBy("l_shipdate").agg(
+        F.count(F.lit(1)).alias("__n_day"), F.sum("l_quantity").alias("__qty_day")
+    )
+    pre = {
+        (r.o_orderkey): (r.n, r.q)
+        for r in relational.range_join(
+            day, windows, "l_shipdate", "w_start", "w_end", bucket_days=2
+        )
+        .groupBy("o_orderkey")
+        .agg(F.sum("__n_day").alias("n"), F.sum("__qty_day").alias("q"))
+        .collect()
+    }
+    assert direct == pre and len(pre) > 0

@@ -1120,7 +1120,19 @@ def test_streaming_lm_counts_incremental_fit(spark, tmp_path):
     store = str(tmp_path / "lm_store")
     ck = str(tmp_path / "ckpt")
     docs = spark.createDataFrame(rows, ["doc_id", "text"])
-    docs.repartition(3).write.parquet(src)
+    # one file PER ROW with forced-distinct mtimes: the old
+    # repartition(3) write leaves the file count to round-robin offsets
+    # (2 files under local[8], and same-mtime files can merge into one
+    # micro-batch despite maxFilesPerTrigger=1) — this test ASSERTS on
+    # batch multiplicity, so the source layout must be deterministic
+    import os as _os
+
+    for _i, _r in enumerate(rows):
+        spark.createDataFrame([_r], ["doc_id", "text"]).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    for _i, _f in enumerate(sorted((tmp_path / "src").glob("*.parquet"))):
+        _os.utime(_f, (1_000_000_000 + _i, 1_000_000_000 + _i))
 
     def drain():
         stream = (

@@ -565,6 +565,82 @@ def test_lsh_cosine_near_pairs_subset_and_recall(spark, sf_dir):
     assert recall >= 0.8, f"LSH near-pair recall too low: {recall}"
 
 
+def test_lsh_verify_kernel_matches_jvm(spark):
+    """Round 17: the broadcast-matrix verify kernel must emit the SAME
+    rows with the SAME rounded cosines as the JVM fold path (exact ==,
+    no tolerance — the kernel replays dot()/norm()'s sequential IEEE
+    add order), and the pre-round doubles of _lsh_verify_broadcast must
+    be bit-identical to the JVM cosine on every candidate pair,
+    including NULL vectors, NULL-element vectors and the zero-norm
+    0/0 → NaN case."""
+    import math
+
+    from datapipelineetl_spark.operators import similarity as sim
+
+    schema = "vec_id long, embedding array<double>"
+    rows = [
+        (i, [float((i * 13 + j * 7) % 11) / 3.0 - 1.5 for j in range(8)])
+        for i in range(30)
+    ]
+    rows += [(91, None), (92, [1.0, None] + [0.5] * 6)]
+    df = spark.createDataFrame(rows, schema)
+    kw = dict(threshold=0.3, num_planes=2, num_tables=3, dim=8)
+    jvm = sorted(
+        tuple(r) for r in sim.lsh_cosine_near_pairs(df, verify_impl="jvm", **kw).collect()
+    )
+    ker = sorted(
+        tuple(r)
+        for r in sim.lsh_cosine_near_pairs(df, verify_impl="kernel", **kw).collect()
+    )
+    assert jvm == ker and len(ker) > 10
+    # pre-round doubles, pair by pair (incl. pairs the threshold drops)
+    vec = F.col("embedding").cast("array<double>")
+    cand = spark.createDataFrame(
+        [(a, b) for a in (0, 1, 5, 91, 92) for b in (2, 3, 91, 92) if a < b],
+        "id_a long, id_b long",
+    )
+    kdoubles = {
+        (r.id_a, r.id_b): r["__cos"]
+        for r in sim._lsh_verify_broadcast(cand, df, "vec_id", vec).collect()
+    }
+    v = df.select(F.col("vec_id"), vec.alias("__v"))
+    jdoubles = {
+        (r.id_a, r.id_b): r.c
+        for r in cand.join(
+            v.withColumnsRenamed({"vec_id": "id_a", "__v": "__va"}), "id_a"
+        )
+        .join(v.withColumnsRenamed({"vec_id": "id_b", "__v": "__vb"}), "id_b")
+        .select(
+            "id_a", "id_b", sim.cosine(F.col("__va"), F.col("__vb")).alias("c")
+        )
+        .collect()
+    }
+    assert set(kdoubles) == set(jdoubles)
+    for k, jv in jdoubles.items():
+        kv = kdoubles[k]
+        if jv is None or (isinstance(jv, float) and math.isnan(jv)):
+            # NULL-poisoned folds stay NULL in both impls
+            assert kv is None or math.isnan(kv), (k, jv, kv)
+        else:
+            assert kv == jv, (k, jv, kv)  # bit-exact, not approx
+    # zero-norm vectors: the ANSI-on JVM fold ERRORS on 0/0 (Spark 4
+    # divide-by-zero, unchanged from the r16 per-pair cosine); the
+    # kernel masks the pair to NULL, which fails the >= filter — so such
+    # pairs never reach the output. Kernel-only check:
+    zdf = spark.createDataFrame(
+        [(1, [0.0] * 4), (2, [1.0] * 4), (3, [1.0] * 4)],
+        schema,
+    )
+    zcand = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    zvec = F.col("embedding").cast("array<double>")
+    got = {
+        (r.id_a, r.id_b): r["__cos"]
+        for r in sim._lsh_verify_broadcast(zcand, zdf, "vec_id", zvec).collect()
+    }
+    assert got[(1, 2)] is None or math.isnan(got[(1, 2)])
+    assert got[(2, 3)] == 1.0
+
+
 def test_fingerprint_collision_pairs_and_bucket_cap(spark):
     """Docs sharing a winnowing fingerprint pair up; a fingerprint shared
     by more docs than the cap is dropped (boilerplate mitigation)."""
@@ -869,6 +945,27 @@ def test_build_vocab_and_encode_tokens_round_trip(spark):
 
     with _pytest.raises(ValueError, match="unk"):
         t.encode_tokens(df, v.filter(v.token != "<unk>"))
+
+
+def test_encode_tokens_local_matches_checkpoint(spark):
+    """Round 17: the metadata-sized vocab collect + local-relation join
+    (impl='local', default) must encode identically to the distributed
+    localCheckpoint form — same ids, same order, same empty-doc and OOV
+    handling."""
+    from datapipelineetl_spark.operators import text as t
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the dog ran wombat"), (3, ""), (4, None)],
+        "doc_id int, text string",
+    )
+    v = t.build_vocab(df, min_count=2)  # prunes hapax → OOV hits <unk>
+    loc = {r.doc_id: r.input_ids for r in t.encode_tokens(df, v, impl="local").collect()}
+    chk = {
+        r.doc_id: r.input_ids
+        for r in t.encode_tokens(df, v, impl="checkpoint").collect()
+    }
+    assert loc == chk and loc[3] == [] and loc[4] == []
+    assert 1 in loc[2]  # OOV tokens hit <unk> in the local form too
 
 
 def test_normalize_text_pinned_examples(spark):

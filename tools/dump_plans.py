@@ -26,8 +26,8 @@ PICK = {
     "q_winnowing_fingerprints": "Winnowing (round-16 kernel): the whole ladder (k-gram md5-60, window-min, distinct/sort) is ONE ArrowEvalPython — the interpreted transform/array_min(slice) chains are gone; the only Exchange is the query's explicit repartition (CPU-bound work vs a 1-split fixture file; see the query docstring); the operator itself is shuffle-free.",
     "q_winnow_collisions": "Fingerprint collision join over the round-16 winnow kernel's ArrowEvalPython: explode_outer (NOT explode — the inferred size()>0 filter would duplicate the Generate's input), bucket-size cap on the same Exchange the pair join reuses, equi-join on the fingerprint — O(n*fps) shuffle, never pairwise.",
     "q_minhash_capped_near_dups": "Capped MinHash ladder: banding posexplode, the HAVING<=cap bucket filter sharing the banding Exchange (AQE reuse), candidate equi-join, exact-Jaccard verify on candidates only.",
-    "q_lsh_cosine_near_pairs": "SRP-LSH near-pairs: ALL 16 table signatures from one Arrow-batched matmul (ArrowEvalPython, not 4096 interpreted fold steps), posexplode to (table,sig), ONE equi-join shuffle, cosine verify on collisions only.",
-    "q_range_join_ship_windows": "Bucketized range join: intervals explode to covered time buckets, points get one bucket, equi-join on the bucket + exact containment filter — no BroadcastNestedLoopJoin/CartesianProduct anywhere in the plan.",
+    "q_lsh_cosine_near_pairs": "SRP-LSH near-pairs (round-17 verify): ALL 16 table signatures from one Arrow-batched matmul, posexplode to (table,sig), ONE equi-join shuffle; candidate dedup + verify share a single REPARTITION_BY_NUM exchange, and the exact-cosine verify is a broadcast-matrix ArrowEvalPython — only the two ids per pair cross the Python boundary (the §8 'move heavy bytes once' shape).",
+    "q_range_join_ship_windows": "Bucketized range join (round-17 day pre-agg): lineitem collapses to ~2.4k (day, count, qty) rows BEFORE the bucket equi-join (COUNT/SUM decompose by day; integer-double sums re-associate exactly), intervals explode to covered buckets, exact containment filter — pair evaluations ~36M → ~150k, and no BroadcastNestedLoopJoin/CartesianProduct anywhere.",
     "q_hypertable_rollup": "Multi-grain rollup: Scan → Expand ×3 → partial HashAggregate → ONE Exchange → final — three grains for the price of one scan and one shuffle; only aggregated buckets cross the wire.",
     "q_range_join_event_windows": "SUB-DAY range join (bucket_seconds=1800): purchase windows explode to ≤2 half-hour buckets, clicks get one bucket each, equi-join on the bucket + exact containment — the minute-scale form of the same no-nested-loop rewrite.",
     "q9_product_type_profit": "Q9 star: p_name filter pushed into the part scan; part/supplier/nation broadcast; lineitem⋈orders is the single fact-fact shuffle; rollup by (nation, year) collapses map-side.",
