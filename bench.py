@@ -200,7 +200,8 @@ EXPECTED_SEC = {
     "q10_returned_items": 0.75,
     "q18_large_orders": 0.89,
     "q_asof_join_purchase": 0.49,
-    "q_range_join_ship_windows": 2.94,
+    "q_range_join_ship_windows": 0.72,  # round-17 day pre-agg (5.6x interleaved);
+    # same-day 2026-08-18 bench rows 0.604 / 0.646, idle-probe band 0.74-0.88
     "q_range_join_event_windows": 0.44,
     "q_top3_orders_per_customer": 0.34,
     "q_window_trailing_revenue": 0.50,
@@ -231,7 +232,9 @@ EXPECTED_SEC = {
     "q_minhash_capped_near_dups": 2.00,  # kernel sigs; 1.80 / 2.22 same-day
     "q_dedup_clusters_lsh": 2.25,  # contract CC; 2.26 / 2.24 same-day
     "q_cosine_topk": 0.39,
-    "q_lsh_cosine_near_pairs": 3.70,  # verify repartition; 3.09 bench / 3.9-4.3 probes
+    "q_lsh_cosine_near_pairs": 2.00,  # round-17 broadcast-matrix verify kernel +
+    # exchange fusion (1.74x interleaved); same-day 2026-08-18 bench rows
+    # 1.857 / 2.007, interleaved probes 1.76-2.17
     "q_pack_chunks": 0.34,
     "q_contamination_pairs": 1.55,  # round-16 ngram kernel; 2.07 / 1.02 same-day
     # (supersedes the 4.50 re-pin earlier this round — the plan then changed)  # re-pinned round 16 (VERDICT r15
@@ -251,7 +254,8 @@ EXPECTED_SEC = {
     # same-day 2026-08-17 interleaved A/B med 0.714 vs jvm 1.243,
     # best 0.667 — the jvm stage carried 11.75 s executor CPU)
     "q_split_corpus": 0.11,
-    "q_pack_sequences": 1.76,  # round 8: +md5 digest of each pack's ids
+    "q_pack_sequences": 1.70,  # round-17 vocab local-collect (checkpoint+first
+    # jobs gone); same-day 2026-08-18 bench rows 1.621 / 1.774, probes 1.64-1.95
     # (the driver-canon-safe output reshape) — re-measured same-day
     "q_attrition_report": 2.90,  # Observation-riding delegation (3.00), then
     # the fused annotation kernel: same-day bench 2.753/2.972,
@@ -266,8 +270,8 @@ EXPECTED_SEC = {
     # (best-of-3, bench conditions — the SCALING.md pre-measurements
     # re-read within noise: 1.14/1.80/2.99/2.58)
     "q_unigram_logprob": 1.21,
-    "q_dsir_weights": 2.30,  # round-16 gram kernel; 2.29-2.51 bench band (kernel beat jvm
-    # 3.69 vs 4.62 med in the same-session interleave — absolute scale is ambient)
+    "q_dsir_weights": 2.10,  # round-16 gram kernel, re-pinned round 17: 2026-08-18
+    # bench rows 2.11 / 1.858, standalone best-of-5 1.844-3.294 (warm med 1.882)
     "q_kmeans_clusters": 3.20,  # seq-kernel assignment; 3.35 / 3.10 same-day
     "q_bloom_decontam": 2.15,  # fused gram+bit-test kernel; 2.04-2.29 same-day
     # batch-17/18 rows: re-measured same-day as the round-10 promotion
@@ -290,8 +294,10 @@ EXPECTED_SEC = {
     # halves of the band (standalone warm best-of-3: 8.0/6.2, and
     # 9.5/7.1 after the fit dim-probe fusion).
     "q_pq_codes": 1.20,  # seq kernels (466f882); 0.84 / 1.00 same-day
-    "q_pq_topk": 2.20,  # seq kernels; 1.14 / 2.75 same-day (the PQ rows keep the
-    # widest same-day ambient spread in the bench — pins sit near the high half)
+    "q_pq_topk": 1.40,  # re-pinned round 17 (VERDICT r16 item 5: the 2.20 pin sat
+    # 1.9x above best and could hide a real 2x drift): same-day 2026-08-18 bench
+    # rows 1.355 / 1.204, standalone best-of-5 1.422-1.872 (med 1.534) — pin at
+    # the band midpoint, 1.16x the same-day best
     # batch-20 rows: measured same-day as the round-14 promotion (warm
     # best-of-3 under bench conditions: 8.34 / 13.49). Both carry the
     # q_pq_codes-class fixed cost — the sample Lloyd fit plus analysis
@@ -301,8 +307,10 @@ EXPECTED_SEC = {
     # measured single-scan serving form, parity-tested). References sit
     # slightly above the best-of-3 per the PQ rows' documented same-day
     # ambient band.
-    "q_ivfpq_topk": 3.30,  # seq kernels; 1.43 / 4.11 same-day
-    "q_pq_topk_multi": 5.00,  # seq kernels; 2.02 / 6.26 same-day
+    "q_ivfpq_topk": 1.90,  # re-pinned round 17 (same item): 2026-08-18 bench rows
+    # 1.864 / 1.778, standalone best-of-5 1.789-2.464 (med 1.854)
+    "q_pq_topk_multi": 2.55,  # re-pinned round 17 (same item): 2026-08-18 bench
+    # rows 2.457 / 2.469, standalone best-of-5 2.320-2.633 (med 2.364)
 }
 
 # FROZEN long-horizon anchor (VERDICT r14 item 2): the round-4 driver
